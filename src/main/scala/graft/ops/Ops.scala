@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Exprs
+
+/** Relational operator pack (SURVEY.md §2.4–§2.7) — thin, composable
+  * wrappers over the declarative DataFrame API so Catalyst keeps full
+  * visibility (pushdown, pruning, partial aggregation, broadcast planning).
+  */
+object Ops {
+
+  /** U1–U5: wide -> long unpivot. `Spark.unpivot` gives a single Expand node
+    * (no shuffle; scales linearly with input). */
+  def meltToLong(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+                 varName: String, valName: String): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+
+  /** A1/A3/A4: group-sum with pre-agg zero-fill and post-agg zero drop —
+    * partial (map-side) aggregation is supplied by Catalyst. */
+  def groupSumDropZero(df: DataFrame, keys: Seq[String], valueCol: String,
+                       outName: String): DataFrame =
+    df.withColumn(valueCol, coalesce(col(valueCol), lit(0.0)))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(outName))
+      .where(col(outName) =!= 0)
+
+  /** A5: first-per-group under an explicit total order (never rely on
+    * incidental row order — Spark partitions are unordered). */
+  def firstPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** A7: order-preserving distinct — keep the first occurrence by an explicit
+    * order column (pandas dict-dedupe semantics made shuffle-safe).
+    * Ref: /root/reference/247/tools/read_file_tool.py:242. */
+  def distinctKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
+    firstPerGroup(df, keyCols, Seq(col(orderCol).asc))
+
+  /** O1: numeric-aware sort — numeric strings by value (non-numeric last),
+    * then lexical tiebreak. */
+  def numericAwareSort(df: DataFrame, c: String, rest: Column*): DataFrame =
+    df.orderBy((Exprs.numericSortKey(col(c)).asc_nulls_last +: col(c).asc +: rest).toIndexedSeq: _*)
+
+  /** J1/J2/J3: small-dimension enrich — explicitly broadcast so the plan is a
+    * BroadcastHashJoin regardless of statistics availability. */
+  def enrichLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "left")
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Exprs
+import graft.ops.Ops
+
+/** SURVEY.md §2 relational operator inventory re-expressed as declared
+  * queries over the TESTDATA tables, each with an independent DuckDB oracle.
+  *
+  * Conventions for exact hash-parity with the oracle:
+  *  - money/measure aggregates go through DECIMAL (exact, order-independent),
+  *    never raw double sums (double addition is not associative — a parallel
+  *    aggregation would hash-differ from DuckDB's);
+  *  - every result carries a total ORDER BY;
+  *  - timestamps leave the engine as epoch-second BIGINTs or formatted
+  *    strings, never raw timestamp columns (µs/ns + tz representation would
+  *    differ between engines);
+  *  - all computed columns aliased identically on both sides.
+  */
+object RelationalQueries {
+
+  private val D = "decimal(18,2)"
+
+  /** events.ts is Parquet INT64 TIMESTAMP(NANOS) which Spark refuses by
+    * default; read it as raw nanosecond longs and do exact integer math. */
+  def eventsNs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── A1/A2/A4: hash group-sum (partial+final agg, null keys kept) ──
+    QueryDef("q01_group_sum",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(D)).cast(D).as("sum_qty"),
+          sum($"l_extendedprice".cast(D)).cast(D).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ── A1 + post-agg zero/threshold drop (alloc pipeline shape) ──
+    QueryDef("q02_group_sum_dropzero",
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |GROUP BY l_suppkey
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) <> 0
+        |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where($"l_returnflag" === "R")
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_quantity".cast(D)).as("sum_qty0"))
+        .where($"sum_qty0" =!= 0)
+        .select($"l_suppkey", $"sum_qty0".cast(D).as("sum_qty"))
+        .orderBy($"l_suppkey")
+    },
+
+    // ── U1–U5: unpivot wide→long (single Expand node, no shuffle) ──
+    QueryDef("q03_unpivot",
+      """SELECT o_orderkey, 'custkey' AS metric,
+        |       CAST(o_custkey AS DECIMAL(18,2)) AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'totalprice' AS metric,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS value FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+      val wide = Tables.orders(s, d).select(
+        $"o_orderkey",
+        $"o_custkey".cast(D).as("custkey"),
+        $"o_totalprice".cast(D).as("totalprice"))
+      Ops.meltToLong(wide, Seq("o_orderkey"), Seq("custkey", "totalprice"),
+          "metric", "value")
+        .orderBy($"o_orderkey", $"metric")
+    },
+
+    // ── J1/J2: multi-way equi-join, small dims broadcast ──
+    QueryDef("q04_join_enrich",
+      """SELECT n.n_name AS nation,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum($"l_extendedprice".cast(D) * (lit(1) - $"l_discount".cast(D)))
+            .cast("decimal(28,4)").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select($"n_name".as("nation"), $"revenue", $"n_rows")
+        .orderBy($"nation")
+    },
+
+    // ── O1: numeric-aware sort (numeric strings by value, junk last) ──
+    QueryDef("q05_numeric_sort",
+      """WITH keyed AS (
+        |  SELECT p_partkey,
+        |         CASE WHEN p_partkey % 7 = 0 THEN p_type
+        |              ELSE CAST(p_partkey % 150 AS VARCHAR) END AS branch
+        |  FROM part)
+        |SELECT p_partkey, branch,
+        |  ROW_NUMBER() OVER (ORDER BY TRY_CAST(branch AS DOUBLE) NULLS LAST,
+        |                     branch, p_partkey) AS rn
+        |FROM keyed
+        |ORDER BY rn""".stripMargin) { (s, d) =>
+      val keyed = Tables.part(s, d).select(
+        $"p_partkey",
+        when($"p_partkey" % 7 === 0, $"p_type")
+          .otherwise(($"p_partkey" % 150).cast("string")).as("branch"))
+      val ord = Seq(
+        Exprs.numericSortKey($"branch").asc_nulls_last,
+        $"branch".asc, $"p_partkey".asc)
+      keyed
+        .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+        .orderBy($"rn")
+    },
+
+    // ── A5: first-per-group under explicit total order ──
+    QueryDef("q06_first_per_group",
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS first_date
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Ops.firstPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+          Seq($"o_orderdate".asc, $"o_orderkey".asc))
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("first_date"))
+        .orderBy($"o_custkey")
+    },
+
+    // ── A7: order-preserving distinct (first occurrence by order col) ──
+    QueryDef("q07_distinct_keepfirst",
+      """SELECT user_id, event_id, event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Ops.distinctKeepFirst(eventsNs(s, d), Seq("user_id"), "event_id")
+        .select($"user_id", $"event_id", $"event_type")
+        .orderBy($"user_id")
+    },
+
+    // ── F2: accounting-number parse, oracle is an independent CASE ──
+    QueryDef("q08_accounting_parse",
+      """SELECT p_partkey,
+        |  CASE p_partkey % 5
+        |    WHEN 0 THEN '(' || CAST(p_partkey AS VARCHAR) || ')'
+        |    WHEN 1 THEN CAST(p_partkey AS VARCHAR) || '-'
+        |    WHEN 2 THEN '$' || CAST(p_partkey AS VARCHAR) || '.50'
+        |    WHEN 3 THEN ' ' || CAST(p_partkey AS VARCHAR) || ' '
+        |    ELSE 'n/a' END AS raw,
+        |  CASE p_partkey % 5
+        |    WHEN 0 THEN -CAST(p_partkey AS DOUBLE)
+        |    WHEN 1 THEN -CAST(p_partkey AS DOUBLE)
+        |    WHEN 2 THEN CAST(p_partkey AS DOUBLE) + 0.5
+        |    WHEN 3 THEN CAST(p_partkey AS DOUBLE)
+        |    ELSE NULL END AS parsed
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val raw =
+        when($"p_partkey" % 5 === 0, concat(lit("("), $"p_partkey".cast("string"), lit(")")))
+          .when($"p_partkey" % 5 === 1, concat($"p_partkey".cast("string"), lit("-")))
+          .when($"p_partkey" % 5 === 2, concat(lit("$"), $"p_partkey".cast("string"), lit(".50")))
+          .when($"p_partkey" % 5 === 3, concat(lit(" "), $"p_partkey".cast("string"), lit(" ")))
+          .otherwise(lit("n/a"))
+      Tables.part(s, d)
+        .select($"p_partkey", raw.as("raw"))
+        .withColumn("parsed", Exprs.parseAccounting($"raw"))
+        .orderBy($"p_partkey")
+    },
+
+    // ── F6/F8: item-code normalization (strip .0, digits, pad to 7) ──
+    QueryDef("q09_item_code",
+      """SELECT p_partkey,
+        |  lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS item_code,
+        |  CAST(p_partkey AS VARCHAR) AS clean_num
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+          $"p_partkey",
+          Exprs.itemCode7(concat($"p_partkey".cast("string"), lit(".0"))).as("item_code"),
+          Exprs.numLikeToCleanStr(concat($"p_partkey".cast("string"), lit(".00"))).as("clean_num"))
+        .orderBy($"p_partkey")
+    },
+
+    // ── F12/F14: business-date math + reformat with passthrough ──
+    QueryDef("q10_dates",
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y') AS mdy,
+        |  strftime(CAST(o_orderdate AS DATE), '%m/%d/%y') AS mdy_short,
+        |  strftime(CASE dayofweek(CAST(o_orderdate AS DATE) + 2)
+        |             WHEN 6 THEN CAST(o_orderdate AS DATE) + 4
+        |             WHEN 0 THEN CAST(o_orderdate AS DATE) + 3
+        |             ELSE CAST(o_orderdate AS DATE) + 2 END, '%Y-%m-%d') AS edd
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val dt = to_date($"o_orderdate")
+      Tables.orders(s, d).select(
+          $"o_orderkey",
+          date_format(dt, "M/d/yyyy").as("mdy0"),
+          Exprs.eddPlus2RollWeekend(dt).as("edd0"))
+        .select(
+          $"o_orderkey",
+          $"mdy0".as("mdy"),
+          Exprs.reformatDateMdy($"mdy0").as("mdy_short"),
+          date_format($"edd0", "yyyy-MM-dd").as("edd"))
+        .orderBy($"o_orderkey")
+    },
+
+    // ── F1: NA vocabulary normalization ──
+    QueryDef("q11_na_normalize",
+      """SELECT event_id,
+        |  CASE event_id % 8
+        |    WHEN 0 THEN NULL WHEN 1 THEN NULL WHEN 2 THEN NULL
+        |    WHEN 3 THEN NULL WHEN 4 THEN NULL WHEN 5 THEN NULL
+        |    WHEN 6 THEN NULL
+        |    ELSE event_type END AS clean
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val raw =
+        when($"event_id" % 8 === 0, lit("na"))
+          .when($"event_id" % 8 === 1, lit("N/A"))
+          .when($"event_id" % 8 === 2, lit(" nan"))
+          .when($"event_id" % 8 === 3, lit("NONE"))
+          .when($"event_id" % 8 === 4, lit("null"))
+          .when($"event_id" % 8 === 5, lit("nah"))
+          .when($"event_id" % 8 === 6, lit("  "))
+          .otherwise($"event_type")
+      eventsNs(s, d)
+        .select($"event_id", Exprs.naNormalize(raw).as("clean"))
+        .orderBy($"event_id")
+    },
+
+    // ── window frame: per-customer running total (beyond-reference) ──
+    QueryDef("q12_running_window",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+          $"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast(D)).over(w).cast(D).as("running"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // ── T1 analog: processing-time bucketed aggregation over events ──
+    QueryDef("q13_time_agg",
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin) { (s, d) =>
+      eventsNs(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(D)).cast(D).as("sum_value"))
+        .orderBy($"hour_bucket", $"event_type")
+    },
+
+    // ── exact dedup by content hash (scale path: hash-groupBy, never
+    //    shuffles full text bodies as the key) ──
+    QueryDef("q14_dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keeper_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5($"text".cast("binary")).as("content_hash"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
+        .orderBy($"keeper_id")
+    }
+  )
+
+  // Convenience for $"…" interpolator without a SparkSession in scope.
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}
