@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression pack for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  * All pure Column compositions — codegen'd, no UDFs, embarrassingly
+  * parallel (per-row), so they scale to 100 TB with zero shuffle. */
+object TextFunctions {
+
+  /** Whitespace token count ("" -> 0). */
+  def tokenCountWs(text: Column): Column =
+    when(trim(text) === "", lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space chars — a cheap proxy for subword tokenizers. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])"), lit(1))).cast("long")
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+    when(n === 0, lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+  }
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Ratio of stopword tokens to all whitespace tokens (0 for empty). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(StopwordsEn: _*))
+    when(trim(text) === "", lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean whitespace-token length (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(trim(text) === "", lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks).cast("double"))
+  }
+
+  /** Language-ID by stopword-marker counting: count non-overlapping hits of
+    * each language's marker alternation, argmax with fixed precedence
+    * (en > es > de > fr > zh on ties). A deterministic n-gram heuristic,
+    * not a classifier — the oracle replicates it exactly. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|to|is)",
+    "es" -> "(el|la|de|que|los)",
+    "de" -> "(der|die|und|das|ein)",
+    "fr" -> "(le|la|les|des|une)",
+    "zh" -> "(de5|shi4|le5|zai4|he2)")
+
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(1))).cast("long")
+
+  def langIdHeuristic(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, p) => l -> langScore(text, p) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: MD5 over whitespace-collapsed, lowercased text.
+    * Content-addressed identity for exact dedup at scale (group on the
+    * 128-bit digest, never on the text body). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast("binary"))
+
+  /** Distinct character n-gram shingles (n-char windows), the input to
+    * MinHash/Jaccard dedup. Texts shorter than n yield one whole-text
+    * shingle. Per-row linear work, no shuffle. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+}

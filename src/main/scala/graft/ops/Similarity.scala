@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the candidate corpus — one map-side pass over 100 TB, no shuffle
+  * until the per-query top-k (a tiny aggregate). The SRP-LSH path buckets
+  * both sides by hyperplane sign bits so only same-bucket pairs are scored.
+  * All vector math is expression-level (`zip_with` + in-order `aggregate`
+  * fold — deterministic summation order, unlike a float reduce). */
+object Similarity {
+
+  /** Dot product of two array<double> columns, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 dp (rounding makes the value robust to
+    * last-ulp float-summation differences when compared across engines). */
+  def cosine6(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec array<double>). Self-matches excluded.
+    * Output: (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
+    * neighbor id. The query side is broadcast; corpus scan is map-only. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("_qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine6(col("_qv"), col("_cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Signed-random-projection bucket id: sign bits of dot products with
+    * `nPlanes` deterministic pseudo-random hyperplanes. Vectors in the same
+    * bucket are cosine-close with high probability; at 100 TB this turns
+    * all-pairs scoring into a per-bucket join. */
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val rnd = new scala.util.Random(7)
+    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(vec, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: score only within SRP buckets (multi-probe via the
+    * planes' sign flips is the natural extension; single-probe here). */
+  def srpTopK(vectors: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val b = vectors.select(col("id"), col("vec"),
+      srpBucket(col("vec"), dim, nPlanes).as("_bucket"))
+    val l = b.select(col("_bucket"), col("id").as("query_id"), col("vec").as("_qv"))
+    val r = b.select(col("_bucket"), col("id").as("neighbor_id"), col("vec").as("_cv"))
+    val scored = l.join(r, Seq("_bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine6(col("_qv"), col("_cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

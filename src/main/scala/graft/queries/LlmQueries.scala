@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) as declared queries over `documents` / `embeddings`.
+  * Shared jaccard-pair SQL: the DuckDB oracle computes EXACT n-gram Jaccard;
+  * the MinHash+LSH query must reproduce it exactly because candidates are
+  * verified with exact Jaccard before thresholding (precision 1.0) and the
+  * band configuration gives ~1.0 recall at the 0.8 threshold. */
+object LlmQueries {
+
+  private val JaccardPairsSql =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substr(text, i::INT, 8) FOR i IN generate_series(1, greatest(length(text)-7, 1))]
+      |  )) AS gram FROM documents
+      |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── token counting (whitespace + BPE-ish regex) ──
+    QueryDef("q15_token_count",
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+        |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS n_bpe
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_ws"),
+          TextFunctions.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // ── quality scoring: structural ratios ──
+    QueryDef("q16_quality",
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |            / length(text) END AS punct_ratio,
+        |  CASE WHEN trim(text) = '' THEN 0.0
+        |       ELSE CAST(len([t FOR t IN regexp_split_to_array(lower(trim(text)), '\s+')
+        |                      IF t IN ('the','a','of','and','to','in','is')]) AS DOUBLE)
+        |            / len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS stopword_ratio,
+        |  CASE WHEN trim(text) = '' THEN 0.0
+        |       ELSE CAST(list_sum([len(t) FOR t IN regexp_split_to_array(trim(text), '\s+')]) AS DOUBLE)
+        |            / len(regexp_split_to_array(trim(text), '\s+')) END AS mean_tok_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // ── language-ID heuristic (deterministic marker argmax) ──
+    QueryDef("q17_langid", {
+      val scores = TextFunctions.LangMarkers.map { case (l, p) =>
+        s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
+      }.mkString(", ")
+      val best = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
+      s"""WITH sc AS (SELECT doc_id, $scores FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN $best = 0 THEN 'und'
+         |       WHEN s_en = $best THEN 'en'
+         |       WHEN s_es = $best THEN 'es'
+         |       WHEN s_de = $best THEN 'de'
+         |       WHEN s_fr = $best THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // ── content fingerprint (normalized md5) ──
+    QueryDef("q18_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ── exact n-gram Jaccard near-dup pairs (shingle equi-join) ──
+    QueryDef("q19_ngram_jaccard",
+      JaccardPairsSql + "\nORDER BY doc_a, doc_b") { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 8, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── MinHash + LSH near-dup pairs, exact-verified (same oracle) ──
+    QueryDef("q20_minhash_lsh",
+      JaccardPairsSql + "\nORDER BY doc_a, doc_b") { (s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── near-dedup end-to-end: drop the higher id of each near-dup pair ──
+    QueryDef("q21_dedup_filter",
+      s"""WITH pairs AS ($JaccardPairsSql)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
+      docs.join(pairs.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // ── SimHash near-dup pairs (no SQL oracle: engine-specific hash) ──
+    QueryDef.noOracle("q22_simhash") { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── brute-force cosine top-k ANN baseline ──
+    QueryDef("q23_ann_topk",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    round(list_inner_product(qe, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(qe, qe)) *
+        |       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> query_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val queries = emb.where(col("id") % 50 === 0)
+      Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ── SRP-LSH bucketed ANN (approximate; recall measured in tests) ──
+    QueryDef.noOracle("q24_ann_srp") { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.srpTopK(emb, dim = 64, nPlanes = 8, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }
+  )
+}
