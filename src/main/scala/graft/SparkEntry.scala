@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** All declared queries, grouped by area. */
   def queryDefs: Seq[QueryDef] =
-    RelationalQueries.all ++ LlmQueries.all
+    RelationalQueries.all ++ LlmQueries.all ++ VendorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

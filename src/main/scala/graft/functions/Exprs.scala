@@ -92,7 +92,8 @@ object Exprs {
     * "498-68594 39024" -> 9024; none -> null.
     * Ref: /root/reference/Flips/tools/baby_flip_tool.py:305-324. */
   def lotLast4(c: Column): Column = {
-    val lastChunk = element_at(regexp_extract_all(c, lit("(\\d+)"), lit(1)), -1)
+    // try_element_at: ANSI-safe on digit-free input (empty extract array).
+    val lastChunk = try_element_at(regexp_extract_all(c, lit("(\\d+)"), lit(1)), lit(-1))
     val tail = substring(lastChunk, -4, 4)
     tryLong(tail)
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -9,16 +10,24 @@ import graft.functions.TextFunctions
   *
   *  - exact: group on a 128-bit content fingerprint (never on the body —
   *    the shuffle key stays 16 bytes/row regardless of document size);
-  *  - MinHash + LSH: per-row signature (map-only), band-bucket shuffle whose
-  *    volume is #bands × 16 bytes per doc, candidate pairs only within
-  *    buckets, then exact-Jaccard verification so output precision is 1.0;
+  *  - MinHash + LSH: shingles are exploded and hashed to 64-bit longs
+  *    immediately, so every downstream shuffle moves 16-byte rows, never
+  *    text. All k signature mins are computed as codegen'd `min()`
+  *    aggregates in ONE groupBy (map-side partial aggregation), band
+  *    bucketing runs on (id, band, bucket) rows only, and candidate pairs
+  *    are verified with exact Jaccard over per-doc hash sets joined back in
+  *    at the end — output precision 1.0;
   *  - exact n-gram Jaccard: the quadratic-free formulation — explode
-  *    shingles, self-join on the shingle (co-partitioned hash join), count
-  *    intersections per pair — never materializes the full doc×doc matrix;
-  *  - SimHash: 64-bit per-row signature, near-dup candidates via 16-bit
-  *    chunk banding (Hamming ≤ 3 guarantees ≥ 1 equal chunk of 4).
+  *    shingles, self-join on the 64-bit shingle hash (co-partitioned hash
+  *    join of long keys), count intersections per pair — never materializes
+  *    the full doc×doc matrix;
+  *  - SimHash: 64 per-bit majority votes as codegen'd `sum()` aggregates in
+  *    one groupBy, near-dup candidates via 16-bit chunk banding (Hamming ≤ 3
+  *    guarantees ≥ 1 equal chunk of 4 by pigeonhole).
   *
-  * All signature math is expression-only (codegen'd); no UDFs.
+  * Everything stays inside whole-stage codegen: no UDFs, and no interpreted
+  * higher-order functions in the per-shingle/per-token hot path (those are
+  * reserved for small per-row arrays like the k-element signature).
   */
 object Dedup {
 
@@ -35,17 +44,31 @@ object Dedup {
 
   private val Prime = (1L << 31) - 1 // Mersenne prime 2^31-1
 
-  /** MinHash signature (array<long> of length k) over a shingle array.
-    * Base hash once per shingle (xxhash64 → 32-bit), then k cheap affine
-    * permutations — O(k·|shingles|) multiply-adds per row, map-only. */
-  def minHashSignature(shingleArr: Column, k: Int): Column = {
+  /** (doc, shingle-hash) pairs: one row per distinct shingle, the shingle
+    * replaced by its xxhash64 — 16 bytes/row through every later shuffle
+    * regardless of document size. 64-bit identity keeps the collision
+    * probability negligible (p ≈ n²/2⁶⁴), so set sizes and intersections
+    * over the hashes equal those over the strings. */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int): DataFrame =
+    docs.select(
+        col(idCol).as("_id"),
+        explode(TextFunctions.shingles(col(textCol), shingleN)).as("_g"))
+      .select(col("_id"), xxhash64(col("_g")).as("_h"))
+
+  /** Per-doc state in ONE shuffle on _id: set size, the hash set itself
+    * (for exact verification), and all k minhash values as plain codegen'd
+    * min() aggregates with map-side partial aggregation. */
+  private def minHashPerDoc(hashes: DataFrame, k: Int): DataFrame = {
     val (as, bs) = perms(k)
-    val aLit = array(as.map(lit): _*)
-    val bLit = array(bs.map(lit): _*)
-    val base = transform(shingleArr, s => pmod(xxhash64(s), lit(1L << 32)))
-    transform(sequence(lit(0), lit(k - 1)), p =>
-      array_min(transform(base, h =>
-        pmod(element_at(aLit, p + 1) * h + element_at(bLit, p + 1), lit(Prime)))))
+    // 32-bit base hash for the affine permutations: a*h32 + b < 2^52.
+    val h32 = pmod(col("_h"), lit(1L << 32))
+    val minCols = (0 until k).map(i =>
+      min(pmod(lit(as(i)) * h32 + lit(bs(i)), lit(Prime))).as(s"_m$i"))
+    val aggs = Seq(count(lit(1)).as("_n"), collect_list(col("_h")).as("_hs")) ++ minCols
+    hashes.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"), col("_n"), col("_hs"),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("_sig"))
   }
 
   /** LSH band hashes: signature sliced into `bands` bands of `rows` values,
@@ -55,7 +78,7 @@ object Dedup {
       xxhash64(concat_ws(",", transform(slice(sig, j * rows + 1, lit(rows)), _.cast("string")))))
 
   /** Candidate near-dup pairs from MinHash LSH, verified with exact Jaccard
-    * over the shingle sets, keeping pairs with jaccard >= threshold.
+    * over the shingle-hash sets, keeping pairs with jaccard >= threshold.
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     *
     * Bucket-size note for the 100 TB path: a degenerate band value (e.g. all
@@ -66,53 +89,76 @@ object Dedup {
                       bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.8,
                       maxBucket: Int = 1000): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("_id"),
-      TextFunctions.shingles(col(textCol), shingleN).as("_sh"))
-    val sig = sh.withColumn("_sig", minHashSignature(col("_sh"), k))
-      .withColumn("_bands", bandHashes(col("_sig"), bands, rows))
-      .select(col("_id"), col("_sh"), posexplode(col("_bands")).as(Seq("_band", "_bh")))
-    val bounded = sig.withColumn("_bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_band"), col("_bh"))))
+    // The per-doc signature table is referenced three times below (banding +
+    // both verify joins); persist it so the shingle explode + groupBy runs
+    // once. It is the compressed working set — ~100× smaller than the text.
+    val perDoc = minHashPerDoc(shingleHashes(docs, idCol, textCol, shingleN), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Banding runs on (id, band, bucket) rows — 24 bytes, no arrays.
+    val banded = perDoc.select(col("_id"),
+      posexplode(bandHashes(col("_sig"), bands, rows)).as(Seq("_band", "_bh")))
+    val bounded = banded
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_band"), col("_bh"))))
       .where(col("_bsz") <= maxBucket)
-      .select(col("_id"), col("_sh"), col("_band"), col("_bh"))
-    val a = bounded.select(col("_band"), col("_bh"),
-      col("_id").as("doc_a"), col("_sh").as("_sha"))
-    val b = bounded.select(col("_band"), col("_bh"),
-      col("_id").as("doc_b"), col("_sh").as("_shb"))
-    val cand = a.join(b, Seq("_band", "_bh"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("_sha"), col("_shb"))
-      .dropDuplicates("doc_a", "doc_b")
+      .drop("_bsz")
+    val cand = bounded.as("x").join(bounded.as("y"), Seq("_band", "_bh"))
+      .where(col("x._id") < col("y._id"))
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
+      .distinct()
+    // Exact verification: hash sets joined back in only for candidates,
+    // intersection computed once.
+    val sets = perDoc.select(col("_id"), col("_n"), col("_hs"))
     cand
-      .withColumn("jaccard", jaccardExpr(col("_sha"), col("_shb")))
+      .join(sets.select(col("_id").as("doc_a"), col("_n").as("_na"), col("_hs").as("_ha")), "doc_a")
+      .join(sets.select(col("_id").as("doc_b"), col("_n").as("_nb"), col("_hs").as("_hb")), "doc_b")
+      .withColumn("_c", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+      .withColumn("jaccard",
+        col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard over two shingle arrays (arrays already distinct). */
-  def jaccardExpr(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    inter / (size(sa) + size(sb) - size(array_intersect(sa, sb))).cast("double")
-  }
-
-  /** Exact n-gram Jaccard near-dup pairs WITHOUT the doc×doc cross product:
-    * explode shingles, equi-join on the shingle, count per pair — the join
-    * is a hash join co-partitioned on the shingle, so work scales with the
-    * number of truly shared shingles, not with |docs|². */
+  /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the All-Pairs
+    * / SSJoin scheme) — lossless for jaccard >= threshold, and the only
+    * formulation that survives 100 TB:
+    *
+    * A naive shingle equi-join produces Σ df(g)² rows (561M already at
+    * sf0.1 because common 8-grams appear in thousands of docs). Instead,
+    * order each doc's shingles by global document frequency (rarest first;
+    * ties by hash — a total order shared by all docs) and join ONLY on each
+    * doc's first `n - ⌈t·n⌉ + 1` shingles: any pair with J >= t must share
+    * its order-smallest common shingle inside BOTH prefixes (else either
+    * side has more than n - ⌈t·n⌉ non-shared elements, contradicting
+    * |x∩y| >= ⌈t·max(|x|,|y|)⌉ which J >= t implies). Candidates are then
+    * length-filtered (min >= ⌈t·max⌉) and verified with one exact
+    * intersection — output identical to the naive join, work proportional
+    * to genuinely-rare shared shingles. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 8, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("_g"))
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val inter = sh.as("x").join(sh.as("y"), col("x._g") === col("y._g"))
-      .where(col("x._id") < col("y._id"))
-      .groupBy(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
-      .agg(count(lit(1)).as("_c"))
-    inter
-      .join(sizes.select(col("_id").as("doc_a"), col("_n").as("_na")), "doc_a")
-      .join(sizes.select(col("_id").as("doc_b"), col("_n").as("_nb")), "doc_b")
+    val sh = shingleHashes(docs, idCol, textCol, shingleN)
+    val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val perDoc = sh.join(df, "_h")
+      .groupBy(col("_id")).agg(
+        count(lit(1)).as("_n"),
+        sort_array(collect_list(struct(col("_df"), col("_h")))).as("_sorted"))
+      .select(col("_id"), col("_n"),
+        transform(col("_sorted"), s => s.getField("_h")).as("_hs"))
+      // Referenced three times (prefix explode + both verify joins).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = perDoc.select(col("_id"), col("_n"),
+        explode(slice(col("_hs"), lit(1),
+          (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int"))).as("_h"))
+    val cand = pre.as("x").join(pre.as("y"), col("x._h") === col("y._h"))
+      .where(col("x._id") < col("y._id") &&
+        least(col("x._n"), col("y._n")) >=
+          ceil(greatest(col("x._n"), col("y._n")) * lit(threshold)))
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
+      .distinct()
+    val sets = perDoc.select(col("_id"), col("_n"), col("_hs"))
+    cand
+      .join(sets.select(col("_id").as("doc_a"), col("_n").as("_na"), col("_hs").as("_ha")), "doc_a")
+      .join(sets.select(col("_id").as("doc_b"), col("_n").as("_nb"), col("_hs").as("_hb")), "doc_b")
+      .withColumn("_c", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
       .withColumn("jaccard",
         col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -121,10 +167,27 @@ object Dedup {
 
   // ── SimHash ────────────────────────────────────────────────────────────
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes (+1 for a set bit, -1 for clear; bit set in the signature when
-    * the vote is strictly positive). OR-accumulation — no arithmetic
-    * overflow under ANSI mode even for bit 63. */
+  /** Per-doc 64-bit SimHash over whitespace tokens, computed distributed:
+    * explode tokens, hash each once, then 64 per-bit majority votes as
+    * codegen'd sum() aggregates (+1 for a set bit, -1 for clear) in ONE
+    * groupBy; a bit is set in the signature when its vote is strictly
+    * positive. Output: (_id, _sig). */
+  private[graft] def simHashPerDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+        col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(call_function("getbit", col("_h"), lit(b)).cast("long") * 2 - 1).as(s"_v$b"))
+    val sig = (0 until 64).map(b =>
+        when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    toks.groupBy(col("_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("_id"), sig.as("_sig"))
+  }
+
+  /** 64-bit SimHash as a single Column (for per-row use on small inputs;
+    * the distributed pair path uses [[simHashPerDoc]]). */
   def simHash64(text: Column): Column = {
     val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
     aggregate(
@@ -144,7 +207,9 @@ object Dedup {
     * the shuffle key stays 2 bytes + chunk index. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigd = docs.select(col(idCol).as("_id"), simHash64(col(textCol)).as("_sig"))
+    // Referenced by both sides of the chunk self-join.
+    val sigd = simHashPerDoc(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigd.select(col("_id"), col("_sig"),
       explode(array((0 until 4).map(j => struct(
         lit(j).as("_chunk"),

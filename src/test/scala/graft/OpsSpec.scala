@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Ops
+
+/** Relational operator pack specs (SURVEY.md §2.4–§2.7). */
+class OpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("U1 meltToLong: wide -> long via single Expand (no shuffle)") {
+    import spark.implicits._
+    val wide = Seq(("i1", 3.0, 2.0), ("i2", 0.0, 4.0)).toDF("item", "s114", "s123")
+    val long = Ops.meltToLong(wide, Seq("item"), Seq("s114", "s123"), "store", "qty")
+    assert(long.columns.toSeq == Seq("item", "store", "qty"))
+    assert(long.count() == 4)
+    assert(long.where($"item" === "i1" && $"store" === "s114").head.getDouble(2) == 3.0)
+    // Plan check: unpivot must be an Expand, not a join/shuffle.
+    assert(long.queryExecution.optimizedPlan.toString.contains("Expand"))
+  }
+
+  test("A1 groupSumDropZero: null->0 pre-agg, zero groups dropped") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("b", Some(0.0)))
+      .toDF("k", "v")
+    val out = Ops.groupSumDropZero(df, Seq("k"), "v", "total")
+    assert(rows(out.orderBy("k")) == Seq(Seq("a", 1.0)))
+  }
+
+  test("A5 firstPerGroup: explicit order, deterministic") {
+    import spark.implicits._
+    val df = Seq(("g1", 2, "b"), ("g1", 1, "a"), ("g2", 5, "c")).toDF("g", "o", "v")
+    val out = Ops.firstPerGroup(df, Seq("g"), Seq(col("o").asc)).orderBy("g")
+    assert(rows(out) == Seq(Seq("g1", 1, "a"), Seq("g2", 5, "c")))
+  }
+
+  test("A7 distinctKeepFirst: first occurrence by order column") {
+    import spark.implicits._
+    val df = Seq(("po1", 3L), ("po1", 1L), ("po2", 2L)).toDF("po", "idx")
+    val out = Ops.distinctKeepFirst(df, Seq("po"), "idx").orderBy("po")
+    assert(rows(out) == Seq(Seq("po1", 1L), Seq("po2", 2L)))
+  }
+
+  test("O1 numericAwareSort: numeric strings by value, junk last") {
+    import spark.implicits._
+    val df = Seq("142", "9", "FL-DOCK", "23.5").toDF("branch")
+    val out = Ops.numericAwareSort(df, "branch").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("9", "23.5", "142", "FL-DOCK"))
+  }
+
+  test("J1 enrichLeft: broadcast hash join in the physical plan") {
+    import spark.implicits._
+    val fact = Seq(("114", 3), ("999", 9)).toDF("store", "qty")
+    val dim = Seq(("114", "po-1")).toDF("store", "po")
+    val out = Ops.enrichLeft(fact, dim, Seq("store"))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val got = rows(out.orderBy("store"))
+    assert(got == Seq(Seq("114", 3, "po-1"), Seq("999", 9, null)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN / similarity-search specs with hand-computed cosine values. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0)),   // close to 1
+      (3L, Seq(0.0, 1.0, 0.0)),   // orthogonal to 1
+      (4L, Seq(-1.0, 0.0, 0.0)))  // opposite to 1
+      .toDF("id", "vec")
+  }
+
+  test("cosine6: exact hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+    val out = df.select(Similarity.cosine6(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(out(1) == 1.0)
+  }
+
+  test("bruteForceTopK: correct neighbor order, self excluded, broadcast plan") {
+    val q = vecs.where(col("id") === 1)
+    val out = Similarity.bruteForceTopK(q, vecs, k = 3)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = out.orderBy("rank").collect().map(r => r.getLong(1)).toSeq
+    assert(got == Seq(2L, 3L, 4L)) // by descending cosine: 0.993, 0.0, -1.0
+    assert(!got.contains(1L))
+  }
+
+  test("srpTopK: same-bucket neighbors found with exact cosine values") {
+    val out = Similarity.srpTopK(vecs, dim = 3, nPlanes = 2, k = 3)
+      .where(col("query_id") === 1).collect()
+    // Bucketing is approximate: whatever is returned must carry exact cosine.
+    out.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.TextFunctions
+
+/** Text-analysis expression pack specs (token counting, quality scoring,
+  * language-ID, fingerprinting). */
+class TextFunctionsSpec extends SparkSpec {
+
+  test("tokenCountWs: whitespace tokens, empty -> 0") {
+    assert(evalStr("a b  c", TextFunctions.tokenCountWs) == 3L)
+    assert(evalStr("", TextFunctions.tokenCountWs) == 0L)
+    assert(evalStr("  ", TextFunctions.tokenCountWs) == 0L)
+  }
+
+  test("tokenCountBpe: letter runs, digit runs, single punct") {
+    // "ab12!" -> [ab][12][!] = 3
+    assert(evalStr("ab12!", TextFunctions.tokenCountBpe) == 3L)
+    assert(evalStr("hello world", TextFunctions.tokenCountBpe) == 2L)
+  }
+
+  test("punctRatio: punct chars / total") {
+    assert(evalStr("ab,.", TextFunctions.punctRatio) == 0.5)
+    assert(evalStr("", TextFunctions.punctRatio) == 0.0)
+  }
+
+  test("stopwordRatio: en stopwords over ws tokens") {
+    assert(evalStr("the fish and chips", TextFunctions.stopwordRatio) == 0.5)
+    assert(evalStr("", TextFunctions.stopwordRatio) == 0.0)
+  }
+
+  test("meanTokenLen") {
+    assert(evalStr("ab cdef", TextFunctions.meanTokenLen) == 3.0)
+    assert(evalStr("", TextFunctions.meanTokenLen) == 0.0)
+  }
+
+  test("langIdHeuristic: marker argmax with fixed precedence, und when zero") {
+    assert(evalStr("the cat and the dog is here", TextFunctions.langIdHeuristic) == "en")
+    assert(evalStr("qqq www zzz", TextFunctions.langIdHeuristic) == "und")
+  }
+
+  test("fingerprint: whitespace-collapse + lowercase canonical md5") {
+    val a = evalStr("Hello   World", TextFunctions.fingerprint)
+    val b = evalStr("hello world", TextFunctions.fingerprint)
+    val c = evalStr("hello world!", TextFunctions.fingerprint)
+    assert(a == b)
+    assert(a != c)
+  }
+}
