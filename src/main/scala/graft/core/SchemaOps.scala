@@ -19,6 +19,11 @@ object SchemaOps {
 
   val RowIdx = "_row_idx"
 
+  /** Column by literal name, backtick-quoted so spreadsheet headers like
+    * "114.0" aren't parsed as nested-field references. */
+  def qcol(name: String): org.apache.spark.sql.Column =
+    col(s"`${name.replace("`", "``")}`")
+
   /** Normalize a header for fuzzy lookup: lower, strip spaces and '#'.
     * Ref: /root/reference/Flips/tools/big_flip_tool.py:43-44,
     * /root/reference/247/tools/pricesheet_tool.py:216-220. */
@@ -105,6 +110,6 @@ object SchemaOps {
   /** P6: drop columns whose header is NA-like. */
   def dropNaHeaderColumns(df: DataFrame): DataFrame = {
     val keep = df.columns.filter(c => c == RowIdx || !Na.isNaString(c))
-    df.select(keep.map(col).toIndexedSeq: _*)
+    df.select(keep.map(qcol).toIndexedSeq: _*)
   }
 }

@@ -14,7 +14,7 @@ object Ops {
     * (no shuffle; scales linearly with input). */
   def meltToLong(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
                  varName: String, valName: String): DataFrame =
-    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+    df.unpivot(idCols.map(graft.core.SchemaOps.qcol).toArray, valueCols.map(graft.core.SchemaOps.qcol).toArray, varName, valName)
 
   /** A1/A3/A4: group-sum with pre-agg zero-fill and post-agg zero drop —
     * partial (map-side) aggregation is supplied by Catalyst. */

@@ -96,7 +96,7 @@ object AllocationPipeline {
     val promoted = SchemaOps.promoteHeaders(grid, headerIdx = 1)
     val kept = SchemaOps.columnsLeftOf(
       promoted.columns.filter(_ != RowIdx).toSeq, "Total")
-    val trimmed = promoted.select((RowIdx +: kept).map(col): _*)
+    val trimmed = promoted.select((RowIdx +: kept).map(SchemaOps.qcol): _*)
     val noLast = Steps.dropLastRow(trimmed)
     SchemaOps.resolveColumn(kept, "Item Description") match {
       case Some(c) => noLast.drop(c)
@@ -110,7 +110,7 @@ object AllocationPipeline {
     val itemCol = SchemaOps.resolveColumnOrFail(cleaned, "Item#")
     val branchCols = cleaned.columns.filter(c => c != RowIdx && c != itemCol).toSeq
     val long = Ops.meltToLong(
-        cleaned.select((itemCol +: branchCols).map(col): _*),
+        cleaned.select((itemCol +: branchCols).map(SchemaOps.qcol): _*),
         Seq(itemCol), branchCols, "Branch", "Distro Size")
       .withColumn("Branch", Exprs.stripTrailingDotZero(col("Branch")))
       .withColumn("Distro Size",
@@ -169,7 +169,7 @@ object DockPipeline {
       Exprs.tryDouble(col(dockCol)).cast("int").isin(allowedDocks.toSeq: _*))
     val dataCols = filtered.columns.filter(_ != RowIdx).toSeq.drop(dropLeading)
     val kept = SchemaOps.columnsThrough(dataCols, "Distro Size")
-    val sel = filtered.select((RowIdx +: kept).map(col): _*)
+    val sel = filtered.select((RowIdx +: kept).map(SchemaOps.qcol): _*)
     val ds = SchemaOps.resolveColumnOrFail(sel, "Distro Size")
     sel.where(Exprs.tryDouble(col(ds)) =!= 0.0)
   }
@@ -217,7 +217,7 @@ object PriceSheetPipeline {
     val itemCol = SchemaOps.resolveColumnOrFail(cleaned, "Item#")
     val storeCols = cleaned.columns.filter(c => c != RowIdx && c != itemCol).toSeq
     val long = Ops.meltToLong(
-        cleaned.select((itemCol +: storeCols).map(col): _*),
+        cleaned.select((itemCol +: storeCols).map(SchemaOps.qcol): _*),
         Seq(itemCol), storeCols, "Store#", "Cost")
       .withColumn("Store#", Exprs.stripTrailingDotZero(col("Store#")))
     // P10 remap + membership, then cost parse/filter.
@@ -258,20 +258,20 @@ object SouthernCrossPipeline {
     val promoted = SchemaOps.promoteHeaders(grid, headerIdx = 0)
     val dataCols = promoted.columns.filter(_ != RowIdx).toSeq
     val kept = SchemaOps.columnsLeftOf(dataCols, "LOT #")
-    val sel = promoted.select((RowIdx +: kept).map(col): _*)
+    val sel = promoted.select((RowIdx +: kept).map(SchemaOps.qcol): _*)
     val coerced = kept.foldLeft(sel)((df, c) => df.withColumn(c, coerceCell(col(c))))
     val itemCol = SchemaOps.resolveColumnOrFail(coerced, "Item")
     val noZero = coerced.where(col(itemCol) =!= "0")
     // O7: alphabetical (ci) with Item pinned left.
     val ordered = itemCol +: kept.filter(_ != itemCol).sortBy(_.toLowerCase)
-    noZero.select((RowIdx +: ordered).map(col): _*)
+    noZero.select((RowIdx +: ordered).map(SchemaOps.qcol): _*)
   }
 
   def pivot(cleaned: DataFrame): DataFrame = {
     val itemCol = SchemaOps.resolveColumnOrFail(cleaned, "Item")
     val branchCols = cleaned.columns.filter(c => c != RowIdx && c != itemCol).toSeq
     val long = Ops.meltToLong(
-        cleaned.select((itemCol +: branchCols).map(col): _*),
+        cleaned.select((itemCol +: branchCols).map(SchemaOps.qcol): _*),
         Seq(itemCol), branchCols, "Branch", "Distro Size")
       .withColumn("Branch", Exprs.stripTrailingDotZero(col("Branch")))
       .withColumn("Distro Size",
