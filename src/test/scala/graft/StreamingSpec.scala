@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.streaming._
+import graft.streaming.PdfWatcher.{FileObs, PoStatus}
+
+/** S8 watcher state machine + S6/T1–T6 orchestrator specs. */
+class StreamingSpec extends SparkSpec {
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("S8 matchPo: -<PO>.pdf suffix, case-insensitive") {
+    assert(PdfWatcher.matchPo("acme-142-57466.pdf", Seq("57466")) == Some("57466"))
+    assert(PdfWatcher.matchPo("ACME-57466.PDF", Seq("57466")) == Some("57466"))
+    assert(PdfWatcher.matchPo("57466.pdf", Seq("57466")) == None)
+    assert(PdfWatcher.matchPo("x-574661.pdf", Seq("57466")) == None)
+  }
+
+  test("S8 settle: stable size for settle window -> SETTLED once") {
+    import spark.implicits._
+    val obs = Seq(
+      FileObs("57466", "/w/a-57466.pdf", 100, 0),
+      FileObs("57466", "/w/a-57466.pdf", 100, 1000),
+      FileObs("57466", "/w/a-57466.pdf", 100, 3500),
+      FileObs("57466", "/w/a-57466.pdf", 100, 9000)).toDS()
+    val out = PdfWatcher.settleBatch(obs, settleMs = 3000, maxWaitMs = 300000)
+      .collect().toSeq
+    assert(out == Seq(PoStatus("57466", "SETTLED", "/w/a-57466.pdf", 3500)))
+  }
+
+  test("S8 settle: size change re-arms the debounce clock") {
+    import spark.implicits._
+    val obs = Seq(
+      FileObs("p", "/w/x-p.pdf", 100, 0),
+      FileObs("p", "/w/x-p.pdf", 200, 2900),  // grew -> re-arm
+      FileObs("p", "/w/x-p.pdf", 200, 4000),  // only 1.1s stable
+      FileObs("p", "/w/x-p.pdf", 200, 6000)).toDS() // 3.1s stable -> settle
+    val out = PdfWatcher.settleBatch(obs, settleMs = 3000, maxWaitMs = 300000)
+      .collect().toSeq
+    assert(out.map(_.atMs) == Seq(6000L))
+  }
+
+  test("S8 timeout: never-stable file times out after maxWait") {
+    import spark.implicits._
+    val obs = (0 to 12).map(i =>
+      FileObs("p", "/w/x-p.pdf", 100 + i, i * 1000L)).toDS()
+    val out = PdfWatcher.settleBatch(obs, settleMs = 3000, maxWaitMs = 10000)
+      .collect().toSeq
+    assert(out.map(_.status) == Seq("TIMEOUT"))
+    assert(out.head.atMs == 10000L)
+  }
+
+  test("S8 sweep + move: real files, K10 move semantics") {
+    val watch = Files.createTempDirectory("watch").toString
+    val dest = Files.createTempDirectory("dest").toString
+    Files.write(Paths.get(s"$watch/acme-142-57466.pdf"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(s"$watch/unrelated.txt"), Array[Byte](1))
+    val obs = PdfWatcher.sweep(Seq(watch), Seq("57466"), nowMs = 5)
+    assert(obs.size == 1 && obs.head.po == "57466" && obs.head.size == 3)
+    val moved = PdfWatcher.moveSettled(
+      PoStatus("57466", "SETTLED", obs.head.path, 5), dest)
+    assert(Files.exists(moved) && !Files.exists(Paths.get(obs.head.path)))
+    // idempotent: second move (file already present) is a no-op
+    assert(PdfWatcher.moveSettled(
+      PoStatus("57466", "SETTLED", obs.head.path, 6), dest) == moved)
+  }
+
+  test("T5 arrivedItem: store parse from moved filename, PO fallback") {
+    assert(PdfWatcher.arrivedItem("acme-142-57466.pdf", "57466") == "142")
+    assert(PdfWatcher.arrivedItem("acme-57466.pdf", "57466") == "57466")
+  }
+
+  test("F16 a1 encode") {
+    assert(Orchestrator.a1(3, 28) == "AB3")
+    assert(Orchestrator.a1(1, 1) == "A1")
+    assert(Orchestrator.a1(12, 26) == "Z12")
+  }
+
+  test("S6 parseSections: FIXTURES §8 golden") {
+    val grid = Seq(
+      Seq("Note", "Vendor #", "Vendor Name", "452/490", "142", "Status"),
+      Seq("seafood", "10001", "Acme Fish", "57466.0", "x", "Ready"),
+      Seq("", "10002", "Gulf Co", "", "68594", "Sent"),
+      Seq("", "", "", "", "", ""),
+      Seq("Note", "Vendor #", "Vendor Name", "165", "Status", ""),
+      Seq("meat", "20001", "Plains Beef", "11111", "Ready", ""))
+    val rows = Orchestrator.parseSections(grid)
+    assert(rows.size == 3)
+    val r1 = rows(0)
+    assert(r1.section == "seafood" && r1.vendorNum == "10001" &&
+      r1.status == "Ready" && r1.statusA1 == "F2")
+    // Store columns admit digit-only headers (reference is_int_str), so
+    // '142' is captured and composite '452/490' is not.
+    assert(r1.stores == Map("142" -> "x"))
+    assert(rows(1).stores == Map("142" -> "68594"))
+    val r3 = rows(2)
+    assert(r3.section == "meat" && r3.statusA1 == "E6" && r3.stores == Map("165" -> "11111"))
+  }
+
+  test("J5 storePoItems: x/blank skip, .0 strip, multi-code expansion") {
+    val row = Orchestrator.VendorRow("s", 2, "10001", "Acme", "Ready", "F2",
+      Map("452/490" -> "57466.0", "142" -> "x", "165" -> ""))
+    assert(Orchestrator.storePoItems(row) == Seq("452-57466", "490-57466"))
+  }
+
+  test("T2/T4 claim + complete: idempotent state machine") {
+    val rows = Seq(
+      Orchestrator.VendorRow("s", 2, "10001", "A", Orchestrator.Ready, "F2", Map()),
+      Orchestrator.VendorRow("s", 3, "10002", "B", Orchestrator.Sent, "F3", Map()))
+    val w = new InMemoryStatusWriter
+    val claimed = Orchestrator.claimReady(rows, w, Set.empty)
+    assert(claimed.map(_.vendorNum) == Seq("10001"))
+    assert(w.cells.toMap == Map("F2" -> Orchestrator.Sending))
+    // duplicate micro-batch with the vendor already active claims nothing
+    val again = Orchestrator.claimReady(rows, w, Set("10001"))
+    assert(again.isEmpty)
+    Orchestrator.completeVendors(Seq((rows(0), true)), w)
+    assert(w.cells("F2") == Orchestrator.Sent)
+  }
+
+  test("T6 isWithin: guarded cleanup path check") {
+    val base = Paths.get("/tmp/output_folder")
+    assert(Orchestrator.isWithin(base, Paths.get("/tmp/output_folder/pdf_vendor_1/x.pdf")))
+    assert(!Orchestrator.isWithin(base, Paths.get("/tmp/elsewhere/x.pdf")))
+    assert(!Orchestrator.isWithin(base, Paths.get("/tmp/output_folder/../etc/passwd")))
+  }
+
+  test("S5 recipients: vendor .0 strip, email extraction, dedupe") {
+    val dir = Files.createTempDirectory("rcpt").toString
+    graft.sinks.XlsxWriter.write(s"$dir/vendors.xlsx", Seq(
+      graft.sinks.XlsxWriter.Sheet("s", Seq(
+        Seq("Vendor #", "Name", "Emails", "More"),
+        Seq("10001.0", "Acme", "A@b.com; x a@B.com", "c@d.org"),
+        Seq("", "skip", "z@z.org", "")))))
+    val r = Recipients.load(s"$dir/vendors.xlsx")
+    assert(r == Map("10001" -> Seq("a@b.com", "c@d.org")))
+  }
+
+  test("K8 email body: items list and body+signature composition") {
+    val b = EmailBody.body(Seq("142-57466", "490-68594"))
+    assert(b.contains("<li>142-57466</li>"))
+    val combined = EmailBody.combine(b, "<html><body><p>Sig</p></body></html>")
+    assert(combined.contains("<p>Sig</p>") && combined.contains("<li>142-57466</li>"))
+    assert("(?is)<body".r.findAllIn(combined).size == 1)
+  }
+}
