@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column operations for training-data pipelines: image/audio/
+  * video payloads ride as opaque BINARY columns with a typed metadata
+  * struct; per-item work happens in one of two tiers:
+  *
+  *  - expression tier (codegen'd, no shuffle): sizing, fingerprinting,
+  *    byte-range sampling — anything expressible over the raw bytes;
+  *  - decoder tier (`mapPartitions` over the typed Dataset): the
+  *    batch-shaped escape hatch for real decoders. Media codecs aren't
+  *    available in this environment, so [[DecodeStub]] derives
+  *    DETERMINISTIC pseudo-features from the bytes; the Spark-side
+  *    contract — schema, partition iteration, one decoder init per
+  *    partition (how a real JNI/codec handle is amortized) — is real and
+  *    tested, and a real decoder drops in by replacing `decodeOne`.
+  *
+  * At 100 TB the blob column dominates row size: keep blobs OUT of shuffle
+  * keys (join/group on the id or the 16-byte fingerprint), and size
+  * `maxPartitionBytes` so a partition of blobs fits executor memory. */
+object Multimodal {
+
+  /** One media row in the decoder tier. */
+  final case class MediaRow(mediaId: Long, mime: String, blob: Array[Byte])
+
+  /** Deterministic pseudo-features standing in for a real decoder. */
+  final case class MediaFeatures(mediaId: Long, mime: String, nBytes: Long,
+                                 width: Int, height: Int, channels: Int,
+                                 fingerprint: String)
+
+  /** Attach the typed metadata struct (mime + byte size + content
+    * fingerprint) next to a binary column — expression tier, map-only. */
+  def withMetadata(df: DataFrame, blobCol: String, mime: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mime).as("mime"),
+      length(col(blobCol)).cast("long").as("n_bytes"),
+      md5(col(blobCol)).as("fingerprint")))
+
+  /** Byte-range frame sampling: n evenly-spaced fixed-width slices of the
+    * payload — the shape of video frame-grab / audio windowing, kept in
+    * the expression tier (substring on binary is codegen'd). */
+  def sampleFrames(blob: Column, n: Int, frameBytes: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      substring(
+        blob,
+        (i * greatest(floor(length(blob) / n), lit(1)) + 1).cast("int"),
+        lit(frameBytes)))
+
+  /** The decoder-tier stub: one "decoder" init per PARTITION (the pattern
+    * that amortizes a real codec handle), then per-row decode. The fake
+    * features are pure functions of the bytes, so results are
+    * deterministic and order-independent. */
+  object DecodeStub {
+    def decodeOne(r: MediaRow): MediaFeatures = {
+      val n = r.blob.length
+      def at(i: Int): Int = if (n == 0) 0 else r.blob(i % n) & 0xFF
+      MediaFeatures(
+        mediaId = r.mediaId,
+        mime = r.mime,
+        nBytes = n.toLong,
+        width = 16 * (at(0) + 1),
+        height = 16 * (at(1) + 1),
+        channels = 1 + at(2) % 4,
+        fingerprint = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.blob).map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Decoder tier: partition-batched decode of a typed media Dataset. */
+  def decodeFeatures(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // One decoder per partition: a real implementation opens its codec
+      // context here and closes it when the iterator is exhausted.
+      it.map(DecodeStub.decodeOne)
+    }
+  }
+
+  /** End-to-end: DataFrame with (idCol, blobCol) -> features DataFrame. */
+  def decodeFeaturesDf(df: DataFrame, idCol: String, blobCol: String,
+                       mime: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val typed = df.select(
+        col(idCol).cast("long").as("mediaId"),
+        lit(mime).as("mime"),
+        col(blobCol).as("blob"))
+      .as[MediaRow]
+    decodeFeatures(typed).toDF()
+  }
+}

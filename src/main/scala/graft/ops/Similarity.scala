@@ -27,18 +27,37 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec array<double>). Self-matches excluded.
     * Output: (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
-    * neighbor id. The query side is broadcast; corpus scan is map-only. */
+    * neighbor id. The query side is broadcast; corpus scan is map-only.
+    * Norms are computed ONCE per row before the pair join (each is reused
+    * across every pair that row participates in). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("_qv"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("_qv"),
+      norm(col("vec")).as("_qn"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
+      norm(col("vec")).as("_cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine6(col("_qv"), col("_cv")).as("sim"))
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine >=
+    * threshold, exact. Norms precomputed per row; the pair join is the
+    * exact path for modest corpora and for SAMPLED verification of the
+    * SRP-bucketed scale path (which is approximate by construction). */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("id").as("id_a"), col("vec").as("_va"),
+      norm(col("vec")).as("_na"))
+    val b = vectors.select(col("id").as("id_b"), col("vec").as("_vb"),
+      norm(col("vec")).as("_nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
   }
 
   /** Signed-random-projection bucket id: sign bits of dot products with
@@ -58,13 +77,16 @@ object Similarity {
     * planes' sign flips is the natural extension; single-probe here). */
   def srpTopK(vectors: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
     val b = vectors.select(col("id"), col("vec"),
-      srpBucket(col("vec"), dim, nPlanes).as("_bucket"))
-    val l = b.select(col("_bucket"), col("id").as("query_id"), col("vec").as("_qv"))
-    val r = b.select(col("_bucket"), col("id").as("neighbor_id"), col("vec").as("_cv"))
+      srpBucket(col("vec"), dim, nPlanes).as("_bucket"),
+      norm(col("vec")).as("_n"))
+    val l = b.select(col("_bucket"), col("id").as("query_id"),
+      col("vec").as("_qv"), col("_n").as("_qn"))
+    val r = b.select(col("_bucket"), col("id").as("neighbor_id"),
+      col("vec").as("_cv"), col("_n").as("_cn"))
     val scored = l.join(r, Seq("_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine6(col("_qv"), col("_cv")).as("sim"))
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
