@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.10 + the beyond-reference
+  * streaming mandate): event streams are `readStream` sources flowing
+  * through the SAME column expressions the batch engine uses, with
+  * event-time watermarks bounding state.
+  *
+  * The reference's only streaming analogs are a 60 s processing-time poll
+  * (T1) and the settle/timeout watcher (S8, see [[PdfWatcher]]); windowed
+  * event-time aggregation is the scale path a 100 TB pipeline needs: state
+  * is bounded by the watermark, partial aggregation happens map-side, and
+  * the same query runs identically over a file/Kafka source. */
+object EventStream {
+
+  /** Event-time tumbling-window aggregation: count + sum(value) per
+    * (window, event_type), late data bounded by `watermark`.
+    * Input needs (ts_ns long, event_type string, value double). */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sessionization with session_window: gap-based session per user —
+    * the streaming twin of q36's batch cumsum formulation. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Batch/stream parity entry: the driver's events parquet read as a
+    * STREAM (file source discovers new part-files as they land), pushed
+    * through the identical windowed aggregation. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    windowedAgg(stream.withColumnRenamed("ts", "ts_ns"))
+  }
+}

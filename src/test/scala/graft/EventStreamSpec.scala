@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+
+/** Structured Streaming specs: windowed agg + sessionization through
+  * MemoryStream micro-batches, and batch/stream result parity. */
+class EventStreamSpec extends SparkSpec {
+
+  private val H = 3600L * 1000000000L // 1 hour in ns
+
+  test("windowedAgg over a MemoryStream: per-window per-type counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("ts_ns", "event_type", "value")
+    mem.addData(
+      (0L, "click", 1.0), (10L, "click", 2.0), (H / 2, "view", 5.0),
+      (H + 1, "click", 7.0))
+    val q = EventStream.windowedAgg(events)
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("winagg")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    assert(out == Seq(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 7.0)))
+  }
+
+  test("sessionAgg: gap-based sessions per user in streaming mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val events = mem.toDF().toDF("ts_ns", "user_id", "event_type", "value")
+    // user 1: two events 10 min apart (one session), then one 2 h later.
+    mem.addData(
+      (0L, 1L, "c", 0.0), (600L * 1000000000L, 1L, "c", 0.0),
+      (2 * H, 1L, "c", 0.0))
+    val q = EventStream.sessionAgg(events)
+      .writeStream.format("memory").queryName("sessagg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessagg").orderBy("session_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L), (1L, 1L)))
+  }
+
+  test("batch/stream parity: same expression over the events parquet") {
+    // File stream sources want a directory; stage the events file into one.
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStream.windowedAgg(
+      spark.read.parquet(dir).withColumnRenamed("ts", "ts_ns"))
+    val q = EventStream.fromParquetDir(spark, dir)
+      .writeStream.format("memory").queryName("paritystream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("paritystream")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}

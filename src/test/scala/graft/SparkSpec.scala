@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate) so the suite doesn't pay startup per spec class. */
 object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
