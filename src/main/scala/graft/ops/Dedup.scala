@@ -65,7 +65,10 @@ object Dedup {
     val h32 = pmod(col("_h"), lit(1L << 32))
     val minCols = (0 until k).map(i =>
       min(pmod(lit(as(i)) * h32 + lit(bs(i)), lit(Prime))).as(s"_m$i"))
-    val aggs = Seq(count(lit(1)).as("_n"), collect_list(col("_h")).as("_hs")) ++ minCols
+    // The hash set is kept ASCENDING-sorted so candidate verification can
+    // run the codegen'd two-pointer SortedLongIntersectCount merge.
+    val aggs = Seq(count(lit(1)).as("_n"),
+      sort_array(collect_list(col("_h"))).as("_hs")) ++ minCols
     hashes.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("_id"), col("_n"), col("_hs"),
         array((0 until k).map(i => col(s"_m$i")): _*).as("_sig"))
@@ -108,15 +111,24 @@ object Dedup {
     // Exact verification: hash sets joined back in only for candidates,
     // intersection computed once.
     val sets = perDoc.select(col("_id"), col("_n"), col("_hs"))
+    verifyPairs(cand, sets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * per-doc SORTED hash sets: intersection via the codegen'd two-pointer
+    * merge (no boxed hash set per pair — the measured hot path at millions
+    * of candidates). */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+                          threshold: Double): DataFrame =
     cand
       .join(sets.select(col("_id").as("doc_a"), col("_n").as("_na"), col("_hs").as("_ha")), "doc_a")
       .join(sets.select(col("_id").as("doc_b"), col("_n").as("_nb"), col("_hs").as("_hb")), "doc_b")
-      .withColumn("_c", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+      .withColumn("_c",
+        graft.plans.SortedLongIntersectCount(col("_ha"), col("_hb")))
       .withColumn("jaccard",
         col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the All-Pairs
     * / SSJoin scheme) — lossless for jaccard >= threshold, and the only
@@ -142,11 +154,14 @@ object Dedup {
         count(lit(1)).as("_n"),
         sort_array(collect_list(struct(col("_df"), col("_h")))).as("_sorted"))
       .select(col("_id"), col("_n"),
-        transform(col("_sorted"), s => s.getField("_h")).as("_hs"))
+        // df-rarest-first order: the prefix index
+        transform(col("_sorted"), s => s.getField("_h")).as("_pre"),
+        // value order: the verification merge input
+        sort_array(transform(col("_sorted"), s => s.getField("_h"))).as("_hs"))
       // Referenced three times (prefix explode + both verify joins).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = perDoc.select(col("_id"), col("_n"),
-        explode(slice(col("_hs"), lit(1),
+        explode(slice(col("_pre"), lit(1),
           (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int"))).as("_h"))
     val cand = pre.as("x").join(pre.as("y"), col("x._h") === col("y._h"))
       .where(col("x._id") < col("y._id") &&
@@ -155,14 +170,7 @@ object Dedup {
       .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
       .distinct()
     val sets = perDoc.select(col("_id"), col("_n"), col("_hs"))
-    cand
-      .join(sets.select(col("_id").as("doc_a"), col("_n").as("_na"), col("_hs").as("_ha")), "doc_a")
-      .join(sets.select(col("_id").as("doc_b"), col("_n").as("_nb"), col("_hs").as("_hb")), "doc_b")
-      .withColumn("_c", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
-      .withColumn("jaccard",
-        col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyPairs(cand, sets, threshold)
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────
