@@ -75,10 +75,11 @@ object Dedup {
   }
 
   /** LSH band hashes: signature sliced into `bands` bands of `rows` values,
-    * each band reduced to one 64-bit bucket key. */
+    * each band reduced to one 64-bit bucket key. xxhash64 hashes the long
+    * array directly — no per-band string materialization. */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), j =>
-      xxhash64(concat_ws(",", transform(slice(sig, j * rows + 1, lit(rows)), _.cast("string")))))
+      xxhash64(slice(sig, j * rows + 1, lit(rows))))
 
   /** Candidate near-dup pairs from MinHash LSH, verified with exact Jaccard
     * over the shingle-hash sets, keeping pairs with jaccard >= threshold.

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * fold — deterministic summation order, unlike a float reduce). */
 object Similarity {
 
-  /** Dot product of two array<double> columns, left-to-right fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<double> columns: a native codegen'd loop
+    * with left-to-right accumulation — bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold, but primitive (no boxed lambda per
+    * element; this is the inner loop of every pair-scoring join). */
+  def dot(a: Column, b: Column): Column = graft.plans.DoubleArrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

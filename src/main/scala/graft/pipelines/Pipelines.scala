@@ -29,6 +29,11 @@ object Canonical {
     "Expected Delivery Date", "WW Buyer", "Warehouse", "AdditionalXDCK",
     "AmountCode", "XDCK", "POSTXDCK", "FOB")
 
+  /** Phillips keeps a real Warehouse (renamed dock, numeric) and appends a
+    * blank XdockCode — the one 14-col variant.
+    * Ref: /root/reference/Phillips/tools/phillips_tool.py:120-131. */
+  val PhillipsCols: Seq[String] = Cols :+ "XdockCode"
+
   private val IntCols = Set("Branch", "Item", "Distro Size", "Supplier On Record")
   private val NumCols = Set("XDCK", "FOB")
   private val DateCols = Set("Expected Delivery Date")
@@ -36,12 +41,14 @@ object Canonical {
   /** E3 reindex + E4 type coercion: missing columns null-filled, Branch/Item/
     * Distro -> long (0-fill), XDCK/FOB -> nullable double, EDD -> date, text
     * columns null -> "". Sorted Branch, Item, Distro Size. */
-  def conform(df: DataFrame): DataFrame = {
+  def conform(df: DataFrame, cols: Seq[String] = Cols,
+              extraIntCols: Set[String] = Set.empty): DataFrame = {
+    val intCols = IntCols ++ extraIntCols
     val present = df.columns.toSet
-    val out = df.select(Cols.map { c =>
+    val out = df.select(cols.map { c =>
       val base: Column = if (present(c)) col(c).cast("string") else lit(null).cast("string")
       val typed: Column =
-        if (IntCols(c)) coalesce(Exprs.tryDouble(base).cast("long"), lit(0L))
+        if (intCols(c)) coalesce(Exprs.tryDouble(base).cast("long"), lit(0L))
         else if (NumCols(c)) Exprs.tryDouble(base)
         else if (DateCols(c))
           coalesce(
@@ -187,10 +194,20 @@ object DockPipeline {
     Canonical.conform(Canonical.withConstants(fixBranch(cleaned.drop(RowIdx)), cfg, edd))
   }
 
+  /** Phillips keeps the dock as a real numeric Warehouse and emits the
+    * 14-col canonical (XdockCode appended).
+    * Ref: /root/reference/Phillips/tools/phillips_tool.py:61-62,120-131. */
   def runPhillips(grid: DataFrame, fileName: String, edd: String,
                   cfg: VendorConfig = VendorConfig.Phillips): DataFrame = {
     val cleaned = clean(grid, phillipsDocks(fileName), dropLeading = 1)
-    Canonical.conform(Canonical.withConstants(fixBranch(cleaned.drop(RowIdx)), cfg, edd))
+    val dockCol = SchemaOps.resolveColumnOrFail(cleaned, "dock")
+    // withConstants blanks Warehouse; stash the real dock value and restore
+    // it after the constant overlay.
+    val withWarehouse = cleaned.withColumnRenamed(dockCol, "_wh")
+    val out = Canonical.withConstants(fixBranch(withWarehouse.drop(RowIdx)), cfg, edd)
+      .withColumn("Warehouse", col("_wh")).drop("_wh")
+      .withColumn("XdockCode", lit(""))
+    Canonical.conform(out, Canonical.PhillipsCols, extraIntCols = Set("Warehouse"))
   }
 }
 

@@ -247,6 +247,68 @@ object VendorQueries {
         .orderBy($"rn")
     },
 
+    // ── A8/F18: parse-rate aggregate driving majority-vote numeric cast ──
+    QueryDef("q40_parse_rate",
+      """WITH raw AS (
+        |  SELECT p_partkey,
+        |    CASE p_partkey % 4
+        |      WHEN 0 THEN CAST(p_partkey AS VARCHAR)
+        |      WHEN 1 THEN CAST(p_partkey AS VARCHAR) || '.50'
+        |      WHEN 2 THEN 'junk-' || CAST(p_partkey AS VARCHAR)
+        |      ELSE NULL END AS v,
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'colA' ELSE 'colB' END AS grp
+        |  FROM part)
+        |SELECT grp,
+        |  COUNT(v) AS n_nonnull,
+        |  COUNT(CASE WHEN regexp_matches(trim(v), '^[+-]?(\d+\.?\d*|\.\d+)$')
+        |             THEN 1 END) AS n_parse,
+        |  CASE WHEN COUNT(CASE WHEN regexp_matches(trim(v), '^[+-]?(\d+\.?\d*|\.\d+)$')
+        |                       THEN 1 END) * 2 >= COUNT(v)
+        |       THEN 'numeric' ELSE 'string' END AS decision
+        |FROM raw
+        |GROUP BY grp
+        |ORDER BY grp""".stripMargin) { (s, d) =>
+      val v = when($"p_partkey" % 4 === 0, $"p_partkey".cast("string"))
+        .when($"p_partkey" % 4 === 1, concat($"p_partkey".cast("string"), lit(".50")))
+        .when($"p_partkey" % 4 === 2, concat(lit("junk-"), $"p_partkey".cast("string")))
+      val grp = when($"p_partkey" % 2 === 0, lit("colA")).otherwise(lit("colB"))
+      Tables.part(s, d).select(v.as("v"), grp.as("grp"))
+        .groupBy($"grp")
+        .agg(
+          count($"v").as("n_nonnull"),
+          count(when(Exprs.tryDouble($"v").isNotNull, 1)).as("n_parse"))
+        .withColumn("decision",
+          when($"n_parse" * 2 >= $"n_nonnull", lit("numeric")).otherwise(lit("string")))
+        .orderBy($"grp")
+    },
+
+    // ── F7: whole-grid cell coercion (NA->0, x.0->int, decimals kept) ──
+    QueryDef("q41_cell_coerce",
+      """SELECT p_partkey,
+        |  CASE p_partkey % 6
+        |    WHEN 0 THEN CAST(p_partkey AS VARCHAR) || '.0'
+        |    WHEN 1 THEN CAST(p_partkey AS VARCHAR) || '.00'
+        |    WHEN 2 THEN CAST(p_partkey AS VARCHAR) || '.50'
+        |    WHEN 3 THEN 'n/a' WHEN 4 THEN '  ' ELSE ' text ' END AS raw,
+        |  CASE p_partkey % 6
+        |    WHEN 0 THEN CAST(p_partkey AS VARCHAR)
+        |    WHEN 1 THEN CAST(p_partkey AS VARCHAR)
+        |    WHEN 2 THEN CAST(p_partkey AS VARCHAR) || '.5'
+        |    WHEN 3 THEN '0' WHEN 4 THEN '0' ELSE 'text' END AS coerced
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val raw = when($"p_partkey" % 6 === 0, concat($"p_partkey".cast("string"), lit(".0")))
+        .when($"p_partkey" % 6 === 1, concat($"p_partkey".cast("string"), lit(".00")))
+        .when($"p_partkey" % 6 === 2, concat($"p_partkey".cast("string"), lit(".50")))
+        .when($"p_partkey" % 6 === 3, lit("n/a"))
+        .when($"p_partkey" % 6 === 4, lit("  "))
+        .otherwise(lit(" text "))
+      Tables.part(s, d).select($"p_partkey", raw.as("raw"))
+        .withColumn("coerced",
+          graft.pipelines.SouthernCrossPipeline.coerceCell($"raw"))
+        .orderBy($"p_partkey")
+    },
+
     // ── beyond-reference: lag/lead deltas per key ──
     QueryDef("q35_lag_delta",
       """SELECT user_id, event_id,

@@ -60,14 +60,16 @@ class PipelinesSpec extends SparkSpec {
       DockPipeline.runAcme(grid, "acme week.xlsx", "9/15/2026"))
   }
 
-  test("EP4 Phillips: dock from filename digits, single leading drop") {
+  test("EP4 Phillips: dock from filename, 14-col schema, Warehouse kept") {
     val grid = SchemaOps.gridFromRows(spark, Seq(
       Seq("junk", "dock", "Branch", "Item", "Description", "Distro Size", "x"),
       Seq("a", "436", "86", "111", "A", "2", "z"),
       Seq("b", "499", "87", "222", "B", "4", "z")))
     val out = DockPipeline.runPhillips(grid, "phillips 436 export.xlsx", "9/15/2026")
-    assert(rows(out.select(col("Branch"), col("Item"), col("Distro Size"))) ==
-      Seq(Seq(186L, 111L, 2L)))
+    assert(out.columns.toSeq == Canonical.PhillipsCols)
+    assert(rows(out.select(col("Branch"), col("Item"), col("Distro Size"),
+        col("Warehouse"), col("XdockCode"))) ==
+      Seq(Seq(186L, 111L, 2L, 436L, "")))
   }
 
   test("EP2 price sheet: FIXTURES §2 golden — remap, drops, cost parse") {
