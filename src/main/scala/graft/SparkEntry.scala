@@ -11,7 +11,7 @@ object SparkEntry {
   /** All declared queries, grouped by area. */
   def queryDefs: Seq[QueryDef] =
     RelationalQueries.all ++ LlmQueries.all ++ VendorQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

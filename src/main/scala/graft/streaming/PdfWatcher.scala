@@ -82,12 +82,16 @@ object PdfWatcher {
   }
 
   /** Streaming mode: same transition over a streaming Dataset of
-    * observations (e.g. a directory-listing source). */
+    * observations (e.g. a directory-listing source). Timeouts are decided
+    * from the observation timestamps inside the transition itself, so no
+    * engine-level GroupStateTimeout is needed (ProcessingTimeTimeout would
+    * also keep an AvailableNow query alive indefinitely re-evaluating
+    * timeouts). */
   def settleStream(obs: Dataset[FileObs], settleMs: Long, maxWaitMs: Long)(
       implicit spark: SparkSession): Dataset[PoStatus] = {
     import spark.implicits._
     obs.groupByKey(_.po)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         transition(settleMs, maxWaitMs))
   }
 
