@@ -48,4 +48,21 @@ object Ops {
     * BroadcastHashJoin regardless of statistics availability. */
   def enrichLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys, "left")
+
+  /** Skew-safe equi-join for when the right side is too big to broadcast
+    * and the key distribution is skewed: the left (skewed) side gets a
+    * random salt in [0, salts), the right side is replicated once per salt
+    * value, and the join key becomes (key, salt) — a hot key's rows now
+    * spread over `salts` shuffle partitions instead of one straggler.
+    * AQE's skew-join handles moderate skew automatically; explicit salting
+    * is for the pathological keys AQE can't split (single-key hotspots).
+    * Inner join; output columns = left ++ right-minus-keys. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("_salt", (rand(seed = 42) * salts).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, InputStream}
-import java.nio.charset.StandardCharsets
+import java.io.InputStream
+
 import java.nio.file.{Files, Path, Paths}
 import java.util.zip.ZipFile
 import javax.xml.parsers.DocumentBuilderFactory

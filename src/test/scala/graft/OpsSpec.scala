@@ -47,6 +47,19 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("9", "23.5", "142", "FL-DOCK"))
   }
 
+  test("saltedJoin: skew-spread join equals the plain join result") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val left = ((1 to 90).map(_ => ("hot", 1)) ++ (1 to 10).map(i => (s"k$i", i)))
+      .toDF("k", "lv")
+    val right = (Seq("hot") ++ (1 to 10).map(i => s"k$i")).zipWithIndex
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv", "rv")
+    val salted = Ops.saltedJoin(left, right, Seq("k"), salts = 8)
+      .orderBy("k", "lv", "rv")
+    assert(rows(salted) == rows(plain))
+  }
+
   test("J1 enrichLeft: broadcast hash join in the physical plan") {
     import spark.implicits._
     val fact = Seq(("114", 3), ("999", 9)).toDF("store", "qty")

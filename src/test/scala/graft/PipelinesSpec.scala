@@ -98,6 +98,19 @@ class PipelinesSpec extends SparkSpec {
       Seq(Seq(114L, 2345678L, 4L), Seq(142L, 1234567L, 3L)))
   }
 
+  test("EP1 Leavins variant: same pipeline, Leavins vendor constants") {
+    val grid = SchemaOps.gridFromRows(spark, Seq(
+      Seq("t", "", ""),
+      Seq("Item#", "114", "Total"),
+      Seq("42", "7", "7"),
+      Seq("TOTALS", "7", "7")))
+    val out = AllocationPipeline.run(grid, cfg = VendorConfig.Leavins,
+      edd = Some("9/15/2026"))
+    val r = out.head()
+    assert(r.getLong(4) == 79906L)   // Supplier On Record
+    assert(r.getString(6) == "P2M")  // WW Buyer
+  }
+
   test("defaultEdd: weekday passthrough and weekend roll") {
     assert(Steps.defaultEdd(LocalDate.of(2026, 8, 10)) == "8/12/2026") // Mon -> Wed
     assert(Steps.defaultEdd(LocalDate.of(2026, 8, 6)) == "8/10/2026")  // Thu -> Mon
