@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's standard session: graft's Catalyst extensions, shuffle
+  * parallelism matched to cores (32 shuffle partitions at local[32], not
+  * the 200 default sized for real clusters), UTC, AQE left ON (default in
+  * Spark 4 — runtime coalescing + skew-join splitting). On a real cluster
+  * the same builder applies with `master` unset and
+  * `spark.sql.shuffle.partitions` sized to ~2-3× total cores. */
+object GraftSession {
+  def build(cpus: Int, appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

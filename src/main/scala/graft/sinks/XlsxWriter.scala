@@ -110,6 +110,32 @@ object XlsxWriter {
     } finally zos.close()
   }
 
+  /** K2 baby-flip workbook: the output sheet plus the full INTERMEDIATE
+    * LINEAGE — every pipeline stage persisted as its own sheet, and the
+    * PO/carrier dimensions as headerless sheets (the reference's audit
+    * trail shape). Ref: /root/reference/Flips/tools/baby_flip_tool.py:384-511. */
+  def writeBabyFlipWorkbook(path: String,
+                            output: DataFrame,
+                            raw: Seq[Seq[String]],
+                            cleaned: DataFrame,
+                            pivot: DataFrame,
+                            po: DataFrame,
+                            carrier: DataFrame): Unit = {
+    def sheetOf(name: String, df: DataFrame, headers: Boolean = true): Sheet = {
+      val rows = df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+      Sheet(name, rows, if (headers) Some(df.columns.toSeq) else None)
+    }
+    // Araho Sheet renames Store -> Column (reference writer behavior).
+    val araho = output.withColumnRenamed("Store", "Column")
+    write(path, Seq(
+      sheetOf("Araho Sheet", araho),
+      Sheet("RD master", raw.map(_.map(identity[Any]))),
+      sheetOf("RD clean", cleaned),
+      sheetOf("Last Level Master", pivot),
+      sheetOf("PO#", po, headers = false),
+      sheetOf("carriers", carrier, headers = false)))
+  }
+
   /** K1 Mega-Script workbook: `Scripting` sheet from a (small, post-agg)
     * DataFrame — dates written as real date cells with m/d/yyyy format,
     * nulls as blank — plus empty `ANOMALY` / `STORE CLUSTER` sheets.

@@ -132,6 +132,24 @@ object Xlsx {
     } finally zip.close()
   }
 
+  /** S7: worksheet-by-weekday pick — tab whose name starts with today's
+    * mon/tues/wed/thurs/fri prefix (ci), falling back to the first sheet.
+    * Ref: /root/reference/sheet_bot/sheets.py:38-46,
+    * /root/reference/sheet_bot/utils.py:29-35. */
+  val WeekdayPrefixes: Map[java.time.DayOfWeek, String] = Map(
+    java.time.DayOfWeek.MONDAY -> "mon",
+    java.time.DayOfWeek.TUESDAY -> "tues",
+    java.time.DayOfWeek.WEDNESDAY -> "wed",
+    java.time.DayOfWeek.THURSDAY -> "thurs",
+    java.time.DayOfWeek.FRIDAY -> "fri")
+
+  def sheetForWeekday(wb: Workbook, day: java.time.DayOfWeek): SheetMeta = {
+    val byPrefix = WeekdayPrefixes.get(day).flatMap(p =>
+      wb.sheets.find(_.name.toLowerCase.startsWith(p)))
+    byPrefix.orElse(wb.sheets.headOption).getOrElse(
+      throw new IllegalArgumentException("workbook has no sheets"))
+  }
+
   /** S2: grid DataFrame with `_row_idx` + positional c0..cN columns. */
   def readGrid(spark: SparkSession, path: String,
                sheetName: Option[String] = None): DataFrame =

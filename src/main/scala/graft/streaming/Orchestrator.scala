@@ -141,6 +141,23 @@ object Orchestrator {
       row.statusA1 -> (if (ok) Sent else Error)
     })
 
+  /** T1–T4 — one orchestrator tick: re-parse the sheet, claim Ready rows
+    * not already active, process each claimed vendor (the heavy per-vendor
+    * work — PDF watch, merge, email — injected as `processVendor`), then
+    * write terminal statuses back. The reference loops this every 60 s with
+    * a 4-worker pool; Spark-side the per-vendor work is already
+    * distributed, so the tick itself stays a simple driver function. */
+  def runTick(values: Seq[Seq[String]], writer: StatusWriter,
+              active: collection.Set[String])(
+              processVendor: VendorRow => Boolean): Seq[(VendorRow, Boolean)] = {
+    val claimed = claimReady(parseSections(values), writer, active)
+    val results = claimed.map { row =>
+      row -> (try processVendor(row) catch { case _: Exception => false })
+    }
+    completeVendors(results, writer)
+    results
+  }
+
   /** T6 — guarded cleanup: only paths inside the output base are deleted. */
   def isWithin(base: java.nio.file.Path, target: java.nio.file.Path): Boolean = {
     val b = base.toAbsolutePath.normalize

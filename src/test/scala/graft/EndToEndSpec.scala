@@ -50,6 +50,69 @@ class EndToEndSpec extends SparkSpec {
     assert(lines.count(_ == "Type 08/12/26") == 3)
   }
 
+  test("T1-T6 orchestrator tick: claim -> watch -> merge -> email -> write-back") {
+    import graft.streaming.{EmailBody, InMemoryStatusWriter, Orchestrator}
+    import graft.sinks.PdfMerge
+    val watch = Files.createTempDirectory("watch").toString
+    val outBase = Files.createTempDirectory("out").toString
+    // PO pdf already landed (stable size) for vendor 10001's store 142.
+    Files.write(java.nio.file.Paths.get(s"$watch/acme-142-57466.pdf"),
+      "PDFBYTES".getBytes)
+    val sheet = Seq(
+      Seq("Note", "Vendor #", "Vendor Name", "142", "Status"),
+      Seq("seafood", "10001", "Acme Fish", "57466", "Ready"),
+      Seq("", "10002", "Gulf Co", "", "Sent"))
+    val writer = new InMemoryStatusWriter
+    val results = Orchestrator.runTick(sheet, writer, Set.empty) { row =>
+      val items = Orchestrator.storePoItems(row)            // ["142-57466"]
+      val pos = items.map(_.split("-")(1))
+      val vendorDir = s"$outBase/pdf_vendor_${row.vendorNum}"
+      // two poll sweeps 4s apart -> settle (3s window), then move + merge
+      val obs = PdfWatcher.sweep(Seq(watch), pos, nowMs = 0) ++
+        PdfWatcher.sweep(Seq(watch), pos, nowMs = 4000)
+      import spark.implicits._
+      val settled = PdfWatcher.settleBatch(obs.toDS(), 3000, 300000).collect()
+      settled.foreach(st => PdfWatcher.moveSettled(st, vendorDir))
+      val (merged, _) = PdfMerge.combine(vendorDir, vendorDir, "08-12-26")
+      val body = EmailBody.body(items)
+      settled.nonEmpty && Files.exists(merged) && body.contains("<li>142-57466</li>")
+    }
+    assert(results.map { case (r, ok) => (r.vendorNum, ok) } == Seq(("10001", true)))
+    // E2 status machine: claimed to SENDING, then completed to Sent.
+    assert(writer.cells("E2") == Orchestrator.Sent)
+    // second tick: row no longer Ready (status unchanged on the fake sheet
+    // is Ready, but the vendor is active) -> nothing claimed
+    val again = Orchestrator.runTick(sheet, writer, Set("10001"))(_ => true)
+    assert(again.isEmpty)
+  }
+
+  test("S7 weekday tab pick + K2 lineage workbook round-trip") {
+    import graft.pipelines.FlipsPipeline
+    val dir = Files.createTempDirectory("k2").toString
+    XlsxWriter.write(s"$dir/tabs.xlsx", Seq(
+      Sheet("monday orders", Seq(Seq("m"))), Sheet("wed orders", Seq(Seq("w")))))
+    val wb = Xlsx.workbook(s"$dir/tabs.xlsx")
+    assert(Xlsx.sheetForWeekday(wb, java.time.DayOfWeek.WEDNESDAY).name == "wed orders")
+    assert(Xlsx.sheetForWeekday(wb, java.time.DayOfWeek.FRIDAY).name == "monday orders")
+    // K2: write the six-sheet baby-flip workbook and read back the lineage.
+    import spark.implicits._
+    val out = Seq((114L, "114-5", "8/12/2026", "D", 3.0, "L1", 6L, "2", 8))
+      .toDF("Store", "PO #", "Invoice Date", "DESC", "Value", "LOT#",
+        "weight", "pack size", "carrier code")
+    val po = Seq(("114", "114-5")).toDF("Store", "PO #")
+    val carrier = Seq(("114", 8)).toDF("Store", "carrier code")
+    val raw = Seq(Seq("Item", "x"), Seq("1", "2"))
+    XlsxWriter.writeBabyFlipWorkbook(s"$dir/baby.xlsx", out, raw,
+      cleaned = po, pivot = po, po = po, carrier = carrier)
+    val names = Xlsx.workbook(s"$dir/baby.xlsx").sheets.map(_.name)
+    assert(names == Seq("Araho Sheet", "RD master", "RD clean",
+      "Last Level Master", "PO#", "carriers"))
+    val araho = Xlsx.readSheetGrid(s"$dir/baby.xlsx", Some("Araho Sheet"))
+    assert(araho.head.head == "Column") // Store renamed for the Araho sheet
+    // headerless dimension sheets
+    assert(Xlsx.readSheetGrid(s"$dir/baby.xlsx", Some("PO#")).head == Seq("114", "114-5"))
+  }
+
   test("S8 watcher in streaming mode: settle emitted from micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
