@@ -141,6 +141,47 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── the composed training-data cleaning pipeline: language filter ->
+    //    structural quality gates -> near-dup removal, one declared op ──
+    QueryDef("q45_corpus_clean", {
+      val scores = TextFunctions.LangMarkers.map { case (l, p) =>
+        s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
+      }.mkString(", ")
+      val best = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
+      s"""WITH pairs AS ($JaccardPairsSql),
+         |sc AS (SELECT doc_id, text, $scores FROM documents),
+         |lang AS (
+         |  SELECT doc_id, text FROM sc
+         |  WHERE $best > 0 AND s_en = $best),
+         |quality AS (
+         |  SELECT doc_id, text FROM lang
+         |  WHERE length(text) >= 100
+         |    AND CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 10
+         |    AND CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |        / length(text) < 0.1)
+         |SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |FROM quality
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lang = docs
+        .where(TextFunctions.langIdHeuristic(col("text")) === "en")
+      val quality = lang.where(
+        length(col("text")) >= 100 &&
+        TextFunctions.tokenCountWs(col("text")) >= 10 &&
+        TextFunctions.punctRatio(col("text")) < 0.1)
+      val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 8, threshold = 0.8)
+        .select(col("doc_b").as("doc_id"))
+      quality.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── brute-force cosine top-k ANN baseline ──
     QueryDef("q23_ann_topk",
       """WITH q AS (
