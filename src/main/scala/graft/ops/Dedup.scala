@@ -57,21 +57,16 @@ object Dedup {
       .select(col("_id"), xxhash64(col("_g")).as("_h"))
 
   /** Per-doc state in ONE shuffle on _id: set size, the hash set itself
-    * (for exact verification), and all k minhash values as plain codegen'd
-    * min() aggregates with map-side partial aggregation. */
+    * (for exact verification, ascending-sorted for the two-pointer merge),
+    * and the whole k-wide minhash signature as ONE imperative aggregate
+    * ([[graft.plans.MinHashSigAgg]] — k separate min() columns made the
+    * generated plan seconds-slow to janino-compile). */
   private def minHashPerDoc(hashes: DataFrame, k: Int): DataFrame = {
     val (as, bs) = perms(k)
-    // 32-bit base hash for the affine permutations: a*h32 + b < 2^52.
-    val h32 = pmod(col("_h"), lit(1L << 32))
-    val minCols = (0 until k).map(i =>
-      min(pmod(lit(as(i)) * h32 + lit(bs(i)), lit(Prime))).as(s"_m$i"))
-    // The hash set is kept ASCENDING-sorted so candidate verification can
-    // run the codegen'd two-pointer SortedLongIntersectCount merge.
-    val aggs = Seq(count(lit(1)).as("_n"),
-      sort_array(collect_list(col("_h"))).as("_hs")) ++ minCols
-    hashes.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("_id"), col("_n"), col("_hs"),
-        array((0 until k).map(i => col(s"_m$i")): _*).as("_sig"))
+    hashes.groupBy(col("_id")).agg(
+      count(lit(1)).as("_n"),
+      sort_array(collect_list(col("_h"))).as("_hs"),
+      graft.plans.MinHashSigAgg(col("_h"), k, as, bs, Prime).as("_sig"))
   }
 
   /** LSH band hashes: signature sliced into `bands` bands of `rows` values,
@@ -186,13 +181,8 @@ object Dedup {
         col(idCol).as("_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_t"))
       .select(col("_id"), xxhash64(col("_t")).as("_h"))
-    val voteCols = (0 until 64).map(b =>
-      sum(call_function("getbit", col("_h"), lit(b)).cast("long") * 2 - 1).as(s"_v$b"))
-    val sig = (0 until 64).map(b =>
-        when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-    toks.groupBy(col("_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("_id"), sig.as("_sig"))
+    toks.groupBy(col("_id"))
+      .agg(graft.plans.SimHashSigAgg(col("_h")).as("_sig"))
   }
 
   /** 64-bit SimHash as a single Column (for per-row use on small inputs;

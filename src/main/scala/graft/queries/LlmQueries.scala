@@ -173,8 +173,10 @@ object LlmQueries {
         length(col("text")) >= 100 &&
         TextFunctions.tokenCountWs(col("text")) >= 10 &&
         TextFunctions.punctRatio(col("text")) < 0.1)
-      val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          shingleN = 8, threshold = 0.8)
+      // LSH+exact-verify (precision 1.0; band recall ~1.0 at t=0.8, same
+      // contract as q21) instead of the full prefix-filter join.
+      val dupIds = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
         .select(col("doc_b").as("doc_id"))
       quality.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
