@@ -143,7 +143,10 @@ object Dedup {
     * to genuinely-rare shared shingles. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 8, threshold: Double = 0.8): DataFrame = {
+    // Evaluated twice (document-frequency aggregation + the df join);
+    // persist so the text is shingled and hashed once.
     val sh = shingleHashes(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
     val perDoc = sh.join(df, "_h")
       .groupBy(col("_id")).agg(
