@@ -20,7 +20,9 @@ object XlsxWriter {
     * value that is a java.time.LocalDate is written as an Excel date serial
     * with the m/d/yyyy format. Numbers (Int/Long/Double/BigDecimal) are
     * written as numeric cells; everything else as inline strings. */
-  final case class Sheet(name: String, rows: Seq[Seq[Any]], headers: Option[Seq[String]] = None)
+  final case class Sheet(name: String, rows: Seq[Seq[Any]],
+                         headers: Option[Seq[String]] = None,
+                         visible: Boolean = true)
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -86,7 +88,8 @@ object XlsxWriter {
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
            |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
            |<sheets>${sheets.zipWithIndex.map { case (s, i) =>
-                s"""<sheet name="${esc(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+                val state = if (s.visible) "" else """ state="hidden""""
+                s"""<sheet name="${esc(s.name)}" sheetId="${i + 1}"$state r:id="rId${i + 1}"/>"""
               }.mkString}</sheets>
            |</workbook>""".stripMargin)
       put("xl/_rels/workbook.xml.rels",

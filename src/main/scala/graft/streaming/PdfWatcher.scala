@@ -108,6 +108,35 @@ object PdfWatcher {
       }
     }
 
+  /** S8 end-to-end, the reference's `retrieve_pdf` surface: poll the watch
+    * dirs every `pollMs` until every PO has settled (files then moved to
+    * `destDir`) or `maxWaitMs` elapses. `clock`/`sleep` injectable so tests
+    * drive virtual time. Returns the terminal status per PO (missing POs
+    * get a TIMEOUT row). */
+  def watchLoop(watchDirs: Seq[String], pos: Seq[String], destDir: String,
+                settleMs: Long, maxWaitMs: Long, pollMs: Long,
+                clock: () => Long = () => System.currentTimeMillis(),
+                sleep: Long => Unit = Thread.sleep)(
+                implicit spark: SparkSession): Seq[PoStatus] = {
+    val start = clock()
+    val log = scala.collection.mutable.ArrayBuffer.empty[FileObs]
+    var done = Map.empty[String, PoStatus]
+    while (done.size < pos.size && clock() - start < maxWaitMs) {
+      log ++= sweep(watchDirs, pos.filterNot(done.contains), clock())
+      if (log.nonEmpty) {
+        import spark.implicits._
+        val settled = settleBatch(log.toSeq.toDS(), settleMs, maxWaitMs).collect()
+        settled.filter(s => !done.contains(s.po)).foreach { s =>
+          if (s.status == "SETTLED") moveSettled(s, destDir)
+          done += s.po -> s
+        }
+      }
+      if (done.size < pos.size) sleep(pollMs)
+    }
+    val end = clock()
+    pos.map(po => done.getOrElse(po, PoStatus(po, "TIMEOUT", "", end)))
+  }
+
   /** K10 — stability-checked move; skips when already present.
     * Ref: /root/reference/247/tools/read_file_tool.py:389-412. */
   def moveSettled(status: PoStatus, destDir: String): Path = {

@@ -64,6 +64,21 @@ class StreamingSpec extends SparkSpec {
       PoStatus("57466", "SETTLED", obs.head.path, 6), dest) == moved)
   }
 
+  test("S8 watchLoop: virtual-time poll until settle + move, missing PO times out") {
+    val watch = Files.createTempDirectory("wl-watch").toString
+    val dest = Files.createTempDirectory("wl-dest").toString
+    Files.write(Paths.get(s"$watch/v-142-57466.pdf"), Array[Byte](1, 2))
+    var now = 0L
+    val statuses = PdfWatcher.watchLoop(
+      Seq(watch), Seq("57466", "99999"), dest,
+      settleMs = 3000, maxWaitMs = 10000, pollMs = 2000,
+      clock = () => now, sleep = ms => now += ms)
+    assert(statuses.map(s => (s.po, s.status)) ==
+      Seq(("57466", "SETTLED"), ("99999", "TIMEOUT")))
+    assert(Files.exists(Paths.get(s"$dest/v-142-57466.pdf")))
+    assert(!Files.exists(Paths.get(s"$watch/v-142-57466.pdf")))
+  }
+
   test("T5 arrivedItem: store parse from moved filename, PO fallback") {
     assert(PdfWatcher.arrivedItem("acme-142-57466.pdf", "57466") == "142")
     assert(PdfWatcher.arrivedItem("acme-57466.pdf", "57466") == "57466")

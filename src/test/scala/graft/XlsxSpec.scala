@@ -49,6 +49,31 @@ class XlsxSpec extends SparkSpec {
     intercept[IllegalArgumentException](Xlsx.readSheetGrid(path, Some("nope")))
   }
 
+  test("hidden sheets are skipped by active-visible selection") {
+    val dir = tmpDir()
+    val path = s"$dir/hidden.xlsx"
+    XlsxWriter.write(path, Seq(
+      Sheet("scratch", Seq(Seq("h")), visible = false),
+      Sheet("real", Seq(Seq("v")))))
+    val wb = Xlsx.workbook(path)
+    assert(!wb.sheets(0).visible && wb.sheets(1).visible)
+    // activeTab 0 points at the hidden sheet -> fall to first VISIBLE one.
+    assert(wb.activeVisibleSheet.name == "real")
+    assert(Xlsx.readSheetGrid(path, None)(0) == Seq("v"))
+    // by-name read still reaches the hidden sheet (reference reads 'script'
+    // by name regardless of visibility).
+    assert(Xlsx.readSheetGrid(path, Some("scratch"))(0) == Seq("h"))
+  }
+
+  test("P8 integration: duplicate headers deduped during promotion") {
+    val grid = graft.core.SchemaOps.gridFromRows(spark, Seq(
+      Seq("Item#", "490", "457", "490"),
+      Seq("1", "a", "b", "c")))
+    val df = graft.core.SchemaOps.promoteHeaders(grid, headerIdx = 0)
+    assert(df.columns.toSeq == Seq("_row_idx", "Item#", "490", "457", "490.1"))
+    assert(df.select("`490.1`").head.getString(0) == "c")
+  }
+
   test("S1 fileByKeyword: keyword match, ~$ lock files skipped") {
     val dir = tmpDir()
     XlsxWriter.write(s"$dir/weekly allocation report.xlsx", Seq(Sheet("s", Seq(Seq("x")))))
