@@ -16,7 +16,7 @@ object AnalyticsQueries {
     // ── rollup: region -> nation hierarchy with subtotals ──
     QueryDef("q42_rollup",
       """SELECT r.r_name AS region, n.n_name AS nation,
-        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal,
+        |  CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total_bal,
         |  COUNT(*) AS n_cust
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -29,7 +29,8 @@ object AnalyticsQueries {
       c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name").as("region"), col("n_name").as("nation"))
-        .agg(sum(col("c_acctbal").cast(D)).cast(D).as("total_bal"),
+        .agg(graft.queries.RelationalQueries.moneyStr(
+            sum(col("c_acctbal").cast(D)).cast(D)).as("total_bal"),
           count(lit(1)).as("n_cust"))
         .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
     },
@@ -54,27 +55,28 @@ object AnalyticsQueries {
     // ── exact discrete quantiles of order totals per priority ──
     QueryDef("q44_quantiles",
       """SELECT o_orderpriority,
-        |  CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5)
-        |       AS DECIMAL(18,2)) AS p50,
-        |  CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9)
-        |       AS DECIMAL(18,2)) AS p90
+        |  CAST(CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5)
+        |       AS DECIMAL(18,2)) AS VARCHAR) AS p50,
+        |  CAST(CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9)
+        |       AS DECIMAL(18,2)) AS VARCHAR) AS p90
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      // Exact discrete quantile: the value at ceil(q*n)-th position of the
-      // sorted group (duckdb quantile_disc semantics), computed with a
-      // rank window + conditional min — deterministic, no interpolation.
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("price").asc)
-      val ranked = Tables.orders(s, d)
+      // Exact discrete quantile as a true AGGREGATE (partial+final merge on
+      // value-count maps), not a rank window: Window.partitionBy(priority)
+      // has 5 distinct values, so the windowed formulation lands the whole
+      // orders table on 5 tasks — an aggregate scales with shuffle
+      // parallelism instead. percentile_disc picks the smallest value whose
+      // cume_dist >= q == the ceil(q*n)-th sorted element == duckdb
+      // quantile_disc.
+      Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice").cast(D).as("price"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("o_orderpriority"))))
-      ranked.groupBy(col("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
         .agg(
-          min(when(col("rn") >= ceil(col("n") * 0.5), col("price"))).cast(D).as("p50"),
-          min(when(col("rn") >= ceil(col("n") * 0.9), col("price"))).cast(D).as("p90"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)")
+            .cast(D).cast("string").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)")
+            .cast(D).cast("string").as("p90"))
         .orderBy(col("o_orderpriority"))
     }
   )

@@ -30,13 +30,24 @@ object RelationalQueries {
     Tables.events(s, d)
   }
 
+  /** Exact money/measure math stays DECIMAL internally, but no DECIMAL ever
+    * leaves a declared query: the driver's hasher canonicalizes decimal
+    * columns differently per engine (DuckDB decimals become floats on the
+    * pandas path, Spark parquet decimals stay exact), so identical values
+    * hash-differ. A decimal→string cast is scale-preserving and exact on
+    * both engines ("253942.00" both sides), with no double round-trip — so
+    * it stays correct at any data scale. Oracle side mirrors with
+    * CAST(... AS VARCHAR). */
+  def moneyStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("string")
+
   val all: Seq[QueryDef] = Seq(
 
     // ── A1/A2/A4: hash group-sum (partial+final agg, null keys kept) ──
     QueryDef("q01_group_sum",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -44,8 +55,8 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast(D)).cast(D).as("sum_qty"),
-          sum($"l_extendedprice".cast(D)).cast(D).as("sum_price"),
+          moneyStr(sum($"l_quantity".cast(D)).cast(D)).as("sum_qty"),
+          moneyStr(sum($"l_extendedprice".cast(D)).cast(D)).as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -53,7 +64,7 @@ object RelationalQueries {
     // ── A1 + post-agg zero/threshold drop (alloc pipeline shape) ──
     QueryDef("q02_group_sum_dropzero",
       """SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty
         |FROM lineitem
         |WHERE l_returnflag = 'R'
         |GROUP BY l_suppkey
@@ -64,17 +75,17 @@ object RelationalQueries {
         .groupBy($"l_suppkey")
         .agg(sum($"l_quantity".cast(D)).as("sum_qty0"))
         .where($"sum_qty0" =!= 0)
-        .select($"l_suppkey", $"sum_qty0".cast(D).as("sum_qty"))
+        .select($"l_suppkey", moneyStr($"sum_qty0".cast(D)).as("sum_qty"))
         .orderBy($"l_suppkey")
     },
 
     // ── U1–U5: unpivot wide→long (single Expand node, no shuffle) ──
     QueryDef("q03_unpivot",
       """SELECT o_orderkey, 'custkey' AS metric,
-        |       CAST(o_custkey AS DECIMAL(18,2)) AS value FROM orders
+        |       CAST(CAST(o_custkey AS DECIMAL(18,2)) AS VARCHAR) AS value FROM orders
         |UNION ALL
         |SELECT o_orderkey, 'totalprice' AS metric,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS value FROM orders
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS value FROM orders
         |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
       val wide = Tables.orders(s, d).select(
         $"o_orderkey",
@@ -82,14 +93,15 @@ object RelationalQueries {
         $"o_totalprice".cast(D).as("totalprice"))
       Ops.meltToLong(wide, Seq("o_orderkey"), Seq("custkey", "totalprice"),
           "metric", "value")
+        .withColumn("value", moneyStr($"value"))
         .orderBy($"o_orderkey", $"metric")
     },
 
     // ── J1/J2: multi-way equi-join, small dims broadcast ──
     QueryDef("q04_join_enrich",
       """SELECT n.n_name AS nation,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS VARCHAR) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -106,8 +118,8 @@ object RelationalQueries {
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(
-          sum($"l_extendedprice".cast(D) * (lit(1) - $"l_discount".cast(D)))
-            .cast("decimal(28,4)").as("revenue"),
+          moneyStr(sum($"l_extendedprice".cast(D) * (lit(1) - $"l_discount".cast(D)))
+            .cast("decimal(28,4)")).as("revenue"),
           count(lit(1)).as("n_rows"))
         .select($"n_name".as("nation"), $"revenue", $"n_rows")
         .orderBy($"nation")
@@ -262,9 +274,9 @@ object RelationalQueries {
     // ── window frame: per-customer running total (beyond-reference) ──
     QueryDef("q12_running_window",
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running
+        |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS VARCHAR) AS running
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"o_custkey")
@@ -272,7 +284,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d).select(
           $"o_custkey", $"o_orderkey",
-          sum($"o_totalprice".cast(D)).over(w).cast(D).as("running"))
+          moneyStr(sum($"o_totalprice".cast(D)).over(w).cast(D)).as("running"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
@@ -280,14 +292,14 @@ object RelationalQueries {
     QueryDef("q13_time_agg",
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin) { (s, d) =>
       eventsNs(s, d)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast(D)).cast(D).as("sum_value"))
+          moneyStr(sum($"value".cast(D)).cast(D)).as("sum_value"))
         .orderBy($"hour_bucket", $"event_type")
     },
 

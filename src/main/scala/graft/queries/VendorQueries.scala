@@ -86,7 +86,7 @@ object VendorQueries {
     QueryDef("q28_null_key_groupsum",
       """SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
         |            ELSE o_custkey % 7 END AS bucket,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total,
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY 1
@@ -94,7 +94,8 @@ object VendorQueries {
       val bucket = when($"o_custkey" % 7 === 0, lit(null)).otherwise($"o_custkey" % 7)
       Tables.orders(s, d)
         .groupBy(bucket.as("bucket"))
-        .agg(sum($"o_totalprice".cast(D)).cast(D).as("total"), count(lit(1)).as("n"))
+        .agg(RelationalQueries.moneyStr(sum($"o_totalprice".cast(D)).cast(D)).as("total"),
+          count(lit(1)).as("n"))
         .orderBy($"bucket".asc_nulls_first)
     },
 
@@ -122,7 +123,7 @@ object VendorQueries {
         |      ELSE TRY_CAST(regexp_replace(raw, '[^0-9.\-]', '', 'g') AS DOUBLE)
         |    END AS v
         |  FROM long)
-        |SELECT store, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |SELECT store, CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total
         |FROM parsed WHERE v IS NOT NULL
         |GROUP BY store
         |ORDER BY store""".stripMargin) { (s, d) =>
@@ -136,7 +137,7 @@ object VendorQueries {
         .select($"store", Exprs.parseAccounting($"raw").as("v"))
         .where($"v".isNotNull)
         .groupBy($"store")
-        .agg(sum($"v".cast(D)).cast(D).as("total"))
+        .agg(RelationalQueries.moneyStr(sum($"v".cast(D)).cast(D)).as("total"))
         .orderBy($"store")
     },
 
@@ -312,16 +313,16 @@ object VendorQueries {
     // ── beyond-reference: lag/lead deltas per key ──
     QueryDef("q35_lag_delta",
       """SELECT user_id, event_id,
-        |  CAST(value AS DECIMAL(18,2)) AS value,
-        |  CAST(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
-        |       AS DECIMAL(18,2)) AS delta
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+        |  CAST(CAST(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+        |       AS DECIMAL(18,2)) AS VARCHAR) AS delta
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy($"event_id")
       RelationalQueries.eventsNs(s, d).select(
           $"user_id", $"event_id",
-          $"value".cast(D).as("value"),
-          ($"value" - lag($"value", 1).over(w)).cast(D).as("delta"))
+          RelationalQueries.moneyStr($"value".cast(D)).as("value"),
+          RelationalQueries.moneyStr(($"value" - lag($"value", 1).over(w)).cast(D)).as("delta"))
         .orderBy($"user_id", $"event_id")
     },
 
@@ -335,8 +336,8 @@ object VendorQueries {
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, event_id,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM gaps)
         |SELECT user_id, session_id, COUNT(*) AS n_events
         |FROM sessions

@@ -20,11 +20,19 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def norm(v):
+    # Scale-sensitive, like the driver's hasher: a Decimal('253942.00') must
+    # NOT loosely equal the float 253942.0 or the int 253942 — the driver
+    # canonicalizes each arrow type differently, so any cross-type pair that
+    # only matches after float() conversion would still hash-mismatch there.
     if isinstance(v, float):
-        return v
+        return ("f", repr(v))
     if isinstance(v, Decimal):
-        return float(v)
-    return v
+        return ("dec", str(v))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    return (type(v).__name__, v)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
