@@ -174,16 +174,26 @@ object Dedup {
 
   // ── SimHash ────────────────────────────────────────────────────────────
 
+  /** 60-bit token hash both engines can replay: the first 15 hex chars of
+    * md5 parsed as an integer. Slower than xxhash64 (use it where
+    * cross-engine reproducibility matters more than throughput — e.g. an
+    * oracle-checked signature); bit-uniform, so SimHash majority votes over
+    * it are as good as over xxhash64. DuckDB equivalent:
+    * CAST('0x' || substr(md5(t), 1, 15) AS BIGINT). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Per-doc 64-bit SimHash over whitespace tokens, computed distributed:
     * explode tokens, hash each once, then 64 per-bit majority votes as
     * codegen'd sum() aggregates (+1 for a set bit, -1 for clear) in ONE
     * groupBy; a bit is set in the signature when its vote is strictly
     * positive. Output: (_id, _sig). */
-  private[graft] def simHashPerDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def simHashPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs.select(
         col(idCol).as("_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+      .select(col("_id"), tokenHash(col("_t")).as("_h"))
     toks.groupBy(col("_id"))
       .agg(graft.plans.SimHashSigAgg(col("_h")).as("_sig"))
   }
@@ -208,9 +218,10 @@ object Dedup {
     * (pigeonhole), so banding on chunks has recall 1.0 at that radius while
     * the shuffle key stays 2 bytes + chunk index. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // Referenced by both sides of the chunk self-join.
-    val sigd = simHashPerDoc(docs, idCol, textCol)
+    val sigd = simHashPerDoc(docs, idCol, textCol, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigd.select(col("_id"), col("_sig"),
       explode(array((0 until 4).map(j => struct(
@@ -220,10 +231,13 @@ object Dedup {
       .select(col("_id"), col("_sig"), col("_cx._chunk").as("_chunk"), col("_cx._ch").as("_ch"))
     val a = chunked.select(col("_chunk"), col("_ch"), col("_id").as("doc_a"), col("_sig").as("_siga"))
     val b = chunked.select(col("_chunk"), col("_ch"), col("_id").as("doc_b"), col("_sig").as("_sigb"))
+    // Hamming-filter FIRST (a codegen'd map-side predicate that kills ~all
+    // rows), THEN dedupe the survivors: the distinct's shuffle moves only
+    // genuine near-dup pairs instead of every same-chunk candidate.
     a.join(b, Seq("_chunk", "_ch")).where(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

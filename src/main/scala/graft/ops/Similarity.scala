@@ -66,9 +66,16 @@ object Similarity {
     * `nPlanes` deterministic pseudo-random hyperplanes. Vectors in the same
     * bucket are cosine-close with high probability; at 100 TB this turns
     * all-pairs scoring into a per-bucket join. */
-  def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+  /** The deterministic hyperplane set behind [[srpBucket]], exposed so an
+    * external checker (e.g. a SQL oracle) can replay the exact same
+    * bucketing: the planes are plan literals, not runtime randomness. */
+  def srpPlanes(dim: Int, nPlanes: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val planes = srpPlanes(dim, nPlanes)
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
       when(dot(vec, pl) >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -135,9 +135,37 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
-    // ── SimHash near-dup pairs (no SQL oracle: engine-specific hash) ──
-    QueryDef.noOracle("q22_simhash") { (s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+    // ── SimHash near-dup pairs. The declared query swaps the library's
+    //    default xxhash64 token hash for an md5-derived 60-bit hash BOTH
+    //    engines compute identically, so the oracle replays the entire
+    //    signature: per-bit majority votes, banding recall guaranteed by
+    //    pigeonhole on the Spark side, O(n²) check on the oracle side. ──
+    QueryDef("q22_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) AS r(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |             ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3, tokenHash = Dedup.md5Hash60)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -210,8 +238,34 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ── SRP-LSH bucketed ANN (approximate; recall measured in tests) ──
-    QueryDef.noOracle("q24_ann_srp") { (s, d) =>
+    // ── SRP-LSH bucketed ANN. The hyperplanes are PLAN LITERALS (seeded
+    //    generation, not runtime randomness), so the oracle SQL embeds the
+    //    identical constants and replays bucket assignment + within-bucket
+    //    scoring exactly — the approximation is deterministic and checkable. ──
+    QueryDef("q24_ann_srp", {
+      val planes = Similarity.srpPlanes(dim = 64, nPlanes = 8)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(vec, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |b AS (
+         |  SELECT id, vec,
+         |    sqrt(list_inner_product(vec, vec)) AS n,
+         |    $bucket AS bucket
+         |  FROM v),
+         |scored AS (
+         |  SELECT x.id AS query_id, y.id AS neighbor_id,
+         |    round(list_inner_product(x.vec, y.vec) / (x.n * y.n), 6) AS sim
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(
         col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("vec"))
