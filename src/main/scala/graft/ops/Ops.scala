@@ -44,6 +44,28 @@ object Ops {
   def numericAwareSort(df: DataFrame, c: String, rest: Column*): DataFrame =
     df.orderBy((Exprs.numericSortKey(col(c)).asc_nulls_last +: col(c).asc +: rest).toIndexedSeq: _*)
 
+  /** Global 1-based row numbers under a TOTAL order, computed scalably:
+    * `row_number() OVER (ORDER BY …)` with no partition key forces every row
+    * onto one task, which is the classic 100 TB single-machine bottleneck.
+    * Instead: range-partitioned parallel sort (what orderBy plans anyway),
+    * then per-partition offsets via zipWithIndex — one extra O(#partitions)
+    * count job, no data movement beyond the sort itself.
+    *
+    * `order` must be a total order (include a unique tiebreak column);
+    * otherwise rows equal under `order` get an arbitrary stable-but-
+    * unspecified relative numbering. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], outName: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          outName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** J1/J2/J3: small-dimension enrich — explicitly broadcast so the plan is a
     * BroadcastHashJoin regardless of statistics availability. */
   def enrichLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =

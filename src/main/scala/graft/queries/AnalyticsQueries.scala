@@ -45,9 +45,18 @@ object AnalyticsQueries {
         |ORDER BY rk, l_partkey""".stripMargin) { (s, d) =>
       val counts = Tables.lineitem(s, d)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      counts
-        .withColumn("rk", dense_rank().over(Window.orderBy(col("n").desc)))
-        .where(col("rk") <= 5)
+      // dense_rank() OVER (ORDER BY n DESC) with no partition key would drag
+      // every group's count onto one task. The dense rank of a count only
+      // depends on the DISTINCT count values above it, and we only keep
+      // rk <= 5 — so: top-5 distinct counts via TakeOrdered (map-side
+      // partial top-k, a few rows), rank them with a self-join on that tiny
+      // set, and broadcast-join the ranks back onto the full counts table.
+      val top = counts.select(col("n")).distinct()
+        .orderBy(col("n").desc).limit(5)
+      val ranked = top.as("a").join(top.as("b"), col("b.n") >= col("a.n"))
+        .groupBy(col("a.n").as("n"))
+        .agg(count_distinct(col("b.n")).cast("int").as("rk"))
+      counts.join(broadcast(ranked), "n")
         .select(col("l_partkey"), col("n"), col("rk"))
         .orderBy(col("rk"), col("l_partkey"))
     },

@@ -144,8 +144,7 @@ object RelationalQueries {
       val ord = Seq(
         Exprs.numericSortKey($"branch").asc_nulls_last,
         $"branch".asc, $"p_partkey".asc)
-      keyed
-        .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+      Ops.globalRowNumber(keyed, ord, "rn")
         .orderBy($"rn")
     },
 

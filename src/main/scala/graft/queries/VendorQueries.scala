@@ -241,10 +241,10 @@ object VendorQueries {
       val keyed = Tables.lineitem(s, d).select(
         $"l_orderkey", $"l_linenumber",
         ($"l_suppkey" % 40).cast("string").as("store"), lot.as("lot"))
-      keyed.withColumn("rn", row_number().over(Window.orderBy(
+      Ops.globalRowNumber(keyed, Seq(
           Exprs.numericSortKey($"store").asc_nulls_last,
           coalesce(Exprs.lotLast4($"lot"), lit(1000000000L)).asc,
-          $"l_orderkey".asc, $"l_linenumber".asc)))
+          $"l_orderkey".asc, $"l_linenumber".asc), "rn")
         .orderBy($"rn")
     },
 

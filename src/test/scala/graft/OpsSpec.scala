@@ -69,4 +69,16 @@ class OpsSpec extends SparkSpec {
     val got = rows(out.orderBy("store"))
     assert(got == Seq(Seq("114", 3, "po-1"), Seq("999", 9, null)))
   }
+
+  test("O1 globalRowNumber: dense 1..n global ranks without a global window") {
+    import org.apache.spark.sql.functions._
+    // Many input partitions so per-partition offsets are actually exercised.
+    val df = spark.range(0, 1000, 1, numPartitions = 16)
+      .select((col("id") * 37 % 1000).as("k")) // a permutation of 0..999
+    val out = Ops.globalRowNumber(df, Seq(col("k").asc), "rn")
+    val got = out.orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until 1000L).map(k => (k, k + 1)))
+    // And the windowless plan must not log/plan a single-partition window.
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
