@@ -1,5 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every declared query at SPARK_GRAFT_SF_DIR,
+  * then emits ONE JSON line — as the process's last bare stdout line (the
+  * build forks with StdoutOutput so sbt does not prefix it) and to
+  * bench.json in the working directory. A failing query fails the bench
+  * loudly (exit 1) instead of benching as "fast". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,13 +17,23 @@ object Bench {
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          spark.stop()
+          sys.exit(1)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()
+    // Last line of stdout, after Spark's shutdown logging (stderr).
+    println(json)
   }
 }

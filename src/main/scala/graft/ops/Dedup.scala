@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -96,10 +95,15 @@ object Dedup {
     // Banding runs on (id, band, bucket) rows — 24 bytes, no arrays.
     val banded = perDoc.select(col("_id"),
       posexplode(bandHashes(col("_sig"), bands, rows)).as(Seq("_band", "_bh")))
-    val bounded = banded
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_band"), col("_bh"))))
-      .where(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+    // Degenerate-bucket guard as partial-aggregate + broadcast anti-join:
+    // a count() window over (_band,_bh) would re-shuffle EVERY banded row
+    // just to learn its bucket size; the oversized-bucket set is tiny by
+    // construction (only junk clusters exceed maxBucket), so aggregate the
+    // sizes (map-side combine) and anti-join the handful of bad keys back.
+    val oversized = banded.groupBy(col("_band"), col("_bh"))
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucket)
+      .select(col("_band"), col("_bh"))
+    val bounded = banded.join(broadcast(oversized), Seq("_band", "_bh"), "left_anti")
     val cand = bounded.as("x").join(bounded.as("y"), Seq("_band", "_bh"))
       .where(col("x._id") < col("y._id"))
       .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))

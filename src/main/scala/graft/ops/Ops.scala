@@ -55,15 +55,29 @@ object Ops {
     * otherwise rows equal under `order` get an arbitrary stable-but-
     * unspecified relative numbering. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], outName: String): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          outName, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    // Range-partition by the sort key: partition i holds keys strictly below
+    // partition i+1's, so a global rank = rank within my partition + total
+    // rows in partitions before mine. Each step is parallel and codegen'd:
+    //  - the window's partition key is spark_partition_id(), so "one window
+    //    group" = "one range partition" — 200-ish groups, never one;
+    //  - partition sizes are a map-side-combined count (32-row result);
+    //  - their running offsets come from a tiny self-join (no window);
+    //  - offsets broadcast back onto the ranked rows.
+    // The ranged subplan appears twice and is reused (ReusedExchange), so
+    // the data is shuffled and sorted once — no RDD hop, no eager job.
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(order: _*)
+    val ranked = ranged.withColumn("_rn_in", row_number().over(w))
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    ranked.join(broadcast(offsets), "_pid")
+      .withColumn(outName, col("_rn_in") + col("_off"))
+      .drop("_pid", "_rn_in", "_off")
   }
 
   /** J1/J2/J3: small-dimension enrich — explicitly broadcast so the plan is a

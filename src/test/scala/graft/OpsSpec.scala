@@ -78,7 +78,11 @@ class OpsSpec extends SparkSpec {
     val out = Ops.globalRowNumber(df, Seq(col("k").asc), "rn")
     val got = out.orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == (0L until 1000L).map(k => (k, k + 1)))
-    // And the windowless plan must not log/plan a single-partition window.
-    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    // The only Window in the plan must be partitioned (by _pid) — a global
+    // row_number window would have an empty partition spec and plan a
+    // single-partition exchange.
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("Window"))
+    assert(planStr.contains("[_pid"))
   }
 }
