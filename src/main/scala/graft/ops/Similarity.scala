@@ -82,6 +82,41 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding near-dup pairs through multi-table SRP-LSH — the 100 TB
+    * path (the exact [[cosineNearDupPairs]] stays as the sampled verifier):
+    * ONE set of `planesPerTable * tables` sign bits per vector, sliced into
+    * `tables` bucket keys; a pair is a candidate when it collides in ANY
+    * table (recall 1-(1-p^k)^L for per-plane agreement p — near-dups with
+    * p→1 are caught with near-certainty), then candidates are verified with
+    * the exact cosine. Banding rows carry only (id, table, bucket); vectors
+    * and precomputed norms join back for the verify step, so no shuffle
+    * ever moves an embedding more than once per side. */
+  def srpNearDupPairs(vectors: DataFrame, dim: Int, planesPerTable: Int,
+                      tables: Int, threshold: Double): DataFrame = {
+    val mask = (1L << planesPerTable) - 1
+    // Referenced three times (banding + both verify joins).
+    val base = vectors.select(col("id"), col("vec"),
+        norm(col("vec")).as("_n"),
+        srpBucket(col("vec"), dim, planesPerTable * tables).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
+        explode(array((0 until tables).map(t => struct(
+          lit(t).as("_t"),
+          shiftrightunsigned(col("_sig"), t * planesPerTable)
+            .bitwiseAND(lit(mask)).as("_bkt"))): _*)).as("_x"))
+      .select(col("id"), col("_x._t").as("_t"), col("_x._bkt").as("_bkt"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("_t", "_bkt"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Approximate top-k: score only within SRP buckets (multi-probe via the
     * planes' sign flips is the natural extension; single-probe here). */
   def srpTopK(vectors: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {

@@ -60,25 +60,47 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     },
 
-    // ── embedding-cosine near-dup pairs (exact, norms precomputed) ──
-    QueryDef("q39_embedding_neardup",
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e
-        |  FROM embeddings WHERE vec_id % 2 = 0)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_inner_product(a.e, b.e) /
-        |        (sqrt(list_inner_product(a.e, a.e)) *
-        |         sqrt(list_inner_product(b.e, b.e))), 6) AS cos_sim
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.e, b.e) /
-        |        (sqrt(list_inner_product(a.e, a.e)) *
-        |         sqrt(list_inner_product(b.e, b.e))), 6) >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // ── embedding near-dup pairs through the bucketed multi-table SRP
+    //    path (the 100 TB formulation — no all-pairs join; the exact
+    //    cosineNearDupPairs stays library-side as the sampled verifier).
+    //    The SRP planes are plan literals, so the oracle embeds the same
+    //    constants and replays banding + verification exactly. ──
+    QueryDef("q39_embedding_neardup", {
+      val k = 4; val tables = 8
+      val planes = Similarity.srpPlanes(dim = 64, nPlanes = k * tables)
+      val sig = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(e, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |s AS (
+         |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS n,
+         |    $sig AS sig
+         |  FROM v),
+         |banded AS (
+         |  SELECT vec_id, t,
+         |    (sig >> CAST(t * $k AS INT)) & ${(1L << k) - 1} AS bkt
+         |  FROM s CROSS JOIN range($tables) AS r(t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b ON a.t = b.t AND a.bkt = b.bkt
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) AS cos_sim
+         |FROM cand
+         |JOIN s x ON x.vec_id = id_a
+         |JOIN s y ON y.vec_id = id_b
+         |WHERE round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .where(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("id"),
           transform(col("embedding"), _.cast("double")).as("vec"))
-      Similarity.cosineNearDupPairs(emb, threshold = 0.35)
+      Similarity.srpNearDupPairs(emb, dim = 64, planesPerTable = 4,
+          tables = 8, threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }
   )

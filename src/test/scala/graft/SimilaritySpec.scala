@@ -43,4 +43,28 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(0) != r.getLong(1))
     }
   }
+
+  test("srpNearDupPairs: subset of exact pairs, near-identical vectors caught") {
+    import spark.implicits._
+    // 20 base vectors + a jittered copy of each: 20 planted near-dup pairs
+    // with cosine ~0.999, plus unrelated cross pairs.
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 20L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    val all = base.flatMap { case (i, v) =>
+      Seq((i, v), (i + 100L, v.map(_ + rnd.nextGaussian() * 0.01)))
+    }
+    val df = all.toDF("id", "vec")
+    val exact = Similarity.cosineNearDupPairs(df, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.srpNearDupPairs(df, dim = 16, planesPerTable = 4,
+        tables = 8, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Precision 1.0 (every LSH pair is exact-verified) …
+    assert(lsh.subsetOf(exact))
+    // … and recall on the planted near-identical pairs is high.
+    val planted = (0L until 20L).map(i => (i, i + 100L)).toSet
+    assert(planted.subsetOf(exact))
+    val caught = planted.intersect(lsh).size
+    assert(caught >= 18, s"only $caught/20 planted near-dups caught")
+  }
 }
