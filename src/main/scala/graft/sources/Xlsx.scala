@@ -50,7 +50,29 @@ object Xlsx {
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
   }
 
-  def workbook(path: String): Workbook = {
+  /** Container sniff by magic bytes: OOXML zip ("PK"), legacy CFB/BIFF8
+    * (D0 CF 11 E0 …), or neither (clear error instead of a zip crash —
+    * the extension glob accepts `.xls`, so the readers must too). */
+  private[sources] def isOoxml(path: String): Boolean = {
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      val b = new Array[Byte](8)
+      val n = in.read(b)
+      if (n >= 2 && b(0) == 'P'.toByte && b(1) == 'K'.toByte) true
+      else if (n >= 8 && Biff.isCfb(b)) false
+      else throw new IllegalArgumentException(
+        s"$path: neither an OOXML (.xlsx/.xlsm) zip nor a BIFF8 (.xls) compound file")
+    } finally in.close()
+  }
+
+  def workbook(path: String): Workbook =
+    if (isOoxml(path)) workbookOoxml(path)
+    else {
+      val wb = Biff.workbook(path)
+      Workbook(wb.sheets, wb.activeTab)
+    }
+
+  private def workbookOoxml(path: String): Workbook = {
     val zip = new ZipFile(path)
     try {
       val wb = parseXml(zip.getInputStream(zip.getEntry("xl/workbook.xml")))
@@ -79,7 +101,11 @@ object Xlsx {
   /** Raw grid of one sheet as rows of strings (null = empty cell), pandas
     * `header=None` shape. Numbers keep their XML lexical form ("3", "3.5");
     * shared and inline strings resolved; booleans -> "TRUE"/"FALSE". */
-  def readSheetGrid(path: String, sheetName: Option[String] = None): Seq[Seq[String]] = {
+  def readSheetGrid(path: String, sheetName: Option[String] = None): Seq[Seq[String]] =
+    if (isOoxml(path)) readSheetGridOoxml(path, sheetName)
+    else Biff.readSheetGrid(path, sheetName)
+
+  private def readSheetGridOoxml(path: String, sheetName: Option[String]): Seq[Seq[String]] = {
     val zip = new ZipFile(path)
     try {
       val wb = workbook(path)
