@@ -141,19 +141,32 @@ object Orchestrator {
       row.statusA1 -> (if (ok) Sent else Error)
     })
 
-  /** T1–T4 — one orchestrator tick: re-parse the sheet, claim Ready rows
-    * not already active, process each claimed vendor (the heavy per-vendor
-    * work — PDF watch, merge, email — injected as `processVendor`), then
-    * write terminal statuses back. The reference loops this every 60 s with
-    * a 4-worker pool; Spark-side the per-vendor work is already
-    * distributed, so the tick itself stays a simple driver function. */
+  /** T1–T4 (+T3) — one orchestrator tick: re-parse the sheet, claim Ready
+    * rows not already active, process the claimed vendors CONCURRENTLY on a
+    * bounded worker pool (the reference runs a 4-worker pool; per-vendor
+    * work is dominated by PDF-watch/send waits, so workers overlap those),
+    * then write terminal statuses back. Failures stay isolated per vendor:
+    * one vendor's exception marks only that vendor ERROR. Result order is
+    * the claim order regardless of completion order. */
   def runTick(values: Seq[Seq[String]], writer: StatusWriter,
-              active: collection.Set[String])(
+              active: collection.Set[String], workers: Int = 4)(
               processVendor: VendorRow => Boolean): Seq[(VendorRow, Boolean)] = {
     val claimed = claimReady(parseSections(values), writer, active)
-    val results = claimed.map { row =>
-      row -> (try processVendor(row) catch { case _: Exception => false })
-    }
+    val results: Seq[(VendorRow, Boolean)] =
+      if (claimed.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(workers, claimed.size)))
+        try {
+          val futures = claimed.map { row =>
+            row -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean =
+                try processVendor(row) catch { case _: Exception => false }
+            })
+          }
+          futures.map { case (row, f) => row -> f.get() }
+        } finally pool.shutdown()
+      }
     completeVendors(results, writer)
     results
   }

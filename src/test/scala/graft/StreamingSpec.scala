@@ -157,4 +157,112 @@ class StreamingSpec extends SparkSpec {
     assert(combined.contains("<p>Sig</p>") && combined.contains("<li>142-57466</li>"))
     assert("(?is)<body".r.findAllIn(combined).size == 1)
   }
+
+  // ── K7: injectable e-mail sink ──────────────────────────────────────────
+
+  /** Fake transport recording every POST; scripted responses per URL. */
+  private final class FakeHttp(respond: String => (Int, String)) extends HttpPost {
+    val posts = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, String], String)]
+    override def post(url: String, headers: Map[String, String], body: String,
+                      timeout: java.time.Duration): (Int, String) = this.synchronized {
+      posts += ((url, headers, body))
+      respond(url)
+    }
+  }
+
+  test("K7 GraphEmailSender: payload shape, auth header, 30s timeout path") {
+    val http = new FakeHttp(_ => (202, ""))
+    val sender = new GraphEmailSender(() => "tok-123", http)
+    sender.send(EmailMessage(
+      to = Seq("buyer@example.com"), cc = Seq("cc@example.com"),
+      subject = "POs 142-57466", htmlBody = "<html><body>hi \"q\"</body></html>",
+      attachments = Seq("po.pdf" -> "PDFBYTES".getBytes)))
+    val (url, headers, body) = http.posts.head
+    assert(url == "https://graph.microsoft.com/v1.0/me/sendMail")
+    assert(headers("Authorization") == "Bearer tok-123")
+    assert(body.contains(""""subject":"POs 142-57466""""))
+    assert(body.contains(""""address":"buyer@example.com""""))
+    assert(body.contains(""""address":"cc@example.com""""))
+    assert(body.contains(""""contentType":"HTML""""))
+    assert(body.contains("hi \\\"q\\\""))
+    assert(body.contains(java.util.Base64.getEncoder.encodeToString("PDFBYTES".getBytes)))
+    assert(body.contains("#microsoft.graph.fileAttachment"))
+  }
+
+  test("K7 GraphEmailSender: invalid recipient and HTTP failure are loud") {
+    val http = new FakeHttp(_ => (500, "boom"))
+    val sender = new GraphEmailSender(() => "tok", http)
+    val bad = intercept[IllegalArgumentException] {
+      sender.send(EmailMessage(Seq("not-an-email"), Nil, "s", "b", Nil))
+    }
+    assert(bad.getMessage.contains("invalid recipient"))
+    assert(http.posts.isEmpty) // rejected before any network call
+    val failed = intercept[RuntimeException] {
+      sender.send(EmailMessage(Seq("a@b.co"), Nil, "s", "b", Nil))
+    }
+    assert(failed.getMessage.contains("HTTP 500"))
+  }
+
+  test("K7 DeviceCodeTokenProvider: device flow, pending poll, file cache") {
+    val cache = java.nio.file.Files.createTempFile("tokcache", ".json")
+    java.nio.file.Files.delete(cache)
+    var polls = 0
+    val http = new FakeHttp(url =>
+      if (url.endsWith("/devicecode"))
+        (200, """{"device_code":"dc1","interval":0,"expires_in":900,
+                 |"message":"go to https://microsoft.com/devicelogin code ABC"}""".stripMargin)
+      else {
+        polls += 1
+        if (polls < 3) (400, """{"error":"authorization_pending"}""")
+        else (200, """{"access_token":"at-99","expires_in":3600}""")
+      })
+    var shown = ""
+    val clock = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    val provider = new DeviceCodeTokenProvider("client-id", "common",
+      cachePath = cache, http = http, onUserCode = shown = _,
+      sleepMs = _ => (), nowMs = () => clock.get())
+    assert(provider() == "at-99")
+    assert(polls == 3)
+    assert(shown.contains("devicelogin"))
+    // Second call hits the file cache — no new HTTP at all.
+    val before = http.posts.size
+    assert(provider() == "at-99")
+    assert(http.posts.size == before)
+    // After expiry the flow re-runs.
+    clock.addAndGet(4000L * 1000)
+    polls = 0
+    assert(provider() == "at-99")
+    assert(polls >= 1)
+  }
+
+  test("K7+T3 end-to-end: tick claims, processes concurrently, sends, completes") {
+    val grid = Seq(
+      Seq("Note", "Vendor #", "Vendor Name", "Status", "490", "57"),
+      Seq("Week 33", "81214", "Acme", "Ready", "68594", "x"),
+      Seq("", "70005", "Bolt", "Ready", "", "57466"),
+      Seq("", "99999", "Crash", "Ready", "1", ""))
+    val writer = new InMemoryStatusWriter
+    val sender = new InMemoryEmailSender
+    val recipients = Map("81214" -> Seq("acme@example.com"),
+      "70005" -> Seq("bolt@example.com"), "99999" -> Seq("crash@example.com"))
+    // Barrier: passes only if two vendors are genuinely in-flight at once.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = Orchestrator.runTick(grid, writer, Set.empty, workers = 4) { row =>
+      if (row.vendorNum == "99999") throw new RuntimeException("vendor blew up")
+      barrier.await(5, java.util.concurrent.TimeUnit.SECONDS)
+      val items = Orchestrator.storePoItems(row)
+      sender.send(EmailMessage(recipients(row.vendorNum), Nil,
+        s"POs ${items.mkString(", ")}", EmailBody.body(items), Nil))
+      true
+    }
+    assert(results.map(_._1.vendorNum) == Seq("81214", "70005", "99999"))
+    assert(results.map(_._2) == Seq(true, true, false)) // failure isolated
+    // Claim marked every row SENDING, then terminal states written back.
+    assert(writer.cells("D2") == Orchestrator.Sent)
+    assert(writer.cells("D3") == Orchestrator.Sent)
+    assert(writer.cells("D4") == Orchestrator.Error)
+    val subjects = sender.sent.map(_.subject).sorted
+    assert(subjects == Seq("POs 490-68594", "POs 57-57466"))
+  }
 }
