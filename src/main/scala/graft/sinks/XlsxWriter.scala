@@ -19,10 +19,21 @@ object XlsxWriter {
   /** One output sheet: name + rows of cell values (null -> blank). A cell
     * value that is a java.time.LocalDate is written as an Excel date serial
     * with the m/d/yyyy format. Numbers (Int/Long/Double/BigDecimal) are
-    * written as numeric cells; everything else as inline strings. */
+    * written as numeric cells; a [[Formula]] as a recalculated formula cell;
+    * everything else as inline strings.
+    *
+    * `freezeTopRow` freezes row 1 (the reference's freeze_panes(1, 0));
+    * `autosize` emits per-column widths min(maxContentLen + 2, 60). */
   final case class Sheet(name: String, rows: Seq[Seq[Any]],
                          headers: Option[Seq[String]] = None,
-                         visible: Boolean = true)
+                         visible: Boolean = true,
+                         freezeTopRow: Boolean = false,
+                         autosize: Boolean = false)
+
+  /** A formula cell, e.g. Formula("TODAY()") — written with the m/d/yyyy
+    * date style when `dateStyle` (the K2 Invoice Date shape); Excel
+    * recalculates on open (no cached value is written). */
+  final case class Formula(expr: String, dateStyle: Boolean = true)
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -41,10 +52,21 @@ object XlsxWriter {
     case d: java.time.LocalDate =>
       val serial = java.time.temporal.ChronoUnit.DAYS.between(EpochExcel, d)
       s"""<c r="$ref" s="1"><v>$serial</v></c>"""
+    case f: Formula =>
+      val style = if (f.dateStyle) """ s="1"""" else ""
+      s"""<c r="$ref"$style><f>${esc(f.expr)}</f></c>"""
     case n @ (_: Int | _: Long | _: Double | _: Float | _: java.math.BigDecimal | _: BigDecimal) =>
       s"""<c r="$ref"><v>$n</v></c>"""
     case s =>
       s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(s.toString)}</t></is></c>"""
+  }
+
+  /** Rendered length of a value for autosize purposes. */
+  private def contentLen(v: Any): Int = v match {
+    case null => 0
+    case f: Formula => f.expr.length + 1
+    case d: java.time.LocalDate => 10
+    case other => other.toString.length
   }
 
   private def sheetXml(sheet: Sheet): String = {
@@ -54,8 +76,26 @@ object XlsxWriter {
         .mkString
       s"""<row r="${i + 1}">$cells</row>"""
     }.mkString
+    val views =
+      if (sheet.freezeTopRow)
+        """<sheetViews><sheetView workbookViewId="0">""" +
+          """<pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/>""" +
+          """</sheetView></sheetViews>"""
+      else ""
+    val cols =
+      if (sheet.autosize && allRows.exists(_.nonEmpty)) {
+        val nCols = allRows.map(_.size).max
+        val widths = (0 until nCols).map { j =>
+          val maxLen = allRows.flatMap(_.lift(j)).map(contentLen)
+            .foldLeft(0)(math.max)
+          math.min(maxLen + 2, 60)
+        }
+        widths.zipWithIndex.map { case (w, j) =>
+          s"""<col min="${j + 1}" max="${j + 1}" width="$w" customWidth="1"/>"""
+        }.mkString("<cols>", "", "</cols>")
+      } else ""
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rowsXml</sheetData></worksheet>""".stripMargin
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$views$cols<sheetData>$rowsXml</sheetData></worksheet>""".stripMargin
   }
 
   /** Write a workbook. Sheet order is preserved; empty sheets allowed (K1's
@@ -124,19 +164,31 @@ object XlsxWriter {
                             pivot: DataFrame,
                             po: DataFrame,
                             carrier: DataFrame): Unit = {
-    def sheetOf(name: String, df: DataFrame, headers: Boolean = true): Sheet = {
+    def sheetOf(name: String, df: DataFrame, headers: Boolean = true,
+                autosize: Boolean = false): Sheet = {
       val rows = df.collect().toSeq.map(r => (0 until r.length).map(r.get))
-      Sheet(name, rows, if (headers) Some(df.columns.toSeq) else None)
+      Sheet(name, rows, if (headers) Some(df.columns.toSeq) else None,
+        autosize = autosize)
     }
-    // Araho Sheet renames Store -> Column (reference writer behavior).
+    // Araho Sheet renames Store -> Column, freezes the header row,
+    // autosizes columns, and writes Invoice Date cells as live =TODAY()
+    // formulas with the date style (reference writer behavior).
     val araho = output.withColumnRenamed("Store", "Column")
+    val arahoCols = araho.columns.toSeq
+    val dateIdx = arahoCols.indexWhere(_.trim.equalsIgnoreCase("Invoice Date"))
+    val arahoRows = araho.collect().toSeq.map { r =>
+      (0 until r.length).map { i =>
+        if (i == dateIdx) Formula("TODAY()") else r.get(i)
+      }
+    }
     write(path, Seq(
-      sheetOf("Araho Sheet", araho),
+      Sheet("Araho Sheet", arahoRows, Some(arahoCols),
+        freezeTopRow = true, autosize = true),
       Sheet("RD master", raw.map(_.map(identity[Any]))),
       sheetOf("RD clean", cleaned),
       sheetOf("Last Level Master", pivot),
-      sheetOf("PO#", po, headers = false),
-      sheetOf("carriers", carrier, headers = false)))
+      sheetOf("PO#", po, headers = false, autosize = true),
+      sheetOf("carriers", carrier, headers = false, autosize = true)))
   }
 
   /** K1 Mega-Script workbook: `Scripting` sheet from a (small, post-agg)

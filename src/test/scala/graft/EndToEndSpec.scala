@@ -111,6 +111,22 @@ class EndToEndSpec extends SparkSpec {
     assert(araho.head.head == "Column") // Store renamed for the Araho sheet
     // headerless dimension sheets
     assert(Xlsx.readSheetGrid(s"$dir/baby.xlsx", Some("PO#")).head == Seq("114", "114-5"))
+    // K2 presentation fidelity: Invoice Date cells are live =TODAY()
+    // formulas with the date style, the header row is frozen, and columns
+    // carry autosized custom widths.
+    val zip = new java.util.zip.ZipFile(s"$dir/baby.xlsx")
+    val arahoXml = try {
+      val e = zip.getEntry("xl/worksheets/sheet1.xml")
+      new String(zip.getInputStream(e).readAllBytes, "UTF-8")
+    } finally zip.close()
+    assert(arahoXml.contains("<f>TODAY()</f>"))
+    assert(arahoXml.contains("""s="1"><f>TODAY()""")) // date style applied
+    assert(arahoXml.contains("""<pane ySplit="1" topLeftCell="A2""""))
+    assert(arahoXml.contains("state=\"frozen\""))
+    assert(arahoXml.contains("customWidth=\"1\""))
+    // width = min(maxContentLen + 2, 60): col B ("PO #" header, "114-5"
+    // value) -> 7
+    assert(arahoXml.contains("""<col min="2" max="2" width="7" customWidth="1"/>"""))
   }
 
   test("S8 watcher in streaming mode: settle emitted from micro-batches") {
