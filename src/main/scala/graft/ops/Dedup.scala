@@ -44,16 +44,17 @@ object Dedup {
   private val Prime = (1L << 31) - 1 // Mersenne prime 2^31-1
 
   /** (doc, shingle-hash) pairs: one row per distinct shingle, the shingle
-    * replaced by its xxhash64 — 16 bytes/row through every later shuffle
+    * replaced by a 64-bit hash — 16 bytes/row through every later shuffle
     * regardless of document size. 64-bit identity keeps the collision
     * probability negligible (p ≈ n²/2⁶⁴), so set sizes and intersections
-    * over the hashes equal those over the strings. */
+    * over the hashes equal those over the strings. Hashing happens inside
+    * [[graft.plans.ShingleHash64]] — one codegen'd pass, no shingle-string
+    * materialization. */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int): DataFrame =
     docs.select(
         col(idCol).as("_id"),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("_g"))
-      .select(col("_id"), xxhash64(col("_g")).as("_h"))
+        explode(graft.plans.ShingleHash64(col(textCol), shingleN)).as("_h"))
 
   /** Per-doc state in ONE shuffle on _id: set size, the hash set itself
     * (for exact verification, ascending-sorted for the two-pointer merge),
@@ -151,8 +152,15 @@ object Dedup {
     // persist so the text is shingled and hashed once.
     val sh = shingleHashes(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
-    val perDoc = sh.join(df, "_h")
+    // Only hashes appearing in >= 2 docs need an explicit df — the long
+    // tail of unique shingles (the bulk of the corpus) defaults to df=1 via
+    // the left join + coalesce. That shrinks the join's build side from
+    // every distinct shingle to just the shared ones, so AQE can broadcast
+    // it instead of re-shuffling all shingle rows by hash.
+    val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df0"))
+      .where(col("_df0") > 1)
+    val perDoc = sh.join(df, Seq("_h"), "left")
+      .withColumn("_df", coalesce(col("_df0"), lit(1L))).drop("_df0")
       .groupBy(col("_id")).agg(
         count(lit(1)).as("_n"),
         sort_array(collect_list(struct(col("_df"), col("_h")))).as("_sorted"))
