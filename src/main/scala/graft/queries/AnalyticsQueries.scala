@@ -61,6 +61,34 @@ object AnalyticsQueries {
         .orderBy(col("rk"), col("l_partkey"))
     },
 
+    // ── skew-safe salted join: 5 pathologically hot keys spread over 8
+    //    salt buckets; the salt is an internal rewrite, so the result (and
+    //    the oracle) is the plain join ──
+    QueryDef("q46_salted_join",
+      """WITH f AS (SELECT l_suppkey % 5 AS skew_key,
+        |             CAST(l_quantity AS DECIMAL(18,2)) AS qty FROM lineitem),
+        |d AS (SELECT s_suppkey % 5 AS skew_key, COUNT(*) AS factor
+        |      FROM supplier GROUP BY 1)
+        |SELECT f.skew_key,
+        |  CAST(CAST(SUM(qty * factor) AS DECIMAL(18,2)) AS VARCHAR) AS weighted,
+        |  COUNT(*) AS n
+        |FROM f JOIN d ON f.skew_key = d.skew_key
+        |GROUP BY f.skew_key
+        |ORDER BY f.skew_key""".stripMargin) { (s, d) =>
+      val fact = Tables.lineitem(s, d).select(
+        (col("l_suppkey") % 5).as("skew_key"),
+        col("l_totalqty").as("qty"))
+      val dim = Tables.supplier(s, d)
+        .groupBy((col("s_suppkey") % 5).as("skew_key"))
+        .agg(count(lit(1)).as("factor"))
+      graft.ops.Ops.saltedJoin(fact, dim, Seq("skew_key"), salts = 8)
+        .groupBy(col("skew_key"))
+        .agg(graft.queries.RelationalQueries.moneyStr(
+            sum(col("qty") * col("factor")).cast(D)).as("weighted"),
+          count(lit(1)).as("n"))
+        .orderBy(col("skew_key"))
+    },
+
     // ── exact discrete quantiles of order totals per priority ──
     QueryDef("q44_quantiles",
       """SELECT o_orderpriority,
