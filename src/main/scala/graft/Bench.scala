@@ -32,8 +32,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
+    // Silence ALL further logging (incl. the post-main ShutdownHookManager
+    // INFO lines that otherwise print AFTER our JSON when the driver merges
+    // stdout+stderr), stop Spark, THEN print — the JSON line is the final
+    // line of the process's output, machine-parsable by the driver.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    // Last line of stdout, after Spark's shutdown logging (stderr).
     println(json)
+    Console.out.flush()
   }
 }

@@ -57,27 +57,74 @@ object Ops {
   def globalRowNumber(df: DataFrame, order: Seq[Column], outName: String): DataFrame = {
     // Range-partition by the sort key: partition i holds keys strictly below
     // partition i+1's, so a global rank = rank within my partition + total
-    // rows in partitions before mine. Each step is parallel and codegen'd:
-    //  - the window's partition key is spark_partition_id(), so "one window
-    //    group" = "one range partition" — 200-ish groups, never one;
-    //  - partition sizes are a map-side-combined count (32-row result);
-    //  - their running offsets come from a tiny self-join (no window);
-    //  - offsets broadcast back onto the ranked rows.
-    // The ranged subplan appears twice and is reused (ReusedExchange), so
-    // the data is shuffled and sorted once — no RDD hop, no eager job.
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("_pid", spark_partition_id())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(order: _*)
-    val ranked = ranged.withColumn("_rn_in", row_number().over(w))
-    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
-    ranked.join(broadcast(offsets), "_pid")
-      .withColumn(outName, col("_rn_in") + col("_off"))
-      .drop("_pid", "_rn_in", "_off")
+    // rows in partitions before mine.
+    //
+    // The per-partition rank is NOT a window: row_number() OVER
+    // (PARTITION BY pid) would demand hashpartitioning(pid) — a second full
+    // shuffle of every row right after the range exchange (measured: the
+    // window formulation shuffled the data twice and evaluated the subplan
+    // three times, no ReusedExchange). Instead, after the in-partition sort,
+    // monotonically_increasing_id() encodes exactly what the window would
+    // compute — upper 31 bits the partition id, lower 33 bits the 0-based
+    // record ordinal in partition order — as a codegen'd projection with NO
+    // data movement. Partition sizes are then a map-side-combined count
+    // (#partitions rows), their running offsets a tiny self-join, and the
+    // offsets broadcast back. One range shuffle total; the sorted frame is
+    // persisted so the rank and count branches share one evaluation.
+    //
+    // `order` must be a total order (include a unique tiebreak column):
+    // that makes the sort — and therefore the ids — deterministic under
+    // task retry and cache-block recomputation.
+    //
+    // The sort keys are MATERIALIZED as columns first: SortExec's generated
+    // comparator re-evaluates the SortOrder expressions on every COMPARISON
+    // (n log n of them, and only prefix ties short-circuit — a low-card
+    // first key means almost none do), so an expensive key expression (q34
+    // sorts on two regexes) must be computed once per ROW, not once per
+    // comparison. Measured at sf0.1: 4.2 s of comparator regex time -> key
+    // lookups.
+    val mask = (1L << 33) - 1
+    val unwrapped = order.map(org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder)
+    val keyNames = unwrapped.indices.map(i => s"_gk$i")
+    val proj = df.select(col("*") +:
+      unwrapped.zip(keyNames).map { case ((c, _, _), n) => c.as(n) }: _*)
+    val matOrder = unwrapped.zip(keyNames).map { case ((_, asc, nf), n) =>
+      (asc, nf) match {
+        case (true, true)   => col(n).asc_nulls_first
+        case (true, false)  => col(n).asc_nulls_last
+        case (false, true)  => col(n).desc_nulls_first
+        case (false, false) => col(n).desc_nulls_last
+      }
+    }
+    // ONE range exchange, shared by both branches through AQE stage reuse
+    // (identical canonical exchanges over the same child). The counts
+    // branch reads the shuffle WITHOUT sorting — partition sizes don't
+    // depend on intra-partition order — so the expensive sort runs once,
+    // in the ranked branch only. No persist: stage reuse already
+    // deduplicates the heavy work, without the cache's encode cost and
+    // block-lock serialization (measured slower than re-reading shuffle).
+    val shuffled = proj.repartitionByRange(matOrder: _*)
+    val counts = shuffled.groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+    // Running offsets: a single-task window over #partitions rows (tiny by
+    // construction — 32 locally, a few thousand on a real cluster).
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(w), lit(0L)).as("_off"))
+    // monotonically_increasing_id after the in-partition sort encodes
+    // (partition id << 33 | 0-based ordinal in sorted order); its partition
+    // ids match counts' spark_partition_id() because both branches read the
+    // same reused shuffle stage with the same AQE coalescing decision.
+    val ranked = shuffled.sortWithinPartitions(matOrder: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+    // Output rows stay in (partition, ordinal) order — i.e. already
+    // globally sorted by outName; callers need no re-sort.
+    ranked.withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+      .join(broadcast(offsets), "_pid")
+      .withColumn(outName,
+        col("_mid").bitwiseAND(lit(mask)) + col("_off") + lit(1L))
+      .drop(Seq("_pid", "_mid", "_off") ++ keyNames: _*)
   }
 
   /** J1/J2/J3: small-dimension enrich — explicitly broadcast so the plan is a
@@ -96,7 +143,14 @@ object Ops {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val l = left.withColumn("_salt", (rand(seed = 42) * salts).cast("int"))
+    // The salt must be RETRY-STABLE: rand() is deterministic only per
+    // partitioning, so a task retry after AQE re-coalescing could re-deal
+    // salts and double/drop rows mid-join. Hash the whole row instead —
+    // pure function of the data, invariant under partitioning and retries.
+    // (Identical duplicate rows share a salt; they are interchangeable, so
+    // the spread over buckets is unaffected for distinct-row workloads.)
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "_salt").drop("_salt")

@@ -92,7 +92,8 @@ object Similarity {
     * and precomputed norms join back for the verify step, so no shuffle
     * ever moves an embedding more than once per side. */
   def srpNearDupPairs(vectors: DataFrame, dim: Int, planesPerTable: Int,
-                      tables: Int, threshold: Double): DataFrame = {
+                      tables: Int, threshold: Double,
+                      maxBucket: Int = 10000): DataFrame = {
     val mask = (1L << planesPerTable) - 1
     // Referenced three times (banding + both verify joins).
     val base = vectors.select(col("id"), col("vec"),
@@ -105,7 +106,13 @@ object Similarity {
           shiftrightunsigned(col("_sig"), t * planesPerTable)
             .bitwiseAND(lit(mask)).as("_bkt"))): _*)).as("_x"))
       .select(col("id"), col("_x._t").as("_t"), col("_x._bkt").as("_bkt"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("_t", "_bkt"))
+    // Degenerate-bucket guard (same scheme as Dedup.minHashLshPairs): a
+    // population of zero/near-zero vectors lands every row in one
+    // sign-pattern bucket and makes the self-join quadratic. The oversized
+    // set is tiny by construction, so aggregate bucket sizes (map-side
+    // combine) and broadcast-anti-join the bad keys out before pairing.
+    val bounded = dropOversized(banded, Seq("_t", "_bkt"), maxBucket)
+    val cand = bounded.as("a").join(bounded.as("b"), Seq("_t", "_bkt"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -117,15 +124,35 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Oversized-bucket guard shared by the SRP paths: buckets with more than
+    * `maxBucket` members (degenerate sign patterns — e.g. all-zero vectors)
+    * are dropped before any self-join can go quadratic on them. The
+    * oversized key set is tiny by construction, so it aggregates map-side
+    * and broadcasts into a left-anti join — no window, no extra shuffle of
+    * the banded rows. */
+  private def dropOversized(banded: DataFrame, keyCols: Seq[String],
+                            maxBucket: Int): DataFrame = {
+    val oversized = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucket)
+      .select(keyCols.map(col): _*)
+    banded.join(broadcast(oversized), keyCols, "left_anti")
+  }
+
   /** Approximate top-k: score only within SRP buckets (multi-probe via the
     * planes' sign flips is the natural extension; single-probe here). */
-  def srpTopK(vectors: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+  def srpTopK(vectors: DataFrame, dim: Int, nPlanes: Int, k: Int,
+              maxBucket: Int = 10000): DataFrame = {
     val b = vectors.select(col("id"), col("vec"),
       srpBucket(col("vec"), dim, nPlanes).as("_bucket"),
       norm(col("vec")).as("_n"))
-    val l = b.select(col("_bucket"), col("id").as("query_id"),
+    // Same degenerate-bucket guard as [[srpNearDupPairs]]: a hot bucket
+    // would make this self-join quadratic; drop it on both sides (queries
+    // in a dropped bucket get no neighbors — the honest contract of a
+    // single-probe LSH under degenerate data).
+    val g = dropOversized(b, Seq("_bucket"), maxBucket)
+    val l = g.select(col("_bucket"), col("id").as("query_id"),
       col("vec").as("_qv"), col("_n").as("_qn"))
-    val r = b.select(col("_bucket"), col("id").as("neighbor_id"),
+    val r = g.select(col("_bucket"), col("id").as("neighbor_id"),
       col("vec").as("_cv"), col("_n").as("_cn"))
     val scored = l.join(r, Seq("_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))

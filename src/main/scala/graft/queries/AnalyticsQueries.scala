@@ -77,7 +77,7 @@ object AnalyticsQueries {
         |ORDER BY f.skew_key""".stripMargin) { (s, d) =>
       val fact = Tables.lineitem(s, d).select(
         (col("l_suppkey") % 5).as("skew_key"),
-        col("l_totalqty").as("qty"))
+        col("l_quantity").cast(D).as("qty"))
       val dim = Tables.supplier(s, d)
         .groupBy((col("s_suppkey") % 5).as("skew_key"))
         .agg(count(lit(1)).as("factor"))

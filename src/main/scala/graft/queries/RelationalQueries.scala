@@ -144,8 +144,8 @@ object RelationalQueries {
       val ord = Seq(
         Exprs.numericSortKey($"branch").asc_nulls_last,
         $"branch".asc, $"p_partkey".asc)
+      // Output is already globally ordered by rn (see globalRowNumber).
       Ops.globalRowNumber(keyed, ord, "rn")
-        .orderBy($"rn")
     },
 
     // ── A5: first-per-group under explicit total order ──

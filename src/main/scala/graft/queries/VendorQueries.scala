@@ -241,11 +241,13 @@ object VendorQueries {
       val keyed = Tables.lineitem(s, d).select(
         $"l_orderkey", $"l_linenumber",
         ($"l_suppkey" % 40).cast("string").as("store"), lot.as("lot"))
+      // globalRowNumber's output is already globally ordered by rn (range
+      // partitions in key order, sorted within) — a trailing orderBy(rn)
+      // would re-sample and re-shuffle the whole result for nothing.
       Ops.globalRowNumber(keyed, Seq(
           Exprs.numericSortKey($"store").asc_nulls_last,
           coalesce(Exprs.lotLast4($"lot"), lit(1000000000L)).asc,
           $"l_orderkey".asc, $"l_linenumber".asc), "rn")
-        .orderBy($"rn")
     },
 
     // ── A8/F18: parse-rate aggregate driving majority-vote numeric cast ──

@@ -50,7 +50,12 @@ object Biff {
     private val numDifat = i32(0x48)
 
     private def sectorBytes(sector: Int): Array[Byte] = {
-      val off = 512 + sector * sectorSize
+      // Sector 0 starts AFTER the 512-byte header, at offset sectorSize —
+      // (sector+1)*sectorSize per MS-CFB §2.2. For v3 (512-byte sectors)
+      // this equals 512 + sector*512; for v4 (4096-byte sectors, which the
+      // header parsing accepts via 1 << u16(0x1E)) the header pads to one
+      // full sector, so the old 512-based formula read garbage.
+      val off = (sector + 1) * sectorSize
       java.util.Arrays.copyOfRange(bytes, off, off + sectorSize)
     }
 

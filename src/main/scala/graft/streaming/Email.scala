@@ -141,10 +141,20 @@ final class DeviceCodeTokenProvider(clientId: String, tenant: String,
       for (t <- strField(s, "access_token"); e <- numField(s, "expires_at_ms"))
         yield Cached(t, e)
     }
-  private def writeCache(c: Cached): Unit =
+  private def writeCache(c: Cached): Unit = {
+    // The cache holds a live bearer token — owner-only (0600) before any
+    // bytes land, never the default umask (typically world-readable 0644).
+    val perms = java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")
+    try {
+      if (!java.nio.file.Files.exists(cachePath))
+        java.nio.file.Files.createFile(cachePath,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(perms))
+      else java.nio.file.Files.setPosixFilePermissions(cachePath, perms)
+    } catch { case _: UnsupportedOperationException => () } // non-POSIX FS
     java.nio.file.Files.write(cachePath,
       s"""{"access_token":"${c.token}","expires_at_ms":${c.expiresAtMs}}"""
         .getBytes(StandardCharsets.UTF_8))
+  }
 
   override def apply(): String = {
     readCache().filter(_.expiresAtMs - 60000 > nowMs()) match {
@@ -158,7 +168,7 @@ final class DeviceCodeTokenProvider(clientId: String, tenant: String,
         val deviceCode = strField(dc, "device_code").getOrElse(
           throw new RuntimeException(s"devicecode response missing device_code: $dc"))
         strField(dc, "message").foreach(onUserCode)
-        val interval = numField(dc, "interval").getOrElse(5L) * 1000
+        var interval = numField(dc, "interval").getOrElse(5L) * 1000
         val deadline = nowMs() + numField(dc, "expires_in").getOrElse(900L) * 1000
         var token: Option[Cached] = None
         while (token.isEmpty && nowMs() < deadline) {
@@ -171,8 +181,13 @@ final class DeviceCodeTokenProvider(clientId: String, tenant: String,
           if (st / 100 == 2)
             token = for (t <- strField(tr, "access_token"))
               yield Cached(t, nowMs() + numField(tr, "expires_in").getOrElse(3600L) * 1000)
-          else if (!strField(tr, "error").contains("authorization_pending"))
-            throw new RuntimeException(s"device-code token exchange failed: $tr")
+          else strField(tr, "error") match {
+            case Some("authorization_pending") => () // user hasn't approved yet
+            case Some("slow_down") => interval += 5000 // RFC 8628 §3.5: keep
+              // polling at interval+5s — Microsoft's endpoint does emit this
+            case _ =>
+              throw new RuntimeException(s"device-code token exchange failed: $tr")
+          }
         }
         val c = token.getOrElse(throw new RuntimeException("device-code flow timed out"))
         writeCache(c)

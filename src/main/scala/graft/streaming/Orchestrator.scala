@@ -149,7 +149,8 @@ object Orchestrator {
     * one vendor's exception marks only that vendor ERROR. Result order is
     * the claim order regardless of completion order. */
   def runTick(values: Seq[Seq[String]], writer: StatusWriter,
-              active: collection.Set[String], workers: Int = 4)(
+              active: collection.Set[String], workers: Int = 4,
+              vendorTimeoutMs: Long = 300000L)(
               processVendor: VendorRow => Boolean): Seq[(VendorRow, Boolean)] = {
     val claimed = claimReady(parseSections(values), writer, active)
     val results: Seq[(VendorRow, Boolean)] =
@@ -164,8 +165,25 @@ object Orchestrator {
                 try processVendor(row) catch { case _: Exception => false }
             })
           }
-          futures.map { case (row, f) => row -> f.get() }
-        } finally pool.shutdown()
+          // Each vendor gets the reference's 300 s budget
+          // (ref /root/reference/sheet_bot/main.py:28): a hung vendor goes
+          // ERROR on expiry instead of stalling the tick and every other
+          // vendor's terminal write-back. The deadline is per-tick (shared
+          // clock), so total wait is bounded by ONE budget, not one per
+          // hung vendor.
+          val deadline = System.nanoTime() + vendorTimeoutMs * 1000000L
+          futures.map { case (row, f) =>
+            val left = math.max(0L, deadline - System.nanoTime())
+            val ok =
+              try f.get(left, java.util.concurrent.TimeUnit.NANOSECONDS)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  f.cancel(true); false
+                case _: java.util.concurrent.ExecutionException => false
+              }
+            row -> ok
+          }
+        } finally pool.shutdownNow()
       }
     completeVendors(results, writer)
     results

@@ -76,13 +76,42 @@ class OpsSpec extends SparkSpec {
     val df = spark.range(0, 1000, 1, numPartitions = 16)
       .select((col("id") * 37 % 1000).as("k")) // a permutation of 0..999
     val out = Ops.globalRowNumber(df, Seq(col("k").asc), "rn")
-    val got = out.orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Output must arrive ALREADY in rn order (range partitions in key
+    // order, sorted within) — collect() preserves partition order, so no
+    // orderBy here, deliberately.
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == (0L until 1000L).map(k => (k, k + 1)))
-    // The only Window in the plan must be partitioned (by _pid) — a global
-    // row_number window would have an empty partition spec and plan a
-    // single-partition exchange.
+    // Ranks come from the sorted ids, never a row_number window over the
+    // whole input (the single-task 100 TB bottleneck), and the sort keys
+    // are materialized columns (_gk*) so the sort comparator never
+    // re-evaluates key expressions per comparison.
     val planStr = out.queryExecution.executedPlan.toString
-    assert(planStr.contains("Window"))
-    assert(planStr.contains("[_pid"))
+    assert(planStr.contains("monotonically_increasing_id"))
+    assert(planStr.contains("_gk0"))
+    assert(!planStr.contains("row_number"))
+  }
+
+  test("globalRowNumber honors direction + null ordering of each key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Some(3), None, Some(1), Some(2)).toDF("k")
+    val out = Ops.globalRowNumber(df, Seq(col("k").desc_nulls_last), "rn")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3, 1L), (2, 2L), (1, 3L), (null, 4L)))
+  }
+
+  test("saltedJoin: result invariant under shuffle-partition changes (retry-stable salt)") {
+    import spark.implicits._
+    val left = ((1 to 50).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i)))
+      .toDF("k", "lv")
+    val right = (Seq("hot") ++ (1 to 10).map(i => s"k$i")).zipWithIndex.toDF("k", "rv")
+    def run(): Seq[Seq[Any]] =
+      rows(Ops.saltedJoin(left, right, Seq("k"), salts = 8).orderBy("k", "lv", "rv"))
+    val before = run()
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(run() == before)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
   }
 }

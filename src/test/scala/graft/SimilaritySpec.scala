@@ -67,4 +67,23 @@ class SimilaritySpec extends SparkSpec {
     val caught = planted.intersect(lsh).size
     assert(caught >= 18, s"only $caught/20 planted near-dups caught")
   }
+
+  test("SRP degenerate corpus: hot buckets dropped, bounded candidates") {
+    import spark.implicits._
+    // All-identical vectors — every row lands in ONE sign-pattern bucket.
+    // Without the maxBucket guard the self-join is quadratic (n²/2 pairs);
+    // with it the degenerate bucket is dropped entirely, so both paths
+    // complete with ZERO candidate pairs instead of 19900.
+    val degenerate = (0L until 200L).map(i => (i, Seq.fill(8)(1.0))).toDF("id", "vec")
+    val pairs = Similarity.srpNearDupPairs(degenerate, dim = 8,
+      planesPerTable = 4, tables = 4, threshold = 0.9, maxBucket = 50)
+    assert(pairs.count() == 0)
+    val topk = Similarity.srpTopK(degenerate, dim = 8, nPlanes = 8, k = 3,
+      maxBucket = 50)
+    assert(topk.count() == 0)
+    // Sanity: with the guard above the population size, results flow again.
+    val small = (0L until 20L).map(i => (i, Seq.fill(8)(1.0))).toDF("id", "vec")
+    assert(Similarity.srpNearDupPairs(small, dim = 8, planesPerTable = 4,
+      tables = 4, threshold = 0.9).count() == 20 * 19 / 2)
+  }
 }

@@ -24,4 +24,14 @@ class SparkEntrySpec extends SparkSpec {
   test("flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // EVERY declared query must EXECUTE end-to-end — round 2 shipped a query
+  // whose unresolved column only surfaced at runtime (it crashed the driver
+  // bench) because nothing in the suite ran the query map. count() forces
+  // analysis + full execution at the smallest fixture.
+  for (name <- SparkEntry.queries.keys.toSeq.sorted)
+    test(s"declared query $name executes at sf0.001") {
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      assert(n >= 0)
+    }
 }

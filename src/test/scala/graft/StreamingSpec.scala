@@ -265,4 +265,38 @@ class StreamingSpec extends SparkSpec {
     val subjects = sender.sent.map(_.subject).sorted
     assert(subjects == Seq("POs 490-68594", "POs 57-57466"))
   }
+
+  test("T3 hung vendor: tick completes within budget, hung ERROR, others Sent") {
+    val grid = Seq(
+      Seq("Note", "Vendor #", "Vendor Name", "Status"),
+      Seq("wk", "11111", "Quick", "Ready"),
+      Seq("", "22222", "Hung", "Ready"),
+      Seq("", "33333", "AlsoQuick", "Ready"))
+    val writer = new InMemoryStatusWriter
+    val hungEntered = new java.util.concurrent.CountDownLatch(1)
+    // The hung vendor blocks far beyond the tick's budget (the reference
+    // bounds each vendor at 300 s; here 200 ms so the spec is fast). The
+    // tick must NOT stall on it: it expires the wait, records ERROR, and
+    // still writes every other vendor's terminal status.
+    val t0 = System.nanoTime()
+    val results = Orchestrator.runTick(grid, writer, Set.empty, workers = 4,
+        vendorTimeoutMs = 200L) { row =>
+      if (row.vendorNum == "22222") {
+        hungEntered.countDown()
+        try Thread.sleep(60000) catch { case _: InterruptedException => () }
+        false
+      } else {
+        // ensure the hung vendor is genuinely running concurrently
+        hungEntered.await(5, java.util.concurrent.TimeUnit.SECONDS)
+        true
+      }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 10000, s"tick stalled ${elapsedMs}ms on a hung vendor")
+    assert(results.map(r => r._1.vendorNum -> r._2).toMap ==
+      Map("11111" -> true, "22222" -> false, "33333" -> true))
+    assert(writer.cells("D2") == Orchestrator.Sent)
+    assert(writer.cells("D3") == Orchestrator.Error)
+    assert(writer.cells("D4") == Orchestrator.Sent)
+  }
 }
