@@ -266,6 +266,70 @@ class StreamingSpec extends SparkSpec {
     assert(subjects == Seq("POs 490-68594", "POs 57-57466"))
   }
 
+  test("MiniJson: strings with escapes, nested arrays/objects, literals") {
+    import graft.streaming.MiniJson
+    val v = MiniJson.parse(
+      """{"a":[1,2,[3]],"s":"q\"\\\nA","b":true,"n":null,"o":{"x":-1.5e2}}""")
+      .asInstanceOf[Map[String, Any]]
+    assert(v("a") == Vector(1.0, 2.0, Vector(3.0)))
+    assert(v("s") == "q\"\\\nA")
+    assert(v("b") == true && v("n") == null)
+    assert(v("o").asInstanceOf[Map[String, Any]]("x") == -150.0)
+    intercept[IllegalArgumentException](MiniJson.parse("""{"a":1} junk"""))
+  }
+
+  test("S6/K9 live transport: full tick through a fake Sheets REST API") {
+    // Fake Sheets v4 endpoints: metadata (tab list), values GET (the grid),
+    // values:batchUpdate POST (recorded). Grid has one Ready vendor.
+    val meta =
+      """{"sheets":[
+        |  {"properties":{"title":"Notes","index":0,"hidden":true}},
+        |  {"properties":{"title":"Tues Orders","index":1}},
+        |  {"properties":{"title":"Wed Orders","index":2}}]}""".stripMargin
+    val grid =
+      """{"range":"'Tues Orders'!A1:E3","majorDimension":"ROWS","values":[
+        |  ["Note","Vendor #","Vendor Name","Status","490"],
+        |  ["wk33","81214","Acme","Ready","68594"],
+        |  ["","70005","Bolt","Sent","1"]]}""".stripMargin
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val fakeGet = new HttpGet {
+      def get(url: String, h: Map[String, String], t: java.time.Duration) = {
+        assert(h("Authorization") == "Bearer tok-1")
+        if (url.contains("/values/")) {
+          assert(url.contains("%27Tues%20Orders%27"), url) // URL-encoded 'title'
+          (200, grid)
+        } else (200, meta)
+      }
+    }
+    val fakePost = new HttpPost {
+      def post(url: String, h: Map[String, String], body: String,
+               t: java.time.Duration) = { posts += url -> body; (200, "{}") }
+    }
+    val client = new SheetsClient("sheet-123", () => "tok-1",
+      http = fakeGet, httpPost = fakePost)
+    // Tab pick: hidden 'Notes' excluded; Tuesday matches "Tues Orders".
+    val titles = client.sheetTitles()
+    assert(titles == Seq("Tues Orders", "Wed Orders"))
+    val title = Sheets.pickTodayTitle(titles, java.time.DayOfWeek.TUESDAY).get
+    assert(title == "Tues Orders")
+    // Grid parses into the orchestrator's shape and a tick runs end-to-end.
+    val values = client.getAllValues(title)
+    assert(values(1) == Seq("wk33", "81214", "Acme", "Ready", "68594"))
+    val writer = new RestStatusWriter(client, title)
+    val results = Orchestrator.runTick(values, writer, Set.empty)(_ => true)
+    assert(results.map(r => r._1.vendorNum -> r._2) == Seq("81214" -> true))
+    // Two batchUpdate posts: SENDING on claim, Sent on completion — against
+    // the row's own Status cell (D2), range-qualified with the tab title.
+    assert(posts.size == 2)
+    assert(posts.forall(_._1.endsWith("/sheet-123/values:batchUpdate")))
+    assert(posts(0)._2.contains(""""range":"'Tues Orders'!D2""""))
+    assert(posts(0)._2.contains(""""values":[["SENDING"]]"""))
+    assert(posts(1)._2.contains(""""values":[["Sent"]]"""))
+    // Empty update never posts (reference early-returns too).
+    client.batchUpdate(title, Seq.empty)
+    assert(posts.size == 2)
+  }
+
   test("T3 hung vendor: tick completes within budget, hung ERROR, others Sent") {
     val grid = Seq(
       Seq("Note", "Vendor #", "Vendor Name", "Status"),
