@@ -132,6 +132,48 @@ object Ops {
   def enrichLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys, "left")
 
+  /** J6: as-of join — for each left row, attach the right row with the
+    * largest `rightTime` <= `leftTime` within the same key group (the
+    * point-in-time lookup every feature/training pipeline needs; Spark has
+    * no native ASOF JOIN). Left-join semantics: unmatched left rows keep
+    * null right columns.
+    *
+    * 100 TB shape: tag-and-union both sides, ONE shuffle on the key, then a
+    * per-key window carries the latest right ROW (packed as one struct so
+    * all right columns come from the same match) forward onto left rows —
+    * never a range self-join (quadratic on hot keys) and never a global
+    * sort. Equal timestamps: right sorts before left, so "at or before" is
+    * inclusive. Right rows should be unique per (key, time) — pre-aggregate
+    * otherwise, or the tie-winner among equal right times is unspecified.
+    *
+    * `leftTime`/`rightTime` must be the same (orderable) type; non-key
+    * column names must not overlap across sides. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String): DataFrame = {
+    val lOnly = left.columns.filterNot(keys.contains).toSeq
+    val rOnly = right.columns.filterNot(keys.contains).toSeq
+    require(lOnly.intersect(rOnly).isEmpty,
+      s"asofJoin: overlapping non-key columns: ${lOnly.intersect(rOnly).mkString(", ")}")
+    val rType = org.apache.spark.sql.types.StructType(rOnly.map(c => right.schema(c)))
+    val lPart = left.select(keys.map(col) ++ Seq(
+      col(leftTime).as("_t"), lit(1).as("_isL"),
+      lit(null).cast(rType).as("_r")) ++ lOnly.map(col): _*)
+    val rPart = right.select(keys.map(col) ++ Seq(
+      col(rightTime).as("_t"), lit(0).as("_isL"),
+      struct(rOnly.map(col): _*).as("_r")) ++
+      lOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_isL").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    lPart.unionByName(rPart)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_isL") === 1)
+      .select(keys.map(col) ++ lOnly.map(col) ++
+        rOnly.map(c => col("_r").getField(c).as(c)): _*)
+  }
+
   /** Skew-safe equi-join for when the right side is too big to broadcast
     * and the key distribution is skewed: the left (skewed) side gets a
     * random salt in [0, salts), the right side is replicated once per salt

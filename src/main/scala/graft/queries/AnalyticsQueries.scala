@@ -89,6 +89,41 @@ object AnalyticsQueries {
         .orderBy(col("skew_key"))
     },
 
+    // ── J6: as-of join — each event picks the user's most recent order at
+    //    or before the event day (point-in-time feature lookup) ──
+    QueryDef("q47_asof_join",
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS event_day
+        |           FROM events),
+        |o AS (SELECT o_custkey AS user_id,
+        |        CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS order_day,
+        |        MAX(o_orderkey) AS last_orderkey
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_day,
+        |       o.order_day AS last_order_day, o.last_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.event_day >= o.order_day
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      // Epoch-day longs on both sides (events carry nanosecond longs; see
+      // RelationalQueries.eventsNs). Right side pre-aggregated to one row
+      // per (user, day) — max orderkey — so the as-of tie-winner is
+      // deterministic across engines.
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("ts div 86400000000000").as("event_day"))
+      val ords = Tables.orders(s, d).select(
+          col("o_custkey").as("user_id"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("order_day"),
+          col("o_orderkey"))
+        .groupBy(col("user_id"), col("order_day"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      graft.ops.Ops.asofJoin(ev, ords, Seq("user_id"), "event_day", "order_day")
+        .select(col("event_id"), col("user_id"), col("event_day"),
+          col("order_day").as("last_order_day"), col("last_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     // ── exact discrete quantiles of order totals per priority ──
     QueryDef("q44_quantiles",
       """SELECT o_orderpriority,

@@ -100,6 +100,37 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((3, 1L), (2, 2L), (1, 3L), (null, 4L)))
   }
 
+  test("J6 asofJoin: most recent at-or-before, inclusive ties, left-join nulls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val quotes = Seq( // (key, qt, px): the right side
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 50L, 9.9)).toDF("k", "qt", "px")
+    val trades = Seq( // (key, tt, id): the left side
+      ("A", 5L, 1),   // before any quote -> null
+      ("A", 20L, 2),  // equal time -> inclusive, px=2.0
+      ("A", 25L, 3),  // between -> px=2.0
+      ("A", 99L, 4),  // after all -> px=3.0
+      ("B", 49L, 5),  // other key, before its quote -> null
+      ("C", 1L, 6))   // key with no quotes -> null
+      .toDF("k", "tt", "id")
+    val out = Ops.asofJoin(trades, quotes, Seq("k"), "tt", "qt")
+      .orderBy("id")
+      .collect().map(r => (r.getInt(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, null, null), (2, 20L, 2.0), (3, 20L, 2.0), (4, 30L, 3.0),
+      (5, null, null), (6, null, null)))
+    // Scale shape: the carry-forward window is partitioned by the key
+    // (hashpartitioning on k), never a single-partition global window.
+    val plan = Ops.asofJoin(trades, quotes, Seq("k"), "tt", "qt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(plan.contains("hashpartitioning(k"))
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("saltedJoin: result invariant under shuffle-partition changes (retry-stable salt)") {
     import spark.implicits._
     val left = ((1 to 50).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i)))
