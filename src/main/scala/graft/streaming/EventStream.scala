@@ -42,6 +42,22 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of q14: keep the first
+    * document per content fingerprint, with STATE BOUNDED BY THE WATERMARK
+    * (`dropDuplicatesWithinWatermark`): a fingerprint older than the
+    * horizon is evicted, so state is O(unique keys per horizon), never
+    * O(stream length) — the only formulation that survives an unbounded
+    * 100 TB/day ingest. The fingerprint is the md5 of the content (16
+    * bytes of state per key, like the batch path — never the body).
+    * Input needs (ts_ns long, `contentCol` string). */
+  def streamingDedup(docs: DataFrame, contentCol: String = "content",
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("fingerprint", md5(col(contentCol).cast("binary")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Batch/stream parity entry: the driver's events parquet read as a
     * STREAM (file source discovers new part-files as they land), pushed
     * through the identical windowed aggregation. */

@@ -47,6 +47,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (1L, 1L)))
   }
 
+  test("streamingDedup: first-per-fingerprint survives, watermark bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("ts_ns", "doc_id", "content")
+    // Three distinct contents; "dup me" arrives three times within the
+    // watermark horizon — exactly one survivor per content. Timestamps sit
+    // well above epoch: event_time == 0 equals the query's INITIAL
+    // watermark and is filtered as late before dedup state is consulted.
+    val base = 100 * H
+    mem.addData(
+      (base, 1L, "dup me"), (base + 1, 2L, "unique a"), (base + 2, 3L, "dup me"),
+      (base + 600L * 1000000000L, 4L, "dup me"), (base + 3, 5L, "unique b"))
+    val q = EventStream.streamingDedup(docs)
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("streamdedup")
+    assert(out.count() == 3)
+    assert(out.select("content").as[String].collect().sorted.toSeq ==
+      Seq("dup me", "unique a", "unique b"))
+  }
+
   test("batch/stream parity: same expression over the events parquet") {
     // File stream sources want a directory; stage the events file into one.
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
