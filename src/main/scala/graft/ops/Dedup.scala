@@ -49,10 +49,18 @@ object Dedup {
     * probability negligible (p ≈ n²/2⁶⁴), so set sizes and intersections
     * over the hashes equal those over the strings. Hashing happens inside
     * [[graft.plans.ShingleHash64]] — one codegen'd pass, no shingle-string
-    * materialization. */
+    * materialization.
+    *
+    * The COMPACT TEXT is repartitioned by doc id BEFORE exploding: the
+    * projection preserves hash partitioning on `_id`, so the downstream
+    * per-doc groupBy aggregates in place instead of shuffling the exploded
+    * hash rows — and the shuffled payload is the ~300 B text, not the ~16×
+    * larger shingle set. (It also decouples CPU-heavy shingling from the
+    * source's row-group count — a one-row-group parquet otherwise pins the
+    * whole pass to one task.) */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int): DataFrame =
-    docs.select(
+    docs.repartition(col(idCol)).select(
         col(idCol).as("_id"),
         explode(graft.plans.ShingleHash64(col(textCol), shingleN)).as("_h"))
 
@@ -202,7 +210,11 @@ object Dedup {
     * positive. Output: (_id, _sig). */
   private[graft] def simHashPerDoc(docs: DataFrame, idCol: String, textCol: String,
                                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = docs.select(
+    // Repartition the compact text by id first (same rationale as
+    // [[shingleHashes]]): the signature groupBy then aggregates in place —
+    // no shuffle of exploded token rows, and tokenize/hash CPU spreads
+    // over the cluster instead of the source's row-group count.
+    val toks = docs.repartition(col(idCol)).select(
         col(idCol).as("_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_t"))
       .select(col("_id"), tokenHash(col("_t")).as("_h"))
