@@ -26,6 +26,32 @@ object ScaleSmoke {
     val t1 = System.nanoTime()
     val n2 = graft.ops.Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3).count()
     println(f"simhash_100k: pairs=$n2 time=${(System.nanoTime()-t1)/1e9}%.1f s")
+    // 200k embeddings: 20k cluster centers x 10 jittered members each —
+    // the SRP near-dup path must find within-cluster pairs without any
+    // quadratic blowup (multi-table banding + hot-bucket guard).
+    val dim = 32
+    // id div 10 (integer division): ids 0-9 share center 0, 10-19 center 1…
+    val vecs = spark.range(200000).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          sin(expr("id div 10") * 37 + j * 13) +
+            sin(col("id") * 7919 + j) * lit(0.01)).as("vec"))
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
+    val v = spark.read.parquet("/tmp/scale_vecs")
+    // planesPerTable must scale with corpus size: 2^planes buckets per
+    // table. 8 planes (256 buckets) over 200k rows means ~800-row buckets
+    // -> ~330M candidate pairs; 16 planes (65k buckets) keeps buckets at
+    // cluster size. Recall for cosine>=0.99 pairs stays high across 4
+    // tables (per-plane agreement p ~ 1 - arccos(0.99)/pi ~ 0.955;
+    // 1-(1-p^16)^4 ~ 0.97). maxBucket matters here: these sin-generated
+    // vectors are NOT direction-uniform, so some sign patterns collapse
+    // thousands of clusters into one bucket — exactly the degenerate case
+    // the guard bounds (at maxBucket=10000 the hot buckets alone emit
+    // ~50M candidate pairs and OOM an 8 GB heap).
+    val t2 = System.nanoTime()
+    val n3 = graft.ops.Similarity.srpNearDupPairs(v, dim = dim,
+      planesPerTable = 16, tables = 4, threshold = 0.99, maxBucket = 1000).count()
+    println(f"srp_neardup_200k: pairs=$n3 time=${(System.nanoTime()-t2)/1e9}%.1f s")
     spark.stop()
   }
 }

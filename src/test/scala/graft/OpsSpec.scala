@@ -131,6 +131,19 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"))
   }
 
+  test("scan hygiene: filters push to parquet and columns prune (q02)") {
+    // A declarative plan must land its literal predicate in the scan
+    // (PushedFilters) and read ONLY referenced columns (ReadSchema) — the
+    // difference between scanning 3 columns and all 11 of a 100 TB table.
+    val plan = SparkEntry.queries("q02_group_sum_dropzero")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("EqualTo(l_returnflag,R)"), scan)
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
   test("saltedJoin: result invariant under shuffle-partition changes (retry-stable salt)") {
     import spark.implicits._
     val left = ((1 to 50).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i)))
