@@ -15,6 +15,13 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // 64 MB broadcast budget (vs the 10 MB default sized for small
+      // executors): mid-size dimension/side tables — e.g. the per-doc
+      // hash-set table feeding dedup verification — become map-side
+      // lookups instead of sort-merge joins that shuffle wide array rows.
+      // Executors with tens of GB (this image, and any realistic 100 TB
+      // cluster) hold a 64 MB broadcast comfortably.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

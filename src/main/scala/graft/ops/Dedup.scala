@@ -156,8 +156,9 @@ object Dedup {
     * to genuinely-rare shared shingles. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 8, threshold: Double = 0.8): DataFrame = {
-    // Evaluated twice (document-frequency aggregation + the df join);
-    // persist so the text is shingled and hashed once.
+    // Evaluated three times (document-frequency aggregation, the prefix
+    // ranking, the verify sets); persist so the text is shingled and
+    // hashed once.
     val sh = shingleHashes(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Only hashes appearing in >= 2 docs need an explicit df — the long
@@ -167,28 +168,35 @@ object Dedup {
     // it instead of re-shuffling all shingle rows by hash.
     val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df0"))
       .where(col("_df0") > 1)
-    val perDoc = sh.join(df, Seq("_h"), "left")
+    // Prefix selection as a per-doc WINDOW rank over (df, h) — sh is
+    // already hash-partitioned by _id (see shingleHashes), so both windows
+    // plan with NO shuffle and one in-partition sort of primitive longs.
+    // (The previous collect_list(struct)+sort_array+slice+explode round
+    // trip burned ~10 s of CPU at sf0.1 sorting 1.3M structs.)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
+    val wRank = wDoc.orderBy(col("_df"), col("_h"))
+    val pre = sh.join(df, Seq("_h"), "left")
       .withColumn("_df", coalesce(col("_df0"), lit(1L))).drop("_df0")
-      .groupBy(col("_id")).agg(
-        count(lit(1)).as("_n"),
-        sort_array(collect_list(struct(col("_df"), col("_h")))).as("_sorted"))
-      .select(col("_id"), col("_n"),
-        // df-rarest-first order: the prefix index
-        transform(col("_sorted"), s => s.getField("_h")).as("_pre"),
-        // value order: the verification merge input
-        sort_array(transform(col("_sorted"), s => s.getField("_h"))).as("_hs"))
-      // Referenced three times (prefix explode + both verify joins).
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(wDoc))
+      .where(col("_rk") <=
+        (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int"))
+      .select(col("_id"), col("_n"), col("_h"))
+      // Referenced by both sides of the candidate self-join: persist the
+      // (id, n, h) prefix rows (~20% of the shingles) so the df join +
+      // ranking windows run once, not once per side.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pre = perDoc.select(col("_id"), col("_n"),
-        explode(slice(col("_pre"), lit(1),
-          (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int"))).as("_h"))
     val cand = pre.as("x").join(pre.as("y"), col("x._h") === col("y._h"))
       .where(col("x._id") < col("y._id") &&
         least(col("x._n"), col("y._n")) >=
           ceil(greatest(col("x._n"), col("y._n")) * lit(threshold)))
       .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
       .distinct()
-    val sets = perDoc.select(col("_id"), col("_n"), col("_hs"))
+    // Verification merge input: ascending hash sets, primitive-long sort.
+    // Referenced by both verify joins.
+    val sets = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"),
+        sort_array(collect_list(col("_h"))).as("_hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyPairs(cand, sets, threshold)
   }
 
