@@ -83,10 +83,21 @@ object Ops {
     // sorts on two regexes) must be computed once per ROW, not once per
     // comparison. Measured at sf0.1: 4.2 s of comparator regex time -> key
     // lookups.
+    // Widen narrow inputs BEFORE computing the (expensive) sort keys: a
+    // single-row-group parquet file scans as ONE task no matter how many
+    // byte splits the planner makes, and the range partitioner evaluates
+    // the key projection in both its sample pass and its shuffle-map pass —
+    // serial regex evaluation twice over. One cheap round-robin shuffle of
+    // the narrow input rows moves both passes onto every core (and the
+    // sample then re-reads the repartition's shuffle files instead of
+    // re-running the scan). A wide input (any real cluster scan, with
+    // splits >= cores) skips this — no extra data movement at scale.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val widened = if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
     val mask = (1L << 33) - 1
     val unwrapped = order.map(org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder)
     val keyNames = unwrapped.indices.map(i => s"_gk$i")
-    val proj = df.select(col("*") +:
+    val proj = widened.select(col("*") +:
       unwrapped.zip(keyNames).map { case ((c, _, _), n) => c.as(n) }: _*)
     val matOrder = unwrapped.zip(keyNames).map { case ((_, asc, nf), n) =>
       (asc, nf) match {
