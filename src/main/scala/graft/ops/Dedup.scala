@@ -58,7 +58,7 @@ object Dedup {
     * larger shingle set. (It also decouples CPU-heavy shingling from the
     * source's row-group count — a one-row-group parquet otherwise pins the
     * whole pass to one task.) */
-  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+  private[ops] def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int): DataFrame =
     docs.repartition(col(idCol)).select(
         col(idCol).as("_id"),
@@ -175,21 +175,39 @@ object Dedup {
     // trip burned ~10 s of CPU at sf0.1 sorting 1.3M structs.)
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
     val wRank = wDoc.orderBy(col("_df"), col("_h"))
+    // Filters below must be LOSSLESS (the verify pass only removes false
+    // positives — a false negative is a wrong answer). Binary doubles make
+    // e.g. 0.8*35 = 28.000000000000004, whose ceil spuriously rounds a
+    // satisfied bound to unsatisfied; nudge every ceil'd product down by an
+    // epsilon far below the 1-ulp-of-an-int scale so exact-boundary pairs
+    // (J == t precisely) survive.
+    val Eps = 1e-9
     val pre = sh.join(df, Seq("_h"), "left")
       .withColumn("_df", coalesce(col("_df0"), lit(1L))).drop("_df0")
       .withColumn("_rk", row_number().over(wRank))
       .withColumn("_n", count(lit(1)).over(wDoc))
       .where(col("_rk") <=
-        (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int"))
-      .select(col("_id"), col("_n"), col("_h"))
+        (col("_n") - ceil(col("_n") * lit(threshold) - lit(Eps)) + 1).cast("int"))
+      .select(col("_id"), col("_n"), col("_h"), col("_rk"))
       // Referenced by both sides of the candidate self-join: persist the
-      // (id, n, h) prefix rows (~20% of the shingles) so the df join +
+      // (id, n, h, rk) prefix rows (~20% of the shingles) so the df join +
       // ranking windows run once, not once per side.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PPJoin positional filter on top of the prefix match: a doc's
+    // rank-_rk shingle has only n - _rk shingles after it in the global
+    // (df, hash) order, and every common shingle of a candidate pair sits
+    // at-or-after the pair's first common one — so the overlap is at most
+    // min(nx - rx, ny - ry) + 1. J >= t forces the overlap to at least
+    // t/(1+t) * (nx+ny); pairs whose positional ceiling can't reach that
+    // are dead on arrival, before the (expensive) verify join. Measured at
+    // sf0.1: 3.88M -> 276k candidate rows (14x) for identical output.
+    val needOverlap = lit(threshold / (1.0 + threshold))
     val cand = pre.as("x").join(pre.as("y"), col("x._h") === col("y._h"))
       .where(col("x._id") < col("y._id") &&
         least(col("x._n"), col("y._n")) >=
-          ceil(greatest(col("x._n"), col("y._n")) * lit(threshold)))
+          ceil(greatest(col("x._n"), col("y._n")) * lit(threshold) - lit(Eps)) &&
+        (least(col("x._n") - col("x._rk"), col("y._n") - col("y._rk")) + 1)
+          .cast("double") >= needOverlap * (col("x._n") + col("y._n")) - lit(Eps))
       .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
       .distinct()
     // Verification merge input: ascending hash sets, primitive-long sort.
