@@ -164,4 +164,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  // ── IVF (inverted-file) ANN ────────────────────────────────────────────
+
+  /** Per-vector cell id under a literal coarse quantizer: argmax cosine
+    * against `cents`, smallest centroid id on (6-dp-rounded) ties. A pure
+    * map-side projection — the 100 TB corpus-assignment pass touches each
+    * row once and shuffles nothing; the centroids ride in the plan as
+    * literals (they are driver-side state in every real IVF build, k-means
+    * or sampled). Implemented as array_max over (sim, -cid) structs so the
+    * lexicographic struct max IS the tie-broken argmax. */
+  private def ivfCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val n = norm(vec)
+    array_max(array(cents.map { case (cid, cv) =>
+      val cl = array(cv.map(lit): _*)
+      struct(round(dot(vec, cl) / (n * sqrt(dot(cl, cl))), 6).as("s"),
+        lit(-cid).as("c"))
+    }: _*)).getField("c") * lit(-1)
+  }
+
+  /** IVF top-k: assign every corpus vector to its nearest centroid cell
+    * (map-only), have each query probe its `nprobe` nearest cells, and
+    * score only the probed cells' members exactly — the inverted-list ANN
+    * that complements the SRP-LSH path. Probe rows (a few per query) are
+    * broadcast, so the corpus never moves: per-query work scales with the
+    * probed lists, not the corpus. Recall is approximate by construction
+    * (a true neighbor hiding in an unprobed cell is missed) but the
+    * approximation is deterministic — same centroids, same answer, same
+    * oracle replay. Cell skew bounds: a degenerate corpus collapsing into
+    * one cell costs |cell| * queries-probing-it scoring rows, bounded by
+    * the query count (unlike an unguarded LSH self-join's |bucket|²).
+    * `queries`/`corpus`: (id, vec array<double>); self-matches excluded. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              cents: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
+      norm(col("vec")).as("_cn"), ivfCell(col("vec"), cents).as("_cell"))
+    val probeCells = explode(array(cents.map { case (cid, cv) =>
+      val cl = array(cv.map(lit): _*)
+      struct(round(dot(col("vec"), cl) / (norm(col("vec")) * sqrt(dot(cl, cl))), 6)
+        .as("s"), lit(cid).as("c"))
+    }: _*))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_pc.s").desc, col("_pc.c").asc)
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("_qv"),
+        norm(col("vec")).as("_qn"), probeCells.as("_pc"))
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_pc.c").as("_cell"))
+    val scored = c.join(broadcast(probes), Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

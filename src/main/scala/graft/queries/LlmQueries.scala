@@ -272,6 +272,56 @@ object LlmQueries {
       Similarity.srpTopK(emb, dim = 64, nPlanes = 8, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // ── IVF ANN: coarse-quantize the corpus into inverted lists, probe the
+    //    2 nearest cells per query, exact-score only the probed lists. The
+    //    coarse centroids here are the 16 lowest-id corpus vectors (a
+    //    deterministic stand-in for a k-means fit — the engine mechanics
+    //    are identical and the oracle can re-derive them from the data). ──
+    QueryDef("q48_ann_ivf",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t) WHERE rk = 1),
+        |probes AS (
+        |  SELECT id AS query_id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t WHERE c.id % 50 = 0) WHERE rk <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    round(list_inner_product(q.vec, x.vec) / (q.n * x.n), 6) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.id <> p.query_id
+        |  JOIN w q ON q.id = p.query_id
+        |  JOIN w x ON x.id = a.id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      // Collect the 16 coarse centroids (driver-side state in any real IVF
+      // build — a k-means fit lives on the driver too) and plant them as
+      // plan literals: corpus assignment stays a map-only pass.
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      Similarity.ivfTopK(emb.where(col("id") % 50 === 0), emb, cents,
+          nprobe = 2, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -86,4 +86,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.srpNearDupPairs(small, dim = 8, planesPerTable = 4,
       tables = 4, threshold = 0.9).count() == 20 * 19 / 2)
   }
+
+  test("ivfTopK: probed-cell neighbors exact, self excluded, cells honored") {
+    import spark.implicits._
+    // Two well-separated clusters around orthogonal axes; centroids = one
+    // representative of each. Queries land in their own cluster's cell, so
+    // with nprobe=1 only same-cluster neighbors can appear.
+    def v(axis: Int, eps: Double) =
+      Seq.tabulate(4)(i => if (i == axis) 1.0 else eps)
+    val corpus = (
+      (0L until 10L).map(i => (i, v(0, 0.01 * i))) ++
+      (10L until 20L).map(i => (i, v(2, 0.01 * (i - 10))))
+    ).toDF("id", "vec")
+    val cents = Seq(0 -> v(0, 0.0), 1 -> v(2, 0.0))
+    val res = Similarity.ivfTopK(
+      corpus.where($"id" === 0L || $"id" === 15L), corpus, cents,
+      nprobe = 1, k = 3).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    // Query 0 (cluster A) only sees cluster-A ids; query 15 only cluster B.
+    assert(byQuery(0L).map(_.getLong(1)).forall(_ < 10L))
+    assert(byQuery(15L).map(_.getLong(1)).forall(id => id >= 10L && id != 15L))
+    // Ranks are 1..3 and sims non-increasing.
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
