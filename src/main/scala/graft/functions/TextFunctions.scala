@@ -45,6 +45,26 @@ object TextFunctions {
           / size(toks).cast("double"))
   }
 
+  /** Gopher-style repetition signal: fraction of a doc's lines that are
+    * duplicates of another line (0 when every line is unique). Pure
+    * per-row expression — no shuffle at any scale. */
+  def dupLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    round((size(lines) - size(array_distinct(lines))).cast("double") /
+      size(lines).cast("double"), 6)
+  }
+
+  /** Lowercased whitespace-token word bigrams ("a b", "b c", ...); empty
+    * for texts with fewer than two tokens. Feeds the top-bigram repetition
+    * ratio (Gopher's top-2-gram fraction). */
+  def wordBigrams(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = size(toks)
+    when(trim(text) === "" || n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
   /** Language-ID by stopword-marker counting: count non-overlapping hits of
     * each language's marker alternation, argmax with fixed precedence
     * (en > es > de > fr > zh on ties). A deterministic n-gram heuristic,

@@ -322,6 +322,45 @@ object LlmQueries {
           nprobe = 2, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // ── Gopher-style repetition quality signals: duplicate-line fraction
+    //    (pure per-row expression) + top word-bigram fraction (explode +
+    //    two-level aggregate — the distributed shape; the per-doc counts
+    //    combine map-side). ──
+    QueryDef("q49_repetition",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS lines,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(
+        |    [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]
+        |  ) AS g FROM t),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id AS bdoc, max(c) AS maxc, sum(c) AS sumc
+        |        FROM bgc GROUP BY 1)
+        |SELECT t.doc_id,
+        |  round((len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE, 6)
+        |    AS dup_line_frac,
+        |  coalesce(round(maxc / sumc::DOUBLE, 6), 0.0) AS top_bigram_frac
+        |FROM t LEFT JOIN bga ON t.doc_id = bga.bdoc
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = docs.select(col("doc_id"),
+          explode(TextFunctions.wordBigrams(col("text"))).as("_bg"))
+        .groupBy(col("doc_id"), col("_bg")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("doc_id")).agg(
+          max(col("_c")).as("_maxc"), sum(col("_c")).as("_sumc"))
+      docs.select(col("doc_id"),
+          TextFunctions.dupLineFrac(col("text")).as("dup_line_frac"))
+        .join(bg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_line_frac"),
+          coalesce(round(col("_maxc").cast("double") /
+            col("_sumc").cast("double"), 6), lit(0.0)).as("top_bigram_frac"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -45,4 +45,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a == b)
     assert(a != c)
   }
+
+  test("dupLineFrac: duplicated lines over total lines") {
+    import spark.implicits._
+    def frac(s: String): Double = Seq(s).toDF("t")
+      .select(TextFunctions.dupLineFrac($"t")).head.getDouble(0)
+    assert(frac("a\nb\nc") == 0.0)
+    assert(frac("a\na\nb\na") == 0.5)   // 4 lines, 2 distinct
+    assert(frac("x") == 0.0)
+    assert(frac("") == 0.0)             // one empty line, unique
+  }
+
+  test("wordBigrams: adjacent lowercase pairs; short/empty -> empty") {
+    import spark.implicits._
+    def bg(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(TextFunctions.wordBigrams($"t")).head.getSeq[String](0)
+    assert(bg("The cat sat") == Seq("the cat", "cat sat"))
+    assert(bg("one") == Seq.empty)
+    assert(bg("") == Seq.empty)
+    assert(bg("  spaced   out  ") == Seq("spaced out"))
+  }
 }
