@@ -65,6 +65,23 @@ object TextFunctions {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Host of a URL, lowercased, leading "www." stripped — the grouping key
+    * for per-domain corpus stats and domain-level filtering. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:www\\.)?([^/?#:]+)", 1))
+
+  /** Canonical URL for dedup keys: fragment removed, tracking params
+    * (utm_*, ref, fbclid) dropped, separator artifacts cleaned. Every step
+    * is a plain regexp_replace an external checker can replay. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[A-Za-z]+|ref|fbclid)=[^&]*", "$1")
+    val fixQ = regexp_replace(noTrack, "\\?&+", "?")
+    val fixAmp = regexp_replace(fixQ, "&&+", "&")
+    regexp_replace(fixAmp, "[?&]+$", "")
+  }
+
   /** Language-ID by stopword-marker counting: count non-overlapping hits of
     * each language's marker alternation, argmax with fixed precedence
     * (en > es > de > fr > zh on ties). A deterministic n-gram heuristic,

@@ -361,6 +361,49 @@ object LlmQueries {
           coalesce(round(col("_maxc").cast("double") /
             col("_sumc").cast("double"), 6), lit(0.0)).as("top_bigram_frac"))
         .orderBy("doc_id")
+    },
+
+    // ── per-domain corpus stats over normalized URLs: host extraction,
+    //    tracking-param stripping (the CommonCrawl-style URL dedup key),
+    //    then a per-host aggregate. The URL is synthesized from doc_id (the
+    //    documents fixture carries no URL), so the oracle replays the
+    //    synthesis + the exact normalization regexes. ──
+    QueryDef("q50_domain_stats",
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://www.site' || (doc_id % 97) || '.example.com/p/' ||
+        |      (doc_id % 194) || '?utm_source=u' || (doc_id % 7) ||
+        |      '&ref=r' || (doc_id % 3) || '#frag' AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, n_chars, url,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:www\.)?([^/?#:]+)', 1)) AS host,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(url, '#.*', '', 'g'),
+        |      '([?&])(utm_[A-Za-z]+|ref|fbclid)=[^&]*', '\1', 'g'),
+        |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS norm_url
+        |  FROM u)
+        |SELECT host, count(*) AS n_docs,
+        |  count(DISTINCT url) AS n_unique_raw,
+        |  count(DISTINCT norm_url) AS n_unique_norm,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM n GROUP BY host
+        |ORDER BY host""".stripMargin) { (s, d) =>
+      val u = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        concat(lit("https://www.site"), col("doc_id") % 97,
+          lit(".example.com/p/"), col("doc_id") % 194,
+          lit("?utm_source=u"), col("doc_id") % 7,
+          lit("&ref=r"), col("doc_id") % 3, lit("#frag")).as("url"))
+      u.select(col("n_chars"), col("url"),
+          TextFunctions.urlHost(col("url")).as("host"),
+          TextFunctions.urlNormalize(col("url")).as("norm_url"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("url")).as("n_unique_raw"),
+          count_distinct(col("norm_url")).as("n_unique_norm"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("host")
     }
   )
 }

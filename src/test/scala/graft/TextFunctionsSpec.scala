@@ -56,6 +56,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(frac("") == 0.0)             // one empty line, unique
   }
 
+  test("urlHost + urlNormalize: host key and tracking-param-free URL") {
+    import spark.implicits._
+    def f(s: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
+      Seq(s).toDF("t").select(c($"t")).head.getString(0)
+    assert(f("https://www.Example.COM/a/b?x=1", TextFunctions.urlHost) == "example.com")
+    assert(f("http://sub.site.org:8080/p", TextFunctions.urlHost) == "sub.site.org")
+    assert(f("https://a.com/p?utm_source=x&id=7&ref=z#frag",
+      TextFunctions.urlNormalize) == "https://a.com/p?id=7")
+    assert(f("https://a.com/p?utm_a=1", TextFunctions.urlNormalize) == "https://a.com/p")
+    assert(f("https://a.com/p?id=1&fbclid=zz", TextFunctions.urlNormalize)
+      == "https://a.com/p?id=1")
+  }
+
   test("wordBigrams: adjacent lowercase pairs; short/empty -> empty") {
     import spark.implicits._
     def bg(s: String): Seq[String] = Seq(s).toDF("t")
