@@ -26,6 +26,13 @@ object ScaleSmoke {
     val t1 = System.nanoTime()
     val n2 = graft.ops.Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3).count()
     println(f"simhash_100k: pairs=$n2 time=${(System.nanoTime()-t1)/1e9}%.1f s")
+    // The EXACT path at the same 100k scale: prefix + PPJoin positional
+    // filtering must keep the candidate join linear-ish in true pairs even
+    // with 10k dup-dense clusters (the adversarial case for All-Pairs).
+    val tj = System.nanoTime()
+    val nj = graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      shingleN = 8, threshold = 0.8).count()
+    println(f"ngram_jaccard_100k: pairs=$nj time=${(System.nanoTime()-tj)/1e9}%.1f s")
     // 200k embeddings: 20k cluster centers x 10 jittered members each —
     // the SRP near-dup path must find within-cluster pairs without any
     // quadratic blowup (multi-table banding + hot-bucket guard).
