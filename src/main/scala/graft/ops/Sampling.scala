@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus rebalancing (per-language quotas,
+  * quality-tier downsampling — the standard knobs of a training-data mix).
+  *
+  * Selection hashes the row's ID instead of drawing `rand()`: the sample is
+  * a map-only filter that is reproducible across runs, task retries,
+  * repartitioning, AND engines (the hash is md5-based so an external SQL
+  * checker replays it bit-for-bit) — `rand()`-based sampling silently
+  * re-deals rows under retry, which at 100 TB means a job restart changes
+  * the training set. */
+object Sampling {
+
+  /** Uniform hash of `id` into [0, 1e6) parts-per-million — md5-based so
+    * both engines agree (see Dedup.md5Hash60). */
+  def hashPpm(id: Column): Column =
+    pmod(Dedup.md5Hash60(id.cast("string")), lit(1000000L))
+
+  /** Keep each row of stratum s with probability rates(s) (strata absent
+    * from the map are kept whole). Rates are applied as integer ppm
+    * thresholds — no float comparison at the boundary. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val thr = rates.foldLeft(lit(1000000L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(math.round(v * 1e6))).otherwise(acc)
+    }
+    df.where(hashPpm(col(idCol)) < thr)
+  }
+}

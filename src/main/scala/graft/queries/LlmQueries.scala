@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Sampling, Similarity}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as declared queries over `documents` / `embeddings`.
@@ -404,6 +404,23 @@ object LlmQueries {
           count_distinct(col("norm_url")).as("n_unique_norm"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("host")
+    },
+
+    // ── deterministic stratified sampling: per-language keep rates applied
+    //    as a hash-of-id filter (reproducible under retry/repartition and
+    //    replayable by the oracle — rand() sampling is neither). ──
+    QueryDef("q51_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |       % 1000000) <
+        |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+        |            WHEN 'es' THEN 500000 WHEN 'fr' THEN 750000
+        |            ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.75))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     }
   )
 }
