@@ -65,6 +65,33 @@ object TextFunctions {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** PII scrub for training text: e-mail addresses, SSN-shaped ids, and
+    * IPv4 literals replaced with typed placeholders. Deterministic regex
+    * passes (no ML NER) — the auditable baseline layer every corpus
+    * pipeline runs before anything smarter. */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRx = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRx, "<EMAIL>"),
+        SsnRx, "<SSN>"),
+      Ipv4Rx, "<IP>")
+
+  /** Fixed-window character chunking with overlap (size > stride): the
+    * split-long-documents op of a training pipeline. Returns
+    * array<struct<idx int, chunk string>>; every char is covered, the last
+    * chunk may be short, empty text yields one empty chunk. Pure per-row
+    * expression — chunking 100 TB is a map-only pass. */
+  def chunkFixed(text: Column, size: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(floor((length(text) - 1) / lit(stride)), lit(0.0)).cast("int")),
+      i => struct(i.as("idx"),
+        text.substr(i * lit(stride) + 1, lit(size)).as("chunk")))
+
   /** Host of a URL, lowercased, leading "www." stripped — the grouping key
     * for per-domain corpus stats and domain-level filtering. */
   def urlHost(url: Column): Column =

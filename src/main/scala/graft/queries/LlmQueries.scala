@@ -421,6 +421,66 @@ object LlmQueries {
           Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.75))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+
+    // ── PII scrub: e-mail / SSN / IPv4 redaction with typed placeholders.
+    //    The fixture text carries no PII, so a contaminated footer is
+    //    synthesized from doc_id (oracle replays it); the md5 of the
+    //    redacted text proves both engines produced the identical scrub. ──
+    QueryDef("q52_pii_redact",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or ' ||
+        |    'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.0.' || (doc_id % 256) || '.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssns,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), col("doc_id") % 256, lit(".7")).as("t"))
+      c.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(TextFunctions.EmailRx), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(TextFunctions.SsnRx), lit(0)))
+            .cast("long").as("n_ssns"),
+          size(regexp_extract_all(col("t"), lit(TextFunctions.Ipv4Rx), lit(0)))
+            .cast("long").as("n_ips"),
+          md5(TextFunctions.redactPii(col("t")).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ── fixed-window chunking with overlap (size 500 / stride 400): every
+    //    char covered, short tail kept; md5 per chunk proves byte parity. ──
+    QueryDef("q53_chunking",
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    generate_series(0, greatest((length(text) - 1) // 400, 0)) AS idxs
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(idxs) AS idx, text FROM n)
+        |SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+        |  length(substr(text, CAST(idx * 400 + 1 AS INT), 500)) AS chunk_len,
+        |  md5(substr(text, CAST(idx * 400 + 1 AS INT), 500)) AS chunk_md5
+        |FROM x
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.chunkFixed(col("text"), size = 500, stride = 400))
+            .as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          length(col("c.chunk")).cast("long").as("chunk_len"),
+          md5(col("c.chunk").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

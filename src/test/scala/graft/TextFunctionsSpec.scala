@@ -56,6 +56,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(frac("") == 0.0)             // one empty line, unique
   }
 
+  test("redactPii: emails, SSNs, IPv4s replaced; clean text untouched") {
+    assert(evalStr("mail a.b+c@ex-am.co.uk now", TextFunctions.redactPii)
+      == "mail <EMAIL> now")
+    assert(evalStr("ssn 123-45-6789.", TextFunctions.redactPii) == "ssn <SSN>.")
+    assert(evalStr("at 192.168.0.1:80", TextFunctions.redactPii) == "at <IP>:80")
+    assert(evalStr("no pii here 12-34", TextFunctions.redactPii)
+      == "no pii here 12-34")
+  }
+
+  test("chunkFixed: full coverage, overlap, short tail, empty text") {
+    import spark.implicits._
+    def chunks(s: String): Seq[(Int, String)] = Seq(s).toDF("t")
+      .select(TextFunctions.chunkFixed($"t", size = 5, stride = 3))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(chunks("abcdefgh") == Seq((0, "abcde"), (1, "defgh"), (2, "gh")))
+    assert(chunks("ab") == Seq((0, "ab")))
+    assert(chunks("") == Seq((0, "")))
+    // Every char covered: concat of de-overlapped chunks == original.
+    val s = "0123456789abcdef"
+    val cs = chunks(s)
+    val rebuilt = cs.head._2 + cs.tail.map(_._2.drop(2)).mkString
+    assert(rebuilt == s)
+  }
+
   test("urlHost + urlNormalize: host key and tracking-param-free URL") {
     import spark.implicits._
     def f(s: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
