@@ -183,6 +183,34 @@ object Similarity {
     }: _*)).getField("c") * lit(-1)
   }
 
+  /** Deterministic spherical k-means for the IVF coarse quantizer —
+    * assignment by cosine (matching the cosine ANN the quantizer serves),
+    * recompute by per-dimension mean. Init from the k lowest-id vectors
+    * (reproducible — no random restarts), then `iters` rounds of assign
+    * (map-only, centroids as plan literals) +
+    * recompute (posexplode to (cell, dim, value), ONE groupBy computing
+    * per-dimension means — at 100 TB each round is one scan + one shuffle
+    * of k*dim aggregate rows, and the k×dim centroid matrix lives on the
+    * driver exactly as every production k-means keeps it). Empty cells
+    * keep their previous centroid. */
+  def fitCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    var cents = corpus.select(col("id"), col("vec")).orderBy(col("id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(ivfCell(col("vec"), cents).as("_cell"),
+        posexplode(col("vec")).as(Seq("_dim", "_v")))
+      val means = assigned.groupBy(col("_cell"), col("_dim"))
+        .agg(avg(col("_v")).as("_m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** IVF top-k: assign every corpus vector to its nearest centroid cell
     * (map-only), have each query probe its `nprobe` nearest cells, and
     * score only the probed cells' members exactly — the inverted-list ANN

@@ -87,6 +87,26 @@ class SimilaritySpec extends SparkSpec {
       tables = 4, threshold = 0.9).count() == 20 * 19 / 2)
   }
 
+  test("fitCentroids: Lloyd iterations recover planted cluster centers") {
+    import spark.implicits._
+    // Two tight clusters far apart; k-means from worst-case init (both
+    // seeds in cluster A, ids 0 and 1) must still split them in 3 rounds.
+    val a = (0L until 50L).map(i => (i, Seq(10.0 + 0.01 * i, 0.0, 0.0)))
+    val b = (50L until 100L).map(i => (i, Seq(0.0, 10.0 + 0.01 * (i - 50), 0.0)))
+    val corpus = (a ++ b).toDF("id", "vec")
+    val cents = Similarity.fitCentroids(corpus, k = 2, iters = 3)
+    // One centroid near each cluster mean (x~10.25 / y~10.25).
+    val xs = cents.map(_._2)
+    assert(xs.exists(c => math.abs(c(0) - 10.245) < 0.5 && c(1) < 1.0))
+    assert(xs.exists(c => math.abs(c(1) - 10.245) < 0.5 && c(0) < 1.0))
+    // And the fitted quantizer routes queries to pure cells via ivfTopK.
+    val res = Similarity.ivfTopK(corpus.where($"id" === 10L || $"id" === 60L),
+      corpus, cents, nprobe = 1, k = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ(10L).map(_.getLong(1)).forall(_ < 50L))
+    assert(byQ(60L).map(_.getLong(1)).forall(_ >= 50L))
+  }
+
   test("ivfTopK: probed-cell neighbors exact, self excluded, cells honored") {
     import spark.implicits._
     // Two well-separated clusters around orthogonal axes; centroids = one
