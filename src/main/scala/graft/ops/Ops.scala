@@ -87,13 +87,18 @@ object Ops {
     // single-row-group parquet file scans as ONE task no matter how many
     // byte splits the planner makes, and the range partitioner evaluates
     // the key projection in both its sample pass and its shuffle-map pass —
-    // serial regex evaluation twice over. One cheap round-robin shuffle of
-    // the narrow input rows moves both passes onto every core (and the
-    // sample then re-reads the repartition's shuffle files instead of
-    // re-running the scan). A wide input (any real cluster scan, with
-    // splits >= cores) skips this — no extra data movement at scale.
+    // serial regex evaluation twice over. One cheap shuffle of the narrow
+    // input rows moves both passes onto every core (and the sample then
+    // re-reads the repartition's shuffle files instead of re-running the
+    // scan). Distribution key = hash of the whole row, NOT round-robin:
+    // round-robin repartition must locally sort rows first for retry
+    // determinism (spark.sql.execution.sortBeforeRepartition), which costs
+    // more than the shuffle itself; a row-hash is retry-stable for free.
+    // A wide input (any real cluster scan, with splits >= cores) skips
+    // this — no extra data movement at scale.
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val widened = if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val widened = if (df.rdd.getNumPartitions < cores)
+      df.repartition(cores, xxhash64(df.columns.map(col): _*)) else df
     val mask = (1L << 33) - 1
     val unwrapped = order.map(org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder)
     val keyNames = unwrapped.indices.map(i => s"_gk$i")
