@@ -70,6 +70,34 @@ class EventStreamSpec extends SparkSpec {
       Seq("dup me", "unique a", "unique b"))
   }
 
+  test("corpus-clean expressions run unchanged in a streaming pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // The text-quality / sampling / PII layers are stateless per-row
+    // expressions, so the SAME code drives a readStream ingest: filter by
+    // token count, deterministic-sample, redact — no batch/stream fork.
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    mem.addData(
+      (0L, "the quick brown fox jumped over the lazy dog entirely"),
+      (1L, "short"),
+      (2L, "email me at a@b.co right now please thanks kindly friend"),
+      (3L, "x y z"))
+    val cleaned = graft.ops.Sampling.stratifiedSample(
+        docs.where(graft.functions.TextFunctions.tokenCountWs(col("text")) >= 3),
+        "text", "doc_id", Map.empty)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.redactPii(col("text")).as("clean"))
+    val q = cleaned.writeStream.format("memory").queryName("streamclean")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("streamclean").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out.map(_._1) == Seq(0L, 2L, 3L)) // doc 1 fails the length gate
+    assert(out(1)._2 == "email me at <EMAIL> right now please thanks kindly friend")
+  }
+
   test("batch/stream parity: same expression over the events parquet") {
     // File stream sources want a directory; stage the events file into one.
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString

@@ -126,6 +126,10 @@ class SimilaritySpec extends SparkSpec {
     // Query 0 (cluster A) only sees cluster-A ids; query 15 only cluster B.
     assert(byQuery(0L).map(_.getLong(1)).forall(_ < 10L))
     assert(byQuery(15L).map(_.getLong(1)).forall(id => id >= 10L && id != 15L))
+    // Plan shape: probes broadcast, corpus never moves before the join.
+    val plan = Similarity.ivfTopK(corpus.limit(2), corpus, cents, 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(300))
     // Ranks are 1..3 and sims non-increasing.
     byQuery.values.foreach { rows =>
       assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
