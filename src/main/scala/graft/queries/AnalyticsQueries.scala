@@ -124,6 +124,31 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     },
 
+    // ── exact one-pass column profile (null/distinct/min/max per column,
+    //    string-rendered) — the DESCRIBE-style pass every pipeline runs
+    //    before trusting a new table ──
+    QueryDef("q54_profile",
+      """WITH s AS (SELECT COUNT(*) AS total,
+        |  COUNT(l_orderkey) AS n1, COUNT(DISTINCT l_orderkey) AS d1,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS mn1, CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+        |  COUNT(l_linenumber) AS n2, COUNT(DISTINCT l_linenumber) AS d2,
+        |  CAST(MIN(l_linenumber) AS VARCHAR) AS mn2, CAST(MAX(l_linenumber) AS VARCHAR) AS mx2,
+        |  COUNT(l_returnflag) AS n3, COUNT(DISTINCT l_returnflag) AS d3,
+        |  CAST(MIN(l_returnflag) AS VARCHAR) AS mn3, CAST(MAX(l_returnflag) AS VARCHAR) AS mx3
+        |  FROM lineitem)
+        |SELECT col_name, n_nonnull, n_null, n_distinct, min_str, max_str FROM (
+        |  SELECT 'l_orderkey' AS col_name, n1 AS n_nonnull, total - n1 AS n_null,
+        |         d1 AS n_distinct, mn1 AS min_str, mx1 AS max_str FROM s
+        |  UNION ALL
+        |  SELECT 'l_linenumber', n2, total - n2, d2, mn2, mx2 FROM s
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n3, total - n3, d3, mn3, mx3 FROM s)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        .orderBy(col("col_name"))
+    },
+
     // ── exact discrete quantiles of order totals per priority ──
     QueryDef("q44_quantiles",
       """SELECT o_orderpriority,
