@@ -123,6 +123,44 @@ object Dedup {
     verifyPairs(cand, sets, threshold)
   }
 
+  /** Incremental near-dedup: match a NEW batch against an EXISTING corpus
+    * (bipartite LSH join) instead of re-deduping everything — the shape a
+    * 100 TB ingestion pipeline actually runs: per-batch cost scales with
+    * the batch, not the corpus. The corpus side's signatures are the
+    * natural thing to precompute once and store (this entry recomputes
+    * them from text for self-containment; at scale, persist `minHashPerDoc`
+    * output as a signature table and reuse it every batch). Output:
+    * (new_id, corpus_id, jaccard) for exact-verified pairs >= threshold.
+    * The two id spaces must be disjoint. */
+  def minHashLshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleN: Int = 8, k: Int = 64,
+                             bands: Int = 16, rows: Int = 4,
+                             threshold: Double = 0.8,
+                             maxBucket: Int = 1000): DataFrame = {
+    val newPer = minHashPerDoc(shingleHashes(newDocs, idCol, textCol, shingleN), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corPer = minHashPerDoc(shingleHashes(corpus, idCol, textCol, shingleN), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(df: DataFrame) = df.select(col("_id"),
+      posexplode(bandHashes(col("_sig"), bands, rows)).as(Seq("_band", "_bh")))
+    // Hot-bucket guard on the CORPUS side (the big one): a degenerate
+    // bucket there multiplies against every colliding new doc.
+    val corBanded = band(corPer)
+    val oversized = corBanded.groupBy(col("_band"), col("_bh"))
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucket)
+      .select(col("_band"), col("_bh"))
+    val corBounded = corBanded.join(broadcast(oversized), Seq("_band", "_bh"), "left_anti")
+    val cand = band(newPer).as("x").join(corBounded.as("y"), Seq("_band", "_bh"))
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
+      .distinct()
+    val sets = newPer.select(col("_id"), col("_n"), col("_hs"))
+      .unionByName(corPer.select(col("_id"), col("_n"), col("_hs")))
+    verifyPairs(cand, sets, threshold)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("corpus_id"),
+        col("jaccard"))
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * per-doc SORTED hash sets: intersection via the codegen'd two-pointer
     * merge (no boxed hash set per pair — the measured hot path at millions

@@ -423,6 +423,28 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── incremental near-dedup: a 10% "new batch" matched against the
+    //    other 90% "existing corpus" through the bipartite LSH join — the
+    //    per-batch ingestion shape (batch-sized cost, not corpus-sized).
+    //    The oracle filters the full exact-Jaccard pair set down to
+    //    cross-side pairs. ──
+    QueryDef("q55_incremental_dedup",
+      s"""WITH pairs AS ($JaccardPairsSql)
+         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+         |       CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id,
+         |       jaccard
+         |FROM pairs
+         |WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+         |ORDER BY new_id, corpus_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.minHashLshPairsAgainst(
+          docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
+          threshold = 0.8)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ── PII scrub: e-mail / SSN / IPv4 redaction with typed placeholders.
     //    The fixture text carries no PII, so a contaminated footer is
     //    synthesized from doc_id (oracle replays it); the md5 of the

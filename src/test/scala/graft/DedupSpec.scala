@@ -46,6 +46,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(_.getDouble(2)) == exact.map(_.getDouble(2)))
   }
 
+  test("minHashLshPairsAgainst: bipartite pairs == cross-side slice of self-join") {
+    import org.apache.spark.sql.functions._
+    val newSide = docs.where(col("doc_id") % 2 === 0)
+    val corpus = docs.where(col("doc_id") % 2 =!= 0)
+    val inc = Dedup.minHashLshPairsAgainst(newSide, corpus, "doc_id", "text",
+      shingleN = 8, threshold = 0.5).orderBy("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text", shingleN = 8,
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(inc == full)
+  }
+
   test("identical docs have jaccard 1.0 through the LSH path") {
     import spark.implicits._
     val dup = Seq((10L, "same text body here"), (11L, "same text body here"))
