@@ -26,15 +26,21 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Isolate queries: drop every cached frame the previous query left
       // behind, so its evictions/spills can't distort this measurement.
-      // The warm run then re-materializes this query's own internal
-      // persists, and the timed run measures the steady state. The warm
-      // (first, cold-code) run is timed too and reported separately —
-      // both numbers are real, they answer different questions.
       spark.sharedState.cacheManager.clearCache()
       val tc = System.nanoTime()
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () } // warm failures surface in the timed run
       val cold = (System.nanoTime() - tc) / 1e9
+      // Clear AGAIN between the warm and timed runs: the warm pass's job is
+      // one-time code costs (Janino codegen, JIT), which are process-wide
+      // and survive the clear. Its leftover internal persists must NOT
+      // survive — CacheManager would rewrite the timed run's identical
+      // plans onto the warm run's columnar caches, and round 3 measured
+      // that cache-hit path at 3.6× SLOWER than the honest recompute
+      // (q45: 21.6 s cached vs 6.0 s cold — eviction pressure on the
+      // default heap beat the pushed-down parquet re-scan). The timed run
+      // must measure the recompute path a fresh run would take.
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -51,17 +57,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalCold = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val json =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), json + "\n")
+    Files.writeString(Paths.get("bench.json"), full + "\n")
+    // The driver captures only a ~2 KB TAIL of stdout: rounds 1-3 printed
+    // the full per-query JSON (~2.2 KB) as the last line and it arrived
+    // front-truncated — "parsed": null three rounds running. The final
+    // stdout line must therefore be SHORT (<200 bytes): headline metric
+    // only. Per-query detail lives in bench.json alongside.
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     // Silence ALL further logging (incl. the post-main ShutdownHookManager
     // INFO lines that otherwise print AFTER our JSON when the driver merges
     // stdout+stderr), stop Spark, THEN print — the JSON line is the final
     // line of the process's output, machine-parsable by the driver.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(json)
+    println(short)
     Console.out.flush()
   }
 }

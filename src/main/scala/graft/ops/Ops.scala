@@ -48,8 +48,8 @@ object Ops {
     * `row_number() OVER (ORDER BY …)` with no partition key forces every row
     * onto one task, which is the classic 100 TB single-machine bottleneck.
     * Instead: range-partitioned parallel sort (what orderBy plans anyway),
-    * then per-partition offsets via zipWithIndex — one extra O(#partitions)
-    * count job, no data movement beyond the sort itself.
+    * persisted once, then per-partition offsets from a tiny count over the
+    * cached frame — no data movement beyond the sort itself.
     *
     * `order` must be a total order (include a unique tiebreak column);
     * otherwise rows equal under `order` get an arbitrary stable-but-
@@ -112,15 +112,51 @@ object Ops {
         case (false, false) => col(n).desc_nulls_last
       }
     }
-    // ONE range exchange, shared by both branches through AQE stage reuse
-    // (identical canonical exchanges over the same child). The counts
-    // branch reads the shuffle WITHOUT sorting — partition sizes don't
-    // depend on intra-partition order — so the expensive sort runs once,
-    // in the ranked branch only. No persist: stage reuse already
-    // deduplicates the heavy work, without the cache's encode cost and
-    // block-lock serialization (measured slower than re-reading shuffle).
-    val shuffled = proj.repartitionByRange(matOrder: _*)
-    val counts = shuffled.groupBy(spark_partition_id().as("_pid"))
+    // ONE range exchange with an EXPLICITLY PINNED partition count: an
+    // explicit numPartitions plans the shuffle as REPARTITION_BY_NUM, which
+    // AQE's CoalesceShufflePartitions never touches, so every read is a 1:1
+    // reducer mapping and the mono_id upper bits below are exactly the
+    // range-bucket index.
+    //
+    // The ranked frame is PERSISTED, and the partition counts are derived
+    // FROM IT, with the partition id recomputed from the _mid column AS
+    // DATA. This is a correctness requirement, not a tuning choice — the
+    // graveyard of cheaper designs, each tried and each wrong:
+    //  * round 3 computed counts in a SIBLING branch via
+    //    spark_partition_id() over the same `shuffled` val, relying on AQE
+    //    exchange reuse + identical coalescing. Both assumptions fail:
+    //    column pruning strips the payload columns from the counts branch,
+    //    so the two exchange subtrees are NOT canonically equal and
+    //    ReusedExchange never fires — each branch runs its own physical
+    //    range shuffle;
+    //  * and two physically separate range shuffles do NOT bucket rows
+    //    identically even over identical input: RangePartitioner seeds its
+    //    reservoir sampling with rdd.id (a global counter —
+    //    Partitioner.scala `val shift = rdd.id`), so each exchange samples
+    //    different rows and picks DIFFERENT range boundaries. Partition
+    //    sizes then differ between branches, offsets attach to the wrong
+    //    buckets, and the round-3 inner join silently dropped rows (q34:
+    //    30 352 of 60 000) while a pinned-count retry produced duplicate
+    //    ranks instead. Deterministic-seed reasoning does not rescue any
+    //    two-exchange design.
+    // With persist(), both the counts read and the final output read
+    // resolve to the SAME InMemoryRelation: one sort, one materialization,
+    // and the pid space is definitionally consistent because _mid is data
+    // in the cached blocks (eviction recompute re-runs the deterministic
+    // sort — `order` is total — and reproduces identical ids). The cache
+    // holds payload+keys once; the alternative sound design (RDD
+    // zipWithIndex) pays the sort twice plus InternalRow conversion.
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val shuffled = proj.repartitionByRange(parts, matOrder: _*)
+    // monotonically_increasing_id after the in-partition sort encodes
+    // (partition id << 33 | 0-based ordinal in sorted order).
+    val ranked = shuffled.sortWithinPartitions(matOrder: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranked
+      .groupBy(shiftrightunsigned(col("_mid"), 33).as("_pid"))
       .agg(count(lit(1)).as("_cnt"))
     // Running offsets: a single-task window over #partitions rows (tiny by
     // construction — 32 locally, a few thousand on a real cluster).
@@ -128,18 +164,21 @@ object Ops {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = counts.select(col("_pid"),
       coalesce(sum(col("_cnt")).over(w), lit(0L)).as("_off"))
-    // monotonically_increasing_id after the in-partition sort encodes
-    // (partition id << 33 | 0-based ordinal in sorted order); its partition
-    // ids match counts' spark_partition_id() because both branches read the
-    // same reused shuffle stage with the same AQE coalescing decision.
-    val ranked = shuffled.sortWithinPartitions(matOrder: _*)
-      .withColumn("_mid", monotonically_increasing_id())
+    // LEFT join + loud failure: the pid spaces are definitionally identical
+    // now (both derived from the cached _mid column), but if any future
+    // change breaks that, a ranked pid with no counts row must RAISE, not
+    // be silently dropped (round 3's inner join lost half of q34's rows).
+    // coalesce() short-circuits, so raise_error evaluates only on the
+    // failure path; the happy path is a null check per row.
+    val off = coalesce(col("_off"),
+      raise_error(concat(lit("globalRowNumber: no offset for partition "),
+        col("_pid").cast("string"))).cast("long"))
     // Output rows stay in (partition, ordinal) order — i.e. already
     // globally sorted by outName; callers need no re-sort.
     ranked.withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
-      .join(broadcast(offsets), "_pid")
+      .join(broadcast(offsets), Seq("_pid"), "left")
       .withColumn(outName,
-        col("_mid").bitwiseAND(lit(mask)) + col("_off") + lit(1L))
+        col("_mid").bitwiseAND(lit(mask)) + off + lit(1L))
       .drop(Seq("_pid", "_mid", "_off") ++ keyNames: _*)
   }
 

@@ -100,6 +100,65 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((3, 1L), (2, 2L), (1, 3L), (null, 4L)))
   }
 
+  test("O4 globalRowNumber: no row loss at sf0.01 scale through the driver's coalesce(1).write path") {
+    // Round 3 regression: the counts branch (spark_partition_id) and the
+    // ranked branch (monotonically_increasing_id upper bits) read the range
+    // shuffle through independently planned AQE stage reads; when the
+    // coalescing decisions diverged the inner pid join silently dropped
+    // rows — q34 returned 30 352 of 60 000 at 32 cores. Re-run the failure
+    // shape: real sf0.01 lineitem (60 000 rows), shuffle partitions well
+    // above core count (maximum AQE coalescing pressure on every stage
+    // read), and the driver's exact path (coalesce(1).write.parquet,
+    // Verify.scala) — then assert the EXACT row count and that rn is a
+    // dense 1..n permutation, not merely non-empty.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "37")
+      val out = SparkEntry.queries("q34_lot_sort")(spark, "/root/testdata/sf0.01")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q34").toString
+      out.coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 60000L)
+      val a = back.agg(min("rn"), max("rn"), countDistinct("rn")).head
+      assert((a.getLong(0), a.getLong(1), a.getLong(2)) == (1L, 60000L, 60000L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
+  test("globalRowNumber plan invariants: one PINNED range exchange into a persisted frame, no full-data reshuffle") {
+    // These are the shape guarantees future "optimizations" must not break:
+    // (1) the range shuffle is REPARTITION_BY_NUM — the explicit partition
+    //     count forbids AQE coalescing, so mono_id's upper bits are the
+    //     range-bucket index;
+    // (2) the sorted+ranked frame is PERSISTED and the counts come from the
+    //     cached _mid column AS DATA — never from a sibling branch's
+    //     physical partition ids (round 3: separate exchanges sample
+    //     different range boundaries because RangePartitioner seeds with
+    //     rdd.id, so sibling-branch pids silently diverge);
+    // (3) the payload is shuffled exactly once — the only hash exchange in
+    //     the plan is the tiny per-partition counts aggregate (on _pid);
+    // (4) sort keys are materialized (_gk*) so SortExec's comparator never
+    //     re-evaluates key expressions per comparison;
+    // (5) ranks come from sorted ids, never a row_number window over data.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 5000, 1, 8).select((col("id") * 37 % 5000).as("k"))
+    val out = Ops.globalRowNumber(df, Seq(col("k").asc), "rn")
+    out.count() // finalize the adaptive plan before asserting on it
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("rangepartitioning"), planStr.take(800))
+    assert(planStr.contains("REPARTITION_BY_NUM"), planStr.take(800))
+    assert(planStr.contains("InMemoryRelation"), planStr.take(800))
+    val hashEx = planStr.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // The counts aggregate's key (shiftrightunsigned(_mid,33) aliased _pid)
+    // surfaces at its exchange as an extracted _groupingexpression — that
+    // exchange carries one row per partition, not data.
+    assert(hashEx.forall(l => l.contains("_pid") || l.contains("_groupingexpression")),
+      s"full-data hash exchange crept in:\n${hashEx.mkString("\n")}")
+    assert(planStr.contains("_gk0"))
+    assert(!planStr.contains("row_number"))
+  }
+
   test("J6 asofJoin: most recent at-or-before, inclusive ties, left-join nulls") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
