@@ -27,11 +27,28 @@ class SparkEntrySpec extends SparkSpec {
 
   // EVERY declared query must EXECUTE end-to-end — round 2 shipped a query
   // whose unresolved column only surfaced at runtime (it crashed the driver
-  // bench) because nothing in the suite ran the query map. count() forces
-  // analysis + full execution at the smallest fixture.
+  // bench) because nothing in the suite ran the query map. Row counts are
+  // pinned against a golden file so a wrong-result regression (round 3's
+  // q34 dropped half its rows while 206 specs stayed green) fails the
+  // suite. Regenerate deliberately via `runMain graft.GoldenCounts`.
+  private val golden: Map[String, Long] = {
+    val in = getClass.getResourceAsStream("/golden_counts_sf0.001.tsv")
+    assert(in != null, "golden_counts_sf0.001.tsv missing from test resources")
+    scala.io.Source.fromInputStream(in).getLines()
+      .map(_.split('\t')).map(a => a(0) -> a(1).toLong).toMap
+  }
+
+  test("every declared query has a pinned golden row count") {
+    val missing = SparkEntry.queries.keySet -- golden.keySet
+    assert(missing.isEmpty,
+      s"queries without golden counts (run graft.GoldenCounts): " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
   for (name <- SparkEntry.queries.keys.toSeq.sorted)
-    test(s"declared query $name executes at sf0.001") {
+    test(s"declared query $name matches its golden row count at sf0.001") {
       val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-      assert(n >= 0)
+      golden.get(name).foreach(exp =>
+        assert(n == exp, s"$name returned $n rows, golden says $exp"))
     }
 }
