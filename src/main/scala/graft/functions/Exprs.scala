@@ -36,8 +36,20 @@ object Exprs {
   /** F2 `_to_numeric`: accounting-style parse.
     * "1,234" -> 1234; "(12)" -> -12; "12-" -> -12; "$5.50" -> 5.5; junk -> null.
     * Ref: /root/reference/Flips/tools/baby_flip_tool.py:52-58.
-    */
-  def parseAccounting(c: Column): Column = {
+    *
+    * Delegates to the native single-pass [[graft.plans.ParseAccountingExpr]]:
+    * one codegen'd call per row instead of 5 regexp passes, and — critically —
+    * no repeated subtrees. The composed variant below triggered a Spark
+    * codegen bug under Expand (melt): whole-stage subexpression elimination
+    * emits a split method whose parameter NAME is the Expand slot
+    * `expand_mutableStateArray_0[1]` — invalid Java — so the entire stage
+    * silently fell back to interpreted execution (seen on q29). */
+  def parseAccounting(c: Column): Column = graft.plans.ParseAccountingExpr(c)
+
+  /** The same F2 semantics composed from built-in regexp functions — kept as
+    * an independent model for the native expression's parity spec
+    * ([[graft.ParseAccountingExprSpec]]); not used in query paths. */
+  private[graft] def parseAccountingComposed(c: Column): Column = {
     val t = trim(c)
     val noComma = regexp_replace(t, ",", "")
     val paren = when(noComma.rlike("^\\(.*\\)$"),

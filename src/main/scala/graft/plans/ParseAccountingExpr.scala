@@ -58,6 +58,14 @@ case class ParseAccountingExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object ParseAccountingExpr {
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+  /** Column API, input coerced to string (mirrors the SQL registration). */
+  def apply(c: Column): Column = GraftSqlBridge.column(
+    ParseAccountingExpr(Cast(GraftSqlBridge.expression(c), StringType)))
+}
+
 /** Engine extension point: registers graft's native expressions in the
   * session function registry. Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */

@@ -13,10 +13,10 @@ class ParseAccountingExprSpec extends SparkSpec {
     "(1,234.50)", "$1,000-", "1.2.3", "--5", "(-)", ".5", "5.", "abc12def",
     "12 34", "(12)-", null)
 
-  test("AccountingParse.parseOrNull matches Exprs.parseAccounting on corpus") {
+  test("AccountingParse.parseOrNull matches the composed-regexp model on corpus") {
     import spark.implicits._
     val df = corpus.toDF("v")
-    val viaExprs = df.select(Exprs.parseAccounting(col("v"))).collect()
+    val viaExprs = df.select(Exprs.parseAccountingComposed(col("v"))).collect()
       .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
     val viaNative = df.selectExpr("parse_accounting(v)").collect()
       .map(r => if (r.isNullAt(0)) null else r.getDouble(0))

@@ -45,9 +45,20 @@ class SparkEntrySpec extends SparkSpec {
         missing.toSeq.sorted.mkString(", "))
   }
 
+  // Codegen-strict session: a generated-code compile failure normally falls
+  // back to interpreted execution with only a log line — q29 shipped that
+  // way (Spark's subexpression elimination under Expand emits an invalid
+  // split-method signature). fallback=false turns the silent perf bug into
+  // a test failure.
+  private lazy val strict = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s
+  }
+
   for (name <- SparkEntry.queries.keys.toSeq.sorted)
-    test(s"declared query $name matches its golden row count at sf0.001") {
-      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+    test(s"declared query $name matches its golden row count at sf0.001 (codegen-strict)") {
+      val n = SparkEntry.queries(name)(strict, "/root/testdata/sf0.001").count()
       golden.get(name).foreach(exp =>
         assert(n == exp, s"$name returned $n rows, golden says $exp"))
     }
