@@ -1,71 +1,102 @@
 package graft
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Driver-run benchmark: times every declared query at SPARK_GRAFT_SF_DIR,
   * then emits ONE JSON line — as the process's last bare stdout line (the
   * build forks with StdoutOutput so sbt does not prefix it) and to
   * bench.json in the working directory. A failing query fails the bench
-  * loudly (exit 1) instead of benching as "fast". */
+  * loudly (exit 1) instead of benching as "fast".
+  *
+  * Measurement methodology (round-6 rework after two rounds of
+  * persist-lifecycle noise — r3's q45 ran 3.6× slower CACHED than cold,
+  * r5's q20 ran 1.7× slower "steady" than its own first run):
+  *
+  *  1. one warm run per query (Janino codegen + JIT are per-process
+  *     constants, not data costs — excluded by design);
+  *  2. then REPS timed runs (default 3), the reported figure the MEDIAN —
+  *     a single GC pause or page-cache miss can no longer move the
+  *     round-over-round headline;
+  *  3. between EVERY run: `cacheManager.clearCache()` drops the previous
+  *     run's internal persists (MinHash signature frames etc.) so the next
+  *     run honestly recomputes instead of re-materializing evicted columnar
+  *     caches under leftover heap pressure, and an explicit GC settles the
+  *     heap so run N's garbage isn't collected on run N+1's clock;
+  *  4. every invocation APPENDS its full per-query detail to
+  *     bench_history.jsonl (git-tracked) — bench.json alone is overwritten
+  *     per run, which is why r4→r5's 31% regression could not be
+  *     attributed per-query. History makes regressions diagnosable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSession.build(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scan paths, codegen, shuffle machinery) so the
     // first measured query doesn't absorb one-time JVM/IO costs.
     SparkEntry.entry(spark).count()
-    // Steady-state methodology: run each query once untimed, then time the
-    // second run. Complex queries pay 3-6 s of one-time Janino/JIT
-    // compilation on first execution — a per-process constant, not a
-    // data-volume cost; at 100 TB (or any warmed service) it is noise, so
-    // the timed number should measure the data path. The warm pass must use
-    // the TARGET fixture: at a smaller scale AQE picks different join
-    // strategies (broadcast vs sort-merge), compiling the wrong code.
+    // The warm pass must use the TARGET fixture: at a smaller scale AQE
+    // picks different join strategies (broadcast vs sort-merge), compiling
+    // the wrong code.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // Isolate queries: drop every cached frame the previous query left
-      // behind, so its evictions/spills can't distort this measurement.
+
+    /** Drop every cached frame the previous run left behind and settle the
+      * heap, so one run's persists/garbage can't distort the next run. */
+    def isolate(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      isolate()
       val tc = System.nanoTime()
       try fn(spark, warmDir).count()
-      catch { case _: Throwable => () } // warm failures surface in the timed run
+      catch { case _: Throwable => () } // warm failures surface in the timed runs
       val cold = (System.nanoTime() - tc) / 1e9
-      // Clear AGAIN between the warm and timed runs: the warm pass's job is
-      // one-time code costs (Janino codegen, JIT), which are process-wide
-      // and survive the clear. Its leftover internal persists must NOT
-      // survive — CacheManager would rewrite the timed run's identical
-      // plans onto the warm run's columnar caches, and round 3 measured
-      // that cache-hit path at 3.6× SLOWER than the honest recompute
-      // (q45: 21.6 s cached vs 6.0 s cold — eviction pressure on the
-      // default heap beat the pushed-down parquet re-scan). The timed run
-      // must measure the recompute path a fresh run would take.
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          spark.stop()
-          sys.exit(1)
+      val runs = (1 to reps).map { _ =>
+        isolate()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            spark.stop()
+            sys.exit(1)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> ((System.nanoTime() - t0) / 1e9, cold)
+      name -> (median(runs), cold, runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, (Double, Double, Seq[Double]))) => String) =
+      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = jmap { case (_, v) => v._1.toString }
+    val qsCold = jmap { case (_, v) => v._2.toString }
+    val qsRuns = jmap { case (_, v) => v._3.mkString("[", ",", "]") }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalCold = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""total_first_run":$totalCold,"queries_first_run":$qsCold,"sf":"$sfDir"}"""
+        s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
+        s""""runs":$reps,"queries_runs":$qsRuns,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
+    // Append-only archive (git-tracked): every invocation — builder-local
+    // and driver-run alike — lands here, so any round's per-query numbers
+    // stay diffable against any other round's.
+    Files.writeString(Paths.get("bench_history.jsonl"), full + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     // The driver captures only a ~2 KB TAIL of stdout: rounds 1-3 printed
     // the full per-query JSON (~2.2 KB) as the last line and it arrived
     // front-truncated — "parsed": null three rounds running. The final
     // stdout line must therefore be SHORT (<200 bytes): headline metric
-    // only. Per-query detail lives in bench.json alongside.
+    // only. Per-query detail lives in bench.json / bench_history.jsonl.
     val short = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     // Silence ALL further logging (incl. the post-main ShutdownHookManager
     // INFO lines that otherwise print AFTER our JSON when the driver merges
