@@ -30,7 +30,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(v => scala.util.Try(v.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an int, got: '$v'")))
+      .getOrElse(3).max(1)
     val spark = GraftSession.build(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scan paths, codegen, shuffle machinery) so the
@@ -45,6 +48,11 @@ object Bench {
       * heap, so one run's persists/garbage can't distort the next run. */
     def isolate(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      // clearCache() drops SQL-level cache entries but block eviction is
+      // async; unpersist the underlying RDDs BLOCKING so run N's block-
+      // manager memory is actually free before run N+1's timer starts.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
     }
 
@@ -86,12 +94,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
         s""""runs":$reps,"queries_runs":$qsRuns,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), full + "\n")
+    // Anchor outputs to the repo root (not the process CWD) so the
+    // git-tracked history archive can't silently land elsewhere when a
+    // caller invokes the bench from another directory.
+    val outRoot = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
+    Files.writeString(outRoot.resolve("bench.json"), full + "\n")
     // Append-only archive (git-tracked): every invocation — builder-local
     // and driver-run alike — lands here, so any round's per-query numbers
     // stay diffable against any other round's.
-    Files.writeString(Paths.get("bench_history.jsonl"), full + "\n",
+    val hist = outRoot.resolve("bench_history.jsonl")
+    Files.writeString(hist, full + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    System.err.println(s"[bench] per-query detail appended to ${hist.toAbsolutePath}")
     // The driver captures only a ~2 KB TAIL of stdout: rounds 1-3 printed
     // the full per-query JSON (~2.2 KB) as the last line and it arrived
     // front-truncated — "parsed": null three rounds running. The final

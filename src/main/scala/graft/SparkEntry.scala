@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.immutable.ListMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
@@ -17,9 +19,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_join_enrich")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Declaration
+    * order is preserved (ListMap): the bench times queries in a stable
+    * order, so per-query figures stay comparable round-over-round even
+    * when the key set grows (a plain HashMap reshuffles execution order —
+    * and thus each query's predecessor heap/page-cache state — whenever a
+    * query is added). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queryDefs.map(q => q.name -> q.fn).toMap
+    ListMap(queryDefs.map(q => q.name -> q.fn): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

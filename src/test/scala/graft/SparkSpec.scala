@@ -13,6 +13,11 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Codegen-STRICT for every suite, not just SparkEntrySpec's golden
+    // loop: a whole-stage compile error must fail the test, never silently
+    // fall back to interpreted execution (the q29 bug class — invalid Java
+    // under Expand shipped for 4 rounds because fallback hid it).
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 }
 
