@@ -356,6 +356,83 @@ object VendorQueries {
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"))
         .orderBy($"user_id", $"session_id")
+    },
+
+    // ── EP1 end-to-end: the full 247 allocation pipeline — P2 header
+    //    promotion -> P3 Total trim -> P7 header clean -> P11 last-row drop
+    //    -> P5 desc drop -> U1 melt -> A1 group-sum -> zero-drop -> O1 sort
+    //    -> E1 constants -> E3/E4 canonical conform — as ONE declared query
+    //    under the DuckDB oracle, over a grid synthesized from `part`.
+    //    Ref: /root/reference/247/tools/allocation_tool.py:7-207. ──
+    QueryDef("q56_allocation_e2e",
+      """WITH src AS (
+        |  SELECT p_partkey, CAST(p_partkey % 500 AS VARCHAR) AS item,
+        |    CAST(p_partkey % 7 AS VARCHAR) || '.0' AS b114,
+        |    CASE WHEN p_partkey % 5 = 0 THEN 'n/a'
+        |         ELSE CAST(p_partkey % 4 AS VARCHAR) END AS b27,
+        |    CAST(p_partkey % 3 AS VARCHAR) AS b9,
+        |    CAST(p_partkey % 2 AS VARCHAR) AS bc05
+        |  FROM part
+        |  WHERE p_partkey < (SELECT max(p_partkey) FROM part)),
+        |long AS (
+        |  SELECT item, '114' AS branch, b114 AS v FROM src
+        |  UNION ALL SELECT item, '27', b27 FROM src
+        |  UNION ALL SELECT item, '9', b9 FROM src
+        |  UNION ALL SELECT item, 'C05', bc05 FROM src),
+        |agg AS (
+        |  SELECT branch, item,
+        |    CAST(SUM(COALESCE(CAST(TRY_CAST(v AS DOUBLE) AS BIGINT), 0)) AS BIGINT)
+        |      AS distro_size
+        |  FROM long GROUP BY branch, item
+        |  HAVING SUM(COALESCE(CAST(TRY_CAST(v AS DOUBLE) AS BIGINT), 0)) <> 0)
+        |SELECT
+        |  COALESCE(CAST(TRY_CAST(branch AS DOUBLE) AS BIGINT), 0) AS branch,
+        |  COALESCE(CAST(TRY_CAST(item AS DOUBLE) AS BIGINT), 0) AS item,
+        |  '' AS description,
+        |  distro_size,
+        |  CAST(81214 AS BIGINT) AS supplier_on_record,
+        |  DATE '2026-08-14' AS expected_delivery_date,
+        |  'P2E' AS ww_buyer,
+        |  '' AS warehouse, '' AS additional_xdck, '' AS amount_code,
+        |  CAST(NULL AS DOUBLE) AS xdck, '' AS post_xdck,
+        |  CAST(NULL AS DOUBLE) AS fob
+        |FROM agg
+        |ORDER BY branch, item, distro_size""".stripMargin) { (s, d) =>
+      // Only the Seq->DF conversions: a full implicits._ import would make
+      // the $"…" interpolator ambiguous with this file's Dollar helper.
+      import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      import graft.core.SchemaOps.RowIdx
+      val cols = Seq(RowIdx, "c0", "c1", "c2", "c3", "c4", "c5", "c6")
+      // Two literal rows — a junk title (dropped by headerIdx=1 promotion)
+      // and the header row itself — unioned with DISTRIBUTED data rows
+      // derived from the part table (row ids offset past the header).
+      val header = Seq(
+        (0L, "Allocation Report", "", "", "", "", "", ""),
+        (1L, "Item#", "Item Description", "114.0", "27.0", "9", "C05", "Total"))
+        .toDF(cols: _*)
+      val dataRows = Tables.part(s, d).select(
+        ($"p_partkey" + 1).cast("long").as(RowIdx),
+        ($"p_partkey" % 500).cast("string").as("c0"),
+        concat(lit("desc "), $"p_partkey".cast("string")).as("c1"),
+        concat(($"p_partkey" % 7).cast("string"), lit(".0")).as("c2"),
+        when($"p_partkey" % 5 === 0, lit("n/a"))
+          .otherwise(($"p_partkey" % 4).cast("string")).as("c3"),
+        ($"p_partkey" % 3).cast("string").as("c4"),
+        ($"p_partkey" % 2).cast("string").as("c5"),
+        lit("999").as("c6"))
+      val grid = header.unionByName(dataRows)
+      graft.pipelines.AllocationPipeline.run(grid, edd = Some("8/14/2026"))
+        .select(
+          $"Branch".as("branch"), $"Item".as("item"),
+          $"Description".as("description"),
+          col("`Distro Size`").as("distro_size"),
+          col("`Supplier On Record`").as("supplier_on_record"),
+          col("`Expected Delivery Date`").as("expected_delivery_date"),
+          col("`WW Buyer`").as("ww_buyer"),
+          $"Warehouse".as("warehouse"),
+          $"AdditionalXDCK".as("additional_xdck"),
+          $"AmountCode".as("amount_code"),
+          $"XDCK".as("xdck"), $"POSTXDCK".as("post_xdck"), $"FOB".as("fob"))
     }
   )
 
