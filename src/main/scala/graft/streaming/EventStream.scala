@@ -21,7 +21,10 @@ object EventStream {
   def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
                   watermark: String = "30 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      // Integer `div`, never `/`: nanosecond epochs (~1.7e18) exceed a
+      // double's 2^53 mantissa, so float division can shift the derived
+      // microsecond by ±1 and move an event across a window boundary.
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -35,7 +38,7 @@ object EventStream {
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",
                  watermark: String = "30 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -53,7 +56,7 @@ object EventStream {
   def streamingDedup(docs: DataFrame, contentCol: String = "content",
                      watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("event_time", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
       .withColumn("fingerprint", md5(col(contentCol).cast("binary")))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")

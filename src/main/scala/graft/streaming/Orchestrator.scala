@@ -165,17 +165,17 @@ object Orchestrator {
                 try processVendor(row) catch { case _: Exception => false }
             })
           }
-          // Each vendor gets the reference's 300 s budget
-          // (ref /root/reference/sheet_bot/main.py:28): a hung vendor goes
-          // ERROR on expiry instead of stalling the tick and every other
-          // vendor's terminal write-back. The deadline is per-tick (shared
-          // clock), so total wait is bounded by ONE budget, not one per
-          // hung vendor.
-          val deadline = System.nanoTime() + vendorTimeoutMs * 1000000L
+          // Each vendor gets the reference's FULL 300 s budget on its own
+          // future (ref /root/reference/sheet_bot/main.py:28 waits
+          // result(timeout=300) per future, not against a shared tick
+          // deadline): with 5 claimed vendors on a 4-pool, the queued 5th
+          // must still execute and get its own budget — a shared deadline
+          // would cancel it at left=0 without it ever running. Harvest is
+          // in claim order, so earlier waits overlap later vendors'
+          // execution; only a genuinely hung vendor burns its full budget.
           futures.map { case (row, f) =>
-            val left = math.max(0L, deadline - System.nanoTime())
             val ok =
-              try f.get(left, java.util.concurrent.TimeUnit.NANOSECONDS)
+              try f.get(vendorTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
               catch {
                 case _: java.util.concurrent.TimeoutException =>
                   f.cancel(true); false

@@ -167,14 +167,15 @@ final class SheetsClient(spreadsheetId: String,
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
-  /** Worksheet titles in tab order (hidden tabs excluded, like gspread's
-    * default iteration surfaces them for the today-pick). */
+  /** Worksheet titles in tab order, HIDDEN TABS INCLUDED: gspread's
+    * `sh.worksheets()` (the reference's weekday pick,
+    * sheet_bot/sheets.py:42) does not filter on visibility, so a hidden
+    * day-named tab must still win the today-pick. */
   def sheetTitles(): Seq[String] = {
-    val j = getJson(s"$base/$spreadsheetId?fields=sheets.properties(title,index,hidden)")
+    val j = getJson(s"$base/$spreadsheetId?fields=sheets.properties(title,index)")
     j.asInstanceOf[Map[String, Any]].getOrElse("sheets", Vector.empty)
       .asInstanceOf[Vector[Any]]
       .map(_.asInstanceOf[Map[String, Any]]("properties").asInstanceOf[Map[String, Any]])
-      .filter(p => p.get("hidden") != Some(true))
       .map(_("title").asInstanceOf[String])
   }
 

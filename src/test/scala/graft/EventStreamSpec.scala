@@ -98,6 +98,19 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1)._2 == "email me at <EMAIL> right now please thanks kindly friend")
   }
 
+  test("ts_ns -> event_time is exact integer division at the 2^53 boundary") {
+    import spark.implicits._
+    // exact µs = 2^53 + 1 — NOT representable as a double (doubles above
+    // 2^53 are even), so float division `ts_ns/1000` rounds it down to
+    // 2^53 and shifts the event by 1 µs; `ts_ns div 1000` must not.
+    val exactMicros = (1L << 53) + 1 // 9007199254740993
+    val ts = exactMicros * 1000L
+    val df = Seq((ts, "click", 1.0)).toDF("ts_ns", "event_type", "value")
+    val out = EventStream.windowedAgg(df, windowDur = "1 microsecond")
+      .selectExpr("unix_micros(window_start)").as[Long].collect()
+    assert(out.toSeq == Seq(exactMicros))
+  }
+
   test("batch/stream parity: same expression over the events parquet") {
     // File stream sources want a directory; stage the events file into one.
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString

@@ -307,9 +307,10 @@ class StreamingSpec extends SparkSpec {
     }
     val client = new SheetsClient("sheet-123", () => "tok-1",
       http = fakeGet, httpPost = fakePost)
-    // Tab pick: hidden 'Notes' excluded; Tuesday matches "Tues Orders".
+    // Tab list includes hidden 'Notes' (gspread's worksheets() does not
+    // filter on visibility); Tuesday still matches "Tues Orders".
     val titles = client.sheetTitles()
-    assert(titles == Seq("Tues Orders", "Wed Orders"))
+    assert(titles == Seq("Notes", "Tues Orders", "Wed Orders"))
     val title = Sheets.pickTodayTitle(titles, java.time.DayOfWeek.TUESDAY).get
     assert(title == "Tues Orders")
     // Grid parses into the orchestrator's shape and a tick runs end-to-end.
@@ -328,6 +329,50 @@ class StreamingSpec extends SparkSpec {
     // Empty update never posts (reference early-returns too).
     client.batchUpdate(title, Seq.empty)
     assert(posts.size == 2)
+  }
+
+  test("S7 parity: a HIDDEN day-named tab is still picked (sheets.py:42)") {
+    // The reference's weekday pick iterates sh.worksheets(), which includes
+    // hidden worksheets — a hidden 'Wed Orders' tab must win on Wednesday,
+    // not be skipped in favor of the first visible sheet.
+    val meta =
+      """{"sheets":[
+        |  {"properties":{"title":"Summary","index":0}},
+        |  {"properties":{"title":"Wed Orders","index":1,"hidden":true}}]}""".stripMargin
+    val fakeGet = new HttpGet {
+      def get(url: String, h: Map[String, String], t: java.time.Duration) =
+        (200, meta)
+    }
+    val fakePost = new HttpPost {
+      def post(url: String, h: Map[String, String], body: String,
+               t: java.time.Duration) = (200, "{}")
+    }
+    val client = new SheetsClient("sheet-123", () => "tok-1",
+      http = fakeGet, httpPost = fakePost)
+    val titles = client.sheetTitles()
+    assert(titles == Seq("Summary", "Wed Orders"))
+    assert(Sheets.pickTodayTitle(titles, java.time.DayOfWeek.WEDNESDAY)
+      == Some("Wed Orders"))
+  }
+
+  test("T3 per-vendor budget: 5 claimed vendors on a 4-pool ALL execute") {
+    // The reference waits result(timeout=300) on EACH future
+    // (sheet_bot/main.py:28) — the budget is per vendor, not a shared tick
+    // deadline. With 5 Ready vendors on 4 workers and per-vendor work
+    // longer than half the budget, a shared deadline would expire the
+    // queued 5th vendor at left=0 before it ever ran; per-future waits let
+    // it execute and succeed.
+    val grid = Seq("Note", "Vendor #", "Vendor Name", "Status") +:
+      (1 to 5).map(i => Seq("", s"$i$i$i$i$i", s"V$i", "Ready"))
+    val writer = new InMemoryStatusWriter
+    val sleepMs = 600L
+    val results = Orchestrator.runTick(grid, writer, Set.empty, workers = 4,
+        vendorTimeoutMs = 900L) { _ =>
+      Thread.sleep(sleepMs); true
+    }
+    assert(results.size == 5)
+    assert(results.forall(_._2), s"a queued vendor was expired unrun: $results")
+    (2 to 6).foreach(r => assert(writer.cells(s"D$r") == Orchestrator.Sent))
   }
 
   test("T3 hung vendor: tick completes within budget, hung ERROR, others Sent") {
