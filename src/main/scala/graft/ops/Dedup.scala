@@ -123,24 +123,58 @@ object Dedup {
     verifyPairs(cand, sets, threshold)
   }
 
+  /** The per-doc MinHash SIGNATURE TABLE — (_id, _n, _hs, _sig): set size,
+    * sorted shingle-hash set (for exact verification) and the k-wide
+    * signature. This is the thing a 100 TB pipeline computes ONCE per
+    * corpus and WRITES (parquet, partitioned however the ingest shards),
+    * then reuses for every incoming batch via
+    * [[minHashLshPairsAgainstSignatures]] — batch runs never rescan or
+    * re-shingle corpus text. ~100× smaller than the text it summarizes. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 8, k: Int = 64): DataFrame =
+    minHashPerDoc(shingleHashes(docs, idCol, textCol, shingleN), k)
+
   /** Incremental near-dedup: match a NEW batch against an EXISTING corpus
     * (bipartite LSH join) instead of re-deduping everything — the shape a
     * 100 TB ingestion pipeline actually runs: per-batch cost scales with
-    * the batch, not the corpus. The corpus side's signatures are the
-    * natural thing to precompute once and store (this entry recomputes
-    * them from text for self-containment; at scale, persist `minHashPerDoc`
-    * output as a signature table and reuse it every batch). Output:
-    * (new_id, corpus_id, jaccard) for exact-verified pairs >= threshold.
-    * The two id spaces must be disjoint. */
+    * the batch, not the corpus. This entry recomputes corpus signatures
+    * from text for self-containment; the scale path precomputes them with
+    * [[minHashSignatures]] and calls [[minHashLshPairsAgainstSignatures]].
+    * Output: (new_id, corpus_id, jaccard) for exact-verified pairs >=
+    * threshold. The two id spaces must be disjoint. */
   def minHashLshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
                              idCol: String, textCol: String,
                              shingleN: Int = 8, k: Int = 64,
                              bands: Int = 16, rows: Int = 4,
                              threshold: Double = 0.8,
                              maxBucket: Int = 1000): DataFrame = {
-    val newPer = minHashPerDoc(shingleHashes(newDocs, idCol, textCol, shingleN), k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corPer = minHashPerDoc(shingleHashes(corpus, idCol, textCol, shingleN), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsAgainstSignatures(newDocs, corPer, idCol, textCol,
+      shingleN, k, bands, rows, threshold, maxBucket)
+  }
+
+  /** The persisted-signature batch path: join a new batch (text) against a
+    * PRECOMPUTED corpus signature table ([[minHashSignatures]] output, read
+    * back from storage). The batch run's scan set is the batch text plus
+    * the signature table only — corpus text is never read, so per-batch IO
+    * is O(batch + signatures), the 100 TB ingestion contract. */
+  def minHashLshPairsAgainstSignatures(newDocs: DataFrame, corpusSigs: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shingleN: Int = 8, k: Int = 64,
+                                       bands: Int = 16, rows: Int = 4,
+                                       threshold: Double = 0.8,
+                                       maxBucket: Int = 1000): DataFrame =
+    pairsAgainstSignatures(newDocs, corpusSigs, idCol, textCol,
+      shingleN, k, bands, rows, threshold, maxBucket)
+
+  private def pairsAgainstSignatures(newDocs: DataFrame, corPer: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleN: Int, k: Int,
+                                     bands: Int, rows: Int,
+                                     threshold: Double,
+                                     maxBucket: Int): DataFrame = {
+    val newPer = minHashPerDoc(shingleHashes(newDocs, idCol, textCol, shingleN), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def band(df: DataFrame) = df.select(col("_id"),
       posexplode(bandHashes(col("_sig"), bands, rows)).as(Seq("_band", "_bh")))

@@ -62,6 +62,46 @@ class DedupSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("persisted signature table: batch run scans signatures + batch text, " +
+      "never corpus text, and matches the recompute-from-text path") {
+    import org.apache.spark.sql.functions._
+    // The 100 TB ingestion contract (Dedup.minHashSignatures scaladoc):
+    // corpus signatures are computed ONCE and written; each batch joins
+    // against the stored table. Build it from the real documents fixture,
+    // write parquet, read back, and dedup a disjoint batch against it.
+    val fixture = "/root/testdata/sf0.001/documents.parquet"
+    // Corpus text lives in its OWN store (as it would at scale) so the
+    // plan assertion below can prove it is never touched by a batch run.
+    val corpusDir = java.nio.file.Files.createTempDirectory("corpus-docs").toString
+    spark.read.parquet(fixture)
+      .select(col("doc_id"), col("text")).where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val sigDir = java.nio.file.Files.createTempDirectory("sig-table").toString
+    Dedup.minHashSignatures(corpus, "doc_id", "text", shingleN = 8)
+      .write.mode("overwrite").parquet(sigDir)
+    // Batch: odd-id docs, id-space shifted above the corpus.
+    val batch = spark.read.parquet(fixture)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .where(col("doc_id") % 2 =!= 0)
+    val out = Dedup.minHashLshPairsAgainstSignatures(
+      batch, spark.read.parquet(sigDir), "doc_id", "text",
+      shingleN = 8, threshold = 0.5)
+    // Plan proof: the batch run reads the signature table, NEVER the
+    // corpus text store.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("corpus-docs"), s"corpus text rescanned:\n$plan")
+    assert(plan.contains("sig-table"), s"signature table not in plan:\n$plan")
+    // Result parity with the self-contained recompute-from-text variant.
+    val fromSigs = out.orderBy("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromText = Dedup.minHashLshPairsAgainst(batch, corpus, "doc_id", "text",
+        shingleN = 8, threshold = 0.5).orderBy("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromSigs == fromText)
+    assert(fromSigs.nonEmpty) // the fixture carries planted near-dups
+  }
+
   test("identical docs have jaccard 1.0 through the LSH path") {
     import spark.implicits._
     val dup = Seq((10L, "same text body here"), (11L, "same text body here"))
