@@ -290,6 +290,199 @@ object Dedup {
     verifyPairs(cand, sets, threshold)
   }
 
+  // ── Near-dup clustering (connected components) ─────────────────────────
+
+  /** Connected components over an undirected pair graph, computed with the
+    * alternating LARGE-STAR / SMALL-STAR algorithm (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): each round is two groupBy+join passes over
+    * the CURRENT edge set and the edge count never grows above the input,
+    * converging in O(log² n) rounds regardless of component diameter —
+    * unlike min-label propagation, whose round count is the graph DIAMETER
+    * (a 10⁶-long chain of near-dup shards would take 10⁶ rounds to close).
+    * This is the piece that turns pair-emitting near-dedup
+    * ([[minHashLshPairs]], [[ngramJaccardPairs]], [[simHashPairs]]) into
+    * the thing a training-data pipeline actually needs: one CLUSTER id per
+    * document, so exactly one canonical representative per duplicate group
+    * survives — dropping doc_b of every pair over-deletes when pairs chain
+    * (a~b, b~c keeps only a; pair-drop would also delete c's best link).
+    *
+    * Scale shape: edges stay 2 longs/row; every pass is a map-side-combined
+    * min() aggregate plus an equi-join on a long key; each iteration's
+    * result is persisted and the logical plan is re-rooted on the
+    * materialized RDD (constant-size plan per round — no O(rounds)
+    * Catalyst re-analysis, no lineage blowup). Convergence is detected by
+    * an order-insensitive edge-set signature (count + sum of per-edge
+    * xxhash64) — one tiny aggregate per round, no except()/anti-join.
+    *
+    * Input: any DataFrame with two same-typed, orderable id columns; self
+    * loops and duplicate/reversed pairs are tolerated. Output:
+    * (`id`, `component`) for every id that appears in some pair, where
+    * `component` is the smallest id in its component. Ids absent from the
+    * pair list are the caller's singletons (see [[dedupAssign]]).
+    *
+    * Small-graph fast path: when the DISTINCT edge set fits the driver
+    * comfortably (`localThreshold`, default 2²⁰ edges ≈ 16 MB of longs — the
+    * same driver-sized-by-design budget as the IVF centroid collect), the
+    * closure runs as one in-memory union-find instead of O(log² n) Spark
+    * rounds, each of which costs fixed job/codegen latency that dwarfs the
+    * data at this size. This mirrors what iterative contraction converges to
+    * anyway (the edge set only shrinks); a 100 TB pair graph with billions
+    * of edges stays on the distributed star loop. Pass `localThreshold = 0`
+    * to force the distributed path. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50,
+                          localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // Canonical storage: (_u, _v) with _u < _v, deduped, self-loops gone.
+    val canon = pairs
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"))
+      .where(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+
+    val idType = canon.schema("_u").dataType
+    // Driver-side ordering matching Spark's least()/min() for the id types
+    // the engine actually clusters on; anything else skips the fast path.
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+      case _: org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+    if (localOrd.isDefined && localThreshold > 0) {
+      val head = canon.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+      if (head.length <= localThreshold) {
+        return localComponents(spark, head, idType, localOrd.get)
+      }
+      // Over budget: fall through to the distributed loop (the collected
+      // prefix is discarded — one bounded probe, not corpus-sized).
+    }
+
+    // Large-star: for every node x, attach each STRICTLY LARGER neighbor to
+    // m(x) = min(Γ(x) ∪ {x}). Output is canonical by construction (m ≤ x < y).
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("_u").as("_x"), col("_v").as("_y"))
+        .unionAll(e.select(col("_v").as("_x"), col("_u").as("_y")))
+      val mins = nb.groupBy(col("_x"))
+        .agg(min(col("_y")).as("_m0"))
+        .select(col("_x"), least(col("_m0"), col("_x")).as("_m"))
+      nb.join(mins, "_x").where(col("_y") > col("_x"))
+        .select(col("_m").as("_u"), col("_y").as("_v"))
+        .where(col("_u") =!= col("_v"))
+        .distinct()
+    }
+
+    // Small-star: for every node x, attach each SMALLER-OR-SELF neighbor
+    // (and x itself) to m(x) = min of x's smaller neighbors.
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("_v").as("_x"), col("_u").as("_y"))
+      val mins = nb.groupBy(col("_x")).agg(min(col("_y")).as("_m"))
+      nb.join(mins, "_x")
+        .select(col("_m").as("_u"), col("_y").as("_v"))
+        .unionAll(mins.select(col("_m").as("_u"), col("_x").as("_v")))
+        .where(col("_u") =!= col("_v"))
+        .distinct()
+    }
+
+    // Order-insensitive edge-set signature; (count, hash-sum) collision
+    // across a changed set is ~2⁻⁶⁴ — and a collision only costs an extra
+    // converged-anyway round, never a wrong answer, because star rounds
+    // are idempotent at the fixpoint.
+    def sig(e: DataFrame): (Long, BigDecimal) = {
+      // decimal(38,0) sum: overflow-free under ANSI mode at any edge count.
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("_u"), col("_v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    // Persist + re-root each round: createDataFrame over the materialized
+    // row RDD keeps the recompute path (RDD lineage) but gives Catalyst a
+    // constant-size plan. (At 100 TB swap the persist for a reliable
+    // checkpoint dir; the loop is unchanged.)
+    def materialize(e: DataFrame): DataFrame = {
+      val rdd = e.rdd.persist(MEMORY_AND_DISK)
+      spark.createDataFrame(rdd, e.schema)
+    }
+
+    var cur = materialize(canon)
+    var curSig = sig(cur)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = materialize(smallStar(largeStar(cur)))
+      val nextSig = sig(next) // materializes `next` (reads `cur`) before the unpersist below
+      cur.rdd.unpersist(blocking = false)
+      converged = nextSig == curSig
+      cur = next; curSig = nextSig; it += 1
+    }
+    // Fixpoint edges are stars (componentMin, member); the center itself is
+    // a member of its own component.
+    cur.select(col("_v").as("id"), col("_u").as("component"))
+      .unionAll(cur.select(col("_u").as("id"), col("_u").as("component")))
+      .distinct()
+  }
+
+  /** In-memory union-find for driver-sized edge sets (path compression +
+    * union-by-min); representative = smallest member under `ord`, matching
+    * the distributed star loop's `least()`/`min()` semantics exactly. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[org.apache.spark.sql.Row],
+                              idType: org.apache.spark.sql.types.DataType,
+                              ord: Ordering[Any]): DataFrame = {
+    import scala.collection.mutable
+    val idx = mutable.LinkedHashMap.empty[Any, Int]
+    def id(x: Any): Int = idx.getOrElseUpdate(x, idx.size)
+    val es = edges.map(r => (id(r.get(0)), id(r.get(1))))
+    val parent = Array.tabulate(idx.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val nodes = idx.toArray // (value, index), insertion order
+    val repr = mutable.HashMap.empty[Int, Any]
+    nodes.foreach { case (v, i) =>
+      val r = find(i)
+      if (!repr.contains(r) || ord.lt(v, repr(r))) repr(r) = v
+    }
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, repr(find(i)))
+      }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Cluster-aware dedup assignment: every document gets its near-dup
+    * cluster id (component minimum; its own id when it has no near-dups)
+    * and a keep flag — 1 exactly for the canonical (smallest-id) member of
+    * each cluster. `docs` join `components` is a plain long-key shuffle
+    * join — the component table is proportional to the duplicated subset,
+    * no broadcast assumption. */
+  def dedupAssign(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    docs.join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", (col("cluster_id") === col(idCol)).cast("int"))
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 60-bit token hash both engines can replay: the first 15 hex chars of

@@ -445,6 +445,33 @@ object LlmQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // ── near-dup CLUSTERING: pair graph → connected components
+    //    (alternating large-star/small-star) → one cluster id per doc and
+    //    exactly one canonical keeper per duplicate group. Pairs come from
+    //    the exact (lossless) n-gram Jaccard join so the oracle can replay
+    //    them brute-force; the closure is replayed with a recursive CTE. ──
+    QueryDef("q57_dedup_clusters",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |       CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+
     // ── PII scrub: e-mail / SSN / IPv4 redaction with typed placeholders.
     //    The fixture text carries no PII, so a contaminated footer is
     //    synthesized from doc_id (oracle replays it); the md5 of the

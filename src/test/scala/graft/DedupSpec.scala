@@ -35,6 +35,68 @@ class DedupSpec extends SparkSpec {
     assert(p.getDouble(2) > 0.5 && p.getDouble(2) < 1.0)
   }
 
+  test("connectedComponents: chains, duplicates, reversed and self edges") {
+    import spark.implicits._
+    // A 10-long chain (diameter stress — label propagation would need 10
+    // rounds; star rounds close it in O(log²)), a triangle overlapping the
+    // chain's ids nowhere, plus noise: duplicate, reversed, self edges.
+    val edges = (1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (21L, 20L), (7L, 7L), (3L, 2L))
+    // Both the driver fast path (default) and the distributed star loop
+    // (localThreshold = 0) must produce the identical component map.
+    for (thresh <- Seq(1L << 20, 0L)) {
+      val comp = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          localThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 10L).forall(comp(_) == 1L), s"thresh=$thresh")
+      assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L), s"thresh=$thresh")
+      assert(comp.size == 13, s"thresh=$thresh")
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // Brute-force union-find oracle.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb }
+      val want = edges.flatMap(e => if (e._1 == e._2) Nil else Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component min = smallest node sharing v's root
+          val r = find(v.toInt)
+          (0 until n).filter(find(_) == r).min.toLong
+        }).toMap
+      // Force the DISTRIBUTED star loop (localThreshold = 0): the driver
+      // fast path IS a union-find, so testing it against one proves little.
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("dedupAssign: one canonical keeper per cluster, singletons keep") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupAssign(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1), (2L, 2L, 1), (3L, 2L, 0), (4L, 2L, 0), (5L, 5L, 1), (6L, 5L, 0)))
+    // Exactly one keeper per cluster, and pair-drop over-deletion does not
+    // happen: doc 4 (only ever a doc_b) is dropped here because it genuinely
+    // chains to 2 — but a doc appearing only as doc_b of a FALSE chain is
+    // judged by its component, not by pair membership.
+    val keepers = out.filter(_._3 == 1).map(_._2)
+    assert(keepers.toSet == out.map(_._2).toSet)
+  }
+
   test("minHashLshPairs agrees with exact ngramJaccardPairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b").collect().toSeq
