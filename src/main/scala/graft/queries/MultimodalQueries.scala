@@ -10,6 +10,40 @@ import graft.ops.{Multimodal, Similarity}
   * are pure byte functions both engines can compute. */
 object MultimodalQueries {
 
+  /** q39's oracle pair set (no trailing ORDER BY) — the SRP planes are plan
+    * literals, so the SQL embeds the same constants and replays banding +
+    * exact cosine verification identically. Shared by q39 (pairs) and q58
+    * (pairs → recursive-CTE closure → cluster assignment). */
+  private val EmbeddingPairsSql: String = {
+    val k = 4; val tables = 8
+    val planes = Similarity.srpPlanes(dim = 64, nPlanes = k * tables)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(e, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n     + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |s AS (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS n,
+       |    $sig AS sig
+       |  FROM v),
+       |banded AS (
+       |  SELECT vec_id, t,
+       |    (sig >> CAST(t * $k AS INT)) & ${(1L << k) - 1} AS bkt
+       |  FROM s CROSS JOIN range($tables) AS r(t)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b ON a.t = b.t AND a.bkt = b.bkt
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |  round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) AS cos_sim
+       |FROM cand
+       |JOIN s x ON x.vec_id = id_a
+       |JOIN s y ON y.vec_id = id_b
+       |WHERE round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) >= 0.35""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── expression tier: metadata + frame sampling over a binary column ──
@@ -65,36 +99,8 @@ object MultimodalQueries {
     //    cosineNearDupPairs stays library-side as the sampled verifier).
     //    The SRP planes are plan literals, so the oracle embeds the same
     //    constants and replays banding + verification exactly. ──
-    QueryDef("q39_embedding_neardup", {
-      val k = 4; val tables = 8
-      val planes = Similarity.srpPlanes(dim = 64, nPlanes = k * tables)
-      val sig = planes.zipWithIndex.map { case (p, i) =>
-        val lits = p.map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_inner_product(e, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("\n     + ")
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS e
-         |  FROM embeddings WHERE vec_id % 2 = 0),
-         |s AS (
-         |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS n,
-         |    $sig AS sig
-         |  FROM v),
-         |banded AS (
-         |  SELECT vec_id, t,
-         |    (sig >> CAST(t * $k AS INT)) & ${(1L << k) - 1} AS bkt
-         |  FROM s CROSS JOIN range($tables) AS r(t)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a JOIN banded b ON a.t = b.t AND a.bkt = b.bkt
-         |  WHERE a.vec_id < b.vec_id)
-         |SELECT id_a, id_b,
-         |  round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) AS cos_sim
-         |FROM cand
-         |JOIN s x ON x.vec_id = id_a
-         |JOIN s y ON y.vec_id = id_b
-         |WHERE round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, d) =>
+    QueryDef("q39_embedding_neardup",
+      EmbeddingPairsSql + "\nORDER BY id_a, id_b") { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .where(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("id"),
@@ -102,6 +108,37 @@ object MultimodalQueries {
       Similarity.srpNearDupPairs(emb, dim = 64, planesPerTable = 4,
           tables = 8, threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── semantic dedup end-to-end (the SemDeDup shape — Abbas et al. 2023):
+    //    embedding near-dup pairs → connected components → one canonical
+    //    keeper per semantic cluster. Same SRP pair graph as q39, closure
+    //    replayed in the oracle as a recursive CTE. ──
+    QueryDef("q58_semantic_dedup",
+      s"""WITH RECURSIVE pairs AS ($EmbeddingPairsSql),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u)
+         |SELECT d.vec_id,
+         |       COALESCE(c.cluster_id, d.vec_id) AS cluster_id,
+         |       CAST(COALESCE(c.cluster_id, d.vec_id) = d.vec_id AS INT) AS keep
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) d
+         |LEFT JOIN comp c USING (vec_id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"))
+      val pairs = Similarity.srpNearDupPairs(emb, dim = 64, planesPerTable = 4,
+        tables = 8, threshold = 0.35)
+      graft.ops.Dedup.dedupAssign(
+          emb.select(col("id").as("vec_id")), "vec_id", pairs, "id_a", "id_b")
+        .orderBy("vec_id")
     }
   )
 }
