@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Sampling, Similarity}
+import graft.ops.{Dedup, Sampling, Similarity, Text}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as declared queries over `documents` / `embeddings`.
@@ -470,6 +470,27 @@ object LlmQueries {
         shingleN = 8, threshold = 0.8)
       Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy("doc_id")
+    },
+
+    // ── TF-IDF scoring table: whitespace tokens, corpus document
+    //    frequency, tf·ln(N/df) rounded to 6 dp (cross-engine ln contract,
+    //    as with the ANN cosine scores). ──
+    QueryDef("q59_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Text.tfIdf(docs, "doc_id", "text", nDocs = docs.count())
+        .orderBy("doc_id", "term")
     },
 
     // ── PII scrub: e-mail / SSN / IPv4 redaction with typed placeholders.

@@ -6,6 +6,35 @@ import graft.functions.TextFunctions
   * language-ID, fingerprinting). */
 class TextFunctionsSpec extends SparkSpec {
 
+  test("tfIdf: hand-computed scores; (doc,term) aggregate never re-shuffles tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "  "), // empty after trim: contributes to N, emits no terms
+      (4L, "Apple date")).toDF("doc_id", "text")
+    val out = graft.ops.Text.tfIdf(docs, "doc_id", "text", nDocs = 4L)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    def s(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(4.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows == Set(
+      (1L, "apple", 2L, 2L, s(2, 2)), (1L, "banana", 1L, 2L, s(1, 2)),
+      (2L, "banana", 1L, 2L, s(1, 2)), (2L, "cherry", 1L, 1L, s(1, 1)),
+      (4L, "apple", 1L, 2L, s(1, 2)), (4L, "date", 1L, 1L, s(1, 1))))
+    // Scale shape: the only hash exchange moving doc-keyed rows is the
+    // explicit compact-text repartition; the (doc, term) aggregate runs on
+    // hash(doc_id) partitioning in place — no exchange keyed (doc, term),
+    // i.e. exploded token rows are never shuffled.
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("doc_id") && l.contains("term")),
+      s"token rows re-shuffled by (doc, term):\n${exchanges.mkString("\n")}")
+  }
+
   test("tokenCountWs: whitespace tokens, empty -> 0") {
     assert(evalStr("a b  c", TextFunctions.tokenCountWs) == 3L)
     assert(evalStr("", TextFunctions.tokenCountWs) == 0L)
