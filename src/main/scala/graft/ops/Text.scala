@@ -38,4 +38,55 @@ object Text {
         F.round(col("tf") * F.log(lit(nDocs).cast("double") / col("df")), 6)
           .as("tfidf"))
   }
+
+  /** Verbatim duplicated-span detection — the exact-substring dedup shape
+    * used by dataset-curation pipelines (flag any `n`-char window whose
+    * text occurs at least `minOccur` times ANYWHERE in the corpus, then
+    * merge flagged windows into maximal per-document character intervals).
+    * Output: (id, span_start, span_end, n_grams), 1-based inclusive
+    * character offsets, one row per maximal duplicated span.
+    *
+    * Scale shape: windows are hashed positionally in one codegen'd pass
+    * ([[graft.plans.ShingleHashPos64]]) — the window TEXT never
+    * materializes and every shuffled row is (id, pos, hash), fixed-width.
+    * The occurrence count is a map-side-combined aggregate on the 64-bit
+    * hash; flagged positions (the duplicated minority) are the only rows
+    * that reach the per-doc interval-merge window, whose sort runs after a
+    * hash(id) exchange of that minority. Same islands-merge as the
+    * sessionize operator: running max of span end over preceding rows
+    * starts a new island when a gap opens.
+    *
+    * Duplicate identity is by 64-bit hash (collision odds ~ windows²/2⁶⁴ —
+    * negligible even at 10¹² windows they'd only over-flag one span). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 50, minOccur: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .where(F.length(col(textCol)) >= 1)
+      .repartition(col(idCol))
+      .select(col(idCol).as("_id"),
+        F.length(col(textCol)).cast("long").as("_len"),
+        posexplode(graft.plans.ShingleHashPos64(col(textCol), n))
+          .as(Seq("_p0", "_h")))
+      .select(col("_id"), col("_len"),
+        (col("_p0") + 1).cast("long").as("_p"), col("_h"))
+    val dup = base.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minOccur).select(col("_h"))
+    val flagged = base.join(dup, "_h")
+      .select(col("_id"), col("_p"),
+        least(col("_p") + (n - 1), col("_len")).as("_e"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val prevMaxEnd = F.max(col("_e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("_pm", prevMaxEnd)
+      .withColumn("_new",
+        F.when(col("_pm").isNull || col("_p") > col("_pm") + 1, 1).otherwise(0))
+      .withColumn("_isl", F.sum(col("_new")).over(w))
+      .groupBy(col("_id"), col("_isl"))
+      .agg(F.min(col("_p")).as("span_start"), F.max(col("_e")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
 }

@@ -40,13 +40,47 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional variant of [[ShingleHash64]]: one hash per n-char window in
+  * POSITION order, no dedup — element index i is the 0-based character
+  * offset of the window, which is what span-level operators (verbatim
+  * duplicated-span detection) need. Same hashing, same substr-style
+  * character-boundary semantics (texts shorter than n yield one whole-text
+  * window at offset 0). */
+case class ShingleHashPos64(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_pos64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash64.computePos(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHash64.computePos($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashPos64 =
+    copy(child = newChild)
+}
+
+object ShingleHashPos64 {
+  def apply(text: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleHashPos64(GraftSqlBridge.expression(text), n))
+}
+
 object ShingleHash64 {
 
   def apply(text: Column, n: Int): Column =
     GraftSqlBridge.column(ShingleHash64(GraftSqlBridge.expression(text), n))
 
-  /** Static helper the generated code calls — one virtual call per row. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** Window hashes in position order (no dedup) — backs
+    * [[ShingleHashPos64]]. */
+  def computePos(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(windowHashes(text, n))
+
+  /** Per-window hashes in position order — the shared hashing pass. */
+  private def windowHashes(text: UTF8String, n: Int): Array[Long] = {
     val bytes = text.getBytes // materialized once; windows slice this array
     val len = bytes.length
     // Character start offsets (UTF-8 boundaries), so windows count
@@ -71,10 +105,17 @@ object ShingleHash64 {
           end - start, 42L)
       i += 1
     }
+    hashes
+  }
+
+  /** Static helper the generated code calls — one virtual call per row. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val hashes = windowHashes(text, n)
+    val nWindows = hashes.length
     // Dedup on sorted primitives — no boxing, no per-row hash set.
     java.util.Arrays.sort(hashes)
     var unique = 0
-    i = 0
+    var i = 0
     while (i < nWindows) {
       if (i == 0 || hashes(i) != hashes(i - 1)) {
         hashes(unique) = hashes(i); unique += 1

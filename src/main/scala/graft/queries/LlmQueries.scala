@@ -493,6 +493,40 @@ object LlmQueries {
         .orderBy("doc_id", "term")
     },
 
+    // ── verbatim duplicated spans: any 50-char window occurring >= 2
+    //    times in the corpus, merged into maximal per-doc character
+    //    intervals (the exact-substring dedup shape). Spark flags windows
+    //    by positional 64-bit hash; the oracle by the gram text itself. ──
+    QueryDef("q60_dup_spans",
+      """WITH d0 AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1),
+        |pos AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM d0),
+        |g AS (SELECT doc_id, len, p, substr(text, p::INT, 50) AS gram FROM pos),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, p, least(p + 49, len) AS e FROM g JOIN dup USING (gram)),
+        |w AS (
+        |  SELECT doc_id, p, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM f),
+        |isl AS (
+        |  SELECT doc_id, p, e,
+        |    sum(CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM w)
+        |SELECT doc_id, min(p) AS span_start, max(e) AS span_end,
+        |       count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Text.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 50, minOccur = 2L)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ── PII scrub: e-mail / SSN / IPv4 redaction with typed placeholders.
     //    The fixture text carries no PII, so a contaminated footer is
     //    synthesized from doc_id (oracle replays it); the md5 of the

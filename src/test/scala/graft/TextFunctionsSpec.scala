@@ -35,6 +35,29 @@ class TextFunctionsSpec extends SparkSpec {
       s"token rows re-shuffled by (doc, term):\n${exchanges.mkString("\n")}")
   }
 
+  test("duplicatedSpans: merged intervals, intra-doc repeats, short texts") {
+    import spark.implicits._
+    val S = "0123456789ABCDEFGHIJ" // 20-char shared block
+    val S2 = "KLMNOPQRSTUV" // 12-char block repeated inside one doc
+    val docs = Seq(
+      (1L, "abcde" + S + "fghij"), // S at chars 6..25
+      (2L, "vw" + S + "pqrstuvw"), // S at chars 3..22
+      (5L, S2 + "xx" + S2), // intra-doc repeat: islands [1,12] and [15,26]
+      (6L, "dup"), (7L, "dup"), // shorter than n: whole-text window
+      (8L, "entirely unique content with no duplicated windows"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.duplicatedSpans(docs, "doc_id", "text",
+        n = 10, minOccur = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // Windows of 10 chars fully inside a shared block are duplicated; the
+    // merged interval spans the whole block. 11 = 20 - 10 + 1 windows.
+    assert(out == Set(
+      (1L, 6L, 25L, 11L), (2L, 3L, 22L, 11L),
+      (5L, 1L, 12L, 3L), (5L, 15L, 26L, 3L),
+      (6L, 1L, 3L, 1L), (7L, 1L, 3L, 1L)))
+  }
+
   test("tokenCountWs: whitespace tokens, empty -> 0") {
     assert(evalStr("a b  c", TextFunctions.tokenCountWs) == 3L)
     assert(evalStr("", TextFunctions.tokenCountWs) == 0L)
