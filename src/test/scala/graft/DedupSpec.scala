@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents scale smoke: 50k-node chain graph, distributed path") {
+    import org.apache.spark.sql.functions._
+    // 780 chains of 64 nodes: component(v) = v - v % 64. Chain graphs are
+    // the adversarial case (diameter 63); the star loop must close them in
+    // O(log²) rounds, far under maxIter.
+    val n = 50000L
+    val edges = spark.range(0, n, 1, 8)
+      .where(col("id") % 64 =!= 63 && col("id") + 1 < n)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val comp = Dedup.connectedComponents(edges, "a", "b", localThreshold = 0L)
+    val bad = comp
+      .withColumn("want", col("id") - col("id") % 64)
+      .where(col("component") =!= col("want"))
+      .count()
+    assert(bad == 0L)
+    assert(comp.count() == n) // every chain node got a component
+  }
+
   test("dedupAssign: one canonical keeper per cluster, singletons keep") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")
