@@ -61,6 +61,32 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming NEAR-dedup ingestion — the streaming face of the persisted-
+    * signature contract ([[graft.ops.Dedup.minHashSignatures]]): every
+    * micro-batch of (id, text) documents is LSH-joined against the
+    * precomputed corpus signature table, near-dups (exact-verified Jaccard
+    * >= `threshold`) are dropped, and only survivors reach `sink`. Per-
+    * batch cost scales with the batch plus the signature table — corpus
+    * TEXT is never read, exactly like the batch ingestion path (q55), so
+    * the same signature table serves scheduled batches and a continuous
+    * stream without a code fork. `sink` receives (survivors, batchId);
+    * a production sink appends survivors to the corpus and their
+    * signatures to the signature table, making the stream self-extending.
+    */
+  def streamingNearDedup(batches: DataFrame, corpusSigs: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 8, threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val pairs = graft.ops.Dedup.minHashLshPairsAgainstSignatures(
+        batch, corpusSigs, idCol, textCol, shingleN = shingleN,
+        threshold = threshold)
+      val survivors = batch.join(
+        pairs.select(col("new_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      sink(survivors, batchId)
+    }
+
   /** Batch/stream parity entry: the driver's events parquet read as a
     * STREAM (file source discovers new part-files as they land), pushed
     * through the identical windowed aggregation. */

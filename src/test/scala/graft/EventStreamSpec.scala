@@ -70,6 +70,44 @@ class EventStreamSpec extends SparkSpec {
       Seq("dup me", "unique a", "unique b"))
   }
 
+  test("streamingNearDedup: batches LSH-matched against persisted signatures") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1002L, "completely different content with nothing shared whatsoever xyz"))
+      .toDF("doc_id", "text")
+    // Write the signature table and read it BACK: the stream must work off
+    // storage (the persisted-signature contract), not corpus text.
+    val sigDir = java.nio.file.Files.createTempDirectory("sigs")
+      .resolve("t").toString
+    graft.ops.Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .write.parquet(sigDir)
+    val sigs = spark.read.parquet(sigDir)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.SortedSet.empty[(Long, Long)]
+    val q = EventStream.streamingNearDedup(docs, sigs, "doc_id", "text",
+        threshold = 0.5) { (survivors, bid) =>
+      val ids = survivors.select("doc_id").as[Long].collect()
+      got.synchronized { ids.foreach(i => got += (bid -> i)) }
+    }.start()
+    // Batch 1: one near-dup of corpus doc 1001 (one char changed), one
+    // novel doc. Batch 2: a near-dup of corpus doc 1002.
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dot again and again"),
+      (2L, "woolly mammoths roamed pleistocene steppes chewing sedge tufts"))
+    q.processAllAvailable()
+    mem.addData(
+      (3L, "completely different content with nothing shared whatsoever xy"))
+    q.processAllAvailable()
+    q.stop()
+    // Only the novel doc survives; both near-dups are dropped in their
+    // own micro-batch.
+    assert(got.map(_._2).toSeq == Seq(2L), s"got: $got")
+  }
+
   test("corpus-clean expressions run unchanged in a streaming pipeline") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
