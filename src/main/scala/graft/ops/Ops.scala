@@ -252,4 +252,38 @@ object Ops {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "_salt").drop("_salt")
   }
+
+  /** Interval (range) join without equi-keys — "points ⋈ intervals on
+    * start <= ts < end" — via TIME BUCKETIZATION: Spark plans a bare range
+    * predicate as BroadcastNestedLoopJoin (every point × every interval —
+    * dead at 100 TB). Instead each interval explodes to the fixed-width
+    * buckets it overlaps, each point maps to exactly ONE bucket, and the
+    * pair meets in a plain hash equi-join on the bucket id, re-filtered by
+    * the exact predicate. Work is O(points + intervals · span/bucketWidth
+    * + true matches): exact output, shuffle keyed on a long.
+    *
+    * `bucketWidth` tunes the duplication-vs-selectivity trade: pick it
+    * near the TYPICAL interval length (each interval then explodes to ~2
+    * buckets and each point meets only intervals within one bucket's
+    * reach). A handful of pathologically long intervals explode to
+    * span/bucketWidth rows — split those rows upstream or raise the width;
+    * the join stays exact either way.
+    *
+    * Domain: ts/start/end must be non-negative longs (epoch micros/nanos —
+    * SQL `div` truncates toward zero, so negative epochs would misalign
+    * bucket boundaries). `end <= start` intervals are empty and dropped. */
+  def intervalJoin(points: DataFrame, tsCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = s"CAST($bucketWidth AS BIGINT)"
+    val p = points.withColumn("_ivb", expr(s"`$tsCol` div $b"))
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("_ivb", explode(sequence(
+        expr(s"`$startCol` div $b"), expr(s"(`$endCol` - 1) div $b"))))
+    p.join(iv, Seq("_ivb"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_ivb")
+  }
 }

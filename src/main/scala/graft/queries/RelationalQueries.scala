@@ -314,6 +314,40 @@ object RelationalQueries {
         .groupBy(md5($"text".cast("binary")).as("content_hash"))
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
         .orderBy($"keeper_id")
+    },
+
+    // ── interval join without equi-keys, bucketized (Ops.intervalJoin):
+    //    per-type half-open maintenance windows derived from the data,
+    //    every event matched to every containing window of ANY type. The
+    //    oracle is the naive range join; the engine meets in a long-keyed
+    //    hash join on day buckets. ──
+    QueryDef("q61_interval_join",
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |mins AS (SELECT event_type AS itype, min(ts_us) AS t0
+        |         FROM ev GROUP BY 1),
+        |ivs AS (
+        |  SELECT itype, k,
+        |    t0 + k * 604800000000 AS s,
+        |    t0 + k * 604800000000 + 302400000000 AS e
+        |  FROM mins CROSS JOIN range(3) AS r(k))
+        |SELECT event_id, itype, k
+        |FROM ev JOIN ivs ON ev.ts_us >= ivs.s AND ev.ts_us < ivs.e
+        |ORDER BY event_id, itype, k""".stripMargin) { (s, d) =>
+      val W = 604800000000L // 7 days in us; windows cover each week's first half
+      val ev = eventsNs(s, d).select($"event_id",
+        expr("ts div 1000").as("ts_us"), $"event_type")
+      val ivs = ev.groupBy($"event_type".as("itype"))
+        .agg(min($"ts_us").as("t0"))
+        .select($"itype", explode(array((0 to 2).map(k => struct(
+            lit(k.toLong).as("k"),
+            ($"t0" + k * W).as("s"),
+            ($"t0" + k * W + W / 2).as("e"))): _*)).as("_w"))
+        .select($"itype", $"_w.k".as("k"), $"_w.s".as("s"), $"_w.e".as("e"))
+      Ops.intervalJoin(ev, "ts_us", ivs, "s", "e",
+          bucketWidth = 86400000000L) // 1-day buckets
+        .select($"event_id", $"itype", $"k")
+        .orderBy($"event_id", $"itype", $"k")
     }
   )
 

@@ -217,4 +217,31 @@ class OpsSpec extends SparkSpec {
       assert(run() == before)
     } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
   }
+
+  test("intervalJoin: half-open bounds, multi-bucket spans, empty intervals, no NLJ") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val points = Seq(
+      (1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 25L), (6L, 95L))
+      .toDF("pid", "ts")
+    val intervals = Seq(
+      ("a", 10L, 20L), // picks ts=10 (inclusive start), rejects ts=20 (exclusive end)
+      ("b", 15L, 35L), // spans 3 buckets at width 10; picks 19, 20, 25
+      ("c", 90L, 200L), // long interval, far bucket; picks 95
+      ("d", 50L, 50L), // empty: dropped
+      ("e", 60L, 55L)) // inverted: dropped
+      .toDF("iid", "s", "e")
+    val out = Ops.intervalJoin(points, "ts", intervals, "s", "e", bucketWidth = 10L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (2L, "a"), (3L, "a"), // 10, 19 in [10,20)
+      (3L, "b"), (4L, "b"), (5L, "b"),
+      (6L, "c")))
+    // The scale contract: a hash equi-join on the bucket id, never a
+    // nested-loop over the raw range predicate.
+    val plan = Ops.intervalJoin(points, "ts", intervals, "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
