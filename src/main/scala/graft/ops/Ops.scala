@@ -286,4 +286,28 @@ object Ops {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_ivb")
   }
+
+  /** Interval OVERLAP join — half-open `[ls, le) × [rs, re)` pairs with
+    * `ls < re && rs < le` — same bucketization as [[intervalJoin]], with
+    * the duplicate-meeting trick: an overlapping pair shares up to
+    * span/bucketWidth buckets, so the exact predicate keeps a pair only in
+    * the ONE canonical bucket holding the overlap's start
+    * (`greatest(ls, rs) div bucketWidth`) — a local codegen'd filter, no
+    * distinct, no second shuffle. Column names must not collide across
+    * sides. Same non-negative-domain contract as [[intervalJoin]]. */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = s"CAST($bucketWidth AS BIGINT)"
+    def explodeBuckets(df: DataFrame, s: String, e: String) = df
+      .where(col(e) > col(s))
+      .withColumn("_ivb", explode(sequence(
+        expr(s"`$s` div $b"), expr(s"(`$e` - 1) div $b"))))
+    explodeBuckets(left, lStart, lEnd)
+      .join(explodeBuckets(right, rStart, rEnd), Seq("_ivb"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("_ivb") === expr(s"greatest(`$lStart`, `$rStart`) div $b"))
+      .drop("_ivb")
+  }
 }

@@ -244,4 +244,36 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("intervalJoin/intervalOverlapJoin match the naive join on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    def iv(idp: String, m: Int) = Seq.tabulate(m) { i =>
+      val s = rnd.nextInt(200).toLong
+      (s"$idp$i", s, s + 1 + rnd.nextInt(40)) // width 1..40 vs bucket 16
+    }
+    for (trial <- 1 to 3) {
+      val pts = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt(220).toLong))
+        .toDF("pid", "ts")
+      val ivs = iv("L", 25).toDF("iid", "s", "e")
+      val naive = pts.crossJoin(ivs)
+        .where(col("ts") >= col("s") && col("ts") < col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = Ops.intervalJoin(pts, "ts", ivs, "s", "e", bucketWidth = 16L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == naive, s"intervalJoin trial $trial")
+
+      val l = iv("L", 20).toDF("lid", "ls", "le")
+      val r = iv("R", 20).toDF("rid", "rs", "re")
+      val naiveO = l.crossJoin(r)
+        .where(col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+      val gotRows = Ops.intervalOverlapJoin(l, "ls", "le", r, "rs", "re", 16L)
+        .select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1)))
+      // Exact same pair set AND no duplicate meetings (canonical bucket).
+      assert(gotRows.length == gotRows.toSet.size, s"dup pairs trial $trial")
+      assert(gotRows.toSet == naiveO, s"overlap trial $trial")
+    }
+  }
 }
