@@ -348,6 +348,43 @@ object RelationalQueries {
           bucketWidth = 86400000000L) // 1-day buckets
         .select($"event_id", $"itype", $"k")
         .orderBy($"event_id", $"itype", $"k")
+    },
+
+    // ── interval OVERLAP join (Ops.intervalOverlapJoin): per-user activity
+    //    spans × the same per-type windows, half-open overlap; oracle is
+    //    the naive range predicate. ──
+    QueryDef("q62_overlap_join",
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |spans AS (
+        |  SELECT user_id, min(ts_us) AS us, max(ts_us) + 1 AS ue
+        |  FROM ev GROUP BY 1),
+        |mins AS (SELECT event_type AS itype, min(ts_us) AS t0
+        |         FROM ev GROUP BY 1),
+        |ivs AS (
+        |  SELECT itype, k,
+        |    t0 + k * 604800000000 AS s,
+        |    t0 + k * 604800000000 + 302400000000 AS e
+        |  FROM mins CROSS JOIN range(3) AS r(k))
+        |SELECT user_id, itype, k
+        |FROM spans JOIN ivs ON spans.us < ivs.e AND ivs.s < spans.ue
+        |ORDER BY user_id, itype, k""".stripMargin) { (s, d) =>
+      val W = 604800000000L
+      val ev = eventsNs(s, d).select($"user_id",
+        expr("ts div 1000").as("ts_us"), $"event_type")
+      val spans = ev.groupBy($"user_id")
+        .agg(min($"ts_us").as("us"), (max($"ts_us") + 1).as("ue"))
+      val ivs = ev.groupBy($"event_type".as("itype"))
+        .agg(min($"ts_us").as("t0"))
+        .select($"itype", explode(array((0 to 2).map(k => struct(
+            lit(k.toLong).as("k"),
+            ($"t0" + k * W).as("s"),
+            ($"t0" + k * W + W / 2).as("e"))): _*)).as("_w"))
+        .select($"itype", $"_w.k".as("k"), $"_w.s".as("s"), $"_w.e".as("e"))
+      Ops.intervalOverlapJoin(spans, "us", "ue", ivs, "s", "e",
+          bucketWidth = 86400000000L)
+        .select($"user_id", $"itype", $"k")
+        .orderBy($"user_id", $"itype", $"k")
     }
   )
 
