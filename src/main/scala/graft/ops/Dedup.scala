@@ -422,6 +422,12 @@ object Dedup {
       converged = nextSig == curSig
       cur = next; curSig = nextSig; it += 1
     }
+    // A non-fixpoint edge set is NOT a component map — fail loudly rather
+    // than return silently-wrong clusters. (Star rounds converge in
+    // O(log² n); the default budget covers any physically storable graph.)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     // Fixpoint edges are stars (componentMin, member); the center itself is
     // a member of its own component.
     cur.select(col("_v").as("id"), col("_u").as("component"))

@@ -29,4 +29,25 @@ object Sampling {
     }
     df.where(hashPpm(col(idCol)) < thr)
   }
+
+  /** EXACTLY k rows per stratum (fewer when the stratum is smaller) — the
+    * eval-set / few-shot-pool construction shape, where proportional
+    * sampling's per-stratum count varies run-to-run input-to-input. The
+    * winners are the k smallest (md5(id), id) pairs per stratum: a
+    * deterministic, engine-replayable total order, so the sample is stable
+    * across runs, retries, AND an external SQL checker — `rand()` or
+    * `limit` per group is neither. One hash(stratum) shuffle; the
+    * per-stratum sort is k-bounded in spirit but executes as a window
+    * rank — at extreme per-stratum cardinality pre-filter with
+    * [[stratifiedSample]] to bound the window's input first. */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashPpm(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

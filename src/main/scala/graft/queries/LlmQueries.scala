@@ -423,6 +423,23 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── EXACTLY k per stratum (eval-set construction): winners are the k
+    //    smallest (md5-ppm(id), id) per lang — a deterministic total order
+    //    both engines replay bit-for-bit. ──
+    QueryDef("q63_exact_k_sample",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |       % 1000000), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.exactKPerStratum(Tables.documents(s, d), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // ── incremental near-dedup: a 10% "new batch" matched against the
     //    other 90% "existing corpus" through the bipartite LSH join — the
     //    per-batch ingestion shape (batch-sized cost, not corpus-sized).

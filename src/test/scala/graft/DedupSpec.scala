@@ -98,6 +98,15 @@ class DedupSpec extends SparkSpec {
     assert(comp.count() == n) // every chain node got a component
   }
 
+  test("connectedComponents fails loudly when the round budget is too small") {
+    import spark.implicits._
+    val chain = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        maxIter = 1, localThreshold = 0L).collect()
+    }
+  }
+
   test("dedupAssign: one canonical keeper per cluster, singletons keep") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")

@@ -25,4 +25,20 @@ class SamplingSpec extends SparkSpec {
     assert(counts("b") == 5000L)
     assert(math.abs(counts("a") - 1500L) < 150L, s"a=${counts("a")}")
   }
+
+  test("exactKPerStratum: exact counts, short strata whole, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1005L).map(i => (i, "tiny"))).toDF("id", "s")
+    val out = Sampling.exactKPerStratum(df, "s", "id", 50)
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 50L, "tiny" -> 5L))
+    // Same winners regardless of the input's physical layout.
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.exactKPerStratum(df.repartition(13), "s", "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
