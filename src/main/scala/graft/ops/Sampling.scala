@@ -33,21 +33,33 @@ object Sampling {
   /** EXACTLY k rows per stratum (fewer when the stratum is smaller) — the
     * eval-set / few-shot-pool construction shape, where proportional
     * sampling's per-stratum count varies run-to-run input-to-input. The
-    * winners are the k smallest (md5(id), id) pairs per stratum: a
+    * winners are the k smallest (md5-ppm(id), id) pairs per stratum: a
     * deterministic, engine-replayable total order, so the sample is stable
     * across runs, retries, AND an external SQL checker — `rand()` or
-    * `limit` per group is neither. One hash(stratum) shuffle; the
-    * per-stratum sort is k-bounded in spirit but executes as a window
-    * rank — at extreme per-stratum cardinality pre-filter with
-    * [[stratifiedSample]] to bound the window's input first. */
+    * `limit` per group is neither.
+    *
+    * Two-phase top-k (the same trick as the heavy-hitters query): a naive
+    * per-stratum window is ONE task per stratum — a 10⁹-row stratum sorts
+    * on one core. Phase 1 ranks within (stratum, salt-of-id) — `fanout`
+    * bounded partitions per stratum — and keeps k per salt; phase 2 ranks
+    * the ≤ k·fanout survivors per stratum. Both phases drop all but a
+    * k-bounded sliver before any single-task work happens, and the salt is
+    * a pure function of the id (retry/layout-stable). Output is identical
+    * to the naive rank for any fanout. */
   def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, fanout: Int = 64): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
+    require(fanout > 0, "fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val local = Window
+      .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(fanout)))
       .orderBy(hashPpm(col(idCol)), col(idCol))
-    df.withColumn("_rk", row_number().over(w))
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(hashPpm(col(idCol)), col(idCol))
+    df.withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .withColumn("_rk", row_number().over(global))
       .where(col("_rk") <= k)
-      .drop("_rk")
+      .drop("_lrk", "_rk")
   }
 }
