@@ -484,10 +484,22 @@ object Dedup {
     val comp = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
     docs.join(comp, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
       .withColumn("keep", (col("cluster_id") === col(idCol)).cast("int"))
   }
+
+  /** Cluster-correct corpus dedup: keep exactly the canonical (smallest-id)
+    * member of every near-dup cluster — the end-to-end "dedup this corpus"
+    * op. Pair-dropping (remove every doc_b) over-deletes when pairs chain
+    * (a~b, b~c kills both b and c, keeping one doc from a 3-cluster only by
+    * luck of pair orientation); component-based keeping is invariant to
+    * pair orientation and chain shape. */
+  def dedupFilter(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    dedupAssign(docs, idCol, pairs, aCol, bCol)
+      .where(col("keep") === 1)
+      .drop("cluster_id", "keep")
 
   // ── SimHash ────────────────────────────────────────────────────────────
 

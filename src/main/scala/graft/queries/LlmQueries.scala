@@ -489,6 +489,32 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── cluster-correct corpus dedup: keep exactly the smallest-id member
+    //    of each near-dup cluster, full doc rows out — the end-to-end
+    //    "dedup this corpus" op (q21's pair-drop over-deletes on chains). ──
+    QueryDef("q64_cluster_dedup",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      Dedup.dedupFilter(
+          docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+
     // ── TF-IDF scoring table: whitespace tokens, corpus document
     //    frequency, tf·ln(N/df) rounded to 6 dp (cross-engine ln contract,
     //    as with the ANN cosine scores). ──
