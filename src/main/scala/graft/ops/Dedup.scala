@@ -489,6 +489,32 @@ object Dedup {
       .withColumn("keep", (col("cluster_id") === col(idCol)).cast("int"))
   }
 
+  /** Benchmark decontamination scores — for every corpus document, the
+    * fraction of its DISTINCT character n-grams that appear anywhere in a
+    * benchmark/eval set (the standard eval-contamination signal; docs over
+    * a threshold get quarantined before training). Both sides reduce to
+    * 64-bit shingle hashes at the scan, the benchmark's distinct-gram table
+    * is typically dim-sized (broadcast-able; AQE decides), and the overlap
+    * is one equi-join + per-doc count — never doc×doc. Output:
+    * (id, n_grams, n_hit, contamination = n_hit/n_grams) for every corpus
+    * doc, including zero-overlap rows. */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 8): DataFrame = {
+    val corpusGrams = shingleHashes(corpus, idCol, textCol, shingleN)
+    val benchGrams = shingleHashes(benchmark, idCol, textCol, shingleN)
+      .select(col("_h")).distinct()
+    corpusGrams
+      .join(benchGrams.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+      .groupBy(col("_id"))
+      // count(_hit) counts non-null rows only = matched grams (a long on
+      // both engines — a sum() would be HUGEINT on the oracle side).
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hit"))
+      .select(col("_id").as(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+  }
+
   /** Cluster-correct corpus dedup: keep exactly the canonical (smallest-id)
     * member of every near-dup cluster — the end-to-end "dedup this corpus"
     * op. Pair-dropping (remove every doc_b) over-deletes when pairs chain

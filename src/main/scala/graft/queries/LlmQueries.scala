@@ -515,6 +515,30 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── benchmark decontamination: per corpus doc, the fraction of its
+    //    distinct 8-grams present anywhere in the held-out benchmark split
+    //    (doc_id % 50 = 0) — the eval-contamination quarantine signal. ──
+    QueryDef("q65_contamination",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i::INT, 8) FOR i IN generate_series(1, greatest(length(text)-7, 1))]
+        |  )) AS gram FROM documents),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        |  count(b.gram) AS n_hit,
+        |  CAST(count(b.gram) AS DOUBLE) / count(*) AS contamination
+        |FROM corp c LEFT JOIN bench b USING (gram)
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationScores(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleN = 8)
+        .orderBy("doc_id")
+    },
+
     // ── TF-IDF scoring table: whitespace tokens, corpus document
     //    frequency, tf·ln(N/df) rounded to 6 dp (cross-engine ln contract,
     //    as with the ANN cosine scores). ──
