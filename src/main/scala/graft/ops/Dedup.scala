@@ -352,7 +352,17 @@ object Dedup {
            _: org.apache.spark.sql.types.ShortType =>
         Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
       case _: org.apache.spark.sql.types.StringType =>
-        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+        // UTF-8 BYTE order, not String's UTF-16 code-unit order: Spark's
+        // least()/min() compare UTF8String bytes, and the two orders
+        // disagree on supplementary-plane characters — the fast path must
+        // pick the SAME representative the distributed loop would.
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String]))
+        })
       case _ => None
     }
     if (localOrd.isDefined && localThreshold > 0) {
@@ -390,10 +400,12 @@ object Dedup {
         .distinct()
     }
 
-    // Order-insensitive edge-set signature; (count, hash-sum) collision
-    // across a changed set is ~2⁻⁶⁴ — and a collision only costs an extra
-    // converged-anyway round, never a wrong answer, because star rounds
-    // are idempotent at the fixpoint.
+    // Order-insensitive edge-set signature. A (count, hash-sum) collision
+    // between two DIFFERENT successive edge sets would declare convergence
+    // EARLY — a wrong answer, not an extra round — so a signature match is
+    // only a trigger: convergence is then CONFIRMED set-theoretically
+    // (equal counts + next ⊆ cur ⟹ equal, both sides being distinct()
+    // outputs). The except() runs once per call, on the final round only.
     def sig(e: DataFrame): (Long, BigDecimal) = {
       // decimal(38,0) sum: overflow-free under ANSI mode at any edge count.
       val r = e.agg(count(lit(1)),
@@ -404,23 +416,29 @@ object Dedup {
 
     // Persist + re-root each round: createDataFrame over the materialized
     // row RDD keeps the recompute path (RDD lineage) but gives Catalyst a
-    // constant-size plan. (At 100 TB swap the persist for a reliable
-    // checkpoint dir; the loop is unchanged.)
-    def materialize(e: DataFrame): DataFrame = {
+    // constant-size plan. The PERSISTED RDD HANDLE is returned alongside —
+    // `df.rdd` on the re-rooted frame builds a FRESH deserializer RDD, so
+    // unpersisting that would be a no-op and every round's edge blocks
+    // would leak until session end. (At 100 TB swap the persist for a
+    // reliable checkpoint dir; the loop is unchanged.)
+    def materialize(e: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = e.rdd.persist(MEMORY_AND_DISK)
-      spark.createDataFrame(rdd, e.schema)
+      (spark.createDataFrame(rdd, e.schema), rdd)
     }
 
-    var cur = materialize(canon)
+    var (cur, curRdd) = materialize(canon)
     var curSig = sig(cur)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = materialize(smallStar(largeStar(cur)))
+      val (next, nextRdd) = materialize(smallStar(largeStar(cur)))
       val nextSig = sig(next) // materializes `next` (reads `cur`) before the unpersist below
-      cur.rdd.unpersist(blocking = false)
-      converged = nextSig == curSig
-      cur = next; curSig = nextSig; it += 1
+      // Signature match is the cheap trigger; confirm with the airtight
+      // set check so a ~2⁻⁶⁴ signature collision can't end the loop early
+      // with a non-fixpoint (silently wrong) edge set.
+      converged = nextSig == curSig && next.exceptAll(cur).isEmpty
+      curRdd.unpersist(blocking = false) // drop the round's edge blocks
+      cur = next; curRdd = nextRdd; curSig = nextSig; it += 1
     }
     // A non-fixpoint edge set is NOT a component map — fail loudly rather
     // than return silently-wrong clusters. (Star rounds converge in

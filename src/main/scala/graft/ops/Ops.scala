@@ -265,26 +265,55 @@ object Ops {
     * `bucketWidth` tunes the duplication-vs-selectivity trade: pick it
     * near the TYPICAL interval length (each interval then explodes to ~2
     * buckets and each point meets only intervals within one bucket's
-    * reach). A handful of pathologically long intervals explode to
-    * span/bucketWidth rows — split those rows upstream or raise the width;
-    * the join stays exact either way.
+    * reach). Pathologically long intervals are SELF-DEFENDED: any interval
+    * spanning more than `directBuckets` buckets takes a two-stage √-split
+    * (see [[explodeBuckets]]) so no single task materializes more than
+    * ~√(span/bucketWidth) array elements and one corpus-length interval
+    * can no longer pin a straggler task. The join stays exact either way.
     *
     * Domain: ts/start/end must be non-negative longs (epoch micros/nanos —
     * SQL `div` truncates toward zero, so negative epochs would misalign
     * bucket boundaries). `end <= start` intervals are empty and dropped. */
   def intervalJoin(points: DataFrame, tsCol: String,
                    intervals: DataFrame, startCol: String, endCol: String,
-                   bucketWidth: Long): DataFrame = {
+                   bucketWidth: Long, directBuckets: Int = 256): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = s"CAST($bucketWidth AS BIGINT)"
     val p = points.withColumn("_ivb", expr(s"`$tsCol` div $b"))
-    val iv = intervals
-      .where(col(endCol) > col(startCol))
-      .withColumn("_ivb", explode(sequence(
-        expr(s"`$startCol` div $b"), expr(s"(`$endCol` - 1) div $b"))))
+    val iv = explodeBuckets(intervals, startCol, endCol, bucketWidth, directBuckets)
     p.join(iv, Seq("_ivb"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_ivb")
+  }
+
+  /** Bucket-explode for the interval joins, safe against pathological
+    * interval lengths. Intervals spanning <= `directBuckets` buckets (the
+    * typical ~2-bucket case) explode in place — one codegen'd `sequence`,
+    * no extra shuffle. Longer intervals take a TWO-STAGE √-SPLIT: explode
+    * to ~√nb chunk rows, redistribute by chunk id, then explode each chunk
+    * to ~√nb buckets — a 10⁹-bucket interval costs two ~32k-element
+    * explodes spread over the cluster instead of one 10⁹-element array in
+    * one task (which would also trip sequence()'s array-length ceiling).
+    * The branches are disjoint on span and unioned; the long branch is
+    * empty (and near-free) for well-bucketed workloads. Emits `_ivb`. */
+  private def explodeBuckets(df: DataFrame, startCol: String, endCol: String,
+                             bucketWidth: Long, directBuckets: Int): DataFrame = {
+    require(directBuckets > 0, "directBuckets must be positive")
+    val b = s"CAST($bucketWidth AS BIGINT)"
+    val base = df.where(col(endCol) > col(startCol))
+      .withColumn("_b0", expr(s"`$startCol` div $b"))
+      .withColumn("_b1", expr(s"(`$endCol` - 1) div $b"))
+    val nb = col("_b1") - col("_b0") + lit(1L)
+    val short = base.where(nb <= directBuckets)
+      .withColumn("_ivb", explode(sequence(col("_b0"), col("_b1"))))
+    val long = base.where(nb > directBuckets)
+      .withColumn("_ck", greatest(ceil(sqrt(nb.cast("double"))).cast("long"), lit(1L)))
+      .withColumn("_cb", explode(sequence(col("_b0"), col("_b1"), col("_ck"))))
+      .repartition(col("_cb"))
+      .withColumn("_ivb", explode(sequence(
+        col("_cb"), least(col("_cb") + col("_ck") - 1, col("_b1")))))
+      .drop("_ck", "_cb")
+    short.unionByName(long).drop("_b0", "_b1")
   }
 
   /** Interval OVERLAP join — half-open `[ls, le) × [rs, re)` pairs with
@@ -297,15 +326,11 @@ object Ops {
     * sides. Same non-negative-domain contract as [[intervalJoin]]. */
   def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
                           right: DataFrame, rStart: String, rEnd: String,
-                          bucketWidth: Long): DataFrame = {
+                          bucketWidth: Long, directBuckets: Int = 256): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = s"CAST($bucketWidth AS BIGINT)"
-    def explodeBuckets(df: DataFrame, s: String, e: String) = df
-      .where(col(e) > col(s))
-      .withColumn("_ivb", explode(sequence(
-        expr(s"`$s` div $b"), expr(s"(`$e` - 1) div $b"))))
-    explodeBuckets(left, lStart, lEnd)
-      .join(explodeBuckets(right, rStart, rEnd), Seq("_ivb"))
+    explodeBuckets(left, lStart, lEnd, bucketWidth, directBuckets)
+      .join(explodeBuckets(right, rStart, rEnd, bucketWidth, directBuckets), Seq("_ivb"))
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
         col("_ivb") === expr(s"greatest(`$lStart`, `$rStart`) div $b"))
       .drop("_ivb")

@@ -9,9 +9,10 @@ object Text {
 
   /** TF-IDF scoring table: one row per (doc, term) with term frequency,
     * document frequency and tf·ln(N/df), over whitespace tokens of the
-    * lower-cased text. `nDocs` is the corpus size used for the idf
-    * numerator (pass `docs.count()`; kept explicit so incremental runs can
-    * pin the corpus-wide N while scoring a batch).
+    * lower-cased text. This overload takes an EXPLICIT `nDocs` so
+    * incremental runs can pin the corpus-wide N while scoring a batch; the
+    * no-N overload derives N in-plan and is the one batch callers want (no
+    * driver-side count pre-pass).
     *
     * Scale shape: text is repartitioned by doc id BEFORE tokenizing, so the
     * (doc, term) aggregate runs in place (hash(doc) co-locates every
@@ -25,19 +26,38 @@ object Text {
     * contract (ln differs by ulps between libms), same as the cosine
     * scores in the ANN queries. */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String,
-            nDocs: Long): DataFrame = {
+            nDocs: Long): DataFrame =
+    tfIdfWithN(docs, idCol, textCol, lit(nDocs).cast("double"))
+
+  /** As [[tfIdf]] but with N derived IN-PLAN: a one-row `count(*)`
+    * aggregate over `docs` broadcast-cross-joined into the scoring
+    * projection — the oracle SQL's `CROSS JOIN n` shape. One Spark action
+    * covers everything; callers never run a driver-side `docs.count()`
+    * pre-pass (an extra full corpus scan per invocation at 100 TB). The
+    * count scan prunes to zero columns, so its cost is parquet row-group
+    * metadata, not data. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("_corpus_n"))
+    tfIdfWithN(docs, idCol, textCol, col("_corpus_n"), Some(n))
+  }
+
+  private def tfIdfWithN(docs: DataFrame, idCol: String, textCol: String,
+                         nExpr: org.apache.spark.sql.Column,
+                         nFrame: Option[DataFrame] = None): DataFrame = {
     val toks = docs.repartition(col(idCol))
       .select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfTbl, "term")
-      .select(col(idCol), col("term"), col("tf"), col("df"),
-        F.round(col("tf") * F.log(lit(nDocs).cast("double") / col("df")), 6)
-          .as("tfidf"))
+    val scored = tf.join(dfTable(tf), "term")
+    val withN = nFrame.fold(scored)(n => scored.crossJoin(broadcast(n)))
+    withN.select(col(idCol), col("term"), col("tf"), col("df"),
+      F.round(col("tf") * F.log(nExpr / col("df")), 6).as("tfidf"))
   }
+
+  private def dfTable(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** Verbatim duplicated-span detection — the exact-substring dedup shape
     * used by dataset-curation pipelines (flag any `n`-char window whose

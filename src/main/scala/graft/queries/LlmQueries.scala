@@ -556,7 +556,7 @@ object LlmQueries {
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      Text.tfIdf(docs, "doc_id", "text", nDocs = docs.count())
+      Text.tfIdf(docs, "doc_id", "text")
         .orderBy("doc_id", "term")
     },
 

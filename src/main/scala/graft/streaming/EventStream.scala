@@ -65,27 +65,73 @@ object EventStream {
     * signature contract ([[graft.ops.Dedup.minHashSignatures]]): every
     * micro-batch of (id, text) documents is LSH-joined against the
     * precomputed corpus signature table, near-dups (exact-verified Jaccard
-    * >= `threshold`) are dropped, and only survivors reach `sink`. Per-
-    * batch cost scales with the batch plus the signature table — corpus
-    * TEXT is never read, exactly like the batch ingestion path (q55), so
-    * the same signature table serves scheduled batches and a continuous
-    * stream without a code fork. `sink` receives (survivors, batchId);
-    * a production sink appends survivors to the corpus and their
-    * signatures to the signature table, making the stream self-extending.
-    */
+    * >= `threshold`) are dropped, and the batch is then near-deduped
+    * AGAINST ITSELF (cluster-correct: one canonical survivor per
+    * intra-batch near-dup cluster) — without the intra-batch pass, two
+    * near-duplicate novel docs arriving in the SAME micro-batch would both
+    * survive and both enter the corpus. Per-batch cost scales with the
+    * batch plus the signature table — corpus TEXT is never read, exactly
+    * like the batch ingestion path (q55), so the same signature table
+    * serves scheduled batches and a continuous stream without a code fork.
+    * `sink` receives (survivors, batchId); a production sink appends
+    * survivors to the corpus and their signatures to the signature table —
+    * [[streamingNearDedupSelfExtending]] packages exactly that loop. */
   def streamingNearDedup(batches: DataFrame, corpusSigs: DataFrame,
                          idCol: String, textCol: String,
                          shingleN: Int = 8, threshold: Double = 0.8)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val pairs = graft.ops.Dedup.minHashLshPairsAgainstSignatures(
-        batch, corpusSigs, idCol, textCol, shingleN = shingleN,
-        threshold = threshold)
-      val survivors = batch.join(
-        pairs.select(col("new_id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
+      sink(dedupBatch(batch, corpusSigs, idCol, textCol, shingleN, threshold),
+        batchId)
+    }
+
+  /** The SELF-EXTENDING streaming ingestion loop: like
+    * [[streamingNearDedup]], but the signature table lives at `sigDir`
+    * (parquet, re-listed each micro-batch) and every batch's survivors have
+    * their signatures APPENDED there before `sink` runs — so batch N+1
+    * near-dedups against the original corpus AND every earlier batch's
+    * survivors. Seed `sigDir` with
+    * `Dedup.minHashSignatures(corpus, …).write.parquet(sigDir)` (an empty
+    * corpus works — write the empty signature frame). The append is one
+    * batch-sized parquet write per micro-batch; compact `sigDir`
+    * periodically with [[graft.sinks.Compaction]] as the file count grows. */
+  def streamingNearDedupSelfExtending(batches: DataFrame, sigDir: String,
+                                      idCol: String, textCol: String,
+                                      shingleN: Int = 8, k: Int = 64,
+                                      threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val sigs = spark.read.parquet(sigDir)
+      // Eager localCheckpoint, not persist: it SEVERS the plan's lineage,
+      // which still reads sigDir through the anti-join — Spark (rightly)
+      // refuses a write to a path the same plan reads. Materialized once,
+      // it also serves both consumers (signature append + sink); batch
+      // survivors are micro-batch-sized, well within executor storage.
+      val survivors = dedupBatch(batch, sigs, idCol, textCol, shingleN,
+        threshold, k).localCheckpoint()
+      graft.ops.Dedup.minHashSignatures(survivors, idCol, textCol,
+        shingleN, k).write.mode("append").parquet(sigDir)
       sink(survivors, batchId)
     }
+
+  /** One micro-batch's dedup: corpus anti-join, then cluster-correct
+    * intra-batch near-dedup ([[graft.ops.Dedup.dedupFilter]] — a batch is
+    * driver-bounded, so its pair graph takes the union-find fast path). */
+  private def dedupBatch(batch: DataFrame, corpusSigs: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int, threshold: Double,
+                         k: Int = 64): DataFrame = {
+    val pairs = graft.ops.Dedup.minHashLshPairsAgainstSignatures(
+      batch, corpusSigs, idCol, textCol, shingleN = shingleN, k = k,
+      threshold = threshold)
+    val novel = batch.join(
+      pairs.select(col("new_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val intra = graft.ops.Dedup.minHashLshPairs(novel, idCol, textCol,
+      shingleN = shingleN, k = k, threshold = threshold)
+    graft.ops.Dedup.dedupFilter(novel, idCol, intra)
+  }
 
   /** Batch/stream parity entry: the driver's events parquet read as a
     * STREAM (file source discovers new part-files as they land), pushed

@@ -108,6 +108,70 @@ class EventStreamSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(2L), s"got: $got")
   }
 
+  test("streamingNearDedup: intra-batch near-dups collapse to one canonical survivor") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1001L, "completely different content with nothing shared whatsoever xyz"))
+      .toDF("doc_id", "text")
+    val sigs = graft.ops.Dedup.minHashSignatures(corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.SortedSet.empty[Long]
+    val q = EventStream.streamingNearDedup(docs, sigs, "doc_id", "text",
+        threshold = 0.5) { (survivors, _) =>
+      val ids = survivors.select("doc_id").as[Long].collect()
+      got.synchronized { ids.foreach(got += _) }
+    }.start()
+    // Docs 1 and 2 are novel near-dups OF EACH OTHER in the same batch —
+    // without the intra-batch pass both would survive and both would enter
+    // the corpus. Doc 3 is genuinely unique.
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dot again and again"),
+      (3L, "woolly mammoths roamed pleistocene steppes chewing sedge tufts"))
+    q.processAllAvailable(); q.stop()
+    assert(got.toSeq == Seq(1L, 3L), s"got: $got") // canonical = smallest id
+  }
+
+  test("self-extending loop: batch 2 near-dedups against batch 1's survivors") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1001L, "completely different content with nothing shared whatsoever xyz"))
+      .toDF("doc_id", "text")
+    val sigDir = java.nio.file.Files.createTempDirectory("sigs-ext")
+      .resolve("t").toString
+    graft.ops.Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .write.parquet(sigDir)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.SortedSet.empty[(Long, Long)]
+    val q = EventStream.streamingNearDedupSelfExtending(docs, sigDir,
+        "doc_id", "text", threshold = 0.5) { (survivors, bid) =>
+      val ids = survivors.select("doc_id").as[Long].collect()
+      got.synchronized { ids.foreach(i => got += (bid -> i)) }
+    }.start()
+    // Batch 1: a novel doc — survives, and its SIGNATURE is appended.
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+    q.processAllAvailable()
+    // Batch 2: a near-dup of batch 1's SURVIVOR (not of the seeded corpus)
+    // must now be dropped — the production contract the docstring
+    // promises — while a genuinely novel doc still gets through.
+    mem.addData(
+      (2L, "the quick brown fox jumps over the lazy dot again and again"),
+      (3L, "woolly mammoths roamed pleistocene steppes chewing sedge tufts"))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    q.stop()
+    assert(got.toSeq == Seq(0L -> 1L, 1L -> 3L), s"got: $got")
+    // The signature table now covers the seed corpus + both survivors.
+    assert(spark.read.parquet(sigDir).select("_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 1001L))
+  }
+
   test("corpus-clean expressions run unchanged in a streaming pipeline") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

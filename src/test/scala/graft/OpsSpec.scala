@@ -274,6 +274,43 @@ class OpsSpec extends SparkSpec {
       // Exact same pair set AND no duplicate meetings (canonical bucket).
       assert(gotRows.length == gotRows.toSet.size, s"dup pairs trial $trial")
       assert(gotRows.toSet == naiveO, s"overlap trial $trial")
+
+      // Same answers with directBuckets forced to 2: (nearly) every
+      // interval is routed through the two-stage √-split, so the long-path
+      // plumbing gets full correctness coverage, not just the pathology test.
+      val gotSplit = Ops.intervalJoin(pts, "ts", ivs, "s", "e",
+          bucketWidth = 16L, directBuckets = 2)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(gotSplit == naive, s"intervalJoin √-split trial $trial")
+      val gotOSplit = Ops.intervalOverlapJoin(l, "ls", "le", r, "rs", "re",
+          bucketWidth = 16L, directBuckets = 2)
+        .select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1)))
+      assert(gotOSplit.length == gotOSplit.toSet.size, s"split dup pairs trial $trial")
+      assert(gotOSplit.toSet == naiveO, s"overlap √-split trial $trial")
     }
+  }
+
+  test("intervalJoin self-defends against a corpus-length interval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // One interval covering the ENTIRE point domain at bucketWidth=1:
+    // 1M buckets. The direct explode would build a 1M-element array in a
+    // single task (the straggler the operator must defend against); the
+    // √-split path runs it as two ~1k-element explodes with the chunk rows
+    // redistributed — fast enough to live in the unit suite.
+    val span = 1000000L
+    val points = spark.range(0, span, 50000).select(
+      col("id").as("pid"), col("id").as("ts"))
+    val intervals = Seq(
+      ("all", 0L, span), // pathological: spans every bucket
+      ("tiny", 100000L, 100001L)) // typical: one bucket
+      .toDF("iid", "s", "e")
+    val out = Ops.intervalJoin(points, "ts", intervals, "s", "e",
+        bucketWidth = 1L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1)))
+    // Every point matches "all" exactly once; ts=100000 also matches "tiny".
+    assert(out.count(_._2 == "all") == 20)
+    assert(out.toSet.count(_._2 == "all") == 20) // no duplicate meetings
+    assert(out.filter(_._2 == "tiny").toSeq == Seq((100000L, "tiny")))
   }
 }
