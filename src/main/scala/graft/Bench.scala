@@ -1,5 +1,8 @@
 package graft
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Driver-run benchmark: times every declared query at SPARK_GRAFT_SF_DIR,
   * then emits ONE JSON line — as the process's last bare stdout line (the
@@ -7,9 +10,9 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * bench.json in the working directory. A failing query fails the bench
   * loudly (exit 1) instead of benching as "fast".
   *
-  * Measurement methodology (round-6 rework after two rounds of
-  * persist-lifecycle noise — r3's q45 ran 3.6× slower CACHED than cold,
-  * r5's q20 ran 1.7× slower "steady" than its own first run):
+  * Measurement methodology (round-6 rework + round-8 hardening after three
+  * rounds where ONE environment's numbers disagreed with another's at
+  * identical code — r3 q45, r5 q20, r7 q20 again):
   *
   *  1. one warm run per query (Janino codegen + JIT are per-process
   *     constants, not data costs — excluded by design);
@@ -17,16 +20,72 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     a single GC pause or page-cache miss can no longer move the
   *     round-over-round headline;
   *  3. between EVERY run: `cacheManager.clearCache()` drops the previous
-  *     run's internal persists (MinHash signature frames etc.) so the next
-  *     run honestly recomputes instead of re-materializing evicted columnar
-  *     caches under leftover heap pressure, and an explicit GC settles the
-  *     heap so run N's garbage isn't collected on run N+1's clock;
-  *  4. every invocation APPENDS its full per-query detail to
+  *     run's internal persists, blocking unpersist actually frees the
+  *     block-manager memory, an explicit GC settles the heap, and a short
+  *     SETTLE SLEEP lets the async ContextCleaner finish deleting the
+  *     previous run's shuffle/broadcast files — r7's q20 anomaly is
+  *     consistent with that cleanup IO landing inside the next timed run
+  *     on a loaded host;
+  *  4. the session caps `spark.memory.storageFraction` at 0.1 (cached
+  *     blocks stay evictable instead of squeezing execution memory — the
+  *     other r7-q20 suspect) and makes shuffle cleanup blocking so it runs
+  *     inside the isolation window, not inside a timed run;
+  *  5. per-run ENVIRONMENT ATTRIBUTION: task-level GC ms, executor task
+  *     ms, spill bytes, peak execution memory, shuffle write bytes, plus
+  *     driver GC delta and end-of-run storage memory, recorded for the
+  *     cold run and every timed run in bench.json / bench_history.jsonl —
+  *     so a disagreement between two environments at the same commit is
+  *     attributable (machine busy vs code regressed) instead of a mystery;
+  *  6. SELF-CHECK: a timed median > 2× the query's own cold run in the
+  *     same process is the persist-pathology signature, not a real
+  *     steady-state — the query is re-isolated and re-measured once, and
+  *     if the signature persists the bench FAILS (exit 2, artifacts still
+  *     written, "suspect" named in the JSON) rather than publish a number
+  *     the code doesn't explain;
+  *  7. every invocation APPENDS its full per-query detail to
   *     bench_history.jsonl (git-tracked) — bench.json alone is overwritten
   *     per run, which is why r4→r5's 31% regression could not be
   *     attributed per-query. History makes regressions diagnosable.
   */
 object Bench {
+
+  /** Accumulates executor task metrics between [[reset]] and [[snap]] —
+    * the per-run attribution line. Listener events are posted async; the
+    * caller sleeps briefly after the run (outside the timer) so in-flight
+    * task-end events drain before the snapshot. */
+  private final class TaskMetricsListener extends SparkListener {
+    val gcMs, taskMs, memSpill, diskSpill, peakExec, shufWrite = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        taskMs.addAndGet(m.executorRunTime)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit =
+      Seq(gcMs, taskMs, memSpill, diskSpill, peakExec, shufWrite).foreach(_.set(0))
+  }
+
+  /** One run's environment line (all sizes in bytes, times in ms). */
+  private final case class RunEnv(gcMs: Long, taskMs: Long, spill: Long,
+                                  peakExec: Long, shufWrite: Long,
+                                  driverGcMs: Long, storageUsed: Long) {
+    def json: String =
+      s"""{"gc_ms":$gcMs,"task_ms":$taskMs,"spill_b":$spill,""" +
+        s""""peak_exec_b":$peakExec,"shuf_write_b":$shufWrite,""" +
+        s""""driver_gc_ms":$driverGcMs,"storage_b":$storageUsed}"""
+  }
+
+  private def driverGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,8 +93,18 @@ object Bench {
       .map(v => scala.util.Try(v.toInt).getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an int, got: '$v'")))
       .getOrElse(3).max(1)
-    val spark = GraftSession.build(cpus.toInt, "graft-bench")
+    val spark = GraftSession.build(cpus.toInt, "graft-bench", Map(
+      // Storage memory stays evictable: a persisted frame (q20's signature
+      // table) can never squeeze execution memory into spill thrash on a
+      // memory-pressured host — it degrades to disk reads instead.
+      "spark.memory.storageFraction" -> "0.1",
+      // Shuffle-file cleanup becomes synchronous on the cleaner thread, so
+      // the GC-triggered cleanup of run N's files completes inside the
+      // isolation window instead of stealing IO from run N+1's clock.
+      "spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Warm the session (scan paths, codegen, shuffle machinery) so the
     // first measured query doesn't absorb one-time JVM/IO costs.
     SparkEntry.entry(spark).count()
@@ -45,7 +114,8 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
 
     /** Drop every cached frame the previous run left behind and settle the
-      * heap, so one run's persists/garbage can't distort the next run. */
+      * heap, so one run's persists/garbage/cleanup-IO can't distort the
+      * next run. */
     def isolate(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       // clearCache() drops SQL-level cache entries but block eviction is
@@ -54,6 +124,10 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
+      // Settle: the GC above queues shuffle/broadcast cleanup on the
+      // ContextCleaner thread; give it a beat to drain so its file
+      // deletions don't land inside the next timed run.
+      Thread.sleep(200)
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -62,38 +136,83 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def storageUsed(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+
+    /** One isolated, instrumented run. Returns (seconds, env) — env is
+      * snapshotted AFTER the clock stops (a short drain sleep is invisible
+      * to the timer). */
+    def timedRun(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 dir: String, name: String, failHard: Boolean): (Double, RunEnv) = {
       isolate()
-      val tc = System.nanoTime()
-      try fn(spark, warmDir).count()
-      catch { case _: Throwable => () } // warm failures surface in the timed runs
-      val cold = (System.nanoTime() - tc) / 1e9
-      val runs = (1 to reps).map { _ =>
-        isolate()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            spark.stop()
-            sys.exit(1)
-        }
-        (System.nanoTime() - t0) / 1e9
+      listener.reset()
+      val dgc0 = driverGcMs()
+      val t0 = System.nanoTime()
+      try fn(spark, dir).count()
+      catch {
+        case e: Throwable if failHard =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          spark.stop()
+          sys.exit(1)
+        case _: Throwable => () // warm/cold failures surface in the timed runs
       }
-      name -> (median(runs), cold, runs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // drain async task-end events before the snapshot
+      val env = RunEnv(listener.gcMs.get, listener.taskMs.get,
+        listener.memSpill.get + listener.diskSpill.get,
+        listener.peakExec.get, listener.shufWrite.get,
+        driverGcMs() - dgc0, storageUsed())
+      (sec, env)
     }
-    def jmap(f: ((String, (Double, Double, Seq[Double]))) => String) =
-      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
-        .mkString("{", ",", "}")
-    val qs = jmap { case (_, v) => v._1.toString }
-    val qsCold = jmap { case (_, v) => v._2.toString }
-    val qsRuns = jmap { case (_, v) => v._3.mkString("[", ",", "]") }
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalCold = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+
+    final case class QResult(med: Double, cold: Double, runs: Seq[Double],
+                             coldEnv: RunEnv, runEnvs: Seq[RunEnv],
+                             retried: Boolean, suspect: Boolean)
+
+    // The persist-pathology signature: steady-state slower than the SAME
+    // process's own cold run by 2x and by a non-noise margin.
+    def pathological(med: Double, cold: Double): Boolean =
+      med > 2.0 * cold && med - cold > 0.5
+
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
+      val (cold, coldEnv) = timedRun(fn, warmDir, name, failHard = false)
+      def reps3() = (1 to reps).map(_ => timedRun(fn, sfDir, name, failHard = true))
+      var runs = reps3()
+      var med = median(runs.map(_._1))
+      var retried = false
+      if (pathological(med, cold)) {
+        // Re-isolate hard and try once more — a transiently loaded host
+        // (page-cache storm, co-tenant burst) should not fail the bench.
+        System.err.println(f"[bench] $name median $med%.2fs > 2x cold $cold%.2fs — re-measuring once")
+        retried = true
+        Thread.sleep(1000)
+        val again = reps3()
+        if (median(again.map(_._1)) < med) { runs = again; med = median(runs.map(_._1)) }
+      }
+      QResult(med, cold, runs.map(_._1), coldEnv, runs.map(_._2),
+        retried, pathological(med, cold))
+    }
+
+    val results = SparkEntry.queries.map { case (name, fn) => name -> measure(name, fn) }
+
+    def jmap(f: QResult => String) =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = jmap(_.med.toString)
+    val qsCold = jmap(_.cold.toString)
+    val qsRuns = jmap(_.runs.mkString("[", ",", "]"))
+    val qsEnv = jmap(r =>
+      s"""{"cold":${r.coldEnv.json},"runs":${r.runEnvs.map(_.json).mkString("[", ",", "]")}}""")
+    val suspects = results.collect { case (k, v) if v.suspect => k }.toSeq
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(_.med).sum else 0.0
+    val totalCold = if (results.nonEmpty) results.values.map(_.cold).sum else 0.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
-        s""""runs":$reps,"queries_runs":$qsRuns,"sf":"$sfDir"}"""
+        s""""runs":$reps,"queries_runs":$qsRuns,"queries_env":$qsEnv,""" +
+        s""""suspect":$suspectsJson,"sf":"$sfDir"}"""
     // Anchor outputs to the repo root (not the process CWD) so the
     // git-tracked history archive can't silently land elsewhere when a
     // caller invokes the bench from another directory.
@@ -111,7 +230,9 @@ object Bench {
     // front-truncated — "parsed": null three rounds running. The final
     // stdout line must therefore be SHORT (<200 bytes): headline metric
     // only. Per-query detail lives in bench.json / bench_history.jsonl.
-    val short = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    val shortSuspect =
+      if (suspects.isEmpty) "" else s""","suspect":$suspectsJson"""
+    val short = s"""{"metric":"total","value":$total,"unit":"sec"$shortSuspect,"sf":"$sfDir"}"""
     // Silence ALL further logging (incl. the post-main ShutdownHookManager
     // INFO lines that otherwise print AFTER our JSON when the driver merges
     // stdout+stderr), stop Spark, THEN print — the JSON line is the final
@@ -120,5 +241,12 @@ object Bench {
     spark.stop()
     println(short)
     Console.out.flush()
+    if (suspects.nonEmpty) {
+      // The gate from the round-7 review: a timed median that the query's
+      // own cold run can't explain is a measurement artifact — fail loudly
+      // (artifacts above are already written) instead of publishing it.
+      System.err.println(s"[bench] FAIL: unexplainable medians (median > 2x own cold run) for: ${suspects.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

@@ -33,6 +33,19 @@ object ScaleSmoke {
     val nj = graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
       shingleN = 8, threshold = 0.8).count()
     println(f"ngram_jaccard_100k: pairs=$nj time=${(System.nanoTime()-tj)/1e9}%.1f s")
+    // TF-IDF at 100k docs (~4M (doc,term) rows): the in-plan-N overload —
+    // one action covers token explode, tf/df aggregation and the enrich
+    // join; the largest exploded intermediate per input byte next to spans.
+    val tt = System.nanoTime()
+    val nt = graft.ops.Text.tfIdf(d, "doc_id", "text").count()
+    println(f"tfidf_100k: rows=$nt time=${(System.nanoTime()-tt)/1e9}%.1f s")
+    // Duplicated spans over the SAME dup-dense fixture: every template's
+    // ~400-char body repeats across its 10 variants, so nearly every
+    // 50-char window is flagged — the worst case for the interval-merge
+    // stage (maximum flagged-minority size).
+    val ts = System.nanoTime()
+    val ns = graft.ops.Text.duplicatedSpans(d, "doc_id", "text", n = 50).count()
+    println(f"dup_spans_100k: spans=$ns time=${(System.nanoTime()-ts)/1e9}%.1f s")
     // 200k embeddings: 20k cluster centers x 10 jittered members each —
     // the SRP near-dup path must find within-cluster pairs without any
     // quadratic blowup (multi-table banding + hot-bucket guard).
