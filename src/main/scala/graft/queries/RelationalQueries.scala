@@ -385,6 +385,33 @@ object RelationalQueries {
           bucketWidth = 86400000000L)
         .select($"user_id", $"itype", $"k")
         .orderBy($"user_id", $"itype", $"k")
+    },
+
+    // ── long-interval self-defense under the oracle: an "audit" interval
+    //    covering the ENTIRE event range at 1-hour buckets (hundreds of
+    //    buckets — far over directBuckets=256, so it takes the two-stage
+    //    √-split path) joined alongside a typical one-bucket interval.
+    //    Proves the split path is EXACT, not just fast, on real data. ──
+    QueryDef("q66_long_interval",
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT min(ts_us) AS t0, max(ts_us) + 1 AS t1 FROM ev),
+        |ivs AS (
+        |  SELECT 'audit' AS itype, t0 AS s, t1 AS e FROM b
+        |  UNION ALL
+        |  SELECT 'early' AS itype, t0 AS s, t0 + 3600000000 AS e FROM b)
+        |SELECT event_id, itype
+        |FROM ev JOIN ivs ON ev.ts_us >= ivs.s AND ev.ts_us < ivs.e
+        |ORDER BY event_id, itype""".stripMargin) { (s, d) =>
+      val ev = eventsNs(s, d).select($"event_id",
+        expr("ts div 1000").as("ts_us"))
+      val b = ev.agg(min($"ts_us").as("t0"), (max($"ts_us") + 1).as("t1"))
+      val ivs = b.select(lit("audit").as("itype"), $"t0".as("s"), $"t1".as("e"))
+        .unionAll(b.select(lit("early").as("itype"), $"t0".as("s"),
+          ($"t0" + 3600000000L).as("e")))
+      Ops.intervalJoin(ev, "ts_us", ivs, "s", "e",
+          bucketWidth = 3600000000L) // 1-hour buckets
+        .select($"event_id", $"itype")
+        .orderBy($"event_id", $"itype")
     }
   )
 
