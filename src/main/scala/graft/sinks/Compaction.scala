@@ -40,18 +40,43 @@ object Compaction {
   /** Rewrite parquet directory `dir` into ~`targetBytes`-sized files.
     * Returns the number of files written. */
   def compactParquetDir(spark: SparkSession, dir: String, targetBytes: Long,
-                        sortCols: Seq[String] = Nil): Int = {
+                        sortCols: Seq[String] = Nil): Int =
+    rewrite(spark, dir, targetBytes, (df, nFiles) =>
+      if (sortCols.nonEmpty) {
+        val cs = sortCols.map(col)
+        df.repartitionByRange(nFiles, cs: _*).sortWithinPartitions(cs: _*)
+      } else df.repartition(nFiles))
+
+  /** Compact a HIVE-PARTITIONED parquet dir (`dir/k=v/…`) one leaf
+    * partition at a time, preserving the partition layout — compacting the
+    * root directly would inline the partition columns into the data files
+    * and destroy partition pruning. Serial over partitions by design: each
+    * inner compact is already a full-cluster job, and lake hygiene runs
+    * off the critical path. Returns total files written. */
+  def compactPartitionedParquetDir(spark: SparkSession, dir: String,
+                                   targetBytes: Long,
+                                   sortCols: Seq[String] = Nil): Int = {
+    val root = new Path(dir)
+    val fs = fileSystem(spark, root)
+    val parts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(parts.nonEmpty, s"no k=v partition dirs under $dir")
+    parts.map(p =>
+      compactParquetDir(spark, p.getPath.toString, targetBytes, sortCols)).sum
+  }
+
+  /** Shared rewrite-and-swap: size the file budget from on-disk bytes, let
+    * `layout` shape the dataframe into that many partitions, write to a
+    * sibling temp dir, swap. Package-private so layout variants
+    * ([[ZOrder.compactParquetDirZOrder]]) reuse the swap machinery. */
+  private[sinks] def rewrite(spark: SparkSession, dir: String, targetBytes: Long,
+                             layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val src = new Path(dir)
     val fs = fileSystem(spark, src)
     val bytes = parquetBytes(spark, dir)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dir)
-    val out =
-      if (sortCols.nonEmpty) {
-        val cs = sortCols.map(col)
-        df.repartitionByRange(nFiles, cs: _*).sortWithinPartitions(cs: _*)
-      } else df.repartition(nFiles)
+    val out = layout(spark.read.parquet(dir), nFiles)
     val tmp = sibling(src, "._compact_tmp")
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Swap: old dir out of the way, tmp in, old removed. Each step is one

@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the multi-column companion to
+  * [[Compaction]]'s single-key range clustering. Range-sorting a table on
+  * `a` makes parquet min/max row-group statistics prune reads for
+  * predicates on `a` but does nothing for `b`; interleaving the bits of
+  * BOTH columns' quantized values into one sort key gives every clustered
+  * column a per-file value span of roughly `global_span / files^(1/k)` —
+  * so a 2-D predicate (`a BETWEEN … AND b BETWEEN …`) skips most files at
+  * the scan, the standard lake-layout trick for multi-dimensional access
+  * paths at 100 TB (a `WHERE domain_bucket AND date` scan should not read
+  * the whole corpus because the layout could only cluster one of them).
+  *
+  * Quantization is linear between the column's min and max (one tiny
+  * aggregate row, broadcast into the projection — no extra shuffle beyond
+  * the clustering repartition itself). Heavily skewed columns quantize
+  * poorly under a linear scale — pre-transform them (log, bucket id) or
+  * range-cluster on the dominant column instead; the operator stays
+  * deliberately one-pass.
+  *
+  * Everything is plain `Column` arithmetic (casts, shifts, bitwise or) —
+  * fully codegen'd, no UDFs. */
+object ZOrder {
+
+  /** Cluster `df` into `nPartitions` range partitions of the z-value over
+    * `cols` (each quantized to `bits` bits; `cols.size * bits` must fit a
+    * long). Rows inside each partition are z-sorted, so a parquet write of
+    * the result yields one value-clustered file per partition. Clustered
+    * columns must be numeric/date/timestamp (anything castable to double);
+    * nulls quantize to bucket 0 (they cluster together at the curve's
+    * origin). */
+  def zCluster(df: DataFrame, cols: Seq[String], nPartitions: Int,
+               bits: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "need at least one z-order column")
+    require(cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a long (63 usable bits)")
+    require(nPartitions > 0, "nPartitions must be positive")
+    val stats = df.agg(
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"_zmin_$c"),
+        max(col(c).cast("double")).as(s"_zmax_$c"))).head,
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"_zmin_$c"),
+        max(col(c).cast("double")).as(s"_zmax_$c"))).tail: _*)
+    val maxQ = (1L << bits) - 1
+    def quantized(c: String): Column = {
+      val lo = col(s"_zmin_$c")
+      val span = col(s"_zmax_$c") - lo
+      val scaled = when(span <= 0.0 || col(c).isNull, lit(0L))
+        .otherwise(least(
+          floor((col(c).cast("double") - lo) / span * maxQ).cast("long"),
+          lit(maxQ)))
+      greatest(scaled, lit(0L))
+    }
+    // Morton interleave: bit i of column j lands at position i*k + j.
+    val k = cols.size
+    val z = (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(quantized(c), i).bitwiseAND(lit(1L)),
+          i * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_zval", z)
+      .repartitionByRange(nPartitions, col("_zval"))
+      .sortWithinPartitions(col("_zval"))
+      .drop("_zval" +: cols.flatMap(c => Seq(s"_zmin_$c", s"_zmax_$c")): _*)
+  }
+
+  /** [[Compaction.compactParquetDir]] with z-order clustering: rewrite
+    * `dir` to ⌈bytes/targetBytes⌉ files, each clustered on the Morton
+    * curve over `zCols`. Returns the number of files written. */
+  def compactParquetDirZOrder(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, targetBytes: Long,
+                              zCols: Seq[String], bits: Int = 16): Int =
+    Compaction.rewrite(spark, dir, targetBytes,
+      (df, n) => zCluster(df, zCols, n, bits))
+}

@@ -64,4 +64,24 @@ class CompactionSpec extends SparkSpec {
     assert(!Files.exists(local.resolveSibling("t._compact_tmp")))
     assert(!Files.exists(local.resolveSibling("t._compact_old")))
   }
+
+  test("compactPartitionedParquetDir: per-partition compaction keeps the layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact-part").resolve("t").toString
+    spark.range(0, 9000, 1, 12)
+      .select(col("id"), (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    assert(Compaction.parquetFileCount(spark, dir) >= 30) // ~12 per partition
+    val beforeSum = spark.read.parquet(dir).agg(sum("id")).as[Long].head()
+
+    val n = Compaction.compactPartitionedParquetDir(spark, dir,
+      targetBytes = Long.MaxValue)
+    assert(n == 3) // one file per partition
+    assert(Compaction.parquetFileCount(spark, dir) == 3)
+    // Partition layout intact: pruning still works and content unchanged.
+    val back = spark.read.parquet(dir)
+    assert(back.agg(sum("id")).as[Long].head() == beforeSum)
+    assert(back.where(col("p") === 1).count() == 3000)
+    assert(Files.isDirectory(java.nio.file.Paths.get(dir, "p=1")))
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.{Compaction, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: after a z-clustered write, EVERY clustered column's
+  * per-file min/max span is a fraction of its global span — the property
+  * parquet min/max pruning needs for multi-dimensional predicates (a plain
+  * range sort gives it to one column only). */
+class ZOrderSpec extends SparkSpec {
+
+  /** (file -> per-column span) for each data file of a parquet dir. */
+  private def fileSpans(dir: String, c: String): Seq[Long] =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max(col(c)) - min(col(c))).as("span"))
+      .collect().map(_.getLong(1)).toSeq
+
+  test("zCluster: per-file spans shrink on BOTH dimensions") {
+    // 256x256 uniform independent grid: a alone knows nothing about b.
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("a"), expr("id div 256").as("b"))
+    val dir = Files.createTempDirectory("zorder").resolve("t").toString
+    ZOrder.zCluster(df, Seq("a", "b"), nPartitions = 64).write.parquet(dir)
+
+    val spansA = fileSpans(dir, "a")
+    val spansB = fileSpans(dir, "b")
+    assert(spansA.size >= 32, s"expected ~64 files, got ${spansA.size}")
+    // Aligned quad-tree cells at 64 files are 32x32 (span 31). A file whose
+    // z-range straddles a quadrant boundary legitimately spans wider in one
+    // dim (the Morton curve jumps there — the file crossing the midpoint
+    // touches both halves), so the clustering property is STATISTICAL:
+    // median/mean spans collapse on BOTH dims, vs ~255 everywhere for a
+    // single-column sort or no sort. Straddlers are the bounded minority
+    // (one per boundary, 63 boundaries, most at fine levels).
+    def stats(s: Seq[Long]) = (s.sorted.apply(s.size / 2), s.sum / s.size,
+      s.count(_ <= 64))
+    val (medA, meanA, okA) = stats(spansA)
+    val (medB, meanB, okB) = stats(spansB)
+    assert(medA <= 64 && meanA <= 64, s"a: median=$medA mean=$meanA")
+    assert(medB <= 64 && meanB <= 64, s"b: median=$medB mean=$meanB")
+    assert(okA * 4 >= spansA.size * 3, s"only $okA/${spansA.size} a-files <= 64")
+    assert(okB * 4 >= spansB.size * 3, s"only $okB/${spansB.size} b-files <= 64")
+
+    // Clustering reorders, never changes content.
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 65536)
+    assert(back.agg(sum(col("a") * 65536 + col("b"))).head().getLong(0) ==
+      df.agg(sum(col("a") * 65536 + col("b"))).head().getLong(0))
+  }
+
+  test("compactParquetDirZOrder: fragmented dir -> few z-clustered files") {
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("a"), expr("id div 256").as("b"))
+    val dir = Files.createTempDirectory("zorder-compact").resolve("t").toString
+    df.repartition(50).write.parquet(dir) // fragmented, unclustered
+    assert(Compaction.parquetFileCount(spark, dir) == 50)
+
+    val bytes = Compaction.parquetBytes(spark, dir)
+    val n = ZOrder.compactParquetDirZOrder(spark, dir, (bytes + 15) / 16,
+      zCols = Seq("a", "b"))
+    assert(n >= 8 && n <= 32, s"files written: $n")
+    assert(Compaction.parquetFileCount(spark, dir) == n)
+    assert(spark.read.parquet(dir).count() == 65536)
+    // Both dims clustered post-compaction (pre-compaction each random
+    // 1311-row file spans ~the full 0..255 range on both dims; after, at
+    // ~16 files the aligned cell is 64x64, straddlers bounded as above).
+    val sa = fileSpans(dir, "a"); val sb = fileSpans(dir, "b")
+    assert(sa.sorted.apply(sa.size / 2) <= 127, s"a median ${sa.sorted}")
+    assert(sb.sorted.apply(sb.size / 2) <= 127, s"b median ${sb.sorted}")
+    assert(sa.count(_ <= 127) * 2 >= sa.size, s"a spans ${sa.sorted}")
+    assert(sb.count(_ <= 127) * 2 >= sb.size, s"b spans ${sb.sorted}")
+  }
+
+  test("zCluster rejects bit budgets that overflow a long") {
+    val df = spark.range(4).select(col("id").as("a"))
+    intercept[IllegalArgumentException] {
+      ZOrder.zCluster(df, Seq("a", "a", "a", "a"), 2, bits = 16)
+    }
+  }
+}
