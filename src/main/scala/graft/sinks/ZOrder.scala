@@ -70,6 +70,54 @@ object ZOrder {
       .drop("_zval" +: cols.flatMap(c => Seq(s"_zmin_$c", s"_zmax_$c")): _*)
   }
 
+  /** Skew-robust variant: quantize each column by its RANK (equi-depth
+    * quantile buckets from one `approx_percentile` aggregate — still a
+    * single broadcast stats row) instead of a linear min/max scale, so a
+    * heavy-tailed column (bytes, view counts) spreads evenly over the
+    * curve instead of collapsing into bucket 0. The bucket index is a
+    * codegen'd count of boundaries <= value (`aggregate` over the
+    * boundary array — `buckets` comparisons per row per column, so keep
+    * `bits` modest; 8 bits = 256-way is plenty for file-level layout). */
+  def zClusterByQuantiles(df: DataFrame, cols: Seq[String], nPartitions: Int,
+                          bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "need at least one z-order column")
+    require(cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a long (63 usable bits)")
+    require(nPartitions > 0, "nPartitions must be positive")
+    val buckets = 1 << bits
+    // Interior boundaries only (1/B … (B-1)/B): bucket = #{boundaries <= v}
+    // lands uniform data uniformly in 0..B-1.
+    val fractions = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val stats = df.agg(
+      percentile_approx(col(cols.head).cast("double"), fractions, lit(10000))
+        .as(s"_zq_${cols.head}"),
+      cols.tail.map(c =>
+        percentile_approx(col(c).cast("double"), fractions, lit(10000))
+          .as(s"_zq_$c")): _*)
+    def bucketOf(c: String): Column =
+      when(col(c).isNull, lit(0L)).otherwise(aggregate(
+        col(s"_zq_$c"), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)))
+    val k = cols.size
+    // Stage the bucket indexes in their own projection so the B-comparison
+    // scan runs ONCE per column, not once per interleaved bit.
+    val bucketed = df.crossJoin(broadcast(stats))
+      .select(df.columns.map(col) ++
+        cols.map(c => bucketOf(c).as(s"_zb_$c")): _*)
+    val z = (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(col(s"_zb_$c"), i).bitwiseAND(lit(1L)),
+          i * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    bucketed
+      .withColumn("_zval", z)
+      .repartitionByRange(nPartitions, col("_zval"))
+      .sortWithinPartitions(col("_zval"))
+      .drop("_zval" +: cols.map(c => s"_zb_$c"): _*)
+  }
+
   /** [[Compaction.compactParquetDir]] with z-order clustering: rewrite
     * `dir` to ⌈bytes/targetBytes⌉ files, each clustered on the Morton
     * curve over `zCols`. Returns the number of files written. */

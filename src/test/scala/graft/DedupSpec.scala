@@ -89,6 +89,7 @@ class DedupSpec extends SparkSpec {
     val edges = spark.range(0, n, 1, 8)
       .where(col("id") % 64 =!= 63 && col("id") + 1 < n)
       .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val comp = Dedup.connectedComponents(edges, "a", "b", localThreshold = 0L)
     val bad = comp
       .withColumn("want", col("id") - col("id") % 64)
@@ -96,6 +97,13 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(bad == 0L)
     assert(comp.count() == n) // every chain node got a component
+    // Per-round edge RDDs are unpersisted as the loop advances (the r7
+    // advice leak: df.rdd built a FRESH deserializer RDD, so unpersisting
+    // it was a no-op and every round's blocks lived to session end). Only
+    // the FINAL round's materialized edge set may remain.
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 1,
+      s"CC leaked per-round RDDs: $persistedBefore -> $persistedAfter")
   }
 
   test("connectedComponents fails loudly when the round budget is too small") {

@@ -74,6 +74,31 @@ class ZOrderSpec extends SparkSpec {
     assert(sb.count(_ <= 127) * 2 >= sb.size, s"b spans ${sb.sorted}")
   }
 
+  test("zClusterByQuantiles: heavy-tailed column clusters by rank") {
+    // a = (id%256)^2 — uniform RANK, quadratic VALUE skew: linear min/max
+    // quantization would crowd most rows into the low buckets. Equi-depth
+    // quantile buckets must cluster it as well as the uniform case,
+    // measured in rank space (sqrt(a) recovers the uniform 0..255 rank).
+    val df = spark.range(65536).select(
+      ((col("id") % 256) * (col("id") % 256)).as("a"),
+      expr("id div 256").as("b"))
+    val dir = Files.createTempDirectory("zorder-q").resolve("t").toString
+    ZOrder.zClusterByQuantiles(df, Seq("a", "b"), nPartitions = 64)
+      .write.parquet(dir)
+    val ranks = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max(sqrt(col("a"))) - min(sqrt(col("a")))).as("ra"),
+        (max(col("b")) - min(col("b"))).as("rb"))
+      .collect().map(r => (r.getDouble(1), r.getLong(2))).toSeq
+    val ra = ranks.map(_._1.toLong); val rb = ranks.map(_._2)
+    assert(ra.size >= 32)
+    assert(ra.sorted.apply(ra.size / 2) <= 64, s"a rank median ${ra.sorted.reverse.take(5)}")
+    assert(rb.sorted.apply(rb.size / 2) <= 64, s"b median ${rb.sorted.reverse.take(5)}")
+    assert(ra.sum / ra.size <= 80, s"a rank mean ${ra.sum / ra.size}")
+    assert(rb.sum / rb.size <= 80, s"b mean ${rb.sum / rb.size}")
+    assert(spark.read.parquet(dir).count() == 65536)
+  }
+
   test("zCluster rejects bit budgets that overflow a long") {
     val df = spark.range(4).select(col("id").as("a"))
     intercept[IllegalArgumentException] {
