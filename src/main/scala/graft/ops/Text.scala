@@ -78,6 +78,47 @@ object Text {
     *
     * Duplicate identity is by 64-bit hash (collision odds ~ windows²/2⁶⁴ —
     * negligible even at 10¹² windows they'd only over-flag one span). */
+  /** Exact-substring dedup REMOVAL — the endpoint [[duplicatedSpans]]
+    * feeds: every maximal duplicated span is cut out of the text, leaving
+    * the novel remainder (the Lee et al. "Deduplicating Training Data…"
+    * treatment for verbatim boilerplate). Output: the input row with a
+    * `clean_text` column; docs with no duplicated spans pass through
+    * verbatim.
+    *
+    * Scale shape: span detection is [[duplicatedSpans]] unchanged; the
+    * surgery is one long-key join of docs against their per-doc span array
+    * (proportional to the FLAGGED minority) and a codegen'd fold over that
+    * small sorted array (`aggregate` — spans are disjoint and ascending by
+    * construction, so the cut is a single forward pass concatenating the
+    * gaps; no per-row regex, no UDF). */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 50, minOccur: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n, minOccur)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("_spans"))
+    val text = col(textCol)
+    // Fold the sorted disjoint spans left-to-right: state = (next position
+    // to copy from, accumulated kept text). Islands-merge guarantees a gap
+    // of >= 1 between consecutive spans, so every substr length is >= 0.
+    val cut = aggregate(
+      col("_spans"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("span_end") + 1L).as("pos"),
+        concat(st.getField("acc"),
+          text.substr(st.getField("pos").cast("int"),
+            (sp.getField("span_start") - st.getField("pos")).cast("int")))
+          .as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("pos").cast("int"),
+          (length(text) - st.getField("pos") + 1).cast("int"))))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("_spans").isNull, text).otherwise(cut))
+      .drop("_spans")
+  }
+
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 50, minOccur: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

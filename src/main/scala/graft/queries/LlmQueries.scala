@@ -594,6 +594,61 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // ── exact-substring dedup REMOVAL: q60's merged duplicated spans cut
+    //    out of each document, novel remainder kept (docs without spans
+    //    pass through). Compared by length + md5 of the cleaned text —
+    //    both engines must produce the byte-identical surgery. ──
+    QueryDef("q67_despan",
+      """WITH d0 AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1),
+        |pos AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM d0),
+        |g AS (SELECT doc_id, len, p, substr(text, p::INT, 50) AS gram FROM pos),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, p, least(p + 49, len) AS e FROM g JOIN dup USING (gram)),
+        |w AS (
+        |  SELECT doc_id, p, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM f),
+        |isl AS (
+        |  SELECT doc_id, p, e,
+        |    sum(CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM w),
+        |sp AS (SELECT doc_id, min(p) AS s, max(e) AS e
+        |       FROM isl GROUP BY doc_id, island),
+        |gaps AS (
+        |  SELECT doc_id, s, e,
+        |    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM sp),
+        |tails AS (SELECT doc_id, max(e) AS me FROM sp GROUP BY doc_id),
+        |pieces AS (
+        |  SELECT g2.doc_id, g2.s AS ord,
+        |    substr(d0.text, CAST(g2.pe + 1 AS INT), CAST(g2.s - g2.pe - 1 AS INT)) AS piece
+        |  FROM gaps g2 JOIN d0 USING (doc_id)
+        |  UNION ALL
+        |  SELECT t.doc_id, 2147483647 AS ord,
+        |    substr(d0.text, CAST(t.me + 1 AS INT)) AS piece
+        |  FROM tails t JOIN d0 USING (doc_id)),
+        |cleaned AS (
+        |  SELECT doc_id, coalesce(string_agg(piece, '' ORDER BY ord), '') AS ct
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT d.doc_id, length(coalesce(c.ct, d.text)) AS clean_len,
+        |       md5(coalesce(c.ct, d.text)) AS clean_md5
+        |FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Text.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 50, minOccur = 2L)
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("bigint").as("clean_len"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // ── PII scrub: e-mail / SSN / IPv4 redaction with typed placeholders.
     //    The fixture text carries no PII, so a contaminated footer is
     //    synthesized from doc_id (oracle replays it); the md5 of the

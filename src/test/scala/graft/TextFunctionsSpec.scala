@@ -58,6 +58,30 @@ class TextFunctionsSpec extends SparkSpec {
       (6L, 1L, 3L, 1L), (7L, 1L, 3L, 1L)))
   }
 
+  test("removeDuplicatedSpans: surgery keeps exactly the novel remainder") {
+    import spark.implicits._
+    val S = "0123456789ABCDEFGHIJ"
+    val S2 = "KLMNOPQRSTUV"
+    val docs = Seq(
+      (1L, "abcde" + S + "fghij"), // interior span -> prefix + suffix kept
+      (2L, S + "tailpart"), // span at char 1 -> suffix only
+      (3L, "headpart" + S), // span at the end -> prefix only
+      (5L, S2 + "xx" + S2), // two islands -> only the "xx" gap survives
+      (6L, "dup"), (7L, "dup"), // whole text duplicated -> empty remainder
+      (8L, "entirely unique content with no duplicated windows"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.removeDuplicatedSpans(docs, "doc_id", "text",
+        n = 10, minOccur = 2L)
+      .select("doc_id", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "abcdefghij")
+    assert(out(2L) == "tailpart")
+    assert(out(3L) == "headpart")
+    assert(out(5L) == "xx")
+    assert(out(6L) == "" && out(7L) == "")
+    assert(out(8L) == "entirely unique content with no duplicated windows")
+  }
+
   test("tokenCountWs: whitespace tokens, empty -> 0") {
     assert(evalStr("a b  c", TextFunctions.tokenCountWs) == 3L)
     assert(evalStr("", TextFunctions.tokenCountWs) == 0L)
