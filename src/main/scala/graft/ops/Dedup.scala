@@ -533,6 +533,35 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** QUALITY-AWARE keeper selection: like [[dedupAssign]], but the kept
+    * member of each near-dup cluster is the one with the HIGHEST
+    * `priority` (ties broken by smallest id — deterministic), not the
+    * smallest id. This is what curation pipelines actually want: keep the
+    * longest / highest-quality-score member of a duplicate group, drop the
+    * truncated shards.
+    *
+    * Scale shape: the argmax window runs over the FLAGGED MINORITY only
+    * (docs that appear in some component — proportional to the duplicated
+    * subset); singletons bypass it entirely via one anti-join and keep
+    * themselves, so the per-cluster sort never touches the whole corpus. */
+  def dedupKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    priority: Column,
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val flagged = docs.join(comp, Seq(idCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(priority.desc, col(idCol))
+    val flaggedOut = flagged
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .withColumnRenamed("component", "cluster_id")
+    val singles = docs.join(comp.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("cluster_id", col(idCol))
+      .withColumn("keep", lit(1))
+    flaggedOut.unionByName(singles)
+  }
+
   /** Cluster-correct corpus dedup: keep exactly the canonical (smallest-id)
     * member of every near-dup cluster — the end-to-end "dedup this corpus"
     * op. Pair-dropping (remove every doc_b) over-deletes when pairs chain

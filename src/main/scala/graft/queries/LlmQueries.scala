@@ -515,6 +515,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── quality-aware keeper selection: per near-dup cluster keep the
+    //    LONGEST member (ties by smallest id), not the smallest id — what
+    //    curation actually wants (drop truncated shards, keep the full
+    //    doc). Same pair graph + closure as q57; the keeper rule is an
+    //    argmax window over the flagged minority only. ──
+    QueryDef("q68_dedup_best",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, n_chars, cluster_id,
+         |    row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS r
+         |  FROM asg)
+         |SELECT doc_id, n_chars, cluster_id, CAST(r = 1 AS INT) AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      Dedup.dedupKeepBest(docs.select(col("doc_id"), col("n_chars")),
+          "doc_id", pairs, priority = col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ── benchmark decontamination: per corpus doc, the fraction of its
     //    distinct 8-grams present anywhere in the held-out benchmark split
     //    (doc_id % 50 = 0) — the eval-contamination quarantine signal. ──

@@ -132,6 +132,23 @@ class DedupSpec extends SparkSpec {
     assert(keepers.toSet == out.map(_._2).toSet)
   }
 
+  test("dedupKeepBest: highest-priority member kept, ties by smallest id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Cluster {2,3,4} (chain), cluster {5,6}; 1 is a singleton. Quality:
+    // doc 4 is the longest of its cluster -> keeper despite largest id;
+    // 5 and 6 tie -> smallest id (5) wins.
+    val docs = Seq((1L, 10L), (2L, 5L), (3L, 7L), (4L, 9L), (5L, 4L), (6L, 4L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupKeepBest(docs, "doc_id", pairs, col("quality"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1), (2L, 2L, 0), (3L, 2L, 0), (4L, 2L, 1),
+      (5L, 5L, 1), (6L, 5L, 0)))
+  }
+
   test("minHashLshPairs agrees with exact ngramJaccardPairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b").collect().toSeq
