@@ -290,6 +290,68 @@ object Dedup {
     verifyPairs(cand, sets, threshold)
   }
 
+  /** CONTAINMENT near-dup pairs — |A∩B| / min(|A|,|B|) >= threshold — the
+    * ASYMMETRIC relation symmetric Jaccard misses: a truncated shard or a
+    * long doc quoting a short one wholesale has containment ~1.0 but tiny
+    * Jaccard (the union is dominated by the larger doc), so Jaccard dedup
+    * keeps both copies. Output: (doc_a, doc_b, containment), doc_a < doc_b,
+    * exact (verified with one intersection per candidate).
+    *
+    * Prefix filtering adapts to the asymmetry: the overlap bound
+    * c >= ⌈t·|A|⌉ lives entirely on the SMALLER set, so only the smaller
+    * side's rarest-first prefix joins — against the FULL shingle table of
+    * everything else (the price of asymmetry; the prefix is rare-by-
+    * construction, so Σ pref(g)·df(g) stays near-linear). Lossless: a pair
+    * with containment >= t shares its order-first common shingle inside the
+    * smaller side's first n-⌈t·n⌉+1 shingles (else the smaller side has
+    * more than n-⌈t·n⌉ non-shared elements — contradiction), and that
+    * shingle's joined row passes the y-side positional bound
+    * (overlap <= ny-ry+1) by the same first-common argument. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df0"))
+      .where(col("_df0") > 1)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
+    val wRank = wDoc.orderBy(col("_df"), col("_h"))
+    val Eps = 1e-9
+    // Ranked shingles for EVERY doc (the y side needs full sets with
+    // ranks); the x side is the per-doc prefix slice of the same frame.
+    val ranked = sh.join(df, Seq("_h"), "left")
+      .withColumn("_df", coalesce(col("_df0"), lit(1L))).drop("_df0")
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(wDoc))
+      .select(col("_id"), col("_n"), col("_h"), col("_rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = ranked.where(col("_rk") <=
+      (col("_n") - ceil(col("_n") * lit(threshold) - lit(Eps)) + 1).cast("int"))
+    val needOverlap = ceil(col("x._n") * lit(threshold) - lit(Eps))
+    val cand = pre.as("x").join(ranked.as("y"), col("x._h") === col("y._h"))
+      .where(col("x._id") =!= col("y._id") &&
+        // the prefix guarantee holds when x is the (tie-broken) smaller side
+        (col("x._n") < col("y._n") ||
+          (col("x._n") === col("y._n") && col("x._id") < col("y._id"))) &&
+        // y-side positional bound, valid at the first common shingle
+        (col("y._n") - col("y._rk") + lit(1)).cast("double") >= needOverlap)
+      .select(least(col("x._id"), col("y._id")).as("doc_a"),
+        greatest(col("x._id"), col("y._id")).as("doc_b"))
+      .distinct()
+    // Referenced by both verify joins: persist so the hash sets build once.
+    val sets = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"),
+        sort_array(collect_list(col("_h"))).as("_hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand
+      .join(sets.select(col("_id").as("doc_a"), col("_n").as("_na"), col("_hs").as("_ha")), "doc_a")
+      .join(sets.select(col("_id").as("doc_b"), col("_n").as("_nb"), col("_hs").as("_hb")), "doc_b")
+      .withColumn("_c",
+        graft.plans.SortedLongIntersectCount(col("_ha"), col("_hb")))
+      .withColumn("containment",
+        col("_c").cast("double") / least(col("_na"), col("_nb")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   // ── Near-dup clustering (connected components) ─────────────────────────
 
   /** Connected components over an undirected pair graph, computed with the

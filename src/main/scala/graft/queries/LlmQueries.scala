@@ -549,6 +549,32 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
+    //    relation Jaccard misses (truncated shard inside a long doc has
+    //    containment ~1 but tiny Jaccard). Oracle is the brute-force
+    //    distinct-8-gram containment join. ──
+    QueryDef("q69_containment",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i::INT, 8) FOR i IN generate_series(1, greatest(length(text)-7, 1))]
+        |  )) AS gram FROM documents
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 8, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ── benchmark decontamination: per corpus doc, the fraction of its
     //    distinct 8-grams present anywhere in the held-out benchmark split
     //    (doc_id % 50 = 0) — the eval-contamination quarantine signal. ──

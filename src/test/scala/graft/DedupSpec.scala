@@ -149,6 +149,26 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 1), (6L, 5L, 0)))
   }
 
+  test("containmentPairs finds truncated shards that Jaccard misses") {
+    import spark.implicits._
+    val long = ("the quick brown fox jumps over the lazy dog " * 8) +
+      "while the band plays on and the crowd waves back in slow delight"
+    val shard = long.takeRight(60) // verbatim tail, ~14% of the long doc
+    val docs = Seq(
+      (1L, long), (2L, shard),
+      (3L, "completely unrelated content about maritime navigation beacons"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $cont")
+    assert(cont.head._3 >= 0.99) // every shard shingle appears in the long doc
+    // The symmetric path rightly rejects it: the union dwarfs the shard.
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 8, threshold = 0.8).count()
+    assert(jac == 0L)
+  }
+
   test("minHashLshPairs agrees with exact ngramJaccardPairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b").collect().toSeq
