@@ -59,25 +59,6 @@ object Text {
   private def dfTable(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-  /** Verbatim duplicated-span detection — the exact-substring dedup shape
-    * used by dataset-curation pipelines (flag any `n`-char window whose
-    * text occurs at least `minOccur` times ANYWHERE in the corpus, then
-    * merge flagged windows into maximal per-document character intervals).
-    * Output: (id, span_start, span_end, n_grams), 1-based inclusive
-    * character offsets, one row per maximal duplicated span.
-    *
-    * Scale shape: windows are hashed positionally in one codegen'd pass
-    * ([[graft.plans.ShingleHashPos64]]) — the window TEXT never
-    * materializes and every shuffled row is (id, pos, hash), fixed-width.
-    * The occurrence count is a map-side-combined aggregate on the 64-bit
-    * hash; flagged positions (the duplicated minority) are the only rows
-    * that reach the per-doc interval-merge window, whose sort runs after a
-    * hash(id) exchange of that minority. Same islands-merge as the
-    * sessionize operator: running max of span end over preceding rows
-    * starts a new island when a gap opens.
-    *
-    * Duplicate identity is by 64-bit hash (collision odds ~ windows²/2⁶⁴ —
-    * negligible even at 10¹² windows they'd only over-flag one span). */
   /** Exact-substring dedup REMOVAL — the endpoint [[duplicatedSpans]]
     * feeds: every maximal duplicated span is cut out of the text, leaving
     * the novel remainder (the Lee et al. "Deduplicating Training Data…"
@@ -92,8 +73,17 @@ object Text {
     * construction, so the cut is a single forward pass concatenating the
     * gaps; no per-row regex, no UDF). */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 50, minOccur: Long = 2L): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, n, minOccur)
+                            n: Int = 50, minOccur: Long = 2L): DataFrame =
+    cutSpans(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, n, minOccur))
+
+  /** The span surgery shared by [[removeDuplicatedSpans]] and
+    * [[removeMatchingSpans]]: one long-key join of docs against their
+    * per-doc span array and a codegen'd fold over the sorted disjoint
+    * spans. `spans` must carry (idCol, span_start, span_end) with merged
+    * (gap >= 1) intervals, as [[mergeIslands]] produces. */
+  private def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+                       spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
         .as("_spans"))
@@ -119,10 +109,67 @@ object Text {
       .drop("_spans")
   }
 
+  /** Verbatim duplicated-span detection — the exact-substring dedup shape
+    * used by dataset-curation pipelines (flag any `n`-char window whose
+    * text occurs at least `minOccur` times ANYWHERE in the corpus, then
+    * merge flagged windows into maximal per-document character intervals).
+    * Output: (id, span_start, span_end, n_grams), 1-based inclusive
+    * character offsets, one row per maximal duplicated span.
+    *
+    * Scale shape: windows are hashed positionally in one codegen'd pass
+    * ([[graft.plans.ShingleHashPos64]]) — the window TEXT never
+    * materializes and every shuffled row is (id, pos, hash), fixed-width.
+    * The occurrence count is a map-side-combined aggregate on the 64-bit
+    * hash; flagged positions (the duplicated minority) are the only rows
+    * that reach the per-doc interval-merge window, whose sort runs after a
+    * hash(id) exchange of that minority. Same islands-merge as the
+    * sessionize operator: running max of span end over preceding rows
+    * starts a new island when a gap opens.
+    *
+    * Duplicate identity is by 64-bit hash (collision odds ~ windows²/2⁶⁴ —
+    * negligible even at 10¹² windows they'd only over-flag one span). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 50, minOccur: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs
+    val base = windowHashes(docs, idCol, textCol, n)
+    val dup = base.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minOccur).select(col("_h"))
+    mergeIslands(base.join(dup, "_h"), idCol, n)
+  }
+
+  /** Spans of `docs` whose `n`-char windows occur ANYWHERE in `reference`
+    * — span-level benchmark decontamination detection: q65's contamination
+    * SCORE says how much of a doc overlaps the eval split; this says
+    * exactly WHERE, as maximal merged character intervals, so the verbatim
+    * eval text can be excised ([[removeMatchingSpans]]) instead of the
+    * whole doc quarantined. Same fixed-width positional-hash shape as
+    * [[duplicatedSpans]]; the reference reduces to its DISTINCT window-
+    * hash set (dim-sized for a typical eval split — AQE broadcasts it). */
+  def matchingSpans(docs: DataFrame, idCol: String, textCol: String,
+                    reference: DataFrame, refTextCol: String,
+                    n: Int = 50): DataFrame = {
+    val base = windowHashes(docs, idCol, textCol, n)
+    val refHashes = reference
+      .where(F.length(col(refTextCol)) >= 1)
+      .select(explode(graft.plans.ShingleHashPos64(col(refTextCol), n)).as("_h"))
+      .distinct()
+    mergeIslands(base.join(refHashes, "_h"), idCol, n)
+  }
+
+  /** Cut every span of [[matchingSpans]] out of the text — the
+    * decontamination ENDPOINT: training docs keep their novel content,
+    * verbatim benchmark text is gone. Adds `clean_text`. */
+  def removeMatchingSpans(docs: DataFrame, idCol: String, textCol: String,
+                          reference: DataFrame, refTextCol: String,
+                          n: Int = 50): DataFrame =
+    cutSpans(docs, idCol, textCol,
+      matchingSpans(docs, idCol, textCol, reference, refTextCol, n))
+
+  /** (id, len, 1-based position, 64-bit positional window hash) rows for
+    * every `n`-char window; compact text repartitioned by id first so the
+    * downstream flag-join + island window stay co-partitioned. */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs
       .where(F.length(col(textCol)) >= 1)
       .repartition(col(idCol))
       .select(col(idCol).as("_id"),
@@ -131,9 +178,13 @@ object Text {
           .as(Seq("_p0", "_h")))
       .select(col("_id"), col("_len"),
         (col("_p0") + 1).cast("long").as("_p"), col("_h"))
-    val dup = base.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= minOccur).select(col("_h"))
-    val flagged = base.join(dup, "_h")
+
+  /** Merge flagged window positions (`_id`, `_len`, `_p`) into maximal
+    * per-doc character intervals (islands: running max of span end over
+    * preceding rows starts a new island when a gap opens). */
+  private def mergeIslands(flagged0: DataFrame, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = flagged0
       .select(col("_id"), col("_p"),
         least(col("_p") + (n - 1), col("_len")).as("_e"))
     val w = Window.partitionBy(col("_id")).orderBy(col("_p"))

@@ -549,6 +549,49 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── span-level benchmark decontamination: WHERE the eval split's
+    //    verbatim text sits inside each training doc (q65 scores how
+    //    much; this locates it, merged to maximal intervals, so
+    //    removeMatchingSpans can excise instead of quarantine). Benchmark
+    //    = doc_id % 50 = 0, corpus = the rest, as q65. ──
+    QueryDef("q70_decontam_spans",
+      """WITH d0 AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1 AND doc_id % 50 <> 0),
+        |b0 AS (
+        |  SELECT text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1 AND doc_id % 50 = 0),
+        |pos AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM d0),
+        |g AS (SELECT doc_id, len, p, substr(text, p::INT, 50) AS gram FROM pos),
+        |bpos AS (
+        |  SELECT text, unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM b0),
+        |bg AS (SELECT DISTINCT substr(text, p::INT, 50) AS gram FROM bpos),
+        |f AS (SELECT doc_id, p, least(p + 49, len) AS e FROM g JOIN bg USING (gram)),
+        |w AS (
+        |  SELECT doc_id, p, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM f),
+        |isl AS (
+        |  SELECT doc_id, p, e,
+        |    sum(CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM w)
+        |SELECT doc_id, min(p) AS span_start, max(e) AS span_end,
+        |       count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val all = Tables.documents(s, d)
+      Text.matchingSpans(
+          all.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          all.where(col("doc_id") % 50 === 0), "text", n = 50)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

@@ -82,6 +82,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(8L) == "entirely unique content with no duplicated windows")
   }
 
+  test("matchingSpans + removeMatchingSpans: verbatim eval text located and excised") {
+    import spark.implicits._
+    val evalQ = "0123456789ABCDEFGHIJ" // 20-char benchmark passage
+    val bench = Seq((100L, "prefix " + evalQ + " suffix")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "train " + evalQ + " more"), // contaminated interior
+      (2L, "clean document with nothing from the eval split at all"),
+      (3L, evalQ)) // the whole doc is eval text
+      .toDF("doc_id", "text")
+    val spans = graft.ops.Text.matchingSpans(corpus, "doc_id", "text",
+        bench, "text", n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Doc 1: evalQ sits at chars 7..26, and the flanking SPACES are shared
+    // too (benchmark also wraps evalQ in spaces, so windows like
+    // " 012345678" match) — the merged span is [6, 27]. Doc 3: everything.
+    assert(spans == Set((1L, 6L, 27L), (3L, 1L, 20L)), s"got $spans")
+    val clean = graft.ops.Text.removeMatchingSpans(corpus, "doc_id", "text",
+        bench, "text", n = 10)
+      .select("doc_id", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(clean(1L) == "trainmore") // both flanking spaces were in-span
+    assert(clean(2L) == "clean document with nothing from the eval split at all")
+    assert(clean(3L) == "")
+  }
+
   test("tokenCountWs: whitespace tokens, empty -> 0") {
     assert(evalStr("a b  c", TextFunctions.tokenCountWs) == 3L)
     assert(evalStr("", TextFunctions.tokenCountWs) == 0L)
