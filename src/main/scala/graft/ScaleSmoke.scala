@@ -33,6 +33,14 @@ object ScaleSmoke {
     val nj = graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
       shingleN = 8, threshold = 0.8).count()
     println(f"ngram_jaccard_100k: pairs=$nj time=${(System.nanoTime()-tj)/1e9}%.1f s")
+    // Containment at the same 100k dup-dense scale: the asymmetric path
+    // joins the smaller side's prefix against the FULL shingle table, so
+    // this is the op most exposed to a df blowup — the 10-doc template
+    // clusters (df=10 shingles throughout) are the adversarial case.
+    val tc = System.nanoTime()
+    val nc = graft.ops.Dedup.containmentPairs(d, "doc_id", "text",
+      shingleN = 8, threshold = 0.9).count()
+    println(f"containment_100k: pairs=$nc time=${(System.nanoTime()-tc)/1e9}%.1f s")
     // TF-IDF at 100k docs (~4M (doc,term) rows): the in-plan-N overload —
     // one action covers token explode, tf/df aggregation and the enrich
     // join; the largest exploded intermediate per input byte next to spans.

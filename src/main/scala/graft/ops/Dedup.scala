@@ -318,10 +318,16 @@ object Dedup {
     val Eps = 1e-9
     // Ranked shingles for EVERY doc (the y side needs full sets with
     // ranks); the x side is the per-doc prefix slice of the same frame.
+    // Ranks are computed over ALL of a doc's shingles (the containment
+    // bound needs true set sizes/positions), but the JOIN only needs rows
+    // whose hash is SHARED (df > 1): a df=1 hash joins no other doc, so
+    // dropping those rows from both sides is exact — and on a realistic
+    // corpus the unique tail is the bulk of the shingle table.
     val ranked = sh.join(df, Seq("_h"), "left")
       .withColumn("_df", coalesce(col("_df0"), lit(1L))).drop("_df0")
       .withColumn("_rk", row_number().over(wRank))
       .withColumn("_n", count(lit(1)).over(wDoc))
+      .where(col("_df") > 1)
       .select(col("_id"), col("_n"), col("_h"), col("_rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = ranked.where(col("_rk") <=

@@ -107,6 +107,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(clean(3L) == "")
   }
 
+  test("span surgery conserves length: clean_len = len - sum(span widths), sf0.001") {
+    import org.apache.spark.sql.functions._
+    // Cross-op invariant on real data: removeDuplicatedSpans must cut
+    // EXACTLY the intervals duplicatedSpans reports — nothing more (over-
+    // deletion), nothing less (missed span), no off-by-one at boundaries.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spanSum = graft.ops.Text.duplicatedSpans(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("cut"))
+    val bad = graft.ops.Text.removeDuplicatedSpans(docs, "doc_id", "text")
+      .join(spanSum, Seq("doc_id"), "left")
+      .where(length(col("clean_text")) =!=
+        length(col("text")) - coalesce(col("cut"), lit(0L)))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("tokenCountWs: whitespace tokens, empty -> 0") {
     assert(evalStr("a b  c", TextFunctions.tokenCountWs) == 3L)
     assert(evalStr("", TextFunctions.tokenCountWs) == 0L)
