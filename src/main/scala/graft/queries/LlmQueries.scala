@@ -618,6 +618,52 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── shard dedup end-to-end: containment pairs → closure → keep the
+    //    LONGEST member of each containment cluster (the superset doc),
+    //    dropping truncated shards and wholesale quotes — the composition
+    //    that makes q69 actionable. ──
+    QueryDef("q71_shard_dedup",
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, i::INT, 8) FOR i IN generate_series(1, greatest(length(text)-7, 1))]
+        |  )) AS gram FROM documents
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |         FROM reach GROUP BY u),
+        |asg AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |rk AS (
+        |  SELECT doc_id, n_chars, cluster_id,
+        |    row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM asg)
+        |SELECT doc_id, n_chars, cluster_id, CAST(r = 1 AS INT) AS keep
+        |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.9)
+      Dedup.dedupKeepBest(docs.select(col("doc_id"), col("n_chars")),
+          "doc_id", pairs, priority = col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ── benchmark decontamination: per corpus doc, the fraction of its
     //    distinct 8-grams present anywhere in the held-out benchmark split
     //    (doc_id % 50 = 0) — the eval-contamination quarantine signal. ──
