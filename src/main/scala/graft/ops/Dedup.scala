@@ -299,9 +299,10 @@ object Dedup {
     *
     * Prefix filtering adapts to the asymmetry: the overlap bound
     * c >= ⌈t·|A|⌉ lives entirely on the SMALLER set, so only the smaller
-    * side's rarest-first prefix joins — against the FULL shingle table of
-    * everything else (the price of asymmetry; the prefix is rare-by-
-    * construction, so Σ pref(g)·df(g) stays near-linear). Lossless: a pair
+    * side's rarest-first prefix joins — against every doc's SHARED-HASH
+    * rows (df > 1; the unique tail joins nothing and is dropped from both
+    * sides — see below). The prefix is rare-by-construction, so
+    * Σ pref(g)·df(g) stays near-linear. Lossless: a pair
     * with containment >= t shares its order-first common shingle inside the
     * smaller side's first n-⌈t·n⌉+1 shingles (else the smaller side has
     * more than n-⌈t·n⌉ non-shared elements — contradiction), and that
