@@ -149,6 +149,16 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 1), (6L, 5L, 0)))
   }
 
+  test("containmentPairs plans as hash joins — no nested loop, no cartesian") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 8, threshold = 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("containmentPairs finds truncated shards that Jaccard misses") {
     import spark.implicits._
     val long = ("the quick brown fox jumps over the lazy dog " * 8) +
