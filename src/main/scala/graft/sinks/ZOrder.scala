@@ -40,18 +40,18 @@ object ZOrder {
     require(nPartitions > 0, "nPartitions must be positive")
     val stats = df.agg(
       cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"_zmin_$c"),
-        max(col(c).cast("double")).as(s"_zmax_$c"))).head,
+        min(asDouble(df, c)).as(s"_zmin_$c"),
+        max(asDouble(df, c)).as(s"_zmax_$c"))).head,
       cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"_zmin_$c"),
-        max(col(c).cast("double")).as(s"_zmax_$c"))).tail: _*)
+        min(asDouble(df, c)).as(s"_zmin_$c"),
+        max(asDouble(df, c)).as(s"_zmax_$c"))).tail: _*)
     val maxQ = (1L << bits) - 1
     def quantized(c: String): Column = {
       val lo = col(s"_zmin_$c")
       val span = col(s"_zmax_$c") - lo
       val scaled = when(span <= 0.0 || col(c).isNull, lit(0L))
         .otherwise(least(
-          floor((col(c).cast("double") - lo) / span * maxQ).cast("long"),
+          floor((asDouble(df, c) - lo) / span * maxQ).cast("long"),
           lit(maxQ)))
       greatest(scaled, lit(0L))
     }
@@ -90,15 +90,15 @@ object ZOrder {
     val fractions = array((1 until buckets).map(i =>
       lit(i.toDouble / buckets)): _*)
     val stats = df.agg(
-      percentile_approx(col(cols.head).cast("double"), fractions, lit(10000))
+      percentile_approx(asDouble(df, cols.head), fractions, lit(10000))
         .as(s"_zq_${cols.head}"),
       cols.tail.map(c =>
-        percentile_approx(col(c).cast("double"), fractions, lit(10000))
+        percentile_approx(asDouble(df, c), fractions, lit(10000))
           .as(s"_zq_$c")): _*)
     def bucketOf(c: String): Column =
       when(col(c).isNull, lit(0L)).otherwise(aggregate(
         col(s"_zq_$c"), lit(0L),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)))
+        (acc, b) => acc + when(asDouble(df, c) >= b, 1L).otherwise(0L)))
     val k = cols.size
     // Stage the bucket indexes in their own projection so the B-comparison
     // scan runs ONCE per column, not once per interleaved bit.
@@ -117,6 +117,20 @@ object ZOrder {
       .sortWithinPartitions(col("_zval"))
       .drop("_zval" +: cols.map(c => s"_zb_$c"): _*)
   }
+
+  /** The column on a linear double scale, honoring the type: DATE and
+    * TIMESTAMP don't cast to double under ANSI, so they go through their
+    * epoch representation (days / microseconds) first — ordering is
+    * preserved, which is all quantization needs. */
+  private def asDouble(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(c)).cast("double")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => col(c).cast("double")
+    }
 
   /** [[Compaction.compactParquetDir]] with z-order clustering: rewrite
     * `dir` to ⌈bytes/targetBytes⌉ files, each clustered on the Morton

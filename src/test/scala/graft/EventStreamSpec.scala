@@ -172,6 +172,53 @@ class EventStreamSpec extends SparkSpec {
       .toSeq == Seq(1L, 3L, 1001L))
   }
 
+  test("self-extending loop survives a mid-stream signature-dir compaction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The docstring's operational contract: the per-batch appends accrete
+    // small files, and the fix is graft.sinks.Compaction over sigDir —
+    // which must leave the dedup behavior untouched for later batches.
+    val corpus = Seq(
+      (1001L, "completely different content with nothing shared whatsoever xyz"))
+      .toDF("doc_id", "text")
+    val sigDir = java.nio.file.Files.createTempDirectory("sigs-compact")
+      .resolve("t").toString
+    graft.ops.Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .write.parquet(sigDir)
+
+    def runBatch(rows: (Long, String)*): Seq[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val got = scala.collection.mutable.SortedSet.empty[Long]
+      val q = EventStream.streamingNearDedupSelfExtending(docs, sigDir,
+          "doc_id", "text", threshold = 0.5) { (survivors, _) =>
+        val ids = survivors.select("doc_id").as[Long].collect()
+        got.synchronized { ids.foreach(got += _) }
+      }.start()
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      q.stop()
+      got.toSeq
+    }
+
+    assert(runBatch(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      == Seq(1L))
+    // Compact the accreted signature files down to one.
+    val bytes = graft.sinks.Compaction.parquetBytes(spark, sigDir)
+    graft.sinks.Compaction.compactParquetDir(spark, sigDir, bytes * 2)
+    assert(graft.sinks.Compaction.parquetFileCount(spark, sigDir) == 1)
+    // Near-dup of the pre-compaction survivor is still caught; novel
+    // content still passes and extends the (now-compacted) table.
+    assert(runBatch(
+      (2L, "the quick brown fox jumps over the lazy dot again and again"),
+      (3L, "woolly mammoths roamed pleistocene steppes chewing sedge tufts"))
+      == Seq(3L))
+    assert(spark.read.parquet(sigDir).select("_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 1001L))
+  }
+
   test("corpus-clean expressions run unchanged in a streaming pipeline") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -99,6 +99,26 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 65536)
   }
 
+  test("zCluster on a DATE column (ANSI-safe epoch quantization)") {
+    // DATE doesn't cast to double under ANSI — the op must route through
+    // unix_date. 256 distinct days x 256 longs, same grid as the base test.
+    val df = spark.range(65536).select(
+      date_add(lit("2020-01-01").cast("date"),
+        (col("id") % 256).cast("int")).as("d"),
+      expr("id div 256").as("b"))
+    val dir = Files.createTempDirectory("zorder-date").resolve("t").toString
+    ZOrder.zCluster(df, Seq("d", "b"), nPartitions = 64).write.parquet(dir)
+    val spansD = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max(unix_date(col("d"))) - min(unix_date(col("d"))))
+        .cast("long").as("span"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(spansD.size >= 32)
+    assert(spansD.sorted.apply(spansD.size / 2) <= 64,
+      s"date median span ${spansD.sorted.reverse.take(5)}")
+    assert(spark.read.parquet(dir).count() == 65536)
+  }
+
   test("zCluster rejects bit budgets that overflow a long") {
     val df = spark.range(4).select(col("id").as("a"))
     intercept[IllegalArgumentException] {
