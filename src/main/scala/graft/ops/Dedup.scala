@@ -254,16 +254,25 @@ object Dedup {
     // epsilon far below the 1-ulp-of-an-int scale so exact-boundary pairs
     // (J == t precisely) survive.
     val Eps = 1e-9
+    // The final `_df > 1` conjunct is exact, not a heuristic: the self-join
+    // matches rows on _h, and a df=1 hash exists in exactly one doc — its
+    // only match is itself, killed by x._id < y._id. Since the first common
+    // shingle of any qualifying pair has df >= 2 by definition, dropping
+    // unique-hash rows from the join input loses no candidate — and on a
+    // realistic corpus the unique tail dominates the prefix, so the
+    // persisted frame and the join both shrink by most of their rows.
+    // (Ranks/sizes are computed BEFORE the filter, over the full sets.)
     val pre = sh.join(df, Seq("_h"), "left")
       .withColumn("_df", coalesce(col("_df0"), lit(1L))).drop("_df0")
       .withColumn("_rk", row_number().over(wRank))
       .withColumn("_n", count(lit(1)).over(wDoc))
       .where(col("_rk") <=
-        (col("_n") - ceil(col("_n") * lit(threshold) - lit(Eps)) + 1).cast("int"))
+        (col("_n") - ceil(col("_n") * lit(threshold) - lit(Eps)) + 1).cast("int") &&
+        col("_df") > 1)
       .select(col("_id"), col("_n"), col("_h"), col("_rk"))
       // Referenced by both sides of the candidate self-join: persist the
-      // (id, n, h, rk) prefix rows (~20% of the shingles) so the df join +
-      // ranking windows run once, not once per side.
+      // shared-hash prefix rows so the df join + ranking windows run once,
+      // not once per side.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin positional filter on top of the prefix match: a doc's
     // rank-_rk shingle has only n - _rk shingles after it in the global
