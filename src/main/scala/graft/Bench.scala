@@ -171,9 +171,12 @@ object Bench {
                              retried: Boolean, suspect: Boolean)
 
     // The persist-pathology signature: steady-state slower than the SAME
-    // process's own cold run by 2x and by a non-noise margin.
+    // process's own cold run by 2x and by a non-noise margin. Only
+    // meaningful when the cold run used the SAME fixture — a caller
+    // overriding SPARK_GRAFT_WARM_DIR to a different scale would make the
+    // comparison cross-fixture nonsense, so the gate disarms then.
     def pathological(med: Double, cold: Double): Boolean =
-      med > 2.0 * cold && med - cold > 0.5
+      warmDir == sfDir && med > 2.0 * cold && med - cold > 0.5
 
     def measure(name: String,
                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
