@@ -106,6 +106,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs ⊇ ngramJaccardPairs at equal threshold (random corpora)") {
+    import spark.implicits._
+    // containment = c/min >= c/union = jaccard, so at the same threshold
+    // every Jaccard pair must surface as a containment pair — a cross-op
+    // losslessness check over random dup-heavy corpora (mutated copies of
+    // a small phrase pool force both shared and unshared shingles).
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val doc = Gen.chooseNum(6, 14).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    for (trial <- 1 to 3) {
+      val base = samples(doc, 12).zipWithIndex
+      val docs = (base.map { case (t, i) => (i.toLong, t) } ++
+        base.take(6).map { case (t, i) => (100L + i, t + " extra") })
+        .toDF("doc_id", "text")
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val jac = pairSet(graft.ops.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleN = 8, threshold = 0.7))
+      val cont = pairSet(graft.ops.Dedup.containmentPairs(
+        docs, "doc_id", "text", shingleN = 8, threshold = 0.7))
+      assert(jac.subsetOf(cont),
+        s"trial $trial: jaccard pairs missing from containment: ${jac -- cont}")
+    }
+  }
+
+  test("dedupKeepBest: same clusters as dedupAssign, keeper is the argmax") {
+    import spark.implicits._
+    // Random pair graphs: keeper-by-priority must induce the identical
+    // cluster partition as keeper-by-min-id, choose exactly one keeper per
+    // cluster, and that keeper must carry the cluster's max priority.
+    val edge = for {
+      a <- Gen.chooseNum(1L, 30L); b <- Gen.chooseNum(1L, 30L)
+    } yield (a, b)
+    for (trial <- 1 to 3) {
+      val pairs = samples(edge, 25).filter(p => p._1 != p._2)
+        .toDF("doc_a", "doc_b")
+      val docs = (1L to 30L).map(i => (i, (i * 7919) % 13)).toDF("doc_id", "pri")
+      val byId = graft.ops.Dedup.dedupAssign(docs.select("doc_id"), "doc_id", pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val best = graft.ops.Dedup.dedupKeepBest(docs, "doc_id", pairs, col("pri"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      // identical cluster partition (cluster ids are both component minima)
+      assert(best.map(r => r._1 -> r._3).toMap == byId, s"trial $trial")
+      val pri = docs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      best.groupBy(_._3).foreach { case (cl, members) =>
+        val keepers = members.filter(_._4 == 1)
+        assert(keepers.length == 1, s"trial $trial cluster $cl: $members")
+        assert(pri(keepers.head._1) == members.map(m => pri(m._1)).max,
+          s"trial $trial cluster $cl keeper not argmax")
+      }
+    }
+  }
+
   test("numericSortKey: ordering by key == ordering by numeric value") {
     import spark.implicits._
     val g = Gen.chooseNum(-1000.0, 1000.0).map(d => BigDecimal(d)
