@@ -98,7 +98,7 @@ object Ops {
     // this — no extra data movement at scale.
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val widened = if (df.rdd.getNumPartitions < cores)
-      df.repartition(cores, xxhash64(df.columns.map(col): _*)) else df
+      df.repartition(cores, xxhash64(df.columns.map(col).toIndexedSeq: _*)) else df
     val mask = (1L << 33) - 1
     val unwrapped = order.map(org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder)
     val keyNames = unwrapped.indices.map(i => s"_gk$i")

@@ -103,7 +103,7 @@ object ZOrder {
     // Stage the bucket indexes in their own projection so the B-comparison
     // scan runs ONCE per column, not once per interleaved bit.
     val bucketed = df.crossJoin(broadcast(stats))
-      .select(df.columns.map(col) ++
+      .select(df.columns.map(col).toIndexedSeq ++
         cols.map(c => bucketOf(c).as(s"_zb_$c")): _*)
     val z = (0 until bits).flatMap { i =>
       cols.zipWithIndex.map { case (c, j) =>
