@@ -30,6 +30,44 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  // ── Cache lifecycle ────────────────────────────────────────────────────
+
+  /** Close handle over the persisted intermediates of ONE dedup-op
+    * invocation. `close()` unpersists them; call it AFTER consuming
+    * (materializing) the op's result — the result frame stays valid
+    * afterwards but recomputes its lineage from scratch on later actions.
+    * The `*WithCleanup` op variants return one of these; the plain ops
+    * register theirs in a library-wide list drained by [[releaseCaches]]. */
+  final class CacheHandle private[ops] (cleanups: Seq[() => Unit]) {
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def close(): Unit = if (closed.compareAndSet(false, true)) cleanups.foreach(_())
+  }
+  private[ops] object CacheHandle {
+    val empty = new CacheHandle(Nil)
+    def of(frames: DataFrame*): CacheHandle =
+      new CacheHandle(frames.map(f => () => { f.unpersist(blocking = false); () }))
+  }
+
+  private val openHandles =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[CacheHandle]())
+
+  private def tracked(result: DataFrame, handle: CacheHandle): DataFrame = {
+    openHandles.add(handle); result
+  }
+
+  /** Unpersist every intermediate the plain (non-`WithCleanup`) dedup ops
+    * have persisted so far — the library-embedding contract: a long-lived
+    * service calls this after each batch of dedup work instead of
+    * accumulating storage blocks until session end. Results already
+    * materialized stay valid (they recompute without caches if re-run). */
+  def releaseCaches(): Unit = {
+    val drained = openHandles.synchronized {
+      val c = new java.util.ArrayList[CacheHandle](openHandles)
+      openHandles.clear(); c
+    }
+    drained.forEach(_.close())
+  }
+
   // ── MinHash ────────────────────────────────────────────────────────────
 
   /** Deterministic permutation parameters (a, b) for (a*h + b) mod P.
@@ -96,6 +134,18 @@ object Dedup {
                       bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.8,
                       maxBucket: Int = 1000): DataFrame = {
+    val (r, h) = minHashLshPairsWithCleanup(docs, idCol, textCol, shingleN, k,
+      bands, rows, threshold, maxBucket)
+    tracked(r, h)
+  }
+
+  /** [[minHashLshPairs]] plus a close handle over its persisted
+    * intermediates — the embedding-friendly variant (see [[CacheHandle]]). */
+  def minHashLshPairsWithCleanup(docs: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int = 8, k: Int = 64,
+                                 bands: Int = 16, rows: Int = 4,
+                                 threshold: Double = 0.8,
+                                 maxBucket: Int = 1000): (DataFrame, CacheHandle) = {
     // The per-doc signature table is referenced three times below (banding +
     // both verify joins); persist it so the shingle explode + groupBy runs
     // once. It is the compressed working set — ~100× smaller than the text.
@@ -120,7 +170,7 @@ object Dedup {
     // Exact verification: hash sets joined back in only for candidates,
     // intersection computed once.
     val sets = perDoc.select(col("_id"), col("_n"), col("_hs"))
-    verifyPairs(cand, sets, threshold)
+    (verifyPairs(cand, sets, threshold), CacheHandle.of(perDoc))
   }
 
   /** The per-doc MinHash SIGNATURE TABLE — (_id, _n, _hs, _sig): set size,
@@ -150,8 +200,10 @@ object Dedup {
                              maxBucket: Int = 1000): DataFrame = {
     val corPer = minHashPerDoc(shingleHashes(corpus, idCol, textCol, shingleN), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairsAgainstSignatures(newDocs, corPer, idCol, textCol,
+    val (r, h) = pairsAgainstSignatures(newDocs, corPer, idCol, textCol,
       shingleN, k, bands, rows, threshold, maxBucket)
+    tracked(r, new CacheHandle(Seq(
+      () => { corPer.unpersist(blocking = false); () }, () => h.close())))
   }
 
   /** The persisted-signature batch path: join a new batch (text) against a
@@ -164,16 +216,18 @@ object Dedup {
                                        shingleN: Int = 8, k: Int = 64,
                                        bands: Int = 16, rows: Int = 4,
                                        threshold: Double = 0.8,
-                                       maxBucket: Int = 1000): DataFrame =
-    pairsAgainstSignatures(newDocs, corpusSigs, idCol, textCol,
+                                       maxBucket: Int = 1000): DataFrame = {
+    val (r, h) = pairsAgainstSignatures(newDocs, corpusSigs, idCol, textCol,
       shingleN, k, bands, rows, threshold, maxBucket)
+    tracked(r, h)
+  }
 
   private def pairsAgainstSignatures(newDocs: DataFrame, corPer: DataFrame,
                                      idCol: String, textCol: String,
                                      shingleN: Int, k: Int,
                                      bands: Int, rows: Int,
                                      threshold: Double,
-                                     maxBucket: Int): DataFrame = {
+                                     maxBucket: Int): (DataFrame, CacheHandle) = {
     val newPer = minHashPerDoc(shingleHashes(newDocs, idCol, textCol, shingleN), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def band(df: DataFrame) = df.select(col("_id"),
@@ -190,9 +244,10 @@ object Dedup {
       .distinct()
     val sets = newPer.select(col("_id"), col("_n"), col("_hs"))
       .unionByName(corPer.select(col("_id"), col("_n"), col("_hs")))
-    verifyPairs(cand, sets, threshold)
+    val out = verifyPairs(cand, sets, threshold)
       .select(col("doc_a").as("new_id"), col("doc_b").as("corpus_id"),
         col("jaccard"))
+    (out, CacheHandle.of(newPer))
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
@@ -228,6 +283,15 @@ object Dedup {
     * to genuinely-rare shared shingles. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val (r, h) = ngramJaccardPairsWithCleanup(docs, idCol, textCol, shingleN, threshold)
+    tracked(r, h)
+  }
+
+  /** [[ngramJaccardPairs]] plus a close handle over its persisted
+    * intermediates — the embedding-friendly variant (see [[CacheHandle]]). */
+  def ngramJaccardPairsWithCleanup(docs: DataFrame, idCol: String, textCol: String,
+                                   shingleN: Int = 8,
+                                   threshold: Double = 0.8): (DataFrame, CacheHandle) = {
     // Evaluated three times (document-frequency aggregation, the prefix
     // ranking, the verify sets); persist so the text is shingled and
     // hashed once.
@@ -296,7 +360,7 @@ object Dedup {
     val sets = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"),
         sort_array(collect_list(col("_h"))).as("_hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyPairs(cand, sets, threshold)
+    (verifyPairs(cand, sets, threshold), CacheHandle.of(sh, pre, sets))
   }
 
   /** CONTAINMENT near-dup pairs — |A∩B| / min(|A|,|B|) >= threshold — the
@@ -316,9 +380,33 @@ object Dedup {
     * smaller side's first n-⌈t·n⌉+1 shingles (else the smaller side has
     * more than n-⌈t·n⌉ non-shared elements — contradiction), and that
     * shingle's joined row passes the y-side positional bound
-    * (overlap <= ny-ry+1) by the same first-common argument. */
+    * (overlap <= ny-ry+1) by the same first-common argument.
+    *
+    * HOT-HASH GUARD (the 100 TB skew defense): unlike the Jaccard path,
+    * the y side here keeps EVERY shared-hash row, so one viral boilerplate
+    * 8-gram (license header, template banner; df 10⁶⁺ in a web corpus)
+    * would land its whole df on a single join key — a one-task straggler.
+    * Hashes with df > `maxDf` are SALTED across ⌈df/maxDf⌉ sub-keys:
+    * y-side rows spread deterministically by doc id, x-side prefix rows
+    * replicate across all sub-keys of their hash. Every original (x, y)
+    * hash match survives in exactly one salted key — the guard is
+    * LOSSLESS, it only re-shapes the shuffle so no task sees more than
+    * ~maxDf y-rows per key. The hot-hash dim table is bounded by
+    * Σdf/maxDf rows (≤ 10⁷ at 10¹² shingle instances and the default
+    * bound) — broadcast-sized by construction. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int = 8, threshold: Double = 0.9): DataFrame = {
+                       shingleN: Int = 8, threshold: Double = 0.9,
+                       maxDf: Int = 100000): DataFrame = {
+    val (r, h) = containmentPairsWithCleanup(docs, idCol, textCol, shingleN,
+      threshold, maxDf)
+    tracked(r, h)
+  }
+
+  /** [[containmentPairs]] plus a close handle over its persisted
+    * intermediates — the embedding-friendly variant (see [[CacheHandle]]). */
+  def containmentPairsWithCleanup(docs: DataFrame, idCol: String, textCol: String,
+                                  shingleN: Int = 8, threshold: Double = 0.9,
+                                  maxDf: Int = 100000): (DataFrame, CacheHandle) = {
     val sh = shingleHashes(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df0"))
@@ -342,8 +430,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = ranked.where(col("_rk") <=
       (col("_n") - ceil(col("_n") * lit(threshold) - lit(Eps)) + 1).cast("int"))
+    // Hot-hash salt map: df > maxDf → spread across ⌈df/maxDf⌉ sub-keys.
+    // Bounded at Σdf/maxDf rows — broadcast-sized by construction.
+    val hot = df.where(col("_df0") > maxDf)
+      .select(col("_h"), ceil(col("_df0").cast("double") / lit(maxDf)).cast("int").as("_nsalt"))
+    // y side: each hot-hash row lands in ONE deterministic sub-key (spread
+    // by doc id); cold hashes (the overwhelming majority) keep salt 0.
+    val rankedS = ranked.join(broadcast(hot), Seq("_h"), "left")
+      .withColumn("_salt", when(col("_nsalt").isNull, lit(0))
+        .otherwise(pmod(xxhash64(col("_id")), col("_nsalt").cast("long")).cast("int")))
+      .drop("_nsalt")
+    // x side: prefix rows replicate across ALL sub-keys of their hash, so
+    // every original (x, y) hash match survives in exactly one salted key.
+    val preS = pre.join(broadcast(hot), Seq("_h"), "left")
+      .withColumn("_salt", explode(sequence(lit(0), coalesce(col("_nsalt"), lit(1)) - 1)))
+      .drop("_nsalt")
     val needOverlap = ceil(col("x._n") * lit(threshold) - lit(Eps))
-    val cand = pre.as("x").join(ranked.as("y"), col("x._h") === col("y._h"))
+    val cand = preS.as("x").join(rankedS.as("y"),
+        col("x._h") === col("y._h") && col("x._salt") === col("y._salt"))
       .where(col("x._id") =!= col("y._id") &&
         // the prefix guarantee holds when x is the (tie-broken) smaller side
         (col("x._n") < col("y._n") ||
@@ -357,7 +461,7 @@ object Dedup {
     val sets = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"),
         sort_array(collect_list(col("_h"))).as("_hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
+    val out = cand
       .join(sets.select(col("_id").as("doc_a"), col("_n").as("_na"), col("_hs").as("_ha")), "doc_a")
       .join(sets.select(col("_id").as("doc_b"), col("_n").as("_nb"), col("_hs").as("_hb")), "doc_b")
       .withColumn("_c",
@@ -366,6 +470,7 @@ object Dedup {
         col("_c").cast("double") / least(col("_na"), col("_nb")).cast("double"))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
+    (out, CacheHandle.of(sh, ranked, sets))
   }
 
   // ── Near-dup clustering (connected components) ─────────────────────────
@@ -407,10 +512,21 @@ object Dedup {
     * data at this size. This mirrors what iterative contraction converges to
     * anyway (the edge set only shrinks); a 100 TB pair graph with billions
     * of edges stays on the distributed star loop. Pass `localThreshold = 0`
-    * to force the distributed path. */
+    * to force the distributed path.
+    *
+    * `checkpointDir`: when set, each round's edge set is written to that
+    * directory (reliable storage) and read back instead of persisted to
+    * executor memory/disk — TRUNCATING LINEAGE every round. That is the
+    * 100 TB configuration: a billion-edge pair graph iterated 10+ rounds
+    * on a real cluster must not carry a 10-round recompute lineage through
+    * executor loss, and MEMORY_AND_DISK blocks die with their executor.
+    * Superseded round files are deleted as the loop advances; the FINAL
+    * round's files remain (the returned frame reads them), so the caller
+    * owns deleting the directory after consuming the result. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          localThreshold: Long = 1L << 20): DataFrame = {
+                          localThreshold: Long = 1L << 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -492,31 +608,42 @@ object Dedup {
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
 
-    // Persist + re-root each round: createDataFrame over the materialized
-    // row RDD keeps the recompute path (RDD lineage) but gives Catalyst a
-    // constant-size plan. The PERSISTED RDD HANDLE is returned alongside —
-    // `df.rdd` on the re-rooted frame builds a FRESH deserializer RDD, so
-    // unpersisting that would be a no-op and every round's edge blocks
-    // would leak until session end. (At 100 TB swap the persist for a
-    // reliable checkpoint dir; the loop is unchanged.)
-    def materialize(e: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = e.rdd.persist(MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, e.schema), rdd)
+    // Materialize + re-root each round. Default path: persist the row RDD
+    // and createDataFrame over it — keeps the recompute path (RDD lineage)
+    // but gives Catalyst a constant-size plan. The cleanup THUNK is
+    // returned alongside the frame because `df.rdd` on the re-rooted frame
+    // builds a FRESH deserializer RDD — unpersisting that would be a no-op
+    // and every round's edge blocks would leak until session end.
+    // Checkpoint path: write the round to reliable storage and read it
+    // back — lineage truncated, blocks survive executor loss; cleanup
+    // deletes the superseded round's files.
+    var round = 0
+    def materialize(e: DataFrame): (DataFrame, () => Unit) = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/round_$round"; round += 1
+        e.write.mode("overwrite").parquet(path)
+        val p = new org.apache.hadoop.fs.Path(path)
+        (spark.read.parquet(path), () => {
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true); ()
+        })
+      case None =>
+        val rdd = e.rdd.persist(MEMORY_AND_DISK)
+        (spark.createDataFrame(rdd, e.schema), () => { rdd.unpersist(blocking = false); () })
     }
 
-    var (cur, curRdd) = materialize(canon)
+    var (cur, curCleanup) = materialize(canon)
     var curSig = sig(cur)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val (next, nextRdd) = materialize(smallStar(largeStar(cur)))
-      val nextSig = sig(next) // materializes `next` (reads `cur`) before the unpersist below
+      val (next, nextCleanup) = materialize(smallStar(largeStar(cur)))
+      val nextSig = sig(next) // materializes `next` (reads `cur`) before the cleanup below
       // Signature match is the cheap trigger; confirm with the airtight
       // set check so a ~2⁻⁶⁴ signature collision can't end the loop early
       // with a non-fixpoint (silently wrong) edge set.
       converged = nextSig == curSig && next.exceptAll(cur).isEmpty
-      curRdd.unpersist(blocking = false) // drop the round's edge blocks
-      cur = next; curRdd = nextRdd; curSig = nextSig; it += 1
+      curCleanup() // drop the superseded round's blocks/files
+      cur = next; curCleanup = nextCleanup; curSig = nextSig; it += 1
     }
     // A non-fixpoint edge set is NOT a component map — fail loudly rather
     // than return silently-wrong clusters. (Star rounds converge in
@@ -524,6 +651,14 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
+    // The FINAL round's blocks back the returned frame; register them with
+    // the library cache registry (persist path only — checkpoint files are
+    // the caller's to delete, and removing them would break the result
+    // rather than trigger an RDD-lineage recompute).
+    if (checkpointDir.isEmpty) {
+      val finalCleanup = curCleanup
+      openHandles.add(new CacheHandle(Seq(finalCleanup)))
+    }
     // Fixpoint edges are stars (componentMin, member); the center itself is
     // a member of its own component.
     cur.select(col("_v").as("id"), col("_u").as("component"))
@@ -618,26 +753,40 @@ object Dedup {
     * longest / highest-quality-score member of a duplicate group, drop the
     * truncated shards.
     *
-    * Scale shape: the argmax window runs over the FLAGGED MINORITY only
-    * (docs that appear in some component — proportional to the duplicated
-    * subset); singletons bypass it entirely via one anti-join and keep
-    * themselves, so the per-cluster sort never touches the whole corpus. */
+    * Scale shape: the argmax runs over the FLAGGED MINORITY only (docs that
+    * appear in some component — proportional to the duplicated subset);
+    * singletons bypass it entirely via one anti-join and keep themselves.
+    * The argmax itself is two MAP-SIDE-COMBINABLE aggregates (max priority
+    * per component, then min id among the tied best), NOT a per-component
+    * row_number window: a window sorts each component inside one task, and
+    * shard-dedup corpora routinely chain everything into ONE mega-component
+    * — a single-task sort of the whole flagged set. max()/min() partials
+    * combine map-side, so a mega-component costs one combine per partition,
+    * never one sort. */
   def dedupKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
                     priority: Column,
                     aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
-    val flagged = docs.join(comp, Seq(idCol))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(priority.desc, col(idCol))
-    val flaggedOut = flagged
-      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+    val flagged = docs.join(comp, Seq(idCol)).withColumn("_prio", priority)
+    val pmax = flagged.groupBy(col("component")).agg(max(col("_prio")).as("_pmax"))
+    // Null-safe equality replicates the window's desc_nulls_last tiebreak
+    // chain: when every member's priority is null, all rows tie on the
+    // (null) max and the min-id tiebreak decides alone.
+    val keepIds = flagged.join(pmax, "component")
+      .where(col("_prio") <=> col("_pmax"))
+      .groupBy(col("component")).agg(min(col(idCol)).as("_keepId"))
+    val flaggedOut = flagged.join(keepIds, "component")
+      .withColumn("keep", (col(idCol) === col("_keepId")).cast("int"))
+      .drop("_prio", "_keepId")
       .withColumnRenamed("component", "cluster_id")
     val singles = docs.join(comp.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("cluster_id", col(idCol))
       .withColumn("keep", lit(1))
+    // Restore the caller-facing column order (join-key promotion put
+    // `component` first): docs columns, then cluster_id, keep.
     flaggedOut.unionByName(singles)
+      .select((docs.columns.map(col) ++ Seq(col("cluster_id"), col("keep"))).toIndexedSeq: _*)
   }
 
   /** Cluster-correct corpus dedup: keep exactly the canonical (smallest-id)
@@ -704,6 +853,15 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val (r, h) = simHashPairsWithCleanup(docs, idCol, textCol, maxHamming, tokenHash)
+    tracked(r, h)
+  }
+
+  /** [[simHashPairs]] plus a close handle over its persisted intermediate
+    * — the embedding-friendly variant (see [[CacheHandle]]). */
+  def simHashPairsWithCleanup(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3,
+                              tokenHash: Column => Column = xxhash64(_)): (DataFrame, CacheHandle) = {
     // Referenced by both sides of the chunk self-join.
     val sigd = simHashPerDoc(docs, idCol, textCol, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -718,10 +876,11 @@ object Dedup {
     // Hamming-filter FIRST (a codegen'd map-side predicate that kills ~all
     // rows), THEN dedupe the survivors: the distinct's shuffle moves only
     // genuine near-dup pairs instead of every same-chunk candidate.
-    a.join(b, Seq("_chunk", "_ch")).where(col("doc_a") < col("doc_b"))
+    val out = a.join(b, Seq("_chunk", "_ch")).where(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .dropDuplicates("doc_a", "doc_b")
+    (out, CacheHandle.of(sigd))
   }
 }

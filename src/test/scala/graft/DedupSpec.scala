@@ -273,4 +273,107 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaAgg == expected)
   }
+
+  test("containmentPairs hot-hash salting is lossless (maxDf=2 == unguarded)") {
+    import spark.implicits._
+    // A boilerplate-heavy corpus: every doc carries the same viral banner
+    // (its 8-grams reach df=12, far over maxDf=2 → salted across 6
+    // sub-keys), plus one genuine containment pair (1 ⊃ 2). With maxDf=2
+    // nearly every shared hash takes the salted path; the pair set must be
+    // IDENTICAL to the effectively-unguarded run.
+    val banner = "LICENSED UNDER THE APACHE SOFTWARE FOUNDATION TERMS "
+    val long = banner + ("the quick brown fox jumps over the lazy dog " * 6) +
+      "while the band plays on and the crowd waves back in slow delight"
+    val docs = (Seq(
+      (1L, long),
+      (2L, banner + long.takeRight(60))) ++
+      (3L to 12L).map(i => (i, banner + s"unique filler content number $i " +
+        ("zzz " * i.toInt) + s"tail marker $i")))
+      .toDF("doc_id", "text")
+    def run(maxDf: Int) = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.6, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val unguarded = run(1000000)
+    val salted = run(2)
+    assert(unguarded.nonEmpty) // the banner + shared tail make real pairs
+    assert(salted == unguarded, s"salted=$salted unguarded=$unguarded")
+  }
+
+  test("dedupKeepBest: one 100k-member mega-component, no Window sort in plan") {
+    import org.apache.spark.sql.functions._
+    // Everything chains into ONE component — the shard-dedup shape that
+    // serializes a per-component row_number window into a single task. The
+    // argmax formulation must plan as map-side-combinable aggregates: no
+    // Window node anywhere in the physical plan.
+    val n = 100000L
+    val docs = spark.range(0, n, 1, 8)
+      .select(col("id").as("doc_id"), (col("id") % 1000).as("quality"))
+    val pairs = spark.range(0, n - 1, 1, 8)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val out = Dedup.dedupKeepBest(docs, "doc_id", pairs, col("quality"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "keeper selection must not plan a per-component window sort")
+    val keepers = out.where(col("keep") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // Max quality 999 is shared by ids 999, 1999, …; smallest id wins.
+    assert(keepers == Seq(999L))
+    assert(out.where(col("cluster_id") =!= 0L).count() == 0L)
+  }
+
+  test("connectedComponents checkpointDir: identical output, superseded rounds deleted") {
+    import spark.implicits._
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("a", "b")
+    val want = Dedup.connectedComponents(edges, "a", "b", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val got = Dedup.connectedComponents(edges, "a", "b", localThreshold = 0L,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // Superseded round files are deleted as the loop advances; only the
+    // final round (backing the returned frame) remains.
+    val rounds = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("round_"))
+    assert(rounds.length == 1, rounds.map(_.getName).mkString(","))
+  }
+
+  /** Start the cache-lifecycle tests from a clean block manager: earlier
+    * tests in the shared session cache the same logical plans (CacheManager
+    * dedupes by plan), which would alias the before/after snapshots. */
+  private def clearAllCaches(): Unit = {
+    Dedup.releaseCaches()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("cache lifecycle: releaseCaches drops every dedup-op intermediate") {
+    val sc = spark.sparkContext
+    clearAllCaches()
+    assert(sc.getPersistentRDDs.isEmpty)
+    // One op per family that persists intermediates, each fully consumed.
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8, 0.5).count() == 1)
+    assert(Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5).count() == 1)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 8, 0.5).count() >= 1)
+    Dedup.simHashPairs(docs, "doc_id", "text").count() // consume; pair count irrelevant
+    assert(sc.getPersistentRDDs.nonEmpty,
+      "expected the ops to persist intermediates")
+    Dedup.releaseCaches()
+    assert(sc.getPersistentRDDs.isEmpty,
+      "releaseCaches must drop every registered block")
+  }
+
+  test("WithCleanup variant: close() drops this op's blocks, result stays valid") {
+    val sc = spark.sparkContext
+    clearAllCaches()
+    val (pairs, handle) =
+      Dedup.ngramJaccardPairsWithCleanup(docs, "doc_id", "text", 8, 0.5)
+    assert(pairs.count() == 1)
+    assert(sc.getPersistentRDDs.nonEmpty)
+    handle.close()
+    assert(sc.getPersistentRDDs.isEmpty)
+    // The frame survives its caches: later actions recompute from lineage.
+    assert(pairs.count() == 1)
+  }
 }
