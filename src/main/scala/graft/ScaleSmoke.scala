@@ -54,6 +54,47 @@ object ScaleSmoke {
     val ts = System.nanoTime()
     val ns = graft.ops.Text.duplicatedSpans(d, "doc_id", "text", n = 50).count()
     println(f"dup_spans_100k: spans=$ns time=${(System.nanoTime()-ts)/1e9}%.1f s")
+    // ── Adversarial boilerplate corpus (round 9): ONE viral block in 20%
+    // of the 100k docs (df ≈ 20k — the license-header shape) plus 50
+    // near-pure-boilerplate shard docs. The shards' rarest-first PREFIXES
+    // must contain viral grams (they have only ~7 rarer unique grams and a
+    // 13-gram prefix budget), so the shared-hash join hits the hot keys the
+    // maxDf salt guards: unguarded, each of ~6 viral hashes lands 50
+    // x-rows × 20050 y-rows on ONE key/task; guarded (maxDf=1000) the same
+    // rows spread over ~21 sub-keys. Both runs must emit IDENTICAL pairs —
+    // the guard is a shuffle re-shape, not a filter. Note the ~1M output
+    // pairs are TRUE positives (every shard is genuinely 0.94-contained in
+    // every carrier), so containment does ~6× Jaccard's verify work here
+    // by construction; the number to watch is guarded vs unguarded.
+    val viral = "LICENSEHEADERBLOCK COPYRIGHT TERMS APPLY TO EVERY SHARD " +
+      "OF THIS CORPUS WITHOUT EXCEPTION ALL RIGHTS RESERVED FOREVER EVERY TIME "
+    val boiler = spark.range(100000).select(
+        col("id").as("doc_id"),
+        concat(
+          when(col("id") % 5 === 0, lit(viral)).otherwise(lit("")),
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit(s"tok$i"), ((col("id") / 10) * 31 + i) % 997)): _*),
+          when(col("id") % 10 < 5, lit(""))
+            .otherwise(concat(lit(" uniq"), col("id")))).as("text"))
+      .unionByName(spark.range(100000, 100050).select(col("id").as("doc_id"),
+        concat(lit(viral), lit("u"), col("id")).as("text")))
+    boiler.write.mode("overwrite").parquet("/tmp/scale_boiler")
+    val bo = spark.read.parquet("/tmp/scale_boiler")
+    val tj2 = System.nanoTime()
+    val njb = graft.ops.Dedup.ngramJaccardPairs(bo, "doc_id", "text",
+      shingleN = 8, threshold = 0.8).count()
+    println(f"jaccard_boiler_100k: pairs=$njb time=${(System.nanoTime()-tj2)/1e9}%.1f s")
+    val tg = System.nanoTime()
+    val ng = graft.ops.Dedup.containmentPairs(bo, "doc_id", "text",
+      shingleN = 8, threshold = 0.9, maxDf = 1000).count()
+    println(f"containment_boiler_100k_guarded: pairs=$ng time=${(System.nanoTime()-tg)/1e9}%.1f s")
+    val tu = System.nanoTime()
+    val nu = graft.ops.Dedup.containmentPairs(bo, "doc_id", "text",
+      shingleN = 8, threshold = 0.9, maxDf = Int.MaxValue).count()
+    println(f"containment_boiler_100k_unguarded: pairs=$nu time=${(System.nanoTime()-tu)/1e9}%.1f s")
+    assert(ng == nu, s"salt guard changed the pair count: $ng vs $nu")
+    graft.ops.Dedup.releaseCaches()
+
     // 200k embeddings: 20k cluster centers x 10 jittered members each —
     // the SRP near-dup path must find within-cluster pairs without any
     // quadratic blowup (multi-table banding + hot-bucket guard).

@@ -431,9 +431,15 @@ object Dedup {
     val pre = ranked.where(col("_rk") <=
       (col("_n") - ceil(col("_n") * lit(threshold) - lit(Eps)) + 1).cast("int"))
     // Hot-hash salt map: df > maxDf → spread across ⌈df/maxDf⌉ sub-keys.
-    // Bounded at Σdf/maxDf rows — broadcast-sized by construction.
-    val hot = df.where(col("_df0") > maxDf)
-      .select(col("_h"), ceil(col("_df0").cast("double") / lit(maxDf)).cast("int").as("_nsalt"))
+    // Bounded at Σdf/maxDf rows — broadcast-sized by construction. Derived
+    // from the PERSISTED shared-hash frame, whose per-hash row count IS df
+    // (one row per doc containing the hash) — re-deriving it from `df`
+    // would re-aggregate the full unpruned shingle table once per
+    // broadcast reference, which measured 2× the whole op on a
+    // boilerplate-heavy 100k corpus.
+    val hot = ranked.groupBy(col("_h")).agg(count(lit(1)).as("_dfh"))
+      .where(col("_dfh") > maxDf)
+      .select(col("_h"), ceil(col("_dfh").cast("double") / lit(maxDf)).cast("int").as("_nsalt"))
     // y side: each hot-hash row lands in ONE deterministic sub-key (spread
     // by doc id); cold hashes (the overwhelming majority) keep salt 0.
     val rankedS = ranked.join(broadcast(hot), Seq("_h"), "left")
@@ -865,6 +871,16 @@ object Dedup {
     // Referenced by both sides of the chunk self-join.
     val sigd = simHashPerDoc(docs, idCol, textCol, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (hammingBandPairs(sigd, maxHamming), CacheHandle.of(sigd))
+  }
+
+  /** Near-dup pairs from ANY per-item 64-bit signature table (_id, _sig) —
+    * the banding engine shared by [[simHashPairs]] (text) and
+    * [[Multimodal.perceptualHashPairs]] (media): four 16-bit chunks,
+    * Hamming <= 3 implies >= 1 identical chunk by pigeonhole, so chunk
+    * equality has recall 1.0 at that radius. Callers persist `sigd` (it is
+    * referenced by both sides of the self-join). */
+  private[ops] def hammingBandPairs(sigd: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = sigd.select(col("_id"), col("_sig"),
       explode(array((0 until 4).map(j => struct(
         lit(j).as("_chunk"),
@@ -876,11 +892,15 @@ object Dedup {
     // Hamming-filter FIRST (a codegen'd map-side predicate that kills ~all
     // rows), THEN dedupe the survivors: the distinct's shuffle moves only
     // genuine near-dup pairs instead of every same-chunk candidate.
-    val out = a.join(b, Seq("_chunk", "_ch")).where(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("_chunk", "_ch")).where(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("_siga").bitwiseXOR(col("_sigb"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-    (out, CacheHandle.of(sigd))
   }
+
+  /** Register op-internal persisted frames with the library cache registry
+    * (for sibling ops in this package, e.g. [[Multimodal]]). */
+  private[ops] def registerCaches(frames: DataFrame*): Unit =
+    openHandles.add(CacheHandle.of(frames.toIndexedSeq: _*))
 }

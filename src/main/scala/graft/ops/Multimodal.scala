@@ -90,4 +90,57 @@ object Multimodal {
       .as[MediaRow]
     decodeFeatures(typed).toDF()
   }
+
+  // ── Media near-dup (perceptual hashing) ────────────────────────────────
+
+  /** dHash-style 64-bit perceptual signature over a media payload: 65
+    * evenly-spaced byte samples (the stand-in for a decoded 9×8 luma grid),
+    * bit k set iff sample k+1 > sample k — gradient direction, the dHash
+    * insight, which survives uniform brightness/level shifts. Lives in the
+    * DECODER tier deliberately: a real image pHash runs after
+    * decode+resize, exactly where [[DecodeStub]] sits, so a real decoder
+    * swaps in by feeding decoded luma bytes to this same function.
+    * Deterministic pure byte function — an external engine can replay it
+    * (sample positions are 1 + ⌊k·(n-1)/64⌋, 1-based). Empty payload → 0. */
+  def perceptualHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val s = Array.tabulate(65)(k => bytes(((k.toLong * (n - 1)) / 64).toInt) & 0xFF)
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (s(k + 1) > s(k)) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  /** Per-item perceptual signatures — decoder tier (mapPartitions, one
+    * decoder init per partition), output (_id, _sig). The 100 TB shape:
+    * the multi-KB/MB blob reduces to 8 bytes at the scan and never enters
+    * a shuffle. */
+  def perceptualHashes(df: DataFrame, idCol: String, blobCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // A real implementation opens its codec context here (decode →
+        // grayscale → resize), then hashes the decoded plane per row.
+        it.map { case (id, blob) => (id, perceptualHash64(blob)) }
+      }
+      .toDF("_id", "_sig")
+  }
+
+  /** Media near-dup pairs: perceptual signature + the same 16-bit-chunk
+    * Hamming banding as SimHash (recall 1.0 at Hamming <= 3 by
+    * pigeonhole). Output (doc_a, doc_b, hamming), doc_a < doc_b. This is
+    * the dedup × multimodal intersection: near-identical images/frames
+    * (re-encodes, brightness shifts, truncated payloads with identical
+    * sampled gradients) cluster without ever joining on blob bytes. */
+  def perceptualHashPairs(df: DataFrame, idCol: String, blobCol: String,
+                          maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = perceptualHashes(df, idCol, blobCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCaches(sigs)
+    Dedup.hammingBandPairs(sigs, maxHamming)
+  }
 }

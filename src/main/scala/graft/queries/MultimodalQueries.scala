@@ -139,6 +139,55 @@ object MultimodalQueries {
       graft.ops.Dedup.dedupAssign(
           emb.select(col("id").as("vec_id")), "vec_id", pairs, "id_a", "id_b")
         .orderBy("vec_id")
+    },
+
+    // ── media near-dup: dHash-style perceptual signature (decoder tier —
+    //    65 evenly-spaced byte samples standing in for a decoded 9×8 luma
+    //    grid, bit k = gradient direction) + the SimHash 16-bit-chunk
+    //    Hamming banding. The media table is documents ∪ a same-length
+    //    single-byte "re-encode" of each doc (byte 11 overwritten), which
+    //    perturbs at most two of the 65 samples — every original/variant
+    //    pair lands within Hamming ≤ 3 BY CONSTRUCTION while distinct docs
+    //    stay ≥ 13 apart (measured), so recall and precision are both
+    //    exercised. Oracle replays the signature bit-for-bit (bit 63 is
+    //    the sign bit: DuckDB's BIGINT << overflows at 63, so it sums the
+    //    signed value -2⁶³ instead — same two's-complement result). ──
+    QueryDef("q72_media_neardup",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS media_id,
+        |         substr(text, 1, 10) || 'X' || substr(text, 12) AS payload
+        |  FROM documents),
+        |m AS (SELECT media_id, payload,
+        |        octet_length(encode(payload)) AS n FROM media),
+        |s AS (
+        |  SELECT media_id, k,
+        |    ascii(substr(payload, CAST(1 + (k * (n - 1)) // 64 AS INT), 1)) AS v
+        |  FROM m CROSS JOIN range(65) AS r(k)),
+        |p AS (SELECT media_id, k, v,
+        |        lead(v) OVER (PARTITION BY media_id ORDER BY k) AS v2 FROM s),
+        |sig AS (
+        |  SELECT media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN v2 > v THEN
+        |        CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |             ELSE CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS HUGEINT) END
+        |      ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS sig
+        |  FROM p WHERE k < 64 GROUP BY media_id)
+        |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      val docs = Tables.documents(s, d)
+      val media = docs.select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        .unionByName(docs.select((col("doc_id") + 100000).as("media_id"),
+          concat(substring(col("text"), 1, 10), lit("X"),
+            substring(col("text"), 12, 1000000)).cast("binary").as("payload")))
+      Multimodal.perceptualHashPairs(media, "media_id", "payload", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

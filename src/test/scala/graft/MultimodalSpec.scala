@@ -56,4 +56,36 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("mediaId").collect()
     assert(re.toSeq.map(_.toString) == out.toSeq.map(_.toString))
   }
+
+  test("perceptualHash64: gradient bits, level-shift invariance, empty payload") {
+    val base = Array.tabulate(256)(i => (math.sin(i * 0.3) * 60 + 100).toByte)
+    val sig = Multimodal.perceptualHash64(base)
+    // Identical bytes → identical signature (trivially), and a uniform
+    // brightness shift (+5 on every byte, no wraparound by construction)
+    // preserves every gradient direction → identical signature: the dHash
+    // property that makes it a NEAR-dup hash, not a checksum.
+    val brighter = base.map(b => (b + 5).toByte)
+    assert(Multimodal.perceptualHash64(brighter) == sig)
+    // One corrupted byte flips at most 2 of the 64 gradient bits.
+    val corrupt = base.clone(); corrupt(64) = (corrupt(64) + 90).toByte
+    assert(java.lang.Long.bitCount(Multimodal.perceptualHash64(corrupt) ^ sig) <= 2)
+    // A different signal separates.
+    val other = Array.tabulate(256)(i => (math.cos(i * 0.7) * 60 + 100).toByte)
+    assert(java.lang.Long.bitCount(Multimodal.perceptualHash64(other) ^ sig) > 3)
+    assert(Multimodal.perceptualHash64(Array.empty) == 0L)
+  }
+
+  test("perceptualHashPairs: original/re-encode pair within Hamming 3, " +
+      "distinct media separated") {
+    import spark.implicits._
+    val a = Array.tabulate(300)(i => (math.sin(i * 0.21) * 70 + 110).toByte)
+    val aShift = a.map(b => (b + 3).toByte) // re-encode: level shift
+    val b = Array.tabulate(300)(i => (math.sin(i * 0.77 + 2) * 70 + 110).toByte)
+    val media = Seq((1L, a), (2L, aShift), (3L, b))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.perceptualHashPairs(media, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 0) // level shift preserves every gradient
+  }
 }
