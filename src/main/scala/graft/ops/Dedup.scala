@@ -452,7 +452,14 @@ object Dedup {
       .withColumn("_salt", explode(sequence(lit(0), coalesce(col("_nsalt"), lit(1)) - 1)))
       .drop("_nsalt")
     val needOverlap = ceil(col("x._n") * lit(threshold) - lit(Eps))
-    val cand = preS.as("x").join(rankedS.as("y"),
+    // The candidate join is PINNED to shuffle-hash (build = the prefix
+    // side): the broadcast(hot) left-joins above make Catalyst's static
+    // size estimate for both inputs collapse (join selectivity over a
+    // filtered agg), and an estimate-promoted BroadcastHashJoin here would
+    // try to build MILLIONS of prefix rows on the driver — measured as an
+    // immediate broadcast OOM on a fresh 8 GB session at 100k docs, and
+    // exactly the kind of mis-plan a 100 TB run cannot risk.
+    val cand = preS.hint("shuffle_hash").as("x").join(rankedS.as("y"),
         col("x._h") === col("y._h") && col("x._salt") === col("y._salt"))
       .where(col("x._id") =!= col("y._id") &&
         // the prefix guarantee holds when x is the (tie-broken) smaller side

@@ -224,9 +224,45 @@ object Similarity {
     * the query count (unlike an unguarded LSH self-join's |bucket|²).
     * `queries`/`corpus`: (id, vec array<double>); self-matches excluded. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              cents: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
-      norm(col("vec")).as("_cn"), ivfCell(col("vec"), cents).as("_cell"))
+              cents: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame =
+    ivfTopKAgainstIndex(queries, ivfIndex(corpus, cents), cents, nprobe, k)
+
+  /** The IVF INDEX table — the ANN analog of [[Dedup.minHashSignatures]]:
+    * (id, vec, _n, _cell) for every corpus vector, one map-only assignment
+    * pass (centroids ride as plan literals). A 100 TB pipeline fits the
+    * quantizer ONCE ([[fitCentroids]]), runs this pass once, WRITES the
+    * result (parquet, `partitionBy("_cell")` so a probe's cell filter
+    * prunes whole inverted lists at the file level) plus the centroid
+    * table ([[ivfCentroidsDf]]), and serves every later query batch from
+    * storage via [[ivfTopKAgainstIndex]] — corpus vectors are never
+    * re-assigned, norms never recomputed, the quantizer never refit. */
+  def ivfIndex(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus.select(col("id"), col("vec"), norm(col("vec")).as("_n"),
+      ivfCell(col("vec"), cents).as("_cell"))
+
+  /** Centroid table (cid, cvec) for storage alongside the index — k×dim,
+    * driver-sized by design (like every production IVF's quantizer). */
+  def ivfCentroidsDf(spark: org.apache.spark.sql.SparkSession,
+                     cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+  }
+
+  /** Driver-side centroids from a stored centroid table (the read half of
+    * the [[ivfCentroidsDf]] contract). */
+  def ivfCentroidsFrom(df: DataFrame): Seq[(Int, Seq[Double])] =
+    df.select(col("cid").cast("int"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  /** IVF top-k against a PRECOMPUTED index ([[ivfIndex]] output, typically
+    * read back from storage): probe rows (a few per query) broadcast into
+    * the stored inverted lists — per-batch cost scales with the probed
+    * lists, never the corpus, and nothing on the corpus side recomputes. */
+  def ivfTopKAgainstIndex(queries: DataFrame, index: DataFrame,
+                          cents: Seq[(Int, Seq[Double])],
+                          nprobe: Int, k: Int): DataFrame = {
+    val c = index.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
+      col("_n").as("_cn"), col("_cell"))
     val probeCells = explode(array(cents.map { case (cid, cv) =>
       val cl = array(cv.map(lit): _*)
       struct(round(dot(col("vec"), cl) / (norm(col("vec")) * sqrt(dot(cl, cl))), 6)

@@ -12,6 +12,41 @@ import graft.ops.{Dedup, Sampling, Similarity, Text}
   * band configuration gives ~1.0 recall at the 0.8 threshold. */
 object LlmQueries {
 
+  /** Shared oracle for q48 (in-plan IVF) and q73 (persisted-index IVF) —
+    * the storage round trip must be result-invisible, so both replay the
+    * same coarse-quantize + probe + exact-score pipeline. */
+  private val IvfSql =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+      |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+      |assign AS (
+      |  SELECT id, cid AS cell FROM (
+      |    SELECT c.id, t.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY c.id
+      |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+      |                 DESC, t.cid) AS rk
+      |    FROM w c, cents t) WHERE rk = 1),
+      |probes AS (
+      |  SELECT id AS query_id, cid AS cell FROM (
+      |    SELECT c.id, t.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY c.id
+      |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+      |                 DESC, t.cid) AS rk
+      |    FROM w c, cents t WHERE c.id % 50 = 0) WHERE rk <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.id AS neighbor_id,
+      |    round(list_inner_product(q.vec, x.vec) / (q.n * x.n), 6) AS sim
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.id <> p.query_id
+      |  JOIN w q ON q.id = p.query_id
+      |  JOIN w x ON x.id = a.id)
+      |SELECT query_id, neighbor_id, sim, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   private val JaccardPairsSql =
     """WITH g AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -279,37 +314,7 @@ object LlmQueries {
     //    coarse centroids here are the 16 lowest-id corpus vectors (a
     //    deterministic stand-in for a k-means fit — the engine mechanics
     //    are identical and the oracle can re-derive them from the data). ──
-    QueryDef("q48_ann_ivf",
-      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
-        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
-        |assign AS (
-        |  SELECT id, cid AS cell FROM (
-        |    SELECT c.id, t.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY c.id
-        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
-        |                 DESC, t.cid) AS rk
-        |    FROM w c, cents t) WHERE rk = 1),
-        |probes AS (
-        |  SELECT id AS query_id, cid AS cell FROM (
-        |    SELECT c.id, t.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY c.id
-        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
-        |                 DESC, t.cid) AS rk
-        |    FROM w c, cents t WHERE c.id % 50 = 0) WHERE rk <= 2),
-        |scored AS (
-        |  SELECT p.query_id, a.id AS neighbor_id,
-        |    round(list_inner_product(q.vec, x.vec) / (q.n * x.n), 6) AS sim
-        |  FROM probes p
-        |  JOIN assign a ON a.cell = p.cell AND a.id <> p.query_id
-        |  JOIN w q ON q.id = p.query_id
-        |  JOIN w x ON x.id = a.id)
-        |SELECT query_id, neighbor_id, sim, rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |                               ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("q48_ann_ivf", IvfSql) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(
         col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("vec"))
@@ -320,6 +325,34 @@ object LlmQueries {
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
       Similarity.ivfTopK(emb.where(col("id") % 50 === 0), emb, cents,
           nprobe = 2, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ── IVF against a PERSISTED index: same ANN answer as q48, but the
+    //    cell assignments + centroids make a parquet round trip first —
+    //    the minHashSignatures contract for ANN (fit once, assign once,
+    //    write; every probe batch reads inverted lists, never re-assigns
+    //    the corpus or refits the quantizer). The oracle is q48's: the
+    //    storage round trip must be result-invisible. ──
+    QueryDef("q73_ann_ivf_index", IvfSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      // Build + store: assignments partitioned by cell (a probe's cell
+      // filter prunes whole inverted lists at the file level), centroids
+      // as the tiny companion table.
+      Similarity.ivfIndex(emb, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/assign")
+      Similarity.ivfCentroidsDf(s, cents)
+        .write.mode("overwrite").parquet(s"$dir/cents")
+      // Serve the probe batch purely from storage.
+      val storedCents = Similarity.ivfCentroidsFrom(s.read.parquet(s"$dir/cents"))
+      Similarity.ivfTopKAgainstIndex(emb.where(col("id") % 50 === 0),
+          s.read.parquet(s"$dir/assign"), storedCents, nprobe = 2, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("query_id", "rank")
     },

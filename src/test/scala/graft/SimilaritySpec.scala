@@ -137,4 +137,37 @@ class SimilaritySpec extends SparkSpec {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("persisted IVF index: probe batches served from storage match the " +
+      "in-plan path, corpus never re-read") {
+    import spark.implicits._
+    val corpus = (0L until 60L)
+      .map(i => (i, Seq.tabulate(4)(j => math.sin(i * 0.7 + j) + (if (j == (i % 4).toInt) 2.0 else 0.0))))
+      .toDF("id", "vec")
+    val cents = Similarity.fitCentroids(corpus, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    // Fit once, assign once, write — the minHashSignatures contract.
+    Similarity.ivfIndex(corpus, cents)
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/assign")
+    Similarity.ivfCentroidsDf(spark, cents)
+      .write.mode("overwrite").parquet(s"$dir/cents")
+    val storedCents = Similarity.ivfCentroidsFrom(spark.read.parquet(s"$dir/cents"))
+    assert(storedCents == cents) // quantizer round-trips exactly
+    // TWO probe batches against the stored index, each matching ivfTopK.
+    for (batch <- Seq(Seq(3L, 17L), Seq(8L, 44L, 59L))) {
+      val queries = corpus.where(col("id").isin(batch: _*))
+      val fromIndex = Similarity.ivfTopKAgainstIndex(queries,
+          spark.read.parquet(s"$dir/assign"), storedCents, nprobe = 2, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+      val inPlan = Similarity.ivfTopK(queries, corpus, cents, nprobe = 2, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fromIndex == inPlan, s"batch $batch")
+    }
+    // The stored path's scan set is the index files (corpus is an
+    // in-memory relation here; the plan must read parquet from $dir only).
+    val plan = Similarity.ivfTopKAgainstIndex(corpus.limit(1),
+      spark.read.parquet(s"$dir/assign"), storedCents, 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(s"$dir/assign").getName), plan.take(400))
+  }
 }
