@@ -47,22 +47,29 @@ object Compaction {
         df.repartitionByRange(nFiles, cs: _*).sortWithinPartitions(cs: _*)
       } else df.repartition(nFiles))
 
-  /** Compact a HIVE-PARTITIONED parquet dir (`dir/k=v/…`) one leaf
-    * partition at a time, preserving the partition layout — compacting the
-    * root directly would inline the partition columns into the data files
-    * and destroy partition pruning. Serial over partitions by design: each
-    * inner compact is already a full-cluster job, and lake hygiene runs
-    * off the critical path. Returns total files written. */
+  /** Compact a HIVE-PARTITIONED parquet dir (`dir/k=v/…`, any nesting
+    * depth) one LEAF partition at a time, preserving the partition layout —
+    * compacting the root directly would inline the partition columns into
+    * the data files and destroy partition pruning, and compacting a
+    * multi-level layout (`dt=…/hr=…`) at the first level would do the same
+    * to every level below it. A leaf is a dir with no `k=v` subdirs.
+    * Serial over partitions by design: each inner compact is already a
+    * full-cluster job, and lake hygiene runs off the critical path.
+    * Returns total files written. */
   def compactPartitionedParquetDir(spark: SparkSession, dir: String,
                                    targetBytes: Long,
                                    sortCols: Seq[String] = Nil): Int = {
     val root = new Path(dir)
     val fs = fileSystem(spark, root)
-    val parts = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    def leaves(p: Path): Seq[Path] = {
+      val kv = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (kv.isEmpty) Seq(p) else kv.toSeq.flatMap(st => leaves(st.getPath))
+    }
+    val parts = leaves(root).filterNot(_ == root)
     require(parts.nonEmpty, s"no k=v partition dirs under $dir")
     parts.map(p =>
-      compactParquetDir(spark, p.getPath.toString, targetBytes, sortCols)).sum
+      compactParquetDir(spark, p.toString, targetBytes, sortCols)).sum
   }
 
   /** Shared rewrite-and-swap: size the file budget from on-disk bytes, let

@@ -55,19 +55,26 @@ object ZOrder {
           lit(maxQ)))
       greatest(scaled, lit(0L))
     }
-    // Morton interleave: bit i of column j lands at position i*k + j.
+    // Stage the quantized value of each column ONCE in its own projection
+    // (as zClusterByQuantiles does): inlining `quantized(c)` per
+    // interleaved bit duplicates the when/floor/least/greatest chain
+    // bits× per column — a codegen-size blowup on wide multi-column calls.
     val k = cols.size
+    val staged = df.crossJoin(broadcast(stats))
+      .select(df.columns.map(col).toIndexedSeq ++
+        cols.map(c => quantized(c).as(s"_zq_$c")): _*)
+    // Morton interleave: bit i of column j lands at position i*k + j.
     val z = (0 until bits).flatMap { i =>
       cols.zipWithIndex.map { case (c, j) =>
-        shiftleft(shiftrightunsigned(quantized(c), i).bitwiseAND(lit(1L)),
+        shiftleft(shiftrightunsigned(col(s"_zq_$c"), i).bitwiseAND(lit(1L)),
           i * k + j)
       }
     }.reduce(_.bitwiseOR(_))
-    df.crossJoin(broadcast(stats))
+    staged
       .withColumn("_zval", z)
       .repartitionByRange(nPartitions, col("_zval"))
       .sortWithinPartitions(col("_zval"))
-      .drop("_zval" +: cols.flatMap(c => Seq(s"_zmin_$c", s"_zmax_$c")): _*)
+      .drop("_zval" +: cols.map(c => s"_zq_$c"): _*)
   }
 
   /** Skew-robust variant: quantize each column by its RANK (equi-depth

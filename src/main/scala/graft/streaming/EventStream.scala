@@ -94,7 +94,23 @@ object EventStream {
     * `Dedup.minHashSignatures(corpus, …).write.parquet(sigDir)` (an empty
     * corpus works — write the empty signature frame). The append is one
     * batch-sized parquet write per micro-batch; compact `sigDir`
-    * periodically with [[graft.sinks.Compaction]] as the file count grows. */
+    * periodically with [[graft.sinks.Compaction]] as the file count grows.
+    *
+    * AT-LEAST-ONCE REPLAY SEMANTICS (foreachBatch can re-run a batch after
+    * a crash between the append and the sink): replays are safe by two
+    * guards, with no layout or checkpoint-id bookkeeping —
+    *  1. a doc is never its own duplicate: [[dedupBatch]] ignores
+    *     signature matches with `new_id == corpus_id`, so a replayed
+    *     batch that already appended its survivors' signatures re-derives
+    *     the SAME survivor set instead of anti-joining itself away
+    *     (intra-batch near-dups of a replayed survivor fall to its
+    *     appended signature — same outcome as the original intra pass);
+    *  2. the append is row-idempotent: only signatures whose `_id` is not
+    *     already in the table are written, so a replay appends nothing.
+    * Doc ids must be stable across replays and unique corpus-wide (the
+    * same contract the signature table itself carries). The SINK remains
+    * at-least-once — it re-receives the identical survivor frame on
+    * replay and must be idempotent downstream. */
   def streamingNearDedupSelfExtending(batches: DataFrame, sigDir: String,
                                       idCol: String, textCol: String,
                                       shingleN: Int = 8, k: Int = 64,
@@ -110,14 +126,24 @@ object EventStream {
       // survivors are micro-batch-sized, well within executor storage.
       val survivors = dedupBatch(batch, sigs, idCol, textCol, shingleN,
         threshold, k).localCheckpoint()
+      // Row-idempotent append (replay guard 2): a signature already in the
+      // table is never written again. The anti-join must also sever its
+      // sigDir lineage (localCheckpoint) — it reads the path it writes.
       graft.ops.Dedup.minHashSignatures(survivors, idCol, textCol,
-        shingleN, k).write.mode("append").parquet(sigDir)
+          shingleN, k)
+        .join(sigs.select(col("_id")), Seq("_id"), "left_anti")
+        .localCheckpoint()
+        .write.mode("append").parquet(sigDir)
       sink(survivors, batchId)
     }
 
   /** One micro-batch's dedup: corpus anti-join, then cluster-correct
     * intra-batch near-dedup ([[graft.ops.Dedup.dedupFilter]] — a batch is
-    * driver-bounded, so its pair graph takes the union-find fast path). */
+    * driver-bounded, so its pair graph takes the union-find fast path).
+    * Matches with `new_id == corpus_id` are ignored — a doc is never its
+    * own duplicate. That is a no-op under the static-corpus contract
+    * (disjoint id spaces) and the replay guard under self-extension, where
+    * a replayed batch's own signatures are already in the table. */
   private def dedupBatch(batch: DataFrame, corpusSigs: DataFrame,
                          idCol: String, textCol: String,
                          shingleN: Int, threshold: Double,
@@ -125,6 +151,7 @@ object EventStream {
     val pairs = graft.ops.Dedup.minHashLshPairsAgainstSignatures(
       batch, corpusSigs, idCol, textCol, shingleN = shingleN, k = k,
       threshold = threshold)
+      .where(col("new_id") =!= col("corpus_id"))
     val novel = batch.join(
       pairs.select(col("new_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")

@@ -277,4 +277,47 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("self-extending loop: at-least-once replay is not self-dropped and " +
+      "appends no duplicate signatures") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1001L, "completely different content with nothing shared whatsoever xyz"))
+      .toDF("doc_id", "text")
+    val sigDir = java.nio.file.Files.createTempDirectory("sigs-replay")
+      .resolve("t").toString
+    graft.ops.Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .write.parquet(sigDir)
+
+    // One delivery of the SAME batch content (stable ids — the foreachBatch
+    // at-least-once shape: crash after the signature append, replay).
+    def deliverOnce(): Seq[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = EventStream.streamingNearDedupSelfExtending(docs, sigDir,
+          "doc_id", "text", threshold = 0.5) { (survivors, _) =>
+        val ids = survivors.select("doc_id").as[Long].collect()
+        got.synchronized { got ++= ids }
+      }.start()
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dot again and again"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      q.stop()
+      got.sorted.toSeq
+    }
+    // First delivery: 1 survives, 2 is its intra-batch near-dup.
+    assert(deliverOnce() == Seq(1L))
+    // REPLAY, arriving after 1's signature is already in the table: the
+    // batch must re-derive the same survivor set (1 ignores its own
+    // signature; 2 falls to it — same outcome), NOT be silently dropped.
+    assert(deliverOnce() == Seq(1L))
+    // And the append is row-idempotent: no duplicate signature rows.
+    val ids = spark.read.parquet(sigDir).select("_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 1001L), s"signature table: $ids")
+  }
 }
