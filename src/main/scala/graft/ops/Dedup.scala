@@ -55,6 +55,13 @@ object Dedup {
     openHandles.add(handle); result
   }
 
+  /** Register a handle in the library-wide [[releaseCaches]] registry —
+    * for sibling ops (e.g. [[Text]]) that persist intermediates under the
+    * same lifecycle contract. */
+  private[ops] def register(handle: CacheHandle): Unit = {
+    openHandles.add(handle); ()
+  }
+
   /** Unpersist every intermediate the plain (non-`WithCleanup`) dedup ops
     * have persisted so far — the library-embedding contract: a long-lived
     * service calls this after each batch of dedup work instead of

@@ -164,6 +164,44 @@ object Text {
     cutSpans(docs, idCol, textCol,
       matchingSpans(docs, idCol, textCol, reference, refTextCol, n))
 
+  /** [[matchingSpans]] with a Bloom-sketch prefilter on the corpus scan —
+    * IDENTICAL output (the sketch admits no false negatives and every
+    * bloom-positive is re-verified by the exact hash join), different scale
+    * shape: the plain path semi-joins EVERY corpus window against the
+    * reference hash table, which shuffles the full O(corpus) window stream
+    * once that table outgrows the broadcast threshold. Here membership is
+    * tested ON THE SCAN by a codegen'd
+    * [[graft.plans.BloomMightContainLong]] over a driver-built sketch
+    * (~1.2 MB per million reference windows at fpp=1%), so the only rows
+    * reaching the verify join are true hits + an fpp-sized false-positive
+    * tail. Two driver actions over the REFERENCE side only (distinct-hash
+    * count + sketch build — dim-sized by the decontamination contract);
+    * the corpus is scanned once, shuffle-free until the island merge of
+    * the flagged minority. */
+  def matchingSpansBloom(docs: DataFrame, idCol: String, textCol: String,
+                         reference: DataFrame, refTextCol: String,
+                         n: Int = 50, fpp: Double = 0.01): DataFrame = {
+    val refHashes = reference
+      .where(F.length(col(refTextCol)) >= 1)
+      .select(explode(graft.plans.ShingleHashPos64(col(refTextCol), n)).as("_h"))
+      .distinct()
+      .persist()
+    Dedup.register(Dedup.CacheHandle.of(refHashes))
+    val nRef = math.max(1L, refHashes.count())
+    val bloom = refHashes.stat.bloomFilter("_h", nRef, fpp)
+    val base = windowHashes(docs, idCol, textCol, n)
+      .where(graft.plans.BloomMightContainLong(col("_h"), bloom))
+    mergeIslands(base.join(refHashes, "_h"), idCol, n)
+  }
+
+  /** Cut every span of [[matchingSpansBloom]] out of the text — the
+    * scan-prefiltered decontamination endpoint. Adds `clean_text`. */
+  def removeMatchingSpansBloom(docs: DataFrame, idCol: String, textCol: String,
+                               reference: DataFrame, refTextCol: String,
+                               n: Int = 50, fpp: Double = 0.01): DataFrame =
+    cutSpans(docs, idCol, textCol,
+      matchingSpansBloom(docs, idCol, textCol, reference, refTextCol, n, fpp))
+
   /** (id, len, 1-based position, 64-bit positional window hash) rows for
     * every `n`-char window; compact text repartitioned by id first so the
     * downstream flag-join + island window stay co-partitioned. */

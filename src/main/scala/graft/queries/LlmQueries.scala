@@ -625,6 +625,76 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // ── Bloom-prefiltered decontamination EXCISION: q70 locates the eval
+    //    split's verbatim spans via an exact hash join of every corpus
+    //    window; this runs the same surgery but tests membership ON THE
+    //    SCAN with a driver-built Bloom sketch (codegen'd
+    //    bloom_might_contain_long) so only bloom-positives reach the
+    //    verify join — the shape that keeps the corpus side shuffle-free
+    //    at 100 TB. The sketch admits no false negatives and positives
+    //    are re-verified exactly, so the md5 of the cleaned text must
+    //    match the oracle's hash-free replay bit-for-bit. ──
+    QueryDef("q74_decontam_bloom",
+      """WITH d0 AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1 AND doc_id % 50 <> 0),
+        |b0 AS (
+        |  SELECT text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1 AND doc_id % 50 = 0),
+        |pos AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM d0),
+        |g AS (SELECT doc_id, len, p, substr(text, p::INT, 50) AS gram FROM pos),
+        |bpos AS (
+        |  SELECT text, unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM b0),
+        |bg AS (SELECT DISTINCT substr(text, p::INT, 50) AS gram FROM bpos),
+        |f AS (SELECT doc_id, p, least(p + 49, len) AS e FROM g JOIN bg USING (gram)),
+        |w AS (
+        |  SELECT doc_id, p, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM f),
+        |isl AS (
+        |  SELECT doc_id, p, e,
+        |    sum(CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM w),
+        |sp AS (SELECT doc_id, min(p) AS s, max(e) AS e
+        |       FROM isl GROUP BY doc_id, island),
+        |gaps AS (
+        |  SELECT doc_id, s, e,
+        |    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM sp),
+        |tails AS (SELECT doc_id, max(e) AS me FROM sp GROUP BY doc_id),
+        |pieces AS (
+        |  SELECT g2.doc_id, g2.s AS ord,
+        |    substr(d0.text, CAST(g2.pe + 1 AS INT), CAST(g2.s - g2.pe - 1 AS INT)) AS piece
+        |  FROM gaps g2 JOIN d0 USING (doc_id)
+        |  UNION ALL
+        |  SELECT t.doc_id, 2147483647 AS ord,
+        |    substr(d0.text, CAST(t.me + 1 AS INT)) AS piece
+        |  FROM tails t JOIN d0 USING (doc_id)),
+        |cleaned AS (
+        |  SELECT doc_id, coalesce(string_agg(piece, '' ORDER BY ord), '') AS ct
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT d.doc_id, length(coalesce(c.ct, d.text)) AS clean_len,
+        |       md5(coalesce(c.ct, d.text)) AS clean_md5
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val all = Tables.documents(s, d)
+      Text.removeMatchingSpansBloom(
+          all.where(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          all.where(col("doc_id") % 50 === 0), "text", n = 50)
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("bigint").as("clean_len"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

@@ -107,6 +107,55 @@ class TextFunctionsSpec extends SparkSpec {
     assert(clean(3L) == "")
   }
 
+  test("matchingSpansBloom: identical to the exact path (sketch is a lossless prefilter)") {
+    import org.apache.spark.sql.functions._
+    // The bloom prefilter must be result-invisible: no false negatives by
+    // construction, false positives killed by the verify join — so on real
+    // data the spans AND the excised text must match the exact path
+    // byte-for-byte, even at an absurd fpp where the sketch passes nearly
+    // everything through.
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.where(col("doc_id") % 50 =!= 0)
+    val bench = all.where(col("doc_id") % 50 === 0)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    for (fpp <- Seq(0.01, 0.4)) {
+      val exact = graft.ops.Text.matchingSpans(corpus, "doc_id", "text",
+        bench, "text", n = 50).collect().toSet
+      val bloom = graft.ops.Text.matchingSpansBloom(corpus, "doc_id", "text",
+        bench, "text", n = 50, fpp = fpp).collect().toSet
+      assert(bloom == exact, s"fpp=$fpp spans diverged")
+    }
+    val cleanExact = graft.ops.Text.removeMatchingSpans(corpus, "doc_id",
+        "text", bench, "text", n = 50)
+      .select(col("doc_id"), md5(col("clean_text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val cleanBloom = graft.ops.Text.removeMatchingSpansBloom(corpus, "doc_id",
+        "text", bench, "text", n = 50)
+      .select(col("doc_id"), md5(col("clean_text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleanBloom == cleanExact)
+    // Library cache contract: the persisted reference-hash tables drain
+    // through the shared registry (delta-based — another suite may own
+    // unrelated persists in the shared session).
+    graft.ops.Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore)
+  }
+
+  test("matchingSpansBloom: the membership test runs on the scan (plan has the bloom filter)") {
+    import spark.implicits._
+    val bench = Seq((100L, "0123456789ABCDEFGHIJ")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "xx 0123456789ABCDEFGHIJ yy")).toDF("doc_id", "text")
+    val out = graft.ops.Text.matchingSpansBloom(corpus, "doc_id", "text",
+      bench, "text", n = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_long"),
+      s"bloom prefilter missing from plan:\n$plan")
+    // And it still finds the contamination through the sketch.
+    val spans = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 4L, 23L)), s"got $spans")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("span surgery conserves length: clean_len = len - sum(span widths), sf0.001") {
     import org.apache.spark.sql.functions._
     // Cross-op invariant on real data: removeDuplicatedSpans must cut
