@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data EXPORT operators: the last mile between a cleaned corpus
+  * and what a pretraining job actually reads — a deterministically
+  * shuffled, evenly sharded, sequence-packed layout.
+  *
+  * Both ops are seeded and replayable: the "randomness" is md5 over
+  * `"<seed>:<id>"`, so a re-run (or an independent engine — the DuckDB
+  * oracles replay the exact same bytes) produces the identical layout,
+  * and a task retry can never scramble the order the training job sees.
+  */
+object Export {
+
+  /** md5-derived 60-bit pseudo-random key for `"<seed>:<id>"` — the
+    * deterministic stand-in for a random draw, replayable cross-engine
+    * (`CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)` in DuckDB). */
+  private def md5Key60(idCol: String, seed: Long) =
+    conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Deterministic seeded corpus shuffle + shard assignment: adds
+    * `shard` (0..numShards-1) and `pos` (0-based write position within
+    * the shard) such that reading shards round-robin replays the global
+    * shuffled order. Training pipelines need exactly this before export:
+    * document order decorrelated from ingestion order (no
+    * crawl-locality / time-locality runs in a training batch), split
+    * into evenly sized shards.
+    *
+    * Scale shape: ONE range exchange — the sort by the md5 key IS the
+    * shuffle product — and the global rank comes from
+    * [[Ops.globalRowNumber]] (partition-ordinal bit-split + broadcast
+    * offsets), not a single-task window. Round-robin on the rank makes
+    * shard sizes differ by at most 1 doc (a hash-mod shard has binomial
+    * skew instead), and `pos` is already the within-shard write order:
+    * `df.write.partitionBy("shard")` after a `repartition(shard) +
+    * sortWithinPartitions(pos)` lays files out exactly as the training
+    * job reads them. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+                    numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val ranked = Ops.globalRowNumber(
+      df.withColumn("_sk", md5Key60(idCol, seed)),
+      Seq(col("_sk"), col(idCol)), "_rank")
+    ranked
+      .withColumn("shard", (col("_rank") - 1) % numShards)
+      .withColumn("pos", floor((col("_rank") - 1) / numShards).cast("long"))
+      .drop("_sk", "_rank")
+  }
+
+  /** Greedy sequence packing: assign each document to a training
+    * sequence of at most `capacity` tokens — the packing step every
+    * pretraining pipeline runs so short documents don't waste context
+    * window. Documents are dealt to `numShards` shards by seeded md5
+    * hash, then packed first-fit IN ID ORDER within each shard: a new
+    * sequence starts whenever the running fill would exceed `capacity`
+    * (a document longer than `capacity` gets a sequence of its own).
+    * Adds `shard`, `seq` (0-based within shard) and `seq_offset` (token
+    * offset of this doc inside its sequence). Downstream, the actual
+    * packed rows are a `groupBy(shard, seq)` concat ordered by
+    * `seq_offset`.
+    *
+    * Scale shape: the only exchange is the hash shuffle on `shard`, and
+    * it carries whatever the caller projected — pass (id, tokens) and
+    * join the assignment back by id rather than shuffling text. The
+    * first-fit fold is inherently sequential PER SHARD (each bin
+    * boundary depends on every prior doc in the shard — not a window,
+    * a recursion), so parallelism = numShards: pick it at least the
+    * cluster's core count and each task folds O(corpus/numShards) rows
+    * with zero driver involvement. Determinism under retry: shard
+    * contents are a pure hash partition and the in-partition sort is by
+    * (shard, id) — a total order — so recomputed tasks rebuild byte-
+    * identical packings. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    capacity: Long, numShards: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(numShards >= 1, "numShards must be >= 1")
+    val pre = df
+      .withColumn("shard", pmod(md5Key60(idCol, seed), lit(numShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+    val outSchema = pre.schema.add("seq", LongType).add("seq_offset", LongType)
+    val shardIdx = pre.schema.fieldIndex("shard")
+    val tokIdx = pre.schema.fieldIndex(tokensCol)
+    pre.mapPartitions { rows =>
+      // One partition may hold several shards (hash-partitioned); rows
+      // arrive sorted by (shard, id), so a shard change resets the fold.
+      var curShard = -1L
+      var fill = 0L
+      var seq = -1L
+      rows.map { r =>
+        val shard = r.getLong(shardIdx)
+        val tok = r.getLong(tokIdx)
+        if (shard != curShard) { curShard = shard; seq = 0L; fill = tok }
+        else if (fill + tok > capacity) { seq += 1L; fill = tok }
+        else fill += tok
+        Row.fromSeq(r.toSeq :+ seq :+ (fill - tok))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

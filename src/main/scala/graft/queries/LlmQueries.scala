@@ -695,6 +695,64 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── deterministic seeded corpus shuffle + shard assignment: the
+    //    pre-export decorrelation step (no crawl/time-locality runs in a
+    //    training batch). The "random" key is md5("42:"||id) — replayable
+    //    cross-engine — and the oracle orders by the same 15-hex-digit
+    //    prefix the Spark side converts to a 60-bit long (numeric order of
+    //    a fixed-width hex prefix == its lexicographic order). Round-robin
+    //    on the global rank: shard sizes differ by at most one doc. ──
+    QueryDef("q75_shuffle_shards",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY substr(md5('42:' || doc_id), 1, 15), doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT doc_id, rk % 8 AS shard, rk // 8 AS pos
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Export.shuffleShards(
+          Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", seed = 42L, numShards = 8)
+        .orderBy("doc_id")
+    },
+
+    // ── greedy sequence packing: deal docs to 16 shards by seeded md5,
+    //    then first-fit IN ID ORDER within each shard — a new 2048-token
+    //    sequence starts whenever the fill would overflow (the packing
+    //    step that stops short docs wasting context window). The oracle
+    //    replays the inherently sequential fold as a recursive CTE. ──
+    QueryDef("q76_pack_sequences",
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 16
+        |      AS shard
+        |  FROM documents),
+        |t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |    AS rn
+        |  FROM base),
+        |pack AS (
+        |  SELECT shard, doc_id, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq, n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens > 2048 THEN p.seq + 1
+        |         ELSE p.seq END,
+        |    CASE WHEN p.fill + t.n_tokens > 2048 THEN t.n_tokens
+        |         ELSE p.fill + t.n_tokens END
+        |  FROM t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq, fill - n_tokens AS seq_offset, n_tokens
+        |FROM pack ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Export.packSequences(
+          Tables.documents(s, d).select(col("doc_id"),
+            length(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", capacity = 2048L, numShards = 16)
+        .select(col("doc_id"), col("shard"), col("seq"), col("seq_offset"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force
