@@ -52,6 +52,77 @@ object Export {
       .drop("_sk", "_rank")
   }
 
+  /** Token-budget head selection: keep the best documents — by
+    * (`scoreCol` desc, id asc), a total order — whose INCLUSIVE running
+    * token sum stays within `budget`. The "give me the top N tokens of
+    * the corpus by quality" step that sizes a training mix; emits
+    * `cum_tokens` (the running total through this doc) alongside the
+    * caller's columns.
+    *
+    * Scale shape: a global running sum is ordinarily a single-task
+    * window (`ORDER BY` with no partition) — the classic 100 TB
+    * bottleneck. This is instead the [[Ops.globalRowNumber]] recipe
+    * generalized from counts to weighted sums: ONE pinned-count range
+    * exchange on the sort key, per-partition token TOTALS aggregated
+    * from the persisted sorted frame (#partitions rows), their running
+    * offsets a tiny single-task window, broadcast back, and the
+    * within-partition running sum folded sequentially per partition
+    * (order is the in-partition sort order — deterministic under retry
+    * because the sort key is total and the frame is persisted, so the
+    * partition-id bits in `_mid` are data, not recomputation). Project
+    * narrow columns (id, tokens, score) before calling at scale — the
+    * range exchange carries every column you pass. */
+  def takeTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                      scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val spark = df.sparkSession
+    val parts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    // Pinned partition count + persist + pid-from-_mid-as-data: the same
+    // correctness triad as globalRowNumber (see the graveyard notes there —
+    // sibling-branch range exchanges do NOT bucket identically).
+    val ranked = df.repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = ranked
+      .groupBy(shiftrightunsigned(col("_mid"), 33).as("_pid"))
+      .agg(sum(col(tokensCol)).as("_ptok"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sums.select(col("_pid"),
+      coalesce(sum(col("_ptok")).over(w), lit(0L)).as("_off"))
+    val joined = ranked
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+      .join(broadcast(offsets), Seq("_pid"), "left")
+      .withColumn("_off", coalesce(col("_off"),
+        raise_error(concat(lit("takeTokenBudget: no offset for partition "),
+          col("_pid").cast("string"))).cast("long")))
+    val outSchema = joined.drop("_pid", "_mid", "_off").schema
+      .add("cum_tokens", LongType)
+    val tokIdx = joined.schema.fieldIndex(tokensCol)
+    val offIdx = joined.schema.fieldIndex("_off")
+    val dropIdx = Set(joined.schema.fieldIndex("_pid"),
+      joined.schema.fieldIndex("_mid"), offIdx)
+    joined.mapPartitions { rows =>
+      // Rows arrive in the in-partition sort order (broadcast join and
+      // projections are narrow); every row of a partition carries the same
+      // _off. The inclusive running sum crosses `budget` exactly once, so
+      // the tail is dropped here — only the kept prefix leaves the task.
+      var cum = -1L
+      rows.flatMap { r =>
+        if (cum == -1L) cum = r.getLong(offIdx)
+        cum += r.getLong(tokIdx)
+        if (cum <= budget)
+          Some(Row.fromSeq(r.toSeq.zipWithIndex
+            .collect { case (v, i) if !dropIdx(i) => v } :+ cum))
+        else None
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Greedy sequence packing: assign each document to a training
     * sequence of at most `capacity` tokens — the packing step every
     * pretraining pipeline runs so short documents don't waste context

@@ -46,6 +46,40 @@ object Sampling {
     * k-bounded sliver before any single-task work happens, and the salt is
     * a pure function of the id (retry/layout-stable). Output is identical
     * to the naive rank for any fanout. */
+  /** Mixture resampling with REAL-VALUED per-stratum weights — the data-
+    * mixing step of a pretraining recipe ("2.5 epochs of wiki, 0.3 of
+    * crawl"): weight w replicates each row floor(w) times plus one more
+    * with probability frac(w), so a stratum's expected token share scales
+    * by exactly w. Downsampling (w < 1) and upsampling (w > 1) in one op;
+    * strata absent from the map keep weight 1.0. Adds `copy_id` (0-based
+    * replica index) so downstream dedup/shuffling can tell replicas apart.
+    *
+    * Determinism: the fractional replica is an md5-ppm(id) threshold test
+    * (same contract as [[stratifiedSample]] — retry/layout/engine-stable),
+    * and the floor/ppm split is computed DRIVER-SIDE in exact integer
+    * arithmetic, so no runtime float comparison exists anywhere. Scale
+    * shape: a map-only explode of `sequence(0, n-1)` — no shuffle; rows
+    * with n = 0 are filtered before the explode. */
+  def mixtureResample(df: DataFrame, stratumCol: String, idCol: String,
+                      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val split = weights.map { case (k, v) =>
+      (k, math.floor(v).toLong, math.round((v - math.floor(v)) * 1e6))
+    }
+    val floorExpr = split.foldLeft(lit(1L)) { case (acc, (k, f, _)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    val ppmExpr = split.foldLeft(lit(0L)) { case (acc, (k, _, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    val n = floorExpr +
+      when(hashPpm(col(idCol)) < ppmExpr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("_n", n)
+      .where(col("_n") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+
   def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
                        k: Int, fanout: Int = 64): DataFrame = {
     require(k > 0, "k must be positive")

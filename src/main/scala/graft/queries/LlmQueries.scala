@@ -753,6 +753,52 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── token-budget head: the best docs by (n_chars desc, id) whose
+    //    INCLUSIVE running token sum fits in 60k — "top N tokens by
+    //    quality" mix sizing. The oracle's global cumulative window is the
+    //    single-task shape the Spark side replaces with the range-
+    //    partitioned prefix-sum (globalRowNumber generalized to weights). ──
+    QueryDef("q77_token_budget",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum_tokens FROM c
+        |WHERE cum_tokens <= 60000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Export.takeTokenBudget(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", "n_chars", budget = 60000L)
+        .orderBy("doc_id")
+    },
+
+    // ── mixture resampling: real-valued per-lang weights (en 0.25×,
+    //    de 1.5×, fr 2×, rest 1×) — floor(w) replicas plus one more when
+    //    md5-ppm(id) clears the frac(w) threshold; copy_id tells replicas
+    //    apart. The data-mixing step of a pretraining recipe, map-only. ──
+    QueryDef("q78_mixture_resample",
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+        |              ELSE 1 END
+        |    + CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |                      AS BIGINT) % 1000000) <
+        |                CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+        |                          ELSE 0 END
+        |           THEN 1 ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS copy_id
+        |FROM b WHERE n > 0
+        |ORDER BY doc_id, copy_id""".stripMargin) { (s, d) =>
+      Sampling.mixtureResample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          Map("en" -> 0.25, "de" -> 1.5, "fr" -> 2.0))
+        .orderBy("doc_id", "copy_id")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

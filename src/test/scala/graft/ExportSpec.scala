@@ -74,6 +74,37 @@ class ExportSpec extends SparkSpec {
       5L -> (3L, 0L), 6L -> (3L, 40L), 7L -> (4L, 0L)), s"got $out")
   }
 
+  test("takeTokenBudget: matches the single-task window on a multi-partition frame") {
+    import spark.implicits._
+    // Scrambled physical layout; the op must still produce the global
+    // (score desc, id) inclusive prefix within budget.
+    val df = (1L to 5000L).map(i => (i, 1L + (i * 2654435761L) % 97L,
+        (i * 40503L) % 1000L))
+      .toDF("id", "tokens", "score").repartition(13)
+    val budget = 30000L
+    val out = graft.ops.Export.takeTokenBudget(df, "id", "tokens", "score",
+        budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // Oracle: driver-side sort + running sum.
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, sc) => (-sc, id) }
+    var cum = 0L
+    val expect = rows.iterator.map { case (id, tok, _) =>
+      cum += tok; (id, cum)
+    }.takeWhile(_._2 <= budget).toMap
+    assert(out == expect, s"got ${out.size} rows, expected ${expect.size}")
+    assert(out.nonEmpty && out.values.max <= budget)
+    // Edge: zero budget keeps nothing; huge budget keeps everything and the
+    // max cum_tokens equals the total token sum.
+    assert(graft.ops.Export.takeTokenBudget(df, "id", "tokens", "score",
+      0L).isEmpty)
+    val all = graft.ops.Export.takeTokenBudget(df, "id", "tokens", "score",
+      Long.MaxValue)
+    assert(all.count() == 5000L)
+    val total = df.agg(sum("tokens")).head().getLong(0)
+    assert(all.agg(max("cum_tokens")).head().getLong(0) == total)
+  }
+
   test("packSequences: packing laws on real data (fill bound, contiguous offsets, determinism)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), length(col("text")).cast("long").as("n_tokens"))

@@ -26,6 +26,46 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("a") - 1500L) < 150L, s"a=${counts("a")}")
   }
 
+  test("mixtureResample: floor+Bernoulli replication, absent strata kept once, deterministic") {
+    import spark.implicits._
+    val df = (0L until 6000L).map(i =>
+      (i, Seq("a", "b", "c")(((i % 3L)).toInt))).toDF("id", "s")
+    val weights = Map("a" -> 0.25, "b" -> 2.5, "c" -> 0.0)
+    val out = Sampling.mixtureResample(df, "s", "id", weights).cache()
+    try {
+      // Per-row law: n copies = floor(w) + [hashPpm(id) < frac(w)*1e6],
+      // copy_id contiguous from 0 — replayed with the same hash column.
+      val perRow = out.groupBy("id", "s")
+        .agg(count(lit(1)).as("n"), min("copy_id").as("mn"),
+          max("copy_id").as("mx"))
+      val expected = df.withColumn("_ppm", Sampling.hashPpm(col("id")))
+        .withColumn("_n",
+          when(col("s") === "a", when(col("_ppm") < 250000L, 1L).otherwise(0L))
+          .when(col("s") === "b", lit(2L) +
+            when(col("_ppm") < 500000L, 1L).otherwise(0L))
+          .otherwise(lit(0L)))
+        .where(col("_n") > 0)
+      val bad = perRow.join(expected, Seq("id"), "full")
+        .where(col("n") =!= col("_n") || col("mn") =!= 0 ||
+          col("mx") =!= col("n") - 1)
+      assert(bad.isEmpty, "replication count or copy_id range wrong")
+      // Stratum c (w=0) vanishes entirely; unlisted strata would keep 1.
+      assert(out.where(col("s") === "c").isEmpty)
+      val unl = Sampling.mixtureResample(df, "s", "id", Map("a" -> 3.0))
+        .where(col("s") === "b")
+      assert(unl.count() == 2000L &&
+        unl.agg(max("copy_id")).head().getLong(0) == 0L)
+      // Expected-share law: stratum a ~0.25x of 2000, b ~2.5x of 2000.
+      val counts = out.groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(math.abs(counts("a") - 500L) < 100L, s"a=${counts("a")}")
+      assert(math.abs(counts("b") - 5000L) < 150L, s"b=${counts("b")}")
+      // Deterministic across evaluations.
+      val again = Sampling.mixtureResample(df, "s", "id", weights)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally { out.unpersist(); () }
+  }
+
   test("exactKPerStratum: exact counts, short strata whole, partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
