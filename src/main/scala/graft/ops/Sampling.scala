@@ -81,19 +81,69 @@ object Sampling {
   }
 
   def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
-                       k: Int, fanout: Int = 64): DataFrame = {
+                       k: Int, fanout: Int = 64): DataFrame =
+    topKPerStratum(df, stratumCol, idCol, k, Seq(hashPpm(col(idCol))), fanout)
+
+  /** Deterministic quality quota: the top k rows per stratum under an
+    * explicit total order — "cap every domain at its BEST k documents",
+    * the anti-domination guard for crawl-heavy corpora (one domain can be
+    * half the crawl; [[exactKPerStratum]] keeps a hash-random k, this
+    * keeps the best k by the caller's score). `idCol` ascending is
+    * appended as the deterministic tiebreak, so `ord` need not be total.
+    *
+    * Scale shape: the naive form is one `row_number` window per stratum —
+    * a mega-stratum sorts in a single task. Instead a salted local top-k
+    * (stratum × fanout sub-windows, each bounded to k survivors) runs
+    * first, so the per-stratum window sees at most k·fanout rows per
+    * stratum regardless of stratum size; both windows are one shuffle
+    * each and the final rank is exact because a global top-k row is
+    * necessarily a top-k row of its salt bucket. */
+  def topKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                     k: Int, ord: Seq[Column], fanout: Int = 64): DataFrame = {
     require(k > 0, "k must be positive")
     require(fanout > 0, "fanout must be positive")
     import org.apache.spark.sql.expressions.Window
+    val fullOrd = ord :+ col(idCol).asc
     val local = Window
       .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(fanout)))
-      .orderBy(hashPpm(col(idCol)), col(idCol))
-    val global = Window.partitionBy(col(stratumCol))
-      .orderBy(hashPpm(col(idCol)), col(idCol))
+      .orderBy(fullOrd: _*)
+    val global = Window.partitionBy(col(stratumCol)).orderBy(fullOrd: _*)
     df.withColumn("_lrk", row_number().over(local))
       .where(col("_lrk") <= k)
       .withColumn("_rk", row_number().over(global))
       .where(col("_rk") <= k)
       .drop("_lrk", "_rk")
+  }
+
+  /** Leakage-safe train/val/test split: every member of a near-dup
+    * cluster lands in the SAME split — the eval-leakage guard that
+    * per-doc hash splitting misses (a near-duplicate of a training doc
+    * in the held-out set inflates every metric it touches; splits must
+    * be disjoint at the CLUSTER level, not the doc level). `fractions`
+    * are (label, weight) in declaration order, normalized driver-side to
+    * integer ppm bands; the band test is md5-ppm of the cluster id, so
+    * the assignment is a pure function of the pair graph —
+    * retry/layout/engine-replayable, and a doc added to an existing
+    * cluster later always inherits the cluster's split. Output: the doc
+    * rows + `cluster_id`, `keep` (cluster representative), `split`.
+    *
+    * Scale shape: [[Dedup.dedupAssign]] (O(log² n) star-contraction
+    * rounds) plus one stateless band projection — no shuffle beyond the
+    * CC itself. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.forall(_._2 > 0), "fraction weights must be > 0")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split labels must be distinct")
+    val total = fractions.map(_._2).sum
+    val ubs = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * 1e6))
+    val ppm = hashPpm(col("cluster_id"))
+    val expr = fractions.map(_._1).zip(ubs).init
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((label, ub), acc) => when(ppm < ub, label).otherwise(acc)
+      }
+    Dedup.dedupAssign(docs, idCol, pairs).withColumn("split", expr)
   }
 }

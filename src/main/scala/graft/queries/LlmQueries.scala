@@ -799,6 +799,61 @@ object LlmQueries {
         .orderBy("doc_id", "copy_id")
     },
 
+    // ── leakage-safe split: train/val/test assignment that keeps every
+    //    near-dup CLUSTER in one split — per-doc hash splitting leaks a
+    //    training doc's near-duplicate into eval. md5-ppm of the cluster
+    //    id against driver-computed integer bands (0.8/0.1/0.1); oracle
+    //    replays the q57 recursive-CTE components + the q78 md5 trick. ──
+    QueryDef("q79_leakage_split",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |a AS (SELECT d.doc_id,
+         |        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |        CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT)
+         |          AS keep
+         |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (SELECT doc_id, cluster_id, keep,
+         |        CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+         |             AS BIGINT) % 1000000 AS ppm
+         |      FROM a)
+         |SELECT doc_id, cluster_id, keep,
+         |  CASE WHEN ppm < 800000 THEN 'train'
+         |       WHEN ppm < 900000 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    },
+
+    // ── per-domain quality quota: cap every source at its BEST 20 docs
+    //    by (n_chars desc, doc_id) — the anti-domination guard for
+    //    crawl-heavy corpora; salted two-phase top-k so a mega-domain
+    //    never sorts in a single task. ──
+    QueryDef("q80_domain_quota",
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.topKPerStratum(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "doc_id", k = 20, ord = Seq(col("n_chars").desc))
+        .orderBy("doc_id")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

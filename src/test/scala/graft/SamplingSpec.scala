@@ -66,6 +66,61 @@ class SamplingSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("topKPerStratum: best-k by score, salted phase is exact, mega-stratum bounded") {
+    import spark.implicits._
+    // One mega-stratum (100k rows) and one tiny; scores collide heavily so
+    // the id tiebreak matters.
+    val df = ((0L until 100000L).map(i => (i, "mega", i % 997L)) ++
+      (200000L until 200007L).map(i => (i, "tiny", i))).toDF("id", "s", "score")
+    val out = Sampling.topKPerStratum(df, "s", "id", k = 25,
+      ord = Seq(col("score").desc), fanout = 16)
+    val got = out.collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // Driver oracle: global sort by (score desc, id asc) per stratum.
+    val expMega = (0L until 100000L).map(i => (i, i % 997L))
+      .sortBy { case (id, sc) => (-sc, id) }.take(25).map(_._1).toSet
+    assert(got("mega") == expMega)
+    assert(got("tiny") == (200000L until 200007L).toSet) // short stratum whole
+    // Layout-invariant: same winners from a different physical layout.
+    val again = Sampling.topKPerStratum(df.repartition(31), "s", "id", k = 25,
+        ord = Seq(col("score").desc), fanout = 16)
+      .where(col("s") === "mega").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == expMega)
+  }
+
+  test("leakageSafeSplit: cluster-coherent splits, band fractions, pure function of pairs") {
+    import spark.implicits._
+    // 3000 docs, pair graph chains ids into 3-doc clusters (0-1-2, 3-4-5 …)
+    // via transitivity only (0-1 and 1-2, never 0-2).
+    val docs = (0L until 3000L).toDF("doc_id")
+    val pairs = (0L until 3000L by 3).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i + 2))).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    try {
+      assert(out.count() == 3000)
+      // Every cluster maps to exactly one split — the leakage guard.
+      val mixed = out.groupBy("cluster_id")
+        .agg(countDistinct("split").as("d")).where(col("d") > 1)
+      assert(mixed.isEmpty, "a cluster spans splits")
+      // Chained clusters resolved: cluster_id is the min member.
+      val badC = out.where(col("cluster_id") =!= col("doc_id") - pmod(col("doc_id"), lit(3L)))
+      assert(badC.isEmpty, "transitive cluster assignment wrong")
+      // Band shares near 80/10/10 over 1000 clusters.
+      val byCluster = out.select("cluster_id", "split").distinct()
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(math.abs(byCluster("train") - 800L) < 80L, s"$byCluster")
+      assert(math.abs(byCluster.getOrElse("val", 0L) - 100L) < 40L, s"$byCluster")
+      assert(math.abs(byCluster.getOrElse("test", 0L) - 100L) < 40L, s"$byCluster")
+      // Stable: identical assignment on re-evaluation with scrambled layout.
+      val again = Sampling.leakageSafeSplit(docs.repartition(17), "doc_id",
+        pairs.repartition(13), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally { out.unpersist(); () }
+  }
+
   test("exactKPerStratum: exact counts, short strata whole, partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
