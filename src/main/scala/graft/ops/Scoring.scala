@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus scoring — the quality-filter tier of a training-data
+  * pipeline, between the surface heuristics ([[graft.functions.TextFunctions]]
+  * quality ratios) and the dedup graph: an in-corpus bigram-LM
+  * cross-entropy (the CCNet-style "perplexity proxy" that ranks docs by
+  * how surprising they are under the corpus's own statistics), hashed
+  * bag-of-tokens linear-classifier inference (the fastText-style quality
+  * gate — a trained weight vector applied at corpus scale), and DSIR
+  * importance weights (hashed-feature log-likelihood ratio against a
+  * target domain, the data-selection score of Xie et al.).
+  *
+  * Determinism contract shared by all three (and with the rest of the
+  * library): no `rand()`, no float aggregation. Every per-row log term is
+  * rounded to 6 dp (ln differs across libms in the last ulps), quantized
+  * to DECIMAL(18,6), and summed AS DECIMAL — float addition is not
+  * associative, so a double sum over different partition orders drifts;
+  * the decimal sum is exact, hence identical across runs, layouts, AND
+  * engines. The classifier goes further: weights are quantized to integer
+  * micro-units so its aggregate is pure integer arithmetic. Token hashing
+  * is [[Dedup.md5Hash60]] (engine-replayable), not xxhash64.
+  *
+  * Scale shape shared by all three: compact text is repartitioned by doc
+  * id BEFORE tokenizing (the [[Text.tfIdf]] rationale — the per-doc
+  * aggregate then runs in place and tokenize/hash CPU spreads over the
+  * cluster), and every model table joined against the exploded token
+  * stream is dimension-sized by construction — bigram/context counts are
+  * vocabulary-bounded, the classifier weight vector and DSIR ratio table
+  * are `buckets`-bounded — so the enrich joins broadcast and the token
+  * stream is never shuffled.
+  */
+object Scoring {
+
+  /** Lower-cased whitespace tokens of `textCol`, one row per instance,
+    * co-partitioned by `idCol`. */
+  private def toks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+
+  /** Quantize a 6-dp-rounded double so the downstream sum is exact. */
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Per-doc cross-entropy under an add-`addK`-smoothed bigram LM fitted
+    * ON THE CORPUS ITSELF — the CCNet-shape quality proxy: boilerplate and
+    * in-distribution text score low, lexical noise scores high, and no
+    * external model artifact is needed. For each adjacent token pair,
+    * p(w₂|w₁) = (C(w₁w₂)+k) / (C(w₁·)+k·V) with C(w₁·) the corpus count
+    * of bigrams starting at w₁ and V the unigram vocabulary size (in-plan,
+    * no driver pre-pass); the score is the mean of −ln p over the doc's
+    * bigrams. Output: (idCol, n_bigrams, cross_entropy), cross_entropy
+    * NULL for docs with fewer than two tokens.
+    *
+    * Scale shape: bigram instances aggregate per doc IN PLACE (text was
+    * repartitioned by id); the two count tables and the one-row vocab
+    * frame are vocabulary-bounded dims (broadcast — same contract as
+    * [[Text.tfIdf]]'s df table). The decimal quantization makes the
+    * per-doc mean bit-stable under any partitioning. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    addK: Double = 1.0): DataFrame = {
+    require(addK > 0, "addK must be positive")
+    val bg = docs.repartition(col(idCol))
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.wordBigrams(col(textCol)))
+          .as("_bg"))
+    val c12 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_c12"))
+    val ctx = c12
+      .select(split(col("_bg"), " ").getItem(0).as("_w1"), col("_c12"))
+      .groupBy(col("_w1")).agg(sum(col("_c12")).as("_c1"))
+    val vocab = toks(docs, idCol, textCol)
+      .agg(countDistinct(col("_tok")).cast("double").as("_v"))
+    val lp = round(-log((col("_c12") + lit(addK)) /
+      (col("_c1") + lit(addK) * col("_v"))), 6)
+    val perDoc = bg
+      .join(c12, "_bg")
+      .withColumn("_w1", split(col("_bg"), " ").getItem(0))
+      .join(ctx, "_w1")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), dec6(lp).as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp")).cast("double") / count(lit(1)), 6)
+          .as("cross_entropy"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+  }
+
+  /** Linear-classifier inference over hashed bag-of-tokens features — the
+    * fastText-style quality gate: `weights` is a trained model as a
+    * (bucket, weight) frame, each token contributes the weight of its
+    * md5-60 hash bucket, and the doc's score is the mean contribution
+    * plus `intercept`. Output: (idCol, n_toks, score, keep) with
+    * keep = score > 0; token-less docs score `intercept`.
+    *
+    * Weights are quantized ONCE to integer micro-units
+    * (round(w·10⁶) — models ship ≤6-dp weights losslessly), so the
+    * per-doc aggregate is an exact integer sum: bit-identical under
+    * retry, layout, and engine replay, with no decimal column in flight.
+    *
+    * Scale shape: the weight vector is `buckets`-bounded and explicitly
+    * broadcast — inference is a map-only pass over the token stream plus
+    * one in-place per-doc aggregate; nothing text-sized ever shuffles. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: DataFrame, buckets: Int,
+                        intercept: Double = 0.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wq = weights.select(col("bucket"),
+      round(col("weight") * 1e6).cast("long").as("_wq"))
+    val perDoc = toks(docs, idCol, textCol)
+      .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
+      .join(broadcast(wq), col("_bkt") === col("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("_wq"), lit(0L))).as("_s"))
+      .select(col(idCol), col("n_toks"),
+        round(lit(intercept) + col("_s").cast("double") / (col("n_toks") * 1e6), 6)
+          .as("score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score"), round(lit(intercept), 6)).as("score"))
+      .withColumn("keep", col("score") > 0.0)
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling"): score each doc by how much more
+    * likely its hashed-unigram features are under a TARGET domain than
+    * under the raw corpus — the principled version of "select crawl data
+    * that looks like wikipedia". Per bucket b,
+    * lr(b) = ln p̂_t(b) − ln p̂_r(b) with add-one-smoothed hashed-feature
+    * frequencies (denominators N+`buckets`); a doc's log-weight is the sum
+    * of lr over its token instances. Feed the output straight into
+    * [[Sampling.mixtureResample]] / [[Sampling.topKPerStratum]] for the
+    * resampling step. Output: (idCol, n_toks, dsir_logw), NULL log-weight
+    * for token-less docs.
+    *
+    * Scale shape: both feature-count tables are `buckets`-bounded; their
+    * totals are one-row aggregates DERIVED FROM THE COUNT TABLES (no
+    * second corpus scan); the ln pair is evaluated once per bucket on the
+    * dim table — never per token — and the enriched ratio table is
+    * broadcast into the token stream. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketStream(df: DataFrame, text: String): DataFrame =
+      df.select(explode(split(lower(trim(col(text))), "\\s+")).as("_tok"))
+        .where(col("_tok") =!= "")
+        .select(pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)).as("_bkt"))
+    val ct = bucketStream(target, targetTextCol)
+      .groupBy(col("_bkt")).agg(count(lit(1)).as("_ct"))
+    val cr = bucketStream(docs, textCol)
+      .groupBy(col("_bkt")).agg(count(lit(1)).as("_cr"))
+    val nt = ct.agg(coalesce(sum(col("_ct")), lit(0L)).cast("double").as("_nt"))
+    val nr = cr.agg(coalesce(sum(col("_cr")), lit(0L)).cast("double").as("_nr"))
+    val b = lit(buckets.toDouble)
+    val dim = cr.join(ct, Seq("_bkt"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("_bkt"),
+        dec6(round(log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_nt") + b)) -
+          log((col("_cr") + lit(1.0)) / (col("_nr") + b)), 6)).as("_lr"))
+    val perDoc = toks(docs, idCol, textCol)
+      .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
+      .join(broadcast(dim), "_bkt")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("_lr")).cast("double"), 6).as("dsir_logw"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("dsir_logw"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Sampling, Similarity, Text}
+import graft.ops.{Dedup, Sampling, Scoring, Similarity, Text}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as declared queries over `documents` / `embeddings`.
@@ -851,6 +851,103 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), col("source"),
             col("n_chars")),
           "source", "doc_id", k = 20, ord = Seq(col("n_chars").desc))
+        .orderBy("doc_id")
+    },
+
+    // ── in-corpus bigram-LM cross-entropy (CCNet-style perplexity proxy):
+    //    add-1-smoothed p(w2|w1) from the corpus's own bigram counts,
+    //    score = mean −ln p over the doc's bigrams. Per-row ln rounded to
+    //    6 dp then summed AS DECIMAL — exact under any partition order. ──
+    QueryDef("q81_lm_score",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |         FOR i IN generate_series(1, len(toks)-1)]) AS g FROM t),
+        |c12 AS (SELECT g, count(*) AS c12 FROM bg GROUP BY 1),
+        |ctx AS (SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+        |        FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM t)),
+        |lp AS (SELECT doc_id,
+        |         CAST(round(-ln((c12 + 1.0) / (c1 + 1.0 * v)), 6)
+        |              AS DECIMAL(18,6)) AS lp
+        |       FROM bg JOIN c12 USING (g)
+        |       JOIN ctx ON ctx.w1 = split_part(g, ' ', 1) CROSS JOIN v),
+        |d AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+        |      FROM lp GROUP BY 1)
+        |SELECT doc_id, coalesce(n_bigrams, 0) AS n_bigrams, cross_entropy
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scoring.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ── hashed linear classifier inference (fastText-style quality gate):
+    //    each token contributes the weight of its md5-60 bucket (B=65536);
+    //    weights here are a synthetic-but-deterministic model
+    //    w(b) = (b % 2001 − 1000)/1000 so the oracle can replay inference
+    //    exactly; integer micro-unit sum — no float agg anywhere. ──
+    QueryDef("q82_classifier_score",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 65536 AS bkt
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |      WHERE tok <> ''),
+        |d AS (SELECT doc_id, count(*) AS n_toks,
+        |        sum((bkt % 2001) - 1000) AS sm FROM s GROUP BY 1),
+        |f AS (SELECT doc_id, n_toks,
+        |        round(0.1 + CAST(sm AS DOUBLE) / (n_toks * 1000.0), 6) AS score
+        |      FROM d),
+        |g AS (SELECT doc_id, coalesce(n_toks, 0) AS n_toks,
+        |        coalesce(score, 0.1) AS score
+        |      FROM documents LEFT JOIN f USING (doc_id))
+        |SELECT doc_id, n_toks, score, score > 0.0 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val weights = s.range(65536).select(col("id").as("bucket"),
+        (((col("id") % 2001) - 1000).cast("double") / 1000.0).as("weight"))
+      Scoring.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+          weights, buckets = 65536, intercept = 0.1)
+        .orderBy("doc_id")
+    },
+
+    // ── DSIR importance weights: hashed-unigram (B=4096) log-likelihood
+    //    ratio of the src0 target domain vs the raw corpus, add-1
+    //    smoothing; per-doc log-weight = decimal-exact sum of per-bucket
+    //    6-dp-rounded ratios over the doc's token instances. ──
+    QueryDef("q83_dsir_weights",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS bkt
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |      WHERE tok <> ''),
+        |ct AS (SELECT bkt, count(*) AS ct FROM s JOIN documents USING (doc_id)
+        |       WHERE source = 'src0' GROUP BY 1),
+        |cr AS (SELECT bkt, count(*) AS cr FROM s GROUP BY 1),
+        |nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
+        |nr AS (SELECT coalesce(sum(cr), 0) AS nr FROM cr),
+        |dim AS (SELECT bkt,
+        |          CAST(round(ln((coalesce(ct, 0) + 1.0) / (nt + 4096.0))
+        |                   - ln((cr + 1.0) / (nr + 4096.0)), 6)
+        |               AS DECIMAL(18,6)) AS lr
+        |        FROM cr LEFT JOIN ct USING (bkt) CROSS JOIN nt CROSS JOIN nr),
+        |d AS (SELECT doc_id, count(*) AS n_toks,
+        |        round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logw
+        |      FROM s JOIN dim USING (bkt) GROUP BY 1)
+        |SELECT doc_id, coalesce(n_toks, 0) AS n_toks, dsir_logw
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Scoring.dsirWeights(docs, "doc_id", "text",
+          docs.where(col("source") === "src0"), "text", buckets = 4096)
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,135 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import graft.ops.Scoring
+
+/** Driver-side oracles for the model-based scoring tier: every expected
+  * value is recomputed in plain Scala (including the md5-60 bucket hash),
+  * plus layout-invariance checks — the decimal-sum contract must make
+  * scores bit-identical under any repartitioning. */
+class ScoringSpec extends SparkSpec {
+
+  /** Driver replica of Dedup.md5Hash60: first 15 hex chars of md5. */
+  private def md5h60(s: String): Long =
+    java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact decimal sum of already-6dp-rounded doubles — mirrors the
+    * engine's DECIMAL(18,6) aggregate bit-for-bit. */
+  private def decSum(xs: Seq[Double]): Double =
+    xs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  test("bigramLmScore: add-1 bigram LM, driver-checked; short docs NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "solo"),          // 1 token -> no bigrams -> NULL entropy
+      (4L, "")               // empty  -> NULL entropy
+    ).toDF("doc_id", "text")
+    val out = Scoring.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    // Corpus bigrams: doc1 -> ab, ba, ab, bc ; doc2 -> ab.
+    // c12: ab=3, ba=1, bc=1. ctx: a->3, b->2. V = {a,b,c,solo} = 4.
+    def p(c12: Long, c1: Long): Double = (c12 + 1.0) / (c1 + 1.0 * 4)
+    val lpAb = r6(-math.log(p(3, 3)))
+    val lpBa = r6(-math.log(p(1, 2)))
+    val lpBc = r6(-math.log(p(1, 2)))
+    val exp1 = r6(decSum(Seq(lpAb, lpBa, lpAb, lpBc)) / 4)
+    val exp2 = r6(decSum(Seq(lpAb)) / 1)
+
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L), (2L, 1L), (3L, 0L), (4L, 0L)))
+    assert(out(0).getDouble(2) == exp1)
+    assert(out(1).getDouble(2) == exp2)
+    assert(out(2).isNullAt(2) && out(3).isNullAt(2))
+  }
+
+  test("hashedLinearScore: broadcast weights, exact integer agg, intercept fallback") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z"),
+      (2L, "x x"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val b = 1024
+    val weights = spark.range(b).select(col("id").as("bucket"),
+      (((col("id") % 21) - 10).cast("double") / 10.0).as("weight"))
+    val out = Scoring.hashedLinearScore(docs, "doc_id", "text",
+      weights, buckets = b, intercept = 0.25).orderBy("doc_id").collect()
+
+    // Mirror the engine exactly: integer micro-unit weights, one division.
+    def wq(tok: String): Long = {
+      val bkt = md5h60(tok) % b
+      (bkt % 21 - 10) * 100000L
+    }
+    val exp1 = r6(0.25 + (wq("x") + wq("y") + wq("z")).toDouble / (3 * 1e6))
+    val exp2 = r6(0.25 + (2 * wq("x")).toDouble / (2 * 1e6))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 0L)))
+    assert(out(0).getDouble(2) == exp1)
+    assert(out(1).getDouble(2) == exp2)
+    assert(out(2).getDouble(2) == 0.25) // token-less doc scores the intercept
+    assert(out.map(_.getBoolean(3)).toSeq ==
+      Seq(exp1 > 0, exp2 > 0, true))
+  }
+
+  test("dsirWeights: target-vs-raw log ratio, driver-checked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "tgt"),
+      (2L, "b c", "other"),
+      (3L, "", "other")
+    ).toDF("doc_id", "text", "source")
+    val b = 64
+    val out = Scoring.dsirWeights(docs, "doc_id", "text",
+        docs.where(col("source") === "tgt"), "text", buckets = b)
+      .orderBy("doc_id").collect()
+
+    val bk = Map("a" -> md5h60("a") % b, "b" -> md5h60("b") % b,
+      "c" -> md5h60("c") % b)
+    // Raw instances: a,a,b,b,c (N=5); target: a,a,b (N=3).
+    val cr = Seq("a", "a", "b", "b", "c").groupBy(bk).view.mapValues(_.size).toMap
+    val ctm = Seq("a", "a", "b").groupBy(bk).view.mapValues(_.size).toMap
+    def lr(tok: String): Double = {
+      val k = bk(tok)
+      r6(math.log((ctm.getOrElse(k, 0) + 1.0) / (3 + b.toDouble)) -
+        math.log((cr(k) + 1.0) / (5 + b.toDouble)))
+    }
+    val exp1 = r6(decSum(Seq(lr("a"), lr("a"), lr("b"))))
+    val exp2 = r6(decSum(Seq(lr("b"), lr("c"))))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 0L)))
+    assert(out(0).getDouble(2) == exp1)
+    assert(out(1).getDouble(2) == exp2)
+    assert(out(2).isNullAt(2))
+  }
+
+  test("scoring is layout-invariant (decimal-sum contract)") {
+    import spark.implicits._
+    // 60 docs of pseudo-random tokens from a 9-word vocab — enough rows
+    // per doc that a FLOAT sum would drift across partitionings.
+    val vocab = "a b c d e f g h i".split(" ")
+    val docs = (0L until 60L).map { i =>
+      val toks = (0 until 40).map(j => vocab(((i * 31 + j * 17) % 9).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val scrambled = docs.repartition(13)
+    val a = Scoring.bigramLmScore(docs, "doc_id", "text")
+    val b = Scoring.bigramLmScore(scrambled, "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val ta = Scoring.dsirWeights(docs, "doc_id", "text",
+      docs.where(col("doc_id") % 3 === 0), "text", buckets = 32)
+    val tb = Scoring.dsirWeights(scrambled, "doc_id", "text",
+      scrambled.where(col("doc_id") % 3 === 0), "text", buckets = 32)
+    assert(ta.exceptAll(tb).isEmpty && tb.exceptAll(ta).isEmpty)
+  }
+}
