@@ -26,24 +26,31 @@ import org.apache.spark.sql.functions._
   * Scale shape shared by all three: compact text is repartitioned by doc
   * id BEFORE tokenizing (the [[Text.tfIdf]] rationale — the per-doc
   * aggregate then runs in place and tokenize/hash CPU spreads over the
-  * cluster), and every model table joined against the exploded token
-  * stream is dimension-sized by construction — bigram/context counts are
-  * vocabulary-bounded, the classifier weight vector and DSIR ratio table
-  * are `buckets`-bounded — so the enrich joins broadcast and the token
-  * stream is never shuffled.
+  * cluster), tokens are exploded with `explode_outer` so token-less docs
+  * stay in the SAME stream (no second corpus scan + join-back just to
+  * keep them), and model tables that are bounded by construction (the
+  * classifier weight vector, the DSIR ratio table — both `buckets`-sized)
+  * are explicitly broadcast. The bigram-LM count tables are NOT hinted:
+  * they are vocabulary-shaped, which AQE broadcasts at moderate scale but
+  * which legitimately grows corpus-like for web-scale text — there the
+  * join degrades gracefully to a shuffle of the compact aggregated
+  * (doc, bigram, tf) frame, never of raw text.
   */
 object Scoring {
 
-  /** Lower-cased whitespace tokens of `textCol`, one row per instance,
-    * co-partitioned by `idCol`. */
-  private def toks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.repartition(col(idCol))
-      .select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
-      .where(col("_tok") =!= "")
-
   /** Quantize a 6-dp-rounded double so the downstream sum is exact. */
   private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Lower-cased whitespace tokens, one row per instance, co-partitioned
+    * by `idCol`; token-less docs keep ONE row with `_tok` NULL (so every
+    * doc survives the per-doc aggregate without a join back to `docs` —
+    * `count(_tok)` skips the null). */
+  private def toksOuter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol),
+        explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .withColumn("_tok",
+        when(col("_tok") === "", lit(null: String)).otherwise(col("_tok")))
 
   /** Per-doc cross-entropy under an add-`addK`-smoothed bigram LM fitted
     * ON THE CORPUS ITSELF — the CCNet-shape quality proxy: boilerplate and
@@ -52,43 +59,52 @@ object Scoring {
     * p(w₂|w₁) = (C(w₁w₂)+k) / (C(w₁·)+k·V) with C(w₁·) the corpus count
     * of bigrams starting at w₁ and V the unigram vocabulary size (in-plan,
     * no driver pre-pass); the score is the mean of −ln p over the doc's
-    * bigrams. Output: (idCol, n_bigrams, cross_entropy), cross_entropy
-    * NULL for docs with fewer than two tokens.
+    * bigram INSTANCES. Output: (idCol, n_bigrams, cross_entropy),
+    * cross_entropy NULL for docs with fewer than two tokens.
     *
-    * Scale shape: bigram instances aggregate per doc IN PLACE (text was
-    * repartitioned by id); the two count tables and the one-row vocab
-    * frame are vocabulary-bounded dims (broadcast — same contract as
-    * [[Text.tfIdf]]'s df table). The decimal quantization makes the
-    * per-doc mean bit-stable under any partitioning. */
+    * Scale shape: ONE bigram pass — instances aggregate to a per-doc
+    * (id, bigram, tf) frame in place (text repartitioned by id;
+    * `explode_outer` keeps short docs in-stream), and the corpus count
+    * tables DERIVE from that frame, so the text is never re-shuffled; the
+    * shared scan+exchange under both references is deduplicated by
+    * exchange reuse. The count-table joins are unhinted (see class doc):
+    * broadcast at vocabulary scale, compact-frame shuffle beyond it. The
+    * per-instance log term enters the doc mean as tf·round(−ln p, 6)
+    * summed in DECIMAL — exact under any partition order. The vocab scan
+    * aggregates map-side to one row. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     addK: Double = 1.0): DataFrame = {
     require(addK > 0, "addK must be positive")
-    val bg = docs.repartition(col(idCol))
+    val tfc = docs.repartition(col(idCol))
       .select(col(idCol),
-        explode(graft.functions.TextFunctions.wordBigrams(col(textCol)))
+        explode_outer(graft.functions.TextFunctions.wordBigrams(col(textCol)))
           .as("_bg"))
-    val c12 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_c12"))
+      .groupBy(col(idCol), col("_bg")).agg(count(col("_bg")).as("_tf"))
+    val c12 = tfc.where(col("_bg").isNotNull)
+      .groupBy(col("_bg")).agg(sum(col("_tf")).as("_c12"))
     val ctx = c12
       .select(split(col("_bg"), " ").getItem(0).as("_w1"), col("_c12"))
       .groupBy(col("_w1")).agg(sum(col("_c12")).as("_c1"))
-    val vocab = toks(docs, idCol, textCol)
+    val vocab = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
       .agg(countDistinct(col("_tok")).cast("double").as("_v"))
     val lp = round(-log((col("_c12") + lit(addK)) /
       (col("_c1") + lit(addK) * col("_v"))), 6)
-    val perDoc = bg
-      .join(c12, "_bg")
+    tfc
+      .join(c12, Seq("_bg"), "left")
       .withColumn("_w1", split(col("_bg"), " ").getItem(0))
-      .join(ctx, "_w1")
+      .join(ctx, Seq("_w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col(idCol), dec6(lp).as("_lp"))
+      .select(col(idCol), col("_tf"), (col("_tf") * dec6(lp)).as("_lpw"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("_lp")).cast("double") / count(lit(1)), 6)
+      .agg(sum(when(col("_lpw").isNotNull, col("_tf")).otherwise(lit(0L)))
+        .as("n_bigrams"),
+        sum(col("_lpw")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("_s").cast("double") / col("n_bigrams"), 6))
           .as("cross_entropy"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("cross_entropy"))
   }
 
   /** Linear-classifier inference over hashed bag-of-tokens features — the
@@ -103,28 +119,27 @@ object Scoring {
     * per-doc aggregate is an exact integer sum: bit-identical under
     * retry, layout, and engine replay, with no decimal column in flight.
     *
-    * Scale shape: the weight vector is `buckets`-bounded and explicitly
-    * broadcast — inference is a map-only pass over the token stream plus
-    * one in-place per-doc aggregate; nothing text-sized ever shuffles. */
+    * Scale shape: ONE corpus pass — the weight vector is `buckets`-bounded
+    * and explicitly broadcast, inference is a map-only enrich of the token
+    * stream plus one in-place per-doc aggregate (text repartitioned by id,
+    * `explode_outer` keeps token-less docs in-stream); nothing text-sized
+    * ever shuffles and there is no join back to `docs`. */
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
                         weights: DataFrame, buckets: Int,
                         intercept: Double = 0.0): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val wq = weights.select(col("bucket"),
       round(col("weight") * 1e6).cast("long").as("_wq"))
-    val perDoc = toks(docs, idCol, textCol)
+    toksOuter(docs, idCol, textCol)
       .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
       .join(broadcast(wq), col("_bkt") === col("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
+      .agg(count(col("_tok")).as("n_toks"),
         sum(coalesce(col("_wq"), lit(0L))).as("_s"))
       .select(col(idCol), col("n_toks"),
-        round(lit(intercept) + col("_s").cast("double") / (col("n_toks") * 1e6), 6)
-          .as("score"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("score"), round(lit(intercept), 6)).as("score"))
+        when(col("n_toks") > 0,
+          round(lit(intercept) + col("_s").cast("double") / (col("n_toks") * 1e6), 6))
+          .otherwise(round(lit(intercept), 6)).as("score"))
       .withColumn("keep", col("score") > 0.0)
   }
 
@@ -140,11 +155,14 @@ object Scoring {
     * resampling step. Output: (idCol, n_toks, dsir_logw), NULL log-weight
     * for token-less docs.
     *
-    * Scale shape: both feature-count tables are `buckets`-bounded; their
-    * totals are one-row aggregates DERIVED FROM THE COUNT TABLES (no
-    * second corpus scan); the ln pair is evaluated once per bucket on the
-    * dim table — never per token — and the enriched ratio table is
-    * broadcast into the token stream. */
+    * Scale shape: the canonical two corpus passes (fit the raw feature
+    * counts, then score) plus one target pass — each `buckets`-bounded
+    * count table aggregates map-side; their totals are one-row aggregates
+    * DERIVED FROM THE COUNT TABLES (no extra scan); the ln pair is
+    * evaluated once per bucket on the dim table — never per token — and
+    * the enriched ratio table is broadcast into the scoring pass, whose
+    * per-doc aggregate runs in place (text repartitioned by id,
+    * `explode_outer` keeps token-less docs in-stream, no join back). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
                   buckets: Int = 4096): DataFrame = {
@@ -165,15 +183,14 @@ object Scoring {
       .select(col("_bkt"),
         dec6(round(log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_nt") + b)) -
           log((col("_cr") + lit(1.0)) / (col("_nr") + b)), 6)).as("_lr"))
-    val perDoc = toks(docs, idCol, textCol)
+    toksOuter(docs, idCol, textCol)
       .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
-      .join(broadcast(dim), "_bkt")
+      .join(broadcast(dim), Seq("_bkt"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
-        round(sum(col("_lr")).cast("double"), 6).as("dsir_logw"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        col("dsir_logw"))
+      .agg(count(col("_tok")).as("n_toks"),
+        sum(col("_lr")).as("_s"))
+      .select(col(idCol), col("n_toks"),
+        when(col("n_toks") > 0, round(col("_s").cast("double"), 6))
+          .as("dsir_logw"))
   }
 }

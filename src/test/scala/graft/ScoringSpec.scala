@@ -113,6 +113,23 @@ class ScoringSpec extends SparkSpec {
     assert(out(2).isNullAt(2))
   }
 
+  test("hashedLinearScore plan: single corpus pass, broadcast weights, no join-back") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"w${i % 7} w${i % 11} w${i % 13}"))
+      .toDF("doc_id", "text")
+    val w = spark.range(256).select(col("id").as("bucket"),
+      (col("id") % 5).cast("double").as("weight"))
+    val plan = Scoring.hashedLinearScore(docs, "doc_id", "text", w, 256)
+      .queryExecution.executedPlan.toString
+    // The weight enrich must broadcast, and the only wide ops are the
+    // explicit repartition(id) plus AQE's final-stage coalesce — a
+    // SortMergeJoin or a second shuffle means the join-back crept back in.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
   test("scoring is layout-invariant (decimal-sum contract)") {
     import spark.implicits._
     // 60 docs of pseudo-random tokens from a 9-word vocab — enough rows
