@@ -5,6 +5,10 @@ object ScaleSmoke {
     val spark = GraftSession.build(32, "scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
+    // that section (sections: dedup, scoring, vectors). Default: all.
+    val sections = if (args.isEmpty) Set("dedup", "scoring", "vectors")
+                   else args.toSet
     // 100k docs: 10k templates x 10 mutated near-dup variants each.
     val docs = spark.range(100000).select(
       col("id").as("doc_id"),
@@ -19,6 +23,28 @@ object ScaleSmoke {
           .otherwise(concat(col("base"), lit(" uniq"), col("doc_id"))).as("text"))
     docs.write.mode("overwrite").parquet("/tmp/scale_docs")
     val d = spark.read.parquet("/tmp/scale_docs")
+
+    if (sections("scoring")) {
+      // Scoring tier at 100k docs (~4M token instances): all three are
+      // one-or-two-pass plans with bounded model tables, so per-doc cost
+      // must stay flat — the numbers to watch vs tfidf_100k (same exploded
+      // volume): same order of magnitude or better.
+      val tl = System.nanoTime()
+      val nl = graft.ops.Scoring.bigramLmScore(d, "doc_id", "text").count()
+      println(f"lm_score_100k: rows=$nl time=${(System.nanoTime()-tl)/1e9}%.1f s")
+      val tw = System.nanoTime()
+      val weights = spark.range(1 << 20).select(col("id").as("bucket"),
+        (((col("id") % 2001) - 1000).cast("double") / 1000.0).as("weight"))
+      val nw = graft.ops.Scoring.hashedLinearScore(d, "doc_id", "text",
+        weights, buckets = 1 << 20, intercept = 0.1).count()
+      println(f"classifier_100k: rows=$nw time=${(System.nanoTime()-tw)/1e9}%.1f s")
+      val td = System.nanoTime()
+      val nd = graft.ops.Scoring.dsirWeights(d, "doc_id", "text",
+        d.where(col("doc_id") % 10 === 0), "text", buckets = 65536).count()
+      println(f"dsir_100k: rows=$nd time=${(System.nanoTime()-td)/1e9}%.1f s")
+    }
+
+    if (sections("dedup")) {
     val t0 = System.nanoTime()
     val n = graft.ops.Dedup.minHashLshPairs(d, "doc_id", "text",
       shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8).count()
@@ -94,7 +120,9 @@ object ScaleSmoke {
     println(f"containment_boiler_100k_unguarded: pairs=$nu time=${(System.nanoTime()-tu)/1e9}%.1f s")
     assert(ng == nu, s"salt guard changed the pair count: $ng vs $nu")
     graft.ops.Dedup.releaseCaches()
+    }
 
+    if (sections("vectors")) {
     // 200k embeddings: 20k cluster centers x 10 jittered members each —
     // the SRP near-dup path must find within-cluster pairs without any
     // quadratic blowup (multi-table banding + hot-bucket guard).
@@ -121,6 +149,7 @@ object ScaleSmoke {
     val n3 = graft.ops.Similarity.srpNearDupPairs(v, dim = dim,
       planesPerTable = 16, tables = 4, threshold = 0.99, maxBucket = 1000).count()
     println(f"srp_neardup_200k: pairs=$n3 time=${(System.nanoTime()-t2)/1e9}%.1f s")
+    }
     spark.stop()
   }
 }
