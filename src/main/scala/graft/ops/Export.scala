@@ -174,4 +174,57 @@ object Export {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Word-level vocabulary encoding — the tokenize-to-ids step of the
+    * export path: build the corpus vocabulary (the `vocabSize` most
+    * frequent tokens, ties broken lexically — a deterministic total
+    * order), assign ids 0..V−1 in rank order, and map every other token
+    * to a stable OOV id V + (md5-60(token) mod `oovBuckets`) (the hashing
+    *-trick fallback, so rare tokens stay distinguishable without an
+    * unbounded vocab). Output: the id column, `n_toks`, and `input_ids`
+    * (array<long> in original token order; empty for token-less docs).
+    *
+    * Scale shape: vocabulary selection is the salted two-phase top-k
+    * ([[Sampling.topKPerStratum]] with one stratum) — a web-scale
+    * distinct-token table never sorts in a single task; only the V
+    * survivors (dim-sized by the caller's choice of V) pay the final
+    * rank window, and the finished vocab is broadcast into the encode
+    * pass, which is one corpus scan: posexplode keeps the position,
+    * the per-doc array rebuild is an in-place sort_array(collect_list)
+    * after the id repartition — token rows never shuffle. */
+  def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int, oovBuckets: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(oovBuckets >= 1, "oovBuckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+      .withColumn("_one", lit(1))
+    val topV = Sampling.topKPerStratum(counts, "_one", "_tok", vocabSize,
+      Seq(col("_c").desc))
+    val vocab = topV
+      .withColumn("_tid",
+        row_number().over(Window.partitionBy(col("_one"))
+          .orderBy(col("_c").desc, col("_tok"))).cast("long") - 1L)
+      .select(col("_tok"), col("_tid"))
+    val enc = docs.repartition(col(idCol))
+      .select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("_p", "_tok")))
+      .withColumn("_tok",
+        when(col("_tok") === "", lit(null: String)).otherwise(col("_tok")))
+      .join(broadcast(vocab), Seq("_tok"), "left")
+      .withColumn("_id", when(col("_tok").isNull, lit(null: java.lang.Long))
+        .otherwise(coalesce(col("_tid"),
+          lit(vocabSize.toLong) + pmod(Dedup.md5Hash60(col("_tok")),
+            lit(oovBuckets.toLong)))))
+    enc.groupBy(col(idCol))
+      .agg(count(col("_tok")).as("n_toks"),
+        transform(
+          sort_array(collect_list(
+            when(col("_id").isNotNull, struct(col("_p"), col("_id"))))),
+          s => s.getField("_id")).as("input_ids"))
+  }
 }

@@ -951,6 +951,103 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── vocabulary encoding: ids 0..49 for the 50 most frequent tokens
+    //    (count desc, token asc — a deterministic total order), OOV id
+    //    50 + md5-60(token) % 256; input_ids in original token order,
+    //    space-joined for the cross-engine compare (the op itself returns
+    //    array<long>). ──
+    QueryDef("q84_vocab_encode",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c
+        |        FROM (SELECT unnest(toks) AS tok FROM t)
+        |        WHERE tok <> '' GROUP BY 1),
+        |voc AS (SELECT tok, rn - 1 AS tid FROM (
+        |          SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn
+        |          FROM cnt) WHERE rn <= 50),
+        |e AS (SELECT doc_id, i, toks[i] AS tok
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks))) AS i FROM t)
+        |      WHERE toks[i] <> ''),
+        |ids AS (SELECT doc_id, i,
+        |          coalesce(tid,
+        |            50 + CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256)
+        |            AS id
+        |        FROM e LEFT JOIN voc USING (tok)),
+        |d AS (SELECT doc_id, count(*) AS n_toks,
+        |        array_to_string(list(id ORDER BY i), ' ') AS input_ids
+        |      FROM ids GROUP BY 1)
+        |SELECT doc_id, coalesce(n_toks, 0) AS n_toks,
+        |  coalesce(input_ids, '') AS input_ids
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Export.vocabEncode(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 50, oovBuckets = 256)
+        .select(col("doc_id"), col("n_toks"),
+          concat_ws(" ", transform(col("input_ids"), x => x.cast("string")))
+            .as("input_ids"))
+        .orderBy("doc_id")
+    },
+
+    // ── curation end-to-end: the full shaping chain COMPOSED — classifier
+    //    quality gate (q82's model, keep score > 0) → per-source best-30
+    //    quota by score (q80's salted top-k) → language mixture resample
+    //    (q78's md5-ppm bands: en 0.5×, zh 2×). Every stage is individually
+    //    oracle-proven; this query proves they compose without hidden
+    //    coupling (score ties, band hashing, copy_id lineage). ──
+    QueryDef("q85_curation_e2e",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 65536 AS bkt
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |      WHERE tok <> ''),
+        |d AS (SELECT doc_id, count(*) AS n_toks,
+        |        sum((bkt % 2001) - 1000) AS sm FROM s GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         round(0.1 + CAST(sm AS DOUBLE) / (n_toks * 1000.0), 6)
+        |           AS score
+        |       FROM d),
+        |k AS (SELECT dd.doc_id, dd.lang, dd.source,
+        |        coalesce(sc.score, 0.1) AS score
+        |      FROM documents dd LEFT JOIN sc USING (doc_id)
+        |      WHERE coalesce(sc.score, 0.1) > 0.0),
+        |q AS (SELECT doc_id, lang, source, score,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY score DESC, doc_id) AS rk FROM k),
+        |r AS (SELECT doc_id, lang, source, score FROM q WHERE rk <= 30),
+        |b AS (SELECT doc_id, lang, source, score,
+        |        CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 ELSE 1 END
+        |        + CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                          1, 15) AS BIGINT) % 1000000) <
+        |                    CASE lang WHEN 'en' THEN 500000 ELSE 0 END
+        |               THEN 1 ELSE 0 END AS n
+        |      FROM r)
+        |SELECT doc_id, lang, source, score,
+        |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS copy_id
+        |FROM b WHERE n > 0
+        |ORDER BY doc_id, copy_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val weights = s.range(65536).select(col("id").as("bucket"),
+        (((col("id") % 2001) - 1000).cast("double") / 1000.0).as("weight"))
+      val scored = Scoring.hashedLinearScore(docs, "doc_id", "text",
+          weights, buckets = 65536, intercept = 0.1)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      val kept = scored.where(col("keep"))
+        .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      val quota = Sampling.topKPerStratum(kept, "source", "doc_id",
+        k = 30, ord = Seq(col("score").desc))
+      Sampling.mixtureResample(quota, "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 2.0))
+        .select(col("doc_id"), col("lang"), col("source"), col("score"),
+          col("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

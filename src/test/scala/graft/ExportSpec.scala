@@ -151,4 +151,35 @@ class ExportSpec extends SparkSpec {
       assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
     } finally { out.unpersist(); () }
   }
+
+  test("vocabEncode: rank-ordered ids, OOV hash fallback, order preserved, empty docs") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // Counts: b=4, a=3, c=2, rare1=1, rare2=1. vocabSize=3 -> vocab by
+    // (count desc, token asc): b=0, a=1, c=2; rare* are OOV.
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "b c rare1 b"),
+      (3L, "c a rare2"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Export.vocabEncode(docs, "doc_id", "text",
+      vocabSize = 3, oovBuckets = 16).orderBy("doc_id").collect()
+    def oov(tok: String): Long = {
+      val h = java.lang.Long.parseLong(
+        MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+      3L + h % 16
+    }
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L), (2L, 4L), (3L, 3L), (4L, 0L)))
+    assert(out(0).getSeq[Long](2) == Seq(1L, 0L, 1L, 0L))
+    assert(out(1).getSeq[Long](2) == Seq(0L, 2L, oov("rare1"), 0L))
+    assert(out(2).getSeq[Long](2) == Seq(2L, 1L, oov("rare2")))
+    assert(out(3).getSeq[Long](2).isEmpty)
+    // Layout-invariant: identical encoding from a scrambled layout.
+    val a = graft.ops.Export.vocabEncode(docs, "doc_id", "text", 3, 16)
+    val b = graft.ops.Export.vocabEncode(docs.repartition(5), "doc_id", "text", 3, 16)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
