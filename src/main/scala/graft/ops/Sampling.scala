@@ -146,4 +146,34 @@ object Sampling {
       }
     Dedup.dedupAssign(docs, idCol, pairs).withColumn("split", expr)
   }
+
+  /** Keep the best `fraction` of the corpus by score — EXACTLY the top
+    * ⌈fraction·N⌉ rows under (score desc, id asc), with the global `rank`
+    * attached (1-based; a downstream stage can re-cut a tighter budget
+    * without re-ranking). The fraction is snapped to integer ppm and the
+    * cutoff computed in integer arithmetic — `ceil(0.1 · 500)` in IEEE
+    * doubles is 51, not 50, so a float threshold silently disagrees with
+    * any exact-decimal checker at exact-multiple boundaries.
+    *
+    * Scale shape: this is the fraction-of-corpus selection
+    * [[topKPerStratum]] must NOT be used for — its single-stratum global
+    * rank window sorts all k survivors in one task, and k = p·N grows
+    * with the corpus. Here ranking is [[Ops.globalRowNumber]] (ONE pinned
+    * range exchange, per-partition ordinals + broadcast offsets, never a
+    * single-task sort), N is derived in-plan from the same persisted
+    * ranked frame (max rank — #partitions-row agg, no driver count
+    * pre-pass), and the cutoff joins back as a broadcast one-row frame. */
+  def keepTopFraction(df: DataFrame, idCol: String, scoreCol: String,
+                      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      "fraction must be in [0, 1]")
+    val ppm = math.round(fraction * 1e6)
+    val ranked = Ops.globalRowNumber(df,
+      Seq(col(scoreCol).desc, col(idCol).asc), "rank")
+    val cut = ranked.agg(
+      expr(s"(max(rank) * ${ppm}L + 999999L) div 1000000L").as("_cut"))
+    ranked.crossJoin(broadcast(cut))
+      .where(col("rank") <= col("_cut"))
+      .drop("_cut")
+  }
 }

@@ -1048,6 +1048,30 @@ object LlmQueries {
         .orderBy("doc_id", "copy_id")
     },
 
+    // ── exact top-fraction selection: keep the best 20% of the corpus by
+    //    whitespace token count (ties by doc_id), global rank attached.
+    //    Cutoff is integer-ppm arithmetic on both sides — ceil(p·N) in
+    //    doubles disagrees with exact decimal at exact-multiple
+    //    boundaries (ceil(0.1·500) = 51 in IEEE). ──
+    QueryDef("q86_top_fraction",
+      """WITH t AS (SELECT doc_id,
+        |             CASE WHEN trim(text) = '' THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |             END AS n_ws
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_ws,
+        |        row_number() OVER (ORDER BY n_ws DESC, doc_id) AS rank,
+        |        count(*) OVER () AS n
+        |      FROM t)
+        |SELECT doc_id, n_ws, rank
+        |FROM r WHERE rank <= (n * 200000 + 999999) // 1000000
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_ws"))
+      Sampling.keepTopFraction(toks, "doc_id", "n_ws", 0.2)
+        .orderBy("doc_id")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

@@ -136,4 +136,27 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("keepTopFraction: exact ceil(pN) cutoff, id ties, 0/1 edges, layout-invariant") {
+    import spark.implicits._
+    // Scores 500 down to 1 over ids 1..500; id ties on a constant-score
+    // block exercise the tiebreak.
+    val df = (1L to 500L).map(i => (i, if (i <= 10) 1000L else 500L - i))
+      .toDF("id", "score")
+    // p=0.1, N=500: IEEE ceil(0.1*500)=51; exact arithmetic keeps 50.
+    val top = Sampling.keepTopFraction(df, "id", "score", 0.1)
+    assert(top.count() == 50L)
+    // The 10 score-100 rows rank 1..10 by id asc; ranks are 1..50 total.
+    val got = top.orderBy("rank").collect()
+    assert(got.take(10).map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(got.map(_.getLong(2)).toSeq == (1L to 50L))
+    assert(Sampling.keepTopFraction(df, "id", "score", 0.0).count() == 0L)
+    assert(Sampling.keepTopFraction(df, "id", "score", 1.0).count() == 500L)
+    assert(Sampling.keepTopFraction(df.limit(0), "id", "score", 0.5)
+      .count() == 0L)
+    // Layout-invariant: identical kept set + ranks from a scrambled layout.
+    val a = Sampling.keepTopFraction(df, "id", "score", 0.37)
+    val b = Sampling.keepTopFraction(df.repartition(13), "id", "score", 0.37)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
