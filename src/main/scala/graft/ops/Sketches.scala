@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic mergeable sketches — the pre-aggregation family for
+  * 100 TB cardinality/frequency/quantile work. Spark's built-in
+  * DataSketches aggregates (hll_sketch_agg / approx_percentile, spec'd in
+  * SketchSpec) already cover the approximate path; these variants trade a
+  * few bytes of register width for full DETERMINISM: every register /
+  * counter / bin is an integer derived from an md5-60 hash (the engine's
+  * oracle-replayable hash, Dedup.md5Hash60), so a DuckDB oracle replays
+  * the sketch bit-for-bit and the driver's hash-compare gate applies to
+  * the sketch family too.
+  *
+  * Scale contract (all three sketches):
+  *  - the BUILD is one map-side-combinable groupBy whose output is bounded
+  *    by the sketch size (m registers / d*w counters / `bins` bins), never
+  *    by the data — per-shard sketches are tiny parquet rows;
+  *  - MERGE is an associative per-cell aggregate (max / sum / sum), so
+  *    per-day or per-shard sketches combine into the global answer without
+  *    revisiting data — the property exact distinct/percentile lacks;
+  *  - the ESTIMATE reads only the merged sketch (driver-sized).
+  *
+  * HyperLogLog estimation follows Flajolet et al. 2007 (the alpha_m bias
+  * constant and the V>0 linear-counting small-range correction). The
+  * harmonic sum is computed in FIXED POINT — Σ 2^(B+1-r) as a BIGINT, one
+  * trailing double division — because a float Σ 2^-r is addition-order
+  * dependent and Spark's partial aggregates must not be able to disagree
+  * with the single-threaded oracle by an ulp. */
+object Sketches {
+
+  // ── HyperLogLog ──────────────────────────────────────────────────────
+
+  /** Per-group HLL registers over md5-60(value): one row per non-empty
+    * bucket, `(keyCols*, bucket INT, r INT)`. p register-index bits ⇒
+    * m = 2^p buckets, B = 60 - p rank bits; r ∈ [1, B+1]. One shuffle,
+    * map-side combined to ≤ m rows per group. */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val bBits = 60 - p
+    val h = Dedup.md5Hash60(col(valueCol).cast("string"))
+    val grouped = df.where(col(valueCol).isNotNull)
+      .select(keyCols.map(col) :+ h.as("_h"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        (col("_h") % m).cast("int").as("bucket"),
+        shiftright(col("_h"), p).as("_w")): _*)
+      .withColumn("_rho",
+        when(col("_w") === 0, lit(bBits + 1))
+          .otherwise(lit(bBits + 1) - length(bin(col("_w")))).cast("int"))
+      .groupBy(keyCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("_rho")).as("r"))
+    grouped
+  }
+
+  /** Merge two register tables (same p): per-(key, bucket) max — the HLL
+    * union. Registers from disjoint shards merge to exactly the registers
+    * of the union (spec-pinned law). */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Cardinality estimate per key from a register table:
+    * `(keyCols*, est BIGINT)`. Fixed-point harmonic sum (exact BIGINT),
+    * then one double division + the standard small-range linear-counting
+    * correction — bit-identical across engines and partitionings. */
+  def hllEstimate(regs: DataFrame, keyCols: Seq[String], p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val bBits = 60 - p
+    // alpha_m * m^2, scaled by 2^(B+1) to undo the fixed-point scaling of
+    // the harmonic sum below. Computed once here; oracles embed the same
+    // double via %.17g (hllAlphaNumerator).
+    val c = hllAlphaNumerator(p)
+    val agg = regs.groupBy(keyCols.map(col): _*)
+      .agg(
+        // Σ 2^((B+1) - r): every term a power of two ≤ 2^B — an exact
+        // BIGINT sum (≤ m·2^(B+1) < 2^62 for p ≥ 4), associative, safe
+        // under partial aggregation.
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${bBits + 1} - r)")).as("_s_ne"),
+        count(lit(1)).as("_nb"))
+      .withColumn("_v", lit(m) - col("_nb"))
+      .withColumn("_s",
+        col("_s_ne") + col("_v") * lit(1L << (bBits + 1)))
+    val raw = lit(c) / col("_s").cast("double")
+    val est = when(col("_v") > 0 && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
+      .otherwise(raw)
+    agg.select(keyCols.map(col) :+ round(est).cast("long").as("est"): _*)
+  }
+
+  /** Build + estimate in one call. */
+  def hllDistinct(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, keyCols, valueCol, p), keyCols, p)
+
+  /** alpha_m · m² · 2^(B+1) — the numerator of the raw HLL estimate over
+    * the fixed-point harmonic sum. Public so oracle SQL can embed the
+    * exact same double (format with %.17g). */
+  def hllAlphaNumerator(p: Int): Double = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * math.pow(2.0, 61 - p) // 2^(B+1) with B = 60 - p
+  }
+
+  // ── Count-Min ────────────────────────────────────────────────────────
+
+  /** Count-Min sketch of a value column: `(i INT, cell INT, cnt BIGINT)`,
+    * d rows of w counters, hash_i(x) = md5-60(i ':' x) mod w. The build
+    * explodes each row d ways but the groupBy combines map-side to
+    * ≤ d·w rows per partition — the shuffle carries the SKETCH, not the
+    * data. Merge = per-cell sum (cmsMerge). */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+                width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape d=$depth w=$width")
+    df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("_v"))
+      .select(col("_v"),
+        explode(array((0 until depth).map(lit): _*)).as("i"))
+      .select(col("i"), cmsCell(col("i"), col("_v"), width).as("cell"))
+      .groupBy(col("i"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two CMS tables of the same (d, w) shape: per-cell sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("i"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate counts for a set of items: `(item, est BIGINT)`,
+    * est = min over the d rows (never under the true count). The sketch
+    * (d·w rows) is broadcast; the probe side stays distributed. */
+  def cmsEstimate(cms: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    val probe = items.where(col(itemCol).isNotNull)
+      .select(col(itemCol).as("item"))
+      .distinct()
+      .select(col("item"),
+        explode(array((0 until depth).map(lit): _*)).as("i"))
+      .select(col("item"), col("i"),
+        cmsCell(col("i"), col("item").cast("string"), width).as("cell"))
+    probe.join(broadcast(cms), Seq("i", "cell"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** hash_i(x) = md5-60(i ':' x) mod w — oracle-replayable row hashes. */
+  private def cmsCell(i: Column, v: Column, width: Int): Column =
+    (Dedup.md5Hash60(concat(i.cast("string"), lit(":"), v)) % width).cast("int")
+
+  // ── Mergeable fixed-bin histogram + quantile estimate ────────────────
+
+  /** Fixed-bin histogram of a numeric column over [lo, hi):
+    * `(bin INT, cnt BIGINT)`, non-empty bins only; out-of-range values
+    * clamp to the edge bins. Map-side combinable to ≤ bins rows. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(hi > lo && bins >= 1, s"bad histogram [$lo,$hi)/$bins")
+    val w = (hi - lo) / bins
+    df.where(col(valueCol).isNotNull)
+      .select(least(greatest(
+          floor((col(valueCol).cast("double") - lo) / w).cast("long"),
+          lit(0L)), lit(bins - 1L)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histograms of the same shape: per-bin sum. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a (merged) histogram by linear interpolation
+    * inside the containing bin: `(q DOUBLE, est DOUBLE)` rounded to 6 dp.
+    * The histogram is sketch-sized, so the rank scan is one tiny sorted
+    * pass; estimates are within one bin width of the exact quantile. */
+  def histQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double, hi: Double,
+                    bins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs $qs")
+    val w = (hi - lo) / bins
+    val spark = hist.sparkSession
+    import spark.implicits._
+    // cum over ≤ `bins` rows: the unpartitioned window is sketch-sized by
+    // construction, not data-sized.
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(win).as("cum"))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    val probes = qs.toDF("q")
+    // (cum - cnt, cum] intervals tile (0, n]; t = q·n lands in exactly one.
+    probes.crossJoin(broadcast(n))
+      .withColumn("t", col("q") * col("n").cast("double"))
+      .join(broadcast(cum),
+        (col("cum") - col("cnt")).cast("double") < col("t") &&
+          col("t") <= col("cum").cast("double"))
+      .select(col("q"),
+        round(lit(lo) + lit(w) *
+            (col("bin") +
+              (col("t") - (col("cum") - col("cnt")).cast("double")) /
+                col("cnt").cast("double")), 6).as("est"))
+  }
+}
