@@ -59,6 +59,89 @@ object Text {
   private def dfTable(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Okapi BM25 retrieval scores: one row per document containing at least
+    * one query term, `score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`, whitespace tokens of the
+    * lower-cased text (same tokenizer as [[tfIdf]]). Rounded to 6 dp — the
+    * cross-engine ln-determinism contract shared with the TF-IDF and
+    * cosine scores.
+    *
+    * Scale shape: one tokenize pass repartitioned by doc id feeds BOTH the
+    * (doc, term) tf aggregate and the per-doc length — co-partitioned, no
+    * exploded-token shuffle. The query-term filter cuts the tf frame to
+    * |queryTerms|·N rows BEFORE any join; df over those terms and the
+    * (N, avgdl) stats row are broadcast. Nothing driver-side: N and avgdl
+    * are in-plan one-row aggregates, never a `.count()` pre-pass. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(F.sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      F.avg(col("dl")).as("avgdl"))
+    val qtf = tf.where(col("term").isin(queryTerms: _*))
+    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = F.log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1)
+    qtf.join(broadcast(df), "term")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      // per-term contribution rounded to 6 dp THEN summed as DECIMAL: the
+      // doc score is exact whatever order the partial aggregates add in
+      // (a raw double sum is order-sensitive in the last ulps and can flip
+      // the 6th decimal between engines).
+      .agg(F.sum(F.round(idf * norm, 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)").cast("string").as("score"))
+  }
+
+  /** Pointwise mutual information over adjacent-token bigrams:
+    * `pmi = ln( (c_xy/Nb) / ((c_x/Nt)·(c_y/Nt)) )` for every bigram with
+    * `c_xy >= minCount` — the collocation detector (Church & Hanks) every
+    * corpus-analysis pass runs. Output: (bigram "x y", c_xy, pmi@6dp).
+    *
+    * Scale shape: bigrams are formed INSIDE the row by zipping the token
+    * array against itself shifted by one (`zip_with` over two `slice`s —
+    * pure codegen'd expressions, no self-join, no window, no shuffle of
+    * token rows). The only shuffles carry (bigram, count) / (term, count)
+    * aggregates — vocabulary-sized. Totals Nt/Nb are in-plan one-row sums
+    * over those count tables (not another corpus scan), broadcast into the
+    * final projection; unigram enrich joins are broadcast-sized. */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    val arr = F.filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    val toks = docs.select(arr.as("toks"))
+    val nBi = F.greatest(F.size(col("toks")) - 1, lit(0))
+    val bigrams = toks.select(explode(F.zip_with(
+        F.slice(col("toks"), lit(1), nBi),
+        F.slice(col("toks"), lit(2), nBi),
+        (x, y) => F.struct(x.as("x"), y.as("y")))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+    val cxy = bigrams.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val cx = toks.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nb = cxy.agg(F.sum(col("c_xy")).cast("double").as("nb"))
+    val nt = cx.agg(F.sum(col("c")).cast("double").as("nt"))
+    cxy.where(col("c_xy") >= minCount)
+      .join(cx.select(col("t").as("x"), col("c").as("c_x")), "x")
+      .join(cx.select(col("t").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+      .select(F.concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c_xy"),
+        F.round(F.log((col("c_xy") / col("nb")) /
+          ((col("c_x") / col("nt")) * (col("c_y") / col("nt")))), 6)
+          .as("pmi"))
+  }
+
   /** Exact-substring dedup REMOVAL — the endpoint [[duplicatedSpans]]
     * feeds: every maximal duplicated span is cut out of the text, leaving
     * the novel remainder (the Lee et al. "Deduplicating Training Data…"

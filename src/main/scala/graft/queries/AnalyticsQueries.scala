@@ -175,6 +175,98 @@ object AnalyticsQueries {
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)")
             .cast(D).cast("string").as("p90"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // ── strictly-ordered conversion funnel signup→view→purchase: a later
+    //    stage counts only when it happens AFTER the user's first qualified
+    //    occurrence of the previous stage (sequence order = (ts, event_id)).
+    //    One shuffle by user feeds two same-spec window passes (prior-
+    //    signup, prior-qualified-view — Catalyst reuses the sort) and a
+    //    co-partitioned per-user flag aggregate; the final 3-row stack is
+    //    a map-side-combinable sum, never a count-distinct expand. ──
+    QueryDef("q88_funnel",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prior_signup
+        |  FROM ev),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view'
+        |                      AND prior_signup IS NOT NULL THEN t END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prior_qview
+        |  FROM s1),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+        |    max(CASE WHEN event_type = 'view'
+        |              AND prior_signup IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+        |    max(CASE WHEN event_type = 'purchase'
+        |              AND prior_qview IS NOT NULL THEN 1 ELSE 0 END) AS r3
+        |  FROM s2 GROUP BY 1),
+        |a AS (SELECT CAST(sum(r1) AS BIGINT) AS n1,
+        |             CAST(sum(r2) AS BIGINT) AS n2,
+        |             CAST(sum(r3) AS BIGINT) AS n3 FROM u)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_signup' AS stage, n1 AS n_users FROM a
+        |  UNION ALL SELECT '2_view', n2 FROM a
+        |  UNION ALL SELECT '3_purchase', n3 FROM a)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val wPrior = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s2 = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prior_signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(wPrior))
+        .withColumn("prior_qview",
+          min(when(col("event_type") === "view" && col("prior_signup").isNotNull,
+            col("ts"))).over(wPrior))
+      s2.groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("r1"),
+          max(when(col("event_type") === "view" && col("prior_signup").isNotNull,
+            1).otherwise(0)).as("r2"),
+          max(when(col("event_type") === "purchase" && col("prior_qview").isNotNull,
+            1).otherwise(0)).as("r3"))
+        .agg(sum(col("r1")).as("n1"), sum(col("r2")).as("n2"),
+          sum(col("r3")).as("n3"))
+        .select(expr(
+          "stack(3, '1_signup', n1, '2_view', n2, '3_purchase', n3) AS (stage, n_users)"))
+        .orderBy(col("stage"))
+    },
+
+    // ── weekly cohort retention: users grouped by first-active week, one
+    //    cell per (cohort_week, week_offset) counting distinct users active
+    //    that week. The distinct (user, week) grid is aggregated BEFORE the
+    //    cohort join, so the join and both aggregates carry fixed-width
+    //    rows ~ |users|·|weeks|, never raw events. ──
+    QueryDef("q89_retention",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val WeekNs = 604800000000000L
+      val active = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 }

@@ -1072,6 +1072,65 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── Okapi BM25 retrieval scores for a fixed query term set — the
+    //    lexical-retrieval baseline every RAG/data-curation pipeline runs
+    //    before (or blended with) the ANN tier. Per-term contributions are
+    //    rounded to 6 dp and summed as DECIMAL(18,6) (the q81 pattern), so
+    //    the doc score is order-of-addition-proof across engines. ──
+    QueryDef("q87_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |          FROM dl),
+        |qtf AS (SELECT * FROM tf WHERE term IN ('join', 'hash', 'vector')),
+        |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(CAST(sum(CAST(round(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS VARCHAR) AS score
+        |FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Text.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("join", "hash", "vector"))
+        .orderBy("doc_id")
+    },
+
+    // ── PMI collocations over adjacent-token bigrams (Church & Hanks) —
+    //    the corpus-analysis pass that surfaces multi-word expressions.
+    //    Bigrams form inside the row (zip_with over shifted slices); only
+    //    vocabulary-sized count tables ever shuffle. ──
+    QueryDef("q90_pmi_collocations",
+      """WITH t AS (SELECT list_filter(
+        |             regexp_split_to_array(lower(trim(text)), '\s+'),
+        |             x -> x <> '') AS toks
+        |           FROM documents),
+        |bg AS (SELECT unnest([{'x': toks[i], 'y': toks[i+1]}
+        |         FOR i IN generate_series(1, len(toks)-1)]) AS b FROM t),
+        |cxy AS (SELECT b.x AS x, b.y AS y, count(*) AS c_xy FROM bg
+        |        GROUP BY 1, 2),
+        |cx AS (SELECT tok, count(*) AS c
+        |       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |nb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS nb FROM cxy),
+        |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cx)
+        |SELECT x || ' ' || y AS bigram, c_xy,
+        |  round(ln((c_xy / nb) / ((ux.c / nt) * (uy.c / nt))), 6) AS pmi
+        |FROM cxy
+        |JOIN cx ux ON ux.tok = x
+        |JOIN cx uy ON uy.tok = y
+        |CROSS JOIN nb CROSS JOIN nt
+        |WHERE c_xy >= 5
+        |ORDER BY bigram""".stripMargin) { (s, d) =>
+      Text.pmiBigrams(Tables.documents(s, d), "text", minCount = 5L)
+        .orderBy("bigram")
+    },
+
     // ── CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) — the asymmetric
     //    relation Jaccard misses (truncated shard inside a long doc has
     //    containment ~1 but tiny Jaccard). Oracle is the brute-force

@@ -23,11 +23,12 @@ object RelationalQueries {
 
   private val D = "decimal(18,2)"
 
-  /** events.ts is Parquet INT64 TIMESTAMP(NANOS) which Spark refuses by
-    * default; read it as raw nanosecond longs and do exact integer math. */
+  /** events.ts as nanosecond-epoch longs, fixture-representation-invariant
+    * (see [[Tables.tsNs]]): ns-INT64 fixtures read raw via `nanosAsLong`,
+    * µs-timestamp fixtures convert exactly under the UTC session. */
   def eventsNs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, d)
+    Tables.tsNs(Tables.events(s, d))
   }
 
   /** Exact money/measure math stays DECIMAL internally, but no DECIMAL ever

@@ -167,6 +167,6 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    windowedAgg(stream.withColumnRenamed("ts", "ts_ns"))
+    windowedAgg(graft.queries.Tables.tsNs(stream).withColumnRenamed("ts", "ts_ns"))
   }
 }

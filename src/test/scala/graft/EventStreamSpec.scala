@@ -268,7 +268,8 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStream.windowedAgg(
-      spark.read.parquet(dir).withColumnRenamed("ts", "ts_ns"))
+      graft.queries.Tables.tsNs(spark.read.parquet(dir))
+        .withColumnRenamed("ts", "ts_ns"))
     val q = EventStream.fromParquetDir(spark, dir)
       .writeStream.format("memory").queryName("paritystream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
