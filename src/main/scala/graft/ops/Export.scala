@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -225,6 +225,182 @@ object Export {
         transform(
           sort_array(collect_list(
             when(col("_id").isNotNull, struct(col("_p"), col("_id"))))),
+          s => s.getField("_id")).as("input_ids"))
+  }
+
+  // ── Subword (BPE) tokenization ──────────────────────────────────────
+  //
+  // Byte-pair encoding over the word-frequency table (Sennrich et al.,
+  // "Neural Machine Translation of Rare Words with Subword Units", 2016 —
+  // public method): start from characters, repeatedly merge the most
+  // frequent adjacent symbol pair. The symbol sequence of a word is
+  // represented as a SINGLE STRING — symbols wrapped in a U+001F marker
+  // and joined by spaces ("h" "e" → "<1F>h<1F> <1F>e<1F>") — so
+  // that applying one merge is one codegen'd `replace` (leftmost, non-
+  // overlapping — exactly BPE's application order) and the whole merge
+  // table is a fold of M nested replaces inside whole-stage codegen. The
+  // marker makes pair patterns unambiguous: without it, multi-char
+  // symbols could substring-match across symbol boundaries. The identical
+  // replace chain is replayable in ANSI SQL (`replace` has the same
+  // leftmost non-overlapping semantics in DuckDB), which is what the q91
+  // oracle does.
+
+  /** Symbol-boundary marker. U+001F (unit separator) — a control char
+    * that whitespace-split tokens cannot contain (it IS whitespace-free
+    * but never appears in text because `\s+`-split tokens keep it only if
+    * the corpus contained it; real corpora don't, and a stray occurrence
+    * only costs a spurious never-matching pattern, not corruption). */
+  val BpeSep = "\u001F"
+
+  /** A lowercased word → its initial marker-string symbol sequence. */
+  def bpeInitSeq(word: Column): Column =
+    array_join(transform(split(word, ""),
+      c => concat(lit(BpeSep), c, lit(BpeSep))), " ")
+
+  /** Apply a learned merge table (in learned order) to a marker-string
+    * symbol sequence — M nested `replace`s, fully codegen'd. */
+  def bpeApplyMerges(seqCol: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(seqCol) { case (acc, (x, y)) =>
+      replace(acc, lit(s"$BpeSep$x$BpeSep $BpeSep$y$BpeSep"),
+        lit(s"$BpeSep$x$y$BpeSep"))
+    }
+
+  /** Learn a BPE merge table: `numMerges` rounds of "count adjacent
+    * symbol pairs weighted by word frequency, merge the argmax". Ties
+    * break lexically on the pair string — a deterministic total order, so
+    * two runs (or two engines) learn byte-identical tables.
+    *
+    * Scale shape: learning runs over the DISTINCT-WORD frequency table
+    * (vocabulary-sized — bounded by language, not corpus bytes; it fits a
+    * cluster easily at 100 TB of text where the raw corpus does not).
+    * Each round is one distributed pair-count aggregation over that table
+    * plus a driver-side top-1 (`orderBy.limit(1)` — TakeOrderedAndProject,
+    * a per-partition top-1 + driver merge, never a global sort) and one
+    * map-only `replace`. The sequential round loop is inherent to BPE
+    * (each merge depends on the last); per-round cost is one scan of the
+    * word table. The evolving table is re-persisted per round and the
+    * lineage (a growing chain of narrow `replace`s) is truncated every
+    * `checkpointEvery` rounds with an eager localCheckpoint so a 30k-merge
+    * run cannot accumulate an unanalyzable plan. `minPairCount` stops
+    * learning when the best pair is rarer than the floor (default 2 —
+    * merging hapax pairs adds vocab entries that can never generalize). */
+  def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int,
+               minPairCount: Long = 2L,
+               checkpointEvery: Int = 64): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+      .where(col("_w") =!= "")
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .select(bpeInitSeq(col("_w")).as("_seq"), col("_c"))
+    var cur = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val syms = split(col("_seq"), " ")
+      val best = cur
+        .select(explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("_pair"), col("_c"))
+        .groupBy(col("_pair")).agg(sum(col("_c")).as("_n"))
+        .orderBy(col("_n").desc, col("_pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(1) < minPairCount) exhausted = true
+      else {
+        val pairStr = best(0).getString(0)
+        val parts = pairStr.split(" ")
+        val x = parts(0).substring(1, parts(0).length - 1)
+        val y = parts(1).substring(1, parts(1).length - 1)
+        merges += ((x, y))
+        var next = cur.withColumn("_seq",
+          replace(col("_seq"), lit(pairStr), lit(s"$BpeSep$x$y$BpeSep")))
+        if (checkpointEvery > 0 && (round + 1) % checkpointEvery == 0)
+          next = next.localCheckpoint(eager = false)
+        next = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+        round += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** The vocabulary a merge table induces: every base character of the
+    * corpus (ranked by corpus frequency desc, then codepoint-string asc —
+    * a total order) gets ids 0..A−1, then each merge product gets the
+    * next id in merge order (a product textually equal to an existing
+    * entry — e.g. (a,bc)→abc after (ab,c)→abc — keeps the first id).
+    * Returned driver-side: the alphabet is bounded by the writing system
+    * (hundreds to a few thousand symbols), the same driver-sized-boundary
+    * class as the IVF centroid literals, and the encode pass broadcasts
+    * it. */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val alphabet = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+      .where(col("_w") =!= "")
+      .select(explode(split(col("_w"), "")).as("_ch"))
+      .groupBy(col("_ch")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_ch").asc)
+      .collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    alphabet.foreach(ch => vocab.getOrElseUpdate(ch, vocab.size.toLong))
+    merges.foreach { case (x, y) =>
+      vocab.getOrElseUpdate(x + y, vocab.size.toLong)
+    }
+    vocab.toSeq
+  }
+
+  /** Subword-encode a corpus with a learned merge table + vocabulary:
+    * per document emits `n_toks` (subword count) and `input_ids` (ids in
+    * text order; empty for token-less docs). Symbols outside `vocab` map
+    * to the stable hashed-OOV id `V + md5-60(sym) mod oovBuckets` —
+    * the same contract as [[vocabEncode]], so a char unseen at learn time
+    * still encodes deterministically.
+    *
+    * Scale shape: ONE corpus scan. The merge fold is map-side codegen'd
+    * compute (M nested replaces per word instance — linear in corpus
+    * tokens, no extra shuffle; the alternative, deduping distinct words
+    * first, would trade that compute for a full token-level shuffle). The
+    * doc-id repartition happens BEFORE the explodes, so the final
+    * per-doc rebuild groups in-partition without shuffling symbol rows,
+    * and the vocab join is an explicit broadcast. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)], vocab: Seq[(String, Long)],
+                oovBuckets: Int): DataFrame = {
+    require(oovBuckets >= 1, "oovBuckets must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabSize = vocab.size.toLong
+    val vocabDf = vocab.toDF("_sym", "_tid")
+    val words = docs.repartition(col(idCol))
+      .select(col(idCol),
+        posexplode_outer(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("_wp", "_w")))
+      .withColumn("_w",
+        when(col("_w") === "", lit(null: String)).otherwise(col("_w")))
+    val syms = words
+      .withColumn("_seq", when(col("_w").isNull, lit(null: String))
+        .otherwise(bpeApplyMerges(bpeInitSeq(col("_w")), merges)))
+      .select(col(idCol), col("_wp"),
+        posexplode_outer(transform(split(col("_seq"), " "),
+          s => s.substr(lit(2), length(s) - 2))).as(Seq("_sp", "_sym")))
+    val ids = syms
+      .join(broadcast(vocabDf), Seq("_sym"), "left")
+      .withColumn("_id", when(col("_sym").isNull, lit(null: java.lang.Long))
+        .otherwise(coalesce(col("_tid"),
+          lit(vocabSize) + pmod(Dedup.md5Hash60(col("_sym")),
+            lit(oovBuckets.toLong)))))
+    ids.groupBy(col(idCol))
+      .agg(count(col("_sym")).as("n_toks"),
+        transform(
+          sort_array(collect_list(when(col("_id").isNotNull,
+            struct(col("_wp"), col("_sp"), col("_id"))))),
           s => s.getField("_id")).as("input_ids"))
   }
 }

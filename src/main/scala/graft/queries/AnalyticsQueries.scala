@@ -110,7 +110,7 @@ object AnalyticsQueries {
       // deterministic across engines.
       val ev = graft.queries.RelationalQueries.eventsNs(s, d).select(
         col("event_id"), col("user_id"),
-        expr("ts div 86400000000000").as("event_day"))
+        Tables.floorDiv("ts", 86400000000000L).as("event_day"))
       val ords = Tables.orders(s, d).select(
           col("o_custkey").as("user_id"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
@@ -258,7 +258,7 @@ object AnalyticsQueries {
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val WeekNs = 604800000000000L
       val active = graft.queries.RelationalQueries.eventsNs(s, d)
-        .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
+        .select(col("user_id"), Tables.floorDiv("ts", WeekNs).as("week"))
         .distinct()
       val cohort = active.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))

@@ -297,7 +297,7 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin) { (s, d) =>
       eventsNs(s, d)
-        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), $"event_type")
+        .groupBy(Tables.floorDiv("ts", 3600000000000L).as("hour_bucket"), $"event_type")
         .agg(count(lit(1)).as("n"),
           moneyStr(sum($"value".cast(D)).cast(D)).as("sum_value"))
         .orderBy($"hour_bucket", $"event_type")
@@ -337,7 +337,7 @@ object RelationalQueries {
         |ORDER BY event_id, itype, k""".stripMargin) { (s, d) =>
       val W = 604800000000L // 7 days in us; windows cover each week's first half
       val ev = eventsNs(s, d).select($"event_id",
-        expr("ts div 1000").as("ts_us"), $"event_type")
+        Tables.floorDiv("ts", 1000L).as("ts_us"), $"event_type")
       val ivs = ev.groupBy($"event_type".as("itype"))
         .agg(min($"ts_us").as("t0"))
         .select($"itype", explode(array((0 to 2).map(k => struct(
@@ -372,7 +372,7 @@ object RelationalQueries {
         |ORDER BY user_id, itype, k""".stripMargin) { (s, d) =>
       val W = 604800000000L
       val ev = eventsNs(s, d).select($"user_id",
-        expr("ts div 1000").as("ts_us"), $"event_type")
+        Tables.floorDiv("ts", 1000L).as("ts_us"), $"event_type")
       val spans = ev.groupBy($"user_id")
         .agg(min($"ts_us").as("us"), (max($"ts_us") + 1).as("ue"))
       val ivs = ev.groupBy($"event_type".as("itype"))
@@ -404,7 +404,7 @@ object RelationalQueries {
         |FROM ev JOIN ivs ON ev.ts_us >= ivs.s AND ev.ts_us < ivs.e
         |ORDER BY event_id, itype""".stripMargin) { (s, d) =>
       val ev = eventsNs(s, d).select($"event_id",
-        expr("ts div 1000").as("ts_us"))
+        Tables.floorDiv("ts", 1000L).as("ts_us"))
       val b = ev.agg(min($"ts_us").as("t0"), (max($"ts_us") + 1).as("t1"))
       val ivs = b.select(lit("audit").as("itype"), $"t0".as("s"), $"t1".as("e"))
         .unionAll(b.select(lit("early").as("itype"), $"t0".as("s"),

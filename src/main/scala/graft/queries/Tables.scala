@@ -24,15 +24,39 @@ object Tables {
     * as INT64 TIMESTAMP(NANOS) (Spark refuses it by default; with
     * `nanosAsLong` it arrives as a raw ns long — passthrough) and as plain
     * µs TIMESTAMP/TIMESTAMP_NTZ (convert: µs × 1000). The NTZ→timestamp
-    * cast is micros-exact because GraftSession pins the session timezone
-    * to UTC; integer multiply, never float math (ns epochs exceed a
-    * double's 2^53 mantissa). */
-  def tsNs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case org.apache.spark.sql.types.LongType => df
-    case _ =>
-      import org.apache.spark.sql.functions._
-      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    * cast is micros-exact only under a UTC session timezone, so that is
+    * asserted here rather than assumed from GraftSession; integer multiply,
+    * never float math (ns epochs exceed a double's 2^53 mantissa). Any
+    * other `ts` type fails loudly instead of being silently passed through
+    * as if it were nanoseconds. */
+  def tsNs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"tsNs requires spark.sql.session.timeZone=UTC (got $tz); " +
+            "build the session via GraftSession or pin the timezone — " +
+            "NTZ fixtures would otherwise shift by the local offset")
+        import org.apache.spark.sql.functions._
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"tsNs: unexpected ts type $other — expected LongType (ns epoch) " +
+            "or Timestamp/TimestampNTZ (µs); refusing to guess the unit")
+    }
   }
+
+  /** Integer floor-division of a long column by a positive constant,
+    * matching DuckDB's `//` (floor) rather than Spark's `div` (truncate
+    * toward zero) — the two diverge on negative (pre-1970) epochs. Stays
+    * in integer arithmetic: `pmod` is non-negative for positive d, so the
+    * subtraction lands on an exact multiple and `div` is exact (ns epochs
+    * exceed a double's mantissa, so `floor(x/d)` in doubles would not be). */
+  def floorDiv(colName: String, d: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"($colName - pmod($colName, ${d}L)) div ${d}L")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
