@@ -6,8 +6,8 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
-    // that section (sections: dedup, scoring, vectors). Default: all.
-    val sections = if (args.isEmpty) Set("dedup", "scoring", "vectors")
+    // that section (sections: dedup, scoring, vectors, export). Default: all.
+    val sections = if (args.isEmpty) Set("dedup", "scoring", "vectors", "export")
                    else args.toSet
     // 100k docs: 10k templates x 10 mutated near-dup variants each.
     val docs = spark.range(100000).select(
@@ -149,6 +149,41 @@ object ScaleSmoke {
     val n3 = graft.ops.Similarity.srpNearDupPairs(v, dim = dim,
       planesPerTable = 16, tables = 4, threshold = 0.99, maxBucket = 1000).count()
     println(f"srp_neardup_200k: pairs=$n3 time=${(System.nanoTime()-t2)/1e9}%.1f s")
+    // PQ tier over the same 200k vectors: codebook fit is bounded by the
+    // m·ksub·dsub collect, encoding is one map-only pass (the codegen'd
+    // loop kernel), ADC search cost scales with probed lists — per-row
+    // time must stay flat vs the 500-row fixture.
+    val tp = System.nanoTime()
+    val books = graft.ops.Similarity.pqFitCodebooks(v, dim = dim, m = 16,
+      ksub = 16, iters = 1)
+    val cents200 = v.where(col("id") < 16).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val pqIdx = graft.ops.Similarity.pqIndex(
+      graft.ops.Similarity.ivfIndex(v, cents200), dim, 16, books)
+    pqIdx.write.mode("overwrite").parquet("/tmp/scale_pq")
+    println(f"pq_index_200k: rows=${spark.read.parquet("/tmp/scale_pq").count()} " +
+      f"time=${(System.nanoTime()-tp)/1e9}%.1f s")
+    val tq = System.nanoTime()
+    val nq = graft.ops.Similarity.pqTopKAgainstIndex(
+      v.where(col("id") % 2000 === 0), spark.read.parquet("/tmp/scale_pq"),
+      v, cents200, books, dim, 16, nprobe = 4, rerank = 100, k = 10).count()
+    println(f"pq_search_200k: rows=$nq time=${(System.nanoTime()-tq)/1e9}%.1f s")
+    }
+
+    if (sections("export")) {
+      // BPE learn is numMerges sequential rounds over the DISTINCT-WORD
+      // table (vocab-sized: ~1k distinct tokens here regardless of the
+      // 100k docs), so learn time must be ~flat in corpus size; encode is
+      // one map-only pass whose per-row cost is the merge-chain replace.
+      val tb = System.nanoTime()
+      val merges = graft.ops.Export.bpeLearn(d, "text", numMerges = 32)
+      println(f"bpe_learn_100k: merges=${merges.size} " +
+        f"time=${(System.nanoTime()-tb)/1e9}%.1f s")
+      val vocab = graft.ops.Export.bpeVocab(d, "text", merges)
+      val te = System.nanoTime()
+      val ne = graft.ops.Export.bpeEncode(d, "doc_id", "text", merges, vocab,
+        oovBuckets = 4096).count()
+      println(f"bpe_encode_100k: rows=$ne time=${(System.nanoTime()-te)/1e9}%.1f s")
     }
     spark.stop()
   }

@@ -729,10 +729,15 @@ object Dedup {
     * and a keep flag — 1 exactly for the canonical (smallest-id) member of
     * each cluster. `docs` join `components` is a plain long-key shuffle
     * join — the component table is proportional to the duplicated subset,
-    * no broadcast assumption. */
+    * no broadcast assumption. `checkpointDir` reaches
+    * [[connectedComponents]]' per-round lineage truncation — the 100 TB
+    * path — without the caller having to run CC by hand. */
   def dedupAssign(docs: DataFrame, idCol: String, pairs: DataFrame,
-                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+                  aCol: String = "doc_a", bCol: String = "doc_b",
+                  checkpointDir: Option[String] = None,
+                  ccLocalThreshold: Long = 1L << 20): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol,
+        localThreshold = ccLocalThreshold, checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     docs.join(comp, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
@@ -785,8 +790,11 @@ object Dedup {
     * never one sort. */
   def dedupKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
                     priority: Column,
-                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+                    aCol: String = "doc_a", bCol: String = "doc_b",
+                    checkpointDir: Option[String] = None,
+                    ccLocalThreshold: Long = 1L << 20): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol,
+        localThreshold = ccLocalThreshold, checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     val flagged = docs.join(comp, Seq(idCol)).withColumn("_prio", priority)
     val pmax = flagged.groupBy(col("component")).agg(max(col("_prio")).as("_pmax"))
@@ -816,8 +824,10 @@ object Dedup {
     * luck of pair orientation); component-based keeping is invariant to
     * pair orientation and chain shape. */
   def dedupFilter(docs: DataFrame, idCol: String, pairs: DataFrame,
-                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
-    dedupAssign(docs, idCol, pairs, aCol, bCol)
+                  aCol: String = "doc_a", bCol: String = "doc_b",
+                  checkpointDir: Option[String] = None,
+                  ccLocalThreshold: Long = 1L << 20): DataFrame =
+    dedupAssign(docs, idCol, pairs, aCol, bCol, checkpointDir, ccLocalThreshold)
       .where(col("keep") === 1)
       .drop("cluster_id", "keep")
 

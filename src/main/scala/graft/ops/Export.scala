@@ -100,6 +100,13 @@ object Export {
       .withColumn("_off", coalesce(col("_off"),
         raise_error(concat(lit("takeTokenBudget: no offset for partition "),
           col("_pid").cast("string"))).cast("long")))
+      // Defensive re-sort: the fold below REQUIRES in-partition sort
+      // order. Today the broadcast join + projections preserve the range
+      // sort, so RemoveRedundantSorts plans this as a no-op (ExportSpec
+      // asserts exactly that); if a future planner change ever stops
+      // preserving the ordering, this materializes as a real sort instead
+      // of silently corrupting the running sum.
+      .sortWithinPartitions(ord: _*)
     val outSchema = joined.drop("_pid", "_mid", "_off").schema
       .add("cum_tokens", LongType)
     val tokIdx = joined.schema.fieldIndex(tokensCol)
@@ -278,23 +285,29 @@ object Export {
     * a per-partition top-1 + driver merge, never a global sort) and one
     * map-only `replace`. The sequential round loop is inherent to BPE
     * (each merge depends on the last); per-round cost is one scan of the
-    * word table. The evolving table is re-persisted per round and the
-    * lineage (a growing chain of narrow `replace`s) is truncated every
-    * `checkpointEvery` rounds with an eager localCheckpoint so a 30k-merge
-    * run cannot accumulate an unanalyzable plan. `minPairCount` stops
-    * learning when the best pair is rarer than the floor (default 2 —
-    * merging hapax pairs adds vocab entries that can never generalize). */
+    * word table. The evolving table is localCheckpointed EVERY round —
+    * lineage truncation is mandatory here, not an optimization: a chain
+    * of persisted frames nests each round's cached plan inside the next
+    * (InMemoryRelation embeds its child tree), and by a few dozen rounds
+    * the plan string alone OOMs the driver. A per-round checkpoint of a
+    * vocab-sized table is cheap at any corpus scale; the previous round's
+    * checkpoint RDD is unpersisted once the next is materialized.
+    * `minPairCount` stops learning when the best pair is rarer than the
+    * floor (default 2 — merging hapax pairs adds vocab entries that can
+    * never generalize). */
   def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 2L,
-               checkpointEvery: Int = 64): Seq[(String, String)] = {
+               minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    def checkpointedRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     val words = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
       .where(col("_w") =!= "")
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
       .select(bpeInitSeq(col("_w")).as("_seq"), col("_c"))
-    var cur = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+    var cur = words.localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
@@ -315,18 +328,15 @@ object Export {
         val x = parts(0).substring(1, parts(0).length - 1)
         val y = parts(1).substring(1, parts(1).length - 1)
         merges += ((x, y))
-        var next = cur.withColumn("_seq",
-          replace(col("_seq"), lit(pairStr), lit(s"$BpeSep$x$y$BpeSep")))
-        if (checkpointEvery > 0 && (round + 1) % checkpointEvery == 0)
-          next = next.localCheckpoint(eager = false)
-        next = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cur.unpersist(blocking = false)
+        val next = cur.withColumn("_seq",
+            replace(col("_seq"), lit(pairStr), lit(s"$BpeSep$x$y$BpeSep")))
+          .localCheckpoint(eager = true)
+        checkpointedRdd(cur).foreach(_.unpersist(blocking = false))
         cur = next
         round += 1
       }
     }
-    cur.unpersist(blocking = false)
+    checkpointedRdd(cur).foreach(_.unpersist(blocking = false))
     merges.toSeq
   }
 

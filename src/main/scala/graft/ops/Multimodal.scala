@@ -112,19 +112,66 @@ object Multimodal {
     sig
   }
 
+  /** REAL-CODEC decode path: `javax.imageio` (JDK-only — no new
+    * dependency) → grayscale → area-averaged resize to a `samples`-pixel
+    * luma strip. With the default 65 samples, [[perceptualHash64]]'s
+    * sample positions `⌊k·(n−1)/64⌋` collapse to the identity (n=65 →
+    * position k), so the decoded path feeds the EXACT same gradient hash
+    * and banding as the deterministic byte tier — a true 1-D dHash over
+    * decoded luma. Area averaging (not bilinear point-sampling) pools
+    * every source pixel into each strip cell, so re-encodes and small
+    * pixel noise perturb the strip minimally — that's what makes the
+    * Hamming banding's near-dup recall real for actual images. Returns
+    * None when ImageIO has no reader for the payload (truncated/garbage
+    * bytes fail fast at header sniffing). Runs headless; executors have
+    * no display. */
+  def decodeLumaStrip(blob: Array[Byte], samples: Int = 65): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val scaled = img.getScaledInstance(samples, 1,
+          java.awt.Image.SCALE_AREA_AVERAGING)
+        val gray = new java.awt.image.BufferedImage(samples, 1,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        g.drawImage(scaled, 0, 0, null)
+        g.dispose()
+        val out = new Array[Byte](samples)
+        gray.getRaster.getDataElements(0, 0, samples, 1, out)
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual signature with the real decoder in front: decodable
+    * images hash their decoded luma strip, anything else falls back to
+    * the deterministic byte tier — so mixed corpora (images + synthetic
+    * fixtures + corrupt payloads) hash totally, and the fallback is
+    * byte-replayable for the oracle. */
+  def perceptualHashImage64(blob: Array[Byte]): Long =
+    decodeLumaStrip(blob) match {
+      case Some(luma) => perceptualHash64(luma)
+      case None => perceptualHash64(blob)
+    }
+
   /** Per-item perceptual signatures — decoder tier (mapPartitions, one
     * decoder init per partition), output (_id, _sig). The 100 TB shape:
     * the multi-KB/MB blob reduces to 8 bytes at the scan and never enters
-    * a shuffle. */
-  def perceptualHashes(df: DataFrame, idCol: String, blobCol: String)(
+    * a shuffle. `decodeImages = true` routes each payload through the
+    * ImageIO luma decode (with byte-tier fallback); the default stays the
+    * pure byte tier, which is what the q72 oracle replays bit-for-bit. */
+  def perceptualHashes(df: DataFrame, idCol: String, blobCol: String,
+                       decodeImages: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val hash: Array[Byte] => Long =
+      if (decodeImages) perceptualHashImage64 else perceptualHash64
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // A real implementation opens its codec context here (decode →
-        // grayscale → resize), then hashes the decoded plane per row.
-        it.map { case (id, blob) => (id, perceptualHash64(blob)) }
+        // One decoder context per partition; ImageIO reader lookup is
+        // per-row but header sniffing fails fast on non-image bytes.
+        it.map { case (id, blob) => (id, hash(blob)) }
       }
       .toDF("_id", "_sig")
   }
@@ -136,9 +183,9 @@ object Multimodal {
     * (re-encodes, brightness shifts, truncated payloads with identical
     * sampled gradients) cluster without ever joining on blob bytes. */
   def perceptualHashPairs(df: DataFrame, idCol: String, blobCol: String,
-                          maxHamming: Int = 3)(
+                          maxHamming: Int = 3, decodeImages: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
-    val sigs = perceptualHashes(df, idCol, blobCol)
+    val sigs = perceptualHashes(df, idCol, blobCol, decodeImages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.registerCaches(sigs)
     Dedup.hammingBandPairs(sigs, maxHamming)

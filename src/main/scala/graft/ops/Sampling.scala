@@ -131,7 +131,9 @@ object Sampling {
     * rounds) plus one stateless band projection — no shuffle beyond the
     * CC itself. */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-                       fractions: Seq[(String, Double)]): DataFrame = {
+                       fractions: Seq[(String, Double)],
+                       checkpointDir: Option[String] = None,
+                       ccLocalThreshold: Long = 1L << 20): DataFrame = {
     require(fractions.nonEmpty, "fractions must be non-empty")
     require(fractions.forall(_._2 > 0), "fraction weights must be > 0")
     require(fractions.map(_._1).distinct.size == fractions.size,
@@ -144,7 +146,9 @@ object Sampling {
       .foldRight(lit(fractions.last._1): Column) {
         case ((label, ub), acc) => when(ppm < ub, label).otherwise(acc)
       }
-    Dedup.dedupAssign(docs, idCol, pairs).withColumn("split", expr)
+    Dedup.dedupAssign(docs, idCol, pairs, checkpointDir = checkpointDir,
+        ccLocalThreshold = ccLocalThreshold)
+      .withColumn("split", expr)
   }
 
   /** Keep the best `fraction` of the corpus by score — EXACTLY the top

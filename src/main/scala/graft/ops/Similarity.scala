@@ -254,6 +254,162 @@ object Similarity {
     df.select(col("cid").cast("int"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
 
+  // ── Product quantization (PQ) ──────────────────────────────────────────
+  //
+  // The compression tier for the persisted ANN index (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", 2011 — public
+  // method): split each vector into `m` subspaces, quantize every
+  // subvector against a per-subspace codebook of `ksub` codewords, and
+  // store ONE BYTE-SIZED CODE per subspace instead of dsub doubles. At
+  // 100 TB of embeddings the full-vector [[ivfIndex]] is itself the
+  // storage problem (the verdict's point) — a 64-dim float64 row is 512
+  // bytes of vector; its PQ row is m=8 codes + an 8-byte norm. Queries
+  // score candidates with ADC (asymmetric distance computation): the
+  // query precomputes its m×ksub inner-product table once, each
+  // candidate costs m array lookups + adds instead of `dim` multiplies,
+  // and the top `rerank` survivors are re-scored EXACTLY against the
+  // full vectors — so the final ranks/sims are exact cosine whenever the
+  // true top-k survives the ADC cut.
+
+  /** Deterministic per-subspace k-means (L2 on subvectors — PQ's metric):
+    * init from the `ksub` lowest-id vectors' subvectors (reproducible, no
+    * random restarts; same convention as [[fitCentroids]]), then `iters`
+    * rounds of assign (map-only — codebooks ride as plan literals) +
+    * per-dimension mean recompute (ONE groupBy of m·ksub·dsub aggregate
+    * rows per round). Returns (subspace, code, codeword); the m×ksub×dsub
+    * codebook matrix is driver-sized by design, like every production
+    * PQ's. Empty codes keep their previous codeword. */
+  def pqFitCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+                     iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val init = corpus.select(col("id"), col("vec")).orderBy(col("id"))
+      .limit(ksub).collect()
+    var books: Seq[(Int, Int, Seq[Double])] = for {
+      s <- 0 until m
+      (r, c) <- init.zipWithIndex
+    } yield (s, c, r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub))
+    for (_ <- 0 until iters) {
+      val withCodes = corpus.select(
+        pqCodes(col("vec"), dim, m, books).as("_codes"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("vec"), s * dsub + 1, dsub)): _*)).as(Seq("_s", "_sv")))
+      val means = withCodes
+        .select(col("_s"), element_at(col("_codes"), col("_s") + 1).as("_code"),
+          posexplode(col("_sv")).as(Seq("_dim", "_v")))
+        .groupBy(col("_s"), col("_code"), col("_dim"))
+        .agg(avg(col("_v")).as("_mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = books.map { case (s, c, old) =>
+        (s, c, means.getOrElse((s, c), old))
+      }
+    }
+    books
+  }
+
+  /** PQ codes for a full vector: array<int> of length m (nearest codeword
+    * per subspace, argmin L2, smallest code on ties). A native codegen'd
+    * LOOP over the codebook ([[graft.plans.PqEncode]]) — an unrolled
+    * argmin over m·ksub literal structs dies in Janino at real codebook
+    * sizes; the loop form is ~30 generated lines at any m/ksub. Map-only:
+    * the codebook rides as an expression constant, like the IVF
+    * centroids. */
+  def pqCodes(vec: Column, dim: Int, m: Int,
+              books: Seq[(Int, Int, Seq[Double])]): Column = {
+    val ksub = books.size / m
+    graft.plans.PqQuantize.encode(vec, books.sortBy(t => (t._1, t._2)),
+      m, ksub, dim / m)
+  }
+
+  /** The COMPRESSED index: [[ivfIndex]] rows with the vector replaced by
+    * its PQ codes — (id, _cell, _n, _codes). This is what a 100 TB
+    * pipeline writes (partitionBy("_cell"), like the full index); the
+    * full-vector table stays wherever the corpus lives and is touched
+    * only by the re-rank join on the tiny candidate set. */
+  def pqIndex(index: DataFrame, dim: Int, m: Int,
+              books: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    index.select(col("id"), col("_cell"), col("_n"),
+      pqCodes(col("vec"), dim, m, books).as("_codes"))
+
+  /** Codebook table (sub, code, cw) for storage alongside the index —
+    * m×ksub×dsub, driver-sized by design. */
+  def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
+                    books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    books.toDF("sub", "code", "cw")
+  }
+
+  /** Driver-side codebooks from a stored codebook table. */
+  def pqCodebooksFrom(df: DataFrame): Seq[(Int, Int, Seq[Double])] =
+    df.select(col("sub").cast("int"), col("code").cast("int"), col("cw"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** ANN top-k over the COMPRESSED index with exact re-rank: probe
+    * `nprobe` cells (as [[ivfTopKAgainstIndex]]), ADC-score every probed
+    * cell's codes — each query carries its m×ksub inner-product table,
+    * computed once per query and broadcast, so a candidate costs m
+    * lookups — keep the top `rerank` per query, then join those few back
+    * to the FULL vectors (`corpus`: (id, vec)) and re-score with exact
+    * cosine. Output (query_id, neighbor_id, sim, rank) with EXACT sims:
+    * the PQ approximation decides only which `rerank` candidates pay the
+    * exact join, so with an adequate margin the result equals the
+    * brute-force top-k (q92's oracle holds it to exactly that). */
+  def pqTopKAgainstIndex(queries: DataFrame, pqIdx: DataFrame,
+                         corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+                         books: Seq[(Int, Int, Seq[Double])],
+                         dim: Int, m: Int,
+                         nprobe: Int, rerank: Int, k: Int): DataFrame = {
+    require(rerank >= k, "rerank candidate count must be >= k")
+    val ksub = books.size / m
+    // Per-query ADC table (flat, tab[s·ksub+c] = ⟨q_s, books[s][c]⟩) — a
+    // codegen'd loop, computed once per query row before the broadcast.
+    val adcTab = graft.plans.PqQuantize.adcTable(col("vec"),
+      books.sortBy(t => (t._1, t._2)), m, ksub, dim / m)
+    val probeCells = explode(array(cents.map { case (cid, cv) =>
+      val cl = array(cv.map(lit): _*)
+      struct(round(dot(col("vec"), cl) / (norm(col("vec")) * sqrt(dot(cl, cl))), 6)
+        .as("s"), lit(cid).as("c"))
+    }: _*))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_pc.s").desc, col("_pc.c").asc)
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("_qv"),
+        norm(col("vec")).as("_qn"), adcTab.as("_tab"), probeCells.as("_pc"))
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_tab"),
+        col("_pc.c").as("_cell"))
+    // ADC scan: m table lookups + adds per candidate code row.
+    val approxIp = (0 until m).map(s =>
+      element_at(col("_tab"),
+        lit(s * ksub + 1) + element_at(col("_codes"), s + 1))).reduce(_ + _)
+    val cand = pqIdx.join(broadcast(probes), Seq("_cell"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("_qv"),
+        col("_qn"), (approxIp / (col("_qn") * col("_n"))).as("_approx"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_approx").desc, col("neighbor_id").asc)
+    val shortlist = cand.withColumn("_ar", row_number().over(wAdc))
+      .where(col("_ar") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_qn"))
+    // Exact re-rank: only `rerank` rows per query pay the full-vector join.
+    val exact = shortlist
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
+        norm(col("vec")).as("_cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** IVF top-k against a PRECOMPUTED index ([[ivfIndex]] output, typically
     * read back from storage): probe rows (a few per query) broadcast into
     * the stored inverted lists — per-batch cost scales with the probed

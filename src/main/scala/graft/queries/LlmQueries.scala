@@ -47,6 +47,27 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared oracle for q23 (brute force) and q92 (PQ+ADC with exact
+    * re-rank): the compressed-index path must reproduce the exact
+    * brute-force top-k — the PQ approximation may only decide which
+    * candidates pay the exact re-rank, never the published ranks/sims. */
+  private val BruteTopKSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    round(list_inner_product(qe, e.embedding::DOUBLE[]) /
+      |      (sqrt(list_inner_product(qe, qe)) *
+      |       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id <> query_id)
+      |SELECT query_id, neighbor_id, sim, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   private val JaccardPairsSql =
     """WITH g AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -248,22 +269,7 @@ object LlmQueries {
     },
 
     // ── brute-force cosine top-k ANN baseline ──
-    QueryDef("q23_ann_topk",
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        |  FROM embeddings WHERE vec_id % 50 = 0),
-        |scored AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    round(list_inner_product(qe, e.embedding::DOUBLE[]) /
-        |      (sqrt(list_inner_product(qe, qe)) *
-        |       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id <> query_id)
-        |SELECT query_id, neighbor_id, sim, rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |                               ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("q23_ann_topk", BruteTopKSql) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(
         col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("vec"))
@@ -1395,6 +1401,120 @@ object LlmQueries {
           length(col("c.chunk")).cast("long").as("chunk_len"),
           md5(col("c.chunk").cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ── q91: subword (BPE) encoding. The merge table and vocabulary are
+    //    DETERMINISTIC PINNED LITERALS learned once by Export.bpeLearn /
+    //    bpeVocab on the sf0.001 documents fixture (regenerate with
+    //    `runMain graft.BpePin /root/testdata/sf0.001 24`; BpeSpec asserts
+    //    the pins equal a fresh learn, so they can't drift from the
+    //    learner). Both engines replay the IDENTICAL nested replace chain
+    //    over U+001F-marked symbol strings — `replace` is leftmost
+    //    non-overlapping in both Spark and DuckDB, which is exactly BPE's
+    //    application order — so the oracle proves the encoding, and the
+    //    hashed-OOV tail keeps q84's contract for symbols outside the
+    //    48-entry vocab. ──
+    QueryDef("q91_bpe_encode", BpeOracleSql) { (s, d) =>
+      graft.ops.Export.bpeEncode(Tables.documents(s, d), "doc_id", "text",
+          BpeMerges, BpeVocab, oovBuckets = 256)
+        .select(col("doc_id"), col("n_toks"),
+          concat_ws(" ", transform(col("input_ids"), x => x.cast("string")))
+            .as("input_ids"))
+        .orderBy("doc_id")
+    },
+
+    // ── q92: PQ-compressed ANN with exact re-rank — the index-storage
+    //    answer for 100 TB of embeddings (q73 persists full float64
+    //    vectors per cell; this persists m=8 one-byte codes + a norm).
+    //    Codebooks are a deterministic per-subspace k-means fit (lowest-id
+    //    init, 2 rounds — same reproducibility convention as q48's
+    //    centroids), every cell is probed and ADC keeps 80 candidates per
+    //    query, so the published result must equal the BRUTE-FORCE oracle
+    //    exactly: the compression may decide who pays the exact join,
+    //    never what the ranks/sims are. SimilaritySpec asserts the
+    //    compression ratio and the recall margin. ──
+    QueryDef("q92_ann_pq", BruteTopKSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 32, ksub = 16,
+        iters = 2)
+      val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(emb, cents),
+        dim = 64, m = 32, books)
+      Similarity.pqTopKAgainstIndex(emb.where(col("id") % 50 === 0), pqIdx,
+          emb, cents, books, dim = 64, m = 32,
+          nprobe = 16, rerank = 80, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
+
+  /** Pinned BPE merge table: `Export.bpeLearn(documents@sf0.001, "text",
+    * 24)` output, in learned order (most frequent pair first). */
+  lazy val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"),
+    ("colum", "n"), ("d", "ow"), ("in", "dow"), ("w", "indow"),
+    ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"))
+
+  /** Pinned BPE vocabulary: `Export.bpeVocab(documents@sf0.001, "text",
+    * BpeMerges)` — 24 base chars by frequency, then the 24 merge
+    * products in merge order. */
+  lazy val BpeVocab: Seq[(String, Long)] = Seq(
+    ("a", 0L), ("r", 1L), ("e", 2L), ("t", 3L), ("o", 4L), ("s", 5L),
+    ("l", 6L), ("n", 7L), ("u", 8L), ("c", 9L), ("g", 10L), ("i", 11L),
+    ("m", 12L), ("w", 13L), ("h", 14L), ("d", 15L), ("p", 16L),
+    ("b", 17L), ("v", 18L), ("y", 19L), ("k", 20L), ("f", 21L),
+    ("j", 22L), ("q", 23L), ("er", 24L), ("or", 25L), ("in", 26L),
+    ("ow", 27L), ("st", 28L), ("lu", 29L), ("ar", 30L), ("par", 31L),
+    ("mer", 32L), ("at", 33L), ("an", 34L), ("can", 35L), ("scan", 36L),
+    ("co", 37L), ("colu", 38L), ("colum", 39L), ("column", 40L),
+    ("dow", 41L), ("indow", 42L), ("window", 43L), ("der", 44L),
+    ("order", 45L), ("ort", 46L), ("sort", 47L))
+
+  /** q91's DuckDB oracle, assembled from the pinned literals so the SQL
+    * can never disagree with the Spark side's inputs. U = U+001F, the
+    * same symbol-boundary marker Export.BpeSep uses; Verify's JSON dump
+    * \u-escapes it, so the driver's json.load round-trips it intact. */
+  private lazy val BpeOracleSql: String = {
+    val U = graft.ops.Export.BpeSep
+    val init = s"array_to_string(['$U' || substr(w, i::INT, 1) || '$U' " +
+      "FOR i IN generate_series(1, length(w))], ' ')"
+    val chain = BpeMerges.foldLeft(init) { case (acc, (x, y)) =>
+      s"replace($acc, '$U$x$U $U$y$U', '$U$x$y$U')"
+    }
+    val vocabValues = BpeVocab
+      .map { case (sym, tid) => s"('$sym', $tid)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+       |             ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+       |             AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id, i AS wp, toks[i] AS w
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, len(toks))) AS i FROM t)
+       |      WHERE toks[i] <> ''),
+       |sq AS (SELECT doc_id, wp, $chain AS s FROM w),
+       |sy AS (SELECT doc_id, wp, j AS sp,
+       |         substr(syms[j], 2, length(syms[j]) - 2) AS sym
+       |       FROM (SELECT doc_id, wp, syms,
+       |               unnest(generate_series(1, len(syms))) AS j
+       |             FROM (SELECT doc_id, wp, string_split(s, ' ') AS syms
+       |                   FROM sq))),
+       |ids AS (SELECT doc_id, wp, sp,
+       |          coalesce(tid, ${BpeVocab.size} +
+       |            CAST('0x' || substr(md5(sym), 1, 15) AS BIGINT) % 256)
+       |            AS id
+       |        FROM sy LEFT JOIN (VALUES $vocabValues) voc(sym, tid)
+       |          USING (sym)),
+       |d AS (SELECT doc_id, count(*) AS n_toks,
+       |        array_to_string(list(id ORDER BY wp, sp), ' ') AS input_ids
+       |      FROM ids GROUP BY 1)
+       |SELECT doc_id, coalesce(n_toks, 0) AS n_toks,
+       |  coalesce(input_ids, '') AS input_ids
+       |FROM documents LEFT JOIN d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Export
+import graft.queries.LlmQueries
+
+/** Subword (BPE) tier: merge-table learning, vocabulary induction, and
+  * the codegen'd replace-chain encoder behind q91. */
+class BpeSpec extends SparkSpec {
+
+  test("bpeLearn: hand-checked merges, frequency argmax + lexical tie-break") {
+    import spark.implicits._
+    // Word counts: "ab ab" twice and "ac" once per doc → ab:4, ac:2.
+    // Round 1: pairs (a,b):4 vs (a,c):2 → merge (a,b).
+    // Round 2: only (a,c):2 remains → merge (a,c). Then no pairs → stop.
+    val docs = Seq("ab ab ac", "ab ab ac").toDF("text")
+    val merges = Export.bpeLearn(docs, "text", numMerges = 5)
+    assert(merges == Seq(("a", "b"), ("a", "c")))
+    // minPairCount floor: hapax pairs are not merged.
+    val docs2 = Seq("ab xy xy").toDF("text")
+    assert(Export.bpeLearn(docs2, "text", 5) == Seq(("x", "y")))
+    // Lexical tie-break: "ba" and "bc" both count 2 → (b,a) < (b,c).
+    val docs3 = Seq("ba ba bc bc").toDF("text")
+    assert(Export.bpeLearn(docs3, "text", 1) == Seq(("b", "a")))
+  }
+
+  test("bpeApplyMerges: leftmost non-overlapping, exactly BPE's order") {
+    import spark.implicits._
+    val U = Export.BpeSep
+    def seqOf(word: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(word).toDF("w")
+        .select(Export.bpeApplyMerges(Export.bpeInitSeq(col("w")), merges)
+          .as("s"))
+        .collect().head.getString(0).split(" ").toSeq
+        .map(s => s.substring(1, s.length - 1))
+    // Odd run of a self-pair merges leftmost-first: aaa → [aa, a].
+    assert(seqOf("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // A later merge builds on an earlier product: (a,b) then (ab,c).
+    assert(seqOf("abc", Seq(("a", "b"), ("ab", "c"))) == Seq("abc"))
+    // A merge whose parts were consumed earlier no longer applies.
+    assert(seqOf("abc", Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c"))
+    // Marker prevents cross-boundary substring matches: symbols (ab)(c)
+    // must NOT match a (b,c) pattern.
+    assert(seqOf("abcd", Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c", "d"))
+    assert(U == "")
+  }
+
+  test("q91 pins: pinned merge table and vocab equal a fresh learn on sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Export.bpeLearn(docs, "text", numMerges = 24)
+    assert(merges == LlmQueries.BpeMerges,
+      "pinned BpeMerges drifted from bpeLearn output — rerun graft.BpePin")
+    val vocab = Export.bpeVocab(docs, "text", merges)
+    assert(vocab == LlmQueries.BpeVocab,
+      "pinned BpeVocab drifted from bpeVocab output — rerun graft.BpePin")
+  }
+
+  test("bpeEncode: round-trip decode rebuilds the normalized text; empty docs survive") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+      .unionAll(Seq((100001L, ""), (100002L, "   ")).toDF("doc_id", "text"))
+    val enc = Export.bpeEncode(docs, "doc_id", "text",
+      LlmQueries.BpeMerges, LlmQueries.BpeVocab, oovBuckets = 256)
+    // Learn-corpus chars are all in the pinned alphabet → no OOV ids, and
+    // concatenating decoded symbols in order rebuilds the doc's words
+    // (normalized, space-stripped).
+    val inv = LlmQueries.BpeVocab.map { case (s, i) => (i, s) }.toMap
+    val decoded = enc.collect().map { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+      assert(ids.forall(inv.contains), s"unexpected OOV id for ${r.get(0)}")
+      r.getLong(0) -> ids.map(inv).mkString
+    }.toMap
+    val expected = docs
+      .select(col("doc_id"),
+        array_join(split(lower(trim(col("text"))), "\\s+"), "").as("joined"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded.keySet == expected.keySet)
+    expected.foreach { case (id, want) =>
+      assert(decoded(id) == want, s"round-trip mismatch for doc $id")
+    }
+    // Token-less docs: present with n_toks 0 and empty ids.
+    val empties = enc.where(col("doc_id") >= 100001L)
+      .select("n_toks").collect().map(_.getLong(0)).toSeq
+    assert(empties == Seq(0L, 0L))
+  }
+}

@@ -339,6 +339,34 @@ class DedupSpec extends SparkSpec {
     assert(rounds.length == 1, rounds.map(_.getName).mkString(","))
   }
 
+  test("checkpointDir threads end-to-end through dedupAssign/KeepBest/Filter") {
+    import spark.implicits._
+    // Large-enough chain to clear the CC local-threshold fast path so the
+    // distributed (checkpointing) loop actually runs.
+    val pairs = (1L to 3000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (1L to 3001L).map(i => (i, i % 7)).toDF("doc_id", "quality")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+    def roundFiles() = new java.io.File(dir.toString).listFiles()
+      .count(_.getName.startsWith("round_"))
+    val assign = Dedup.dedupAssign(docs, "doc_id", pairs,
+      checkpointDir = Some(dir.toString), ccLocalThreshold = 0L)
+    assert(assign.where(col("cluster_id") === 1L).count() == 3001L)
+    assert(roundFiles() >= 1, "dedupAssign did not reach the CC checkpoint path")
+    val best = Dedup.dedupKeepBest(docs, "doc_id", pairs, col("quality"),
+      checkpointDir = Some(dir.toString), ccLocalThreshold = 0L)
+    // Max quality 6 first occurs at id 6 in the single chain cluster.
+    assert(best.where(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(6L))
+    val kept = Dedup.dedupFilter(docs, "doc_id", pairs,
+      checkpointDir = Some(dir.toString), ccLocalThreshold = 0L)
+    assert(kept.count() == 1L)
+    val split = graft.ops.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "test" -> 0.2),
+      checkpointDir = Some(dir.toString), ccLocalThreshold = 0L)
+    assert(split.select("split").distinct().count() == 1L,
+      "one cluster must land in exactly one split")
+  }
+
   /** Start the cache-lifecycle tests from a clean block manager: earlier
     * tests in the shared session cache the same logical plans (CacheManager
     * dedupes by plan), which would alias the before/after snapshots. */

@@ -6,6 +6,64 @@ import org.apache.spark.sql.functions._
   * sequence packing. */
 class ExportSpec extends SparkSpec {
 
+  test("takeTokenBudget/packSequences: the fold's input plan KEEPS the " +
+      "in-partition sort order (defensive sort planned as a no-op)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{DeserializeToObjectExec, MapPartitionsExec, SortExec, SparkPlan}
+    // Plan-shape assertion — AQE wraps the tree in an adaptive node that
+    // hides children until execution, so build these plans without it.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (1L to 400L).map(i => (i, i % 97, (i * 31) % 100))
+        .toDF("doc_id", "toks", "score")
+      /** Nodes between a fold and its data source, broadcast sides
+        * excluded (the offsets subtree legitimately sorts its tiny
+        * window input). */
+      def streamSide(p: SparkPlan): Seq[SparkPlan] =
+        if (p.getClass.getSimpleName.startsWith("BroadcastExchange")) Nil
+        else p +: p.children.flatMap(streamSide)
+      def foldInput(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+        val mps = df.queryExecution.executedPlan
+          .collect { case m: MapPartitionsExec => m }
+        assert(mps.nonEmpty, "expected a mapPartitions fold in the plan")
+        // DeserializeToObject is the row→object adapter feeding the fold:
+        // it consumes its child's iterator IN ORDER but reports no
+        // outputOrdering of its own — look through it to the node whose
+        // ordering the fold actually inherits.
+        def through(p: SparkPlan): SparkPlan = p match {
+          case d: DeserializeToObjectExec => through(d.child)
+          case other => other
+        }
+        through(mps.head.child)
+      }
+      val budgetIn = foldInput(graft.ops.Export.takeTokenBudget(
+        docs, "doc_id", "toks", "score", budget = 1000L))
+      // The fold's direct input still carries (score desc, doc_id asc):
+      // the broadcast offset join and projections preserved the range
+      // sort, so the ordering survives to the iterator the fold consumes.
+      val bOrd = budgetIn.outputOrdering
+      assert(bOrd.size >= 2 &&
+        bOrd.head.sql.toLowerCase.contains("score") &&
+        bOrd.head.sql.toUpperCase.contains("DESC"),
+        s"fold input lost its sort order: ${bOrd.map(_.sql)}")
+      // And the defensive re-sort was REMOVED as redundant — no SortExec
+      // between the fold and the persisted ranked frame on the streamed
+      // side (a materialized one would mean the join stopped preserving
+      // ordering — still correct, but worth failing loudly to notice).
+      assert(!streamSide(budgetIn).exists(_.isInstanceOf[SortExec]),
+        "defensive sort materialized: join no longer preserves ordering")
+      val packIn = foldInput(graft.ops.Export.packSequences(
+        docs.select("doc_id", "toks"), "doc_id", "toks",
+        capacity = 50L, numShards = 4))
+      val pOrd = packIn.outputOrdering
+      assert(pOrd.size >= 2 &&
+        pOrd.head.sql.toLowerCase.contains("shard") &&
+        pOrd(1).sql.toLowerCase.contains("doc_id"),
+        s"pack fold input lost its (shard, id) order: ${pOrd.map(_.sql)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("shuffleShards: balanced round-robin shards, contiguous pos, deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id")

@@ -88,4 +88,68 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
     assert(pairs.head._3 == 0) // level shift preserves every gradient
   }
+
+  /** Encode a width×height gradient-ish image to real PNG bytes via
+    * javax.imageio — the test images are genuine codec output, so the
+    * decode path under test is the production one end-to-end. */
+  private def pngBytes(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(x, y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeLumaStrip: real PNG decodes to a 65-sample luma strip; garbage falls back") {
+    // Horizontal ramp: strip must be monotone non-decreasing left-to-right.
+    val ramp = pngBytes(130, 20, (x, _) => x * 255 / 129)
+    val strip = Multimodal.decodeLumaStrip(ramp)
+    assert(strip.isDefined && strip.get.length == 65)
+    val vals = strip.get.map(_ & 0xFF)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a <= b },
+      "area-averaged ramp strip should be monotone")
+    assert(vals.last - vals.head > 200, "ramp should span most of the range")
+    // Non-image payloads have no ImageIO reader → None (byte-tier fallback).
+    assert(Multimodal.decodeLumaStrip(Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Multimodal.decodeLumaStrip(Array.empty).isEmpty)
+  }
+
+  test("perceptualHashImage64: brightness-shifted re-encode hashes identically, " +
+      "lossless re-encode exact, distinct image separates, banding recall") {
+    import spark.implicits._
+    // Luma kept in [40, 200] so a +10 brightness shift cannot clip — a
+    // uniform shift then preserves every strict gradient comparison.
+    def lum(x: Int, y: Int): Int = 40 + (x * 160 / 129)
+    val original = pngBytes(130, 24, lum)
+    val brighter = pngBytes(130, 24, (x, y) => lum(x, y) + 10)
+    val sigO = Multimodal.perceptualHashImage64(original)
+    val sigB = Multimodal.perceptualHashImage64(brighter)
+    assert(sigO == sigB, "uniform brightness shift must preserve the signature")
+    // Lossless PNG re-encode of the SAME pixels → byte-different payload,
+    // identical decoded luma → identical signature; and it must differ from
+    // the raw-byte-tier hash of the (different) encoded bytes.
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(original))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img2, "png", bos)
+    val reenc = bos.toByteArray
+    assert(Multimodal.perceptualHashImage64(reenc) == sigO)
+    // A structurally different image (vertical bars) separates.
+    val bars = pngBytes(130, 24, (x, _) => if ((x / 8) % 2 == 0) 40 else 200)
+    assert(java.lang.Long.bitCount(
+      Multimodal.perceptualHashImage64(bars) ^ sigO) > 3)
+    // End-to-end banding recall over real encoded images: the re-encoded
+    // + brightened variant pairs with the original at Hamming 0.
+    val media = Seq((1L, original), (2L, brighter), (3L, bars))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.perceptualHashPairs(media, "media_id", "payload",
+        maxHamming = 3, decodeImages = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 0)
+  }
 }

@@ -170,4 +170,75 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains(new java.io.File(s"$dir/assign").getName), plan.take(400))
   }
+
+  /** The q92 fixture view: 500 × 64-dim embeddings as array<double>. */
+  private def fixtureEmb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+
+  test("PQ codebooks/codes: valid shape, deterministic fit, codebook round-trip") {
+    val emb = fixtureEmb
+    val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 32, ksub = 16,
+      iters = 2)
+    assert(books.size == 32 * 16)
+    assert(books.forall(_._3.size == 2)) // dsub = 64/32
+    // Deterministic: a second fit is byte-identical (lowest-id init, no
+    // runtime randomness anywhere).
+    assert(Similarity.pqFitCodebooks(emb, 64, 32, 16, 2) == books)
+    // Codebook storage round-trips exactly.
+    val df = Similarity.pqCodebooksDf(spark, books)
+    assert(Similarity.pqCodebooksFrom(df) == books)
+    // Codes are length-m arrays over [0, ksub).
+    val codes = Similarity.pqIndex(
+        Similarity.ivfIndex(emb, Seq((0, Seq.fill(64)(0.1)))), 64, 32, books)
+      .select(col("_codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 32 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("PQ index compression: stored PQ index is a fraction of the full-vector index") {
+    val emb = fixtureEmb
+    val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val books = Similarity.pqFitCodebooks(emb, 64, 32, 16, iters = 1)
+    val full = Similarity.ivfIndex(emb, cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    full.write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/full")
+    Similarity.pqIndex(full, 64, 32, books)
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/pq")
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(p))
+    }
+    val (fb, pb) = (bytes(s"$dir/full"), bytes(s"$dir/pq"))
+    // 64 float64s (512 B raw) collapse to 8 small ints + a norm; parquet
+    // encoding overhead still leaves a large multiple.
+    assert(pb * 4 < fb, s"PQ index $pb B not <1/4 of full index $fb B")
+  }
+
+  test("PQ + ADC + exact re-rank equals brute force on the fixture, with margin") {
+    val emb = fixtureEmb
+    val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val books = Similarity.pqFitCodebooks(emb, 64, 32, 16, iters = 2)
+    val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(emb, cents), 64, 32, books)
+    val queries = emb.where(col("id") % 50 === 0)
+    val want = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    // The q92 configuration (rerank=80) must reproduce brute force, and so
+    // must a 25%-smaller shortlist — the recall margin assertion: exactness
+    // is not sitting on the cliff edge of the rerank budget. (rerank=40
+    // drops three rank-8..10 tail neighbors on this fixture — that is the
+    // measured cliff, which 80 clears 2x over.)
+    for (rerank <- Seq(80, 60)) {
+      val got = Similarity.pqTopKAgainstIndex(queries, pqIdx, emb, cents,
+          books, 64, 32, nprobe = 16, rerank = rerank, k = 10)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"PQ@rerank=$rerank diverged from brute force")
+    }
+  }
 }
