@@ -173,4 +173,93 @@ class PropertySpec extends SparkSpec {
     val byVal = strs.sortBy(BigDecimal(_)).toSeq
     assert(byKey == byVal)
   }
+
+  test("BPE: learn+encode round-trips random corpora; merge apply == scala model") {
+    import spark.implicits._
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpora = samples(Gen.listOfN(8, doc), 12)
+    for (corpus <- corpora) {
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = graft.ops.Export.bpeLearn(docs, "text", numMerges = 6)
+      val vocab = graft.ops.Export.bpeVocab(docs, "text", merges)
+      val inv = vocab.map(_.swap).toMap
+      // Round-trip: decoded symbols rebuild each doc's space-stripped text
+      // (learn corpus == encode corpus → alphabet covers every char, no OOV).
+      val enc = graft.ops.Export.bpeEncode(docs, "doc_id", "text", merges,
+          vocab, oovBuckets = 16)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Long](r.fieldIndex("input_ids")).map(inv).mkString).toMap
+      corpus.zipWithIndex.foreach { case (t, i) =>
+        val want = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString
+        assert(enc(i.toLong) == want, s"corpus=$corpus doc=$i")
+      }
+      // Merge application against a driver-side scala model of BPE's
+      // leftmost non-overlapping replay.
+      def model(w: String): Seq[String] = {
+        var syms = w.map(_.toString)
+        for ((x, y) <- merges) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              out += x + y; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toIndexedSeq
+        }
+        syms
+      }
+      val words = corpus.flatMap(_.trim.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty).distinct
+      if (words.nonEmpty) {
+        val got = words.toDF("w").select(col("w"),
+            graft.ops.Export.bpeApplyMerges(
+              graft.ops.Export.bpeInitSeq(col("w")), merges).as("s"))
+          .collect().map(r => r.getString(0) ->
+            r.getString(1).split(" ").toSeq.map(s => s.substring(1, s.length - 1)))
+        got.foreach { case (w, syms) =>
+          assert(syms == model(w), s"word=$w merges=$merges")
+        }
+      }
+    }
+  }
+
+  test("PqEncode/PqAdcTable: interpreted eval == codegen'd DataFrame path") {
+    import spark.implicits._
+    val m = 4; val ksub = 3; val dsub = 2
+    val rnd = new scala.util.Random(11)
+    val books = for { s <- 0 until m; c <- 0 until ksub }
+      yield (s, c, Seq.fill(dsub)(rnd.nextGaussian()))
+    val vecs = samples(Gen.listOfN(m * dsub,
+      Gen.chooseNum(-3.0, 3.0)), 100).map(_.toSeq)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val viaDf = df.select(col("id"),
+        graft.ops.Similarity.pqCodes(col("vec"), m * dsub, m, books).as("c"),
+        graft.plans.PqQuantize.adcTable(col("vec"), books, m, ksub, dsub).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2)))
+    // Interpreted path: call the expression's eval directly on each row.
+    val flat = graft.plans.PqQuantize.flatten(books, m, ksub, dsub)
+    viaDf.foreach { case (id, gotCodes, gotTab) =>
+      val v = vecs(id.toInt)
+      val wantCodes = (0 until m).map { s =>
+        (0 until ksub).minBy { c =>
+          (0 until dsub).map { d =>
+            val diff = v(s * dsub + d) - flat((s * ksub + c) * dsub + d)
+            diff * diff
+          }.sum
+        }
+      }
+      assert(gotCodes == wantCodes, s"id=$id")
+      val wantTab = for { s <- 0 until m; c <- 0 until ksub } yield
+        (0 until dsub).map(d => v(s * dsub + d) * flat((s * ksub + c) * dsub + d)).sum
+      gotTab.zip(wantTab).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-12, s"id=$id")
+      }
+    }
+  }
 }
