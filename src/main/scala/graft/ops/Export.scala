@@ -296,17 +296,37 @@ object Export {
     * floor (default 2 — merging hapax pairs adds vocab entries that can
     * never generalize). */
   def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 2L): Seq[(String, String)] = {
+               minPairCount: Long = 2L,
+               localThreshold: Long = 1L << 20): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
     def checkpointedRdd(df: DataFrame) =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
-    val words = docs
+    val wordCounts = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
       .where(col("_w") =!= "")
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-      .select(bpeInitSeq(col("_w")).as("_seq"), col("_c"))
+    // Small-vocabulary fast path (same driver-sized-by-design budget as
+    // connectedComponents' localThreshold): the per-round state is the
+    // DISTINCT-WORD table, and when it fits the driver the in-memory loop
+    // replays the identical algorithm without paying a Spark job (+ a
+    // localCheckpoint) per merge round — at 32 merges over 100k docs that
+    // is 50 s distributed vs well under a second local, and a 30k-merge
+    // production vocab is only reachable this way. The distributed loop
+    // below stays the web-scale path (a 10⁸-distinct-word multilingual
+    // corpus exceeds any driver). Pass localThreshold = 0 to force it.
+    if (localThreshold > 0) {
+      val head = wordCounts
+        .limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+      if (head.length <= localThreshold) {
+        return bpeLearnLocal(
+          head.map(r => (r.getString(0), r.getLong(1))).toSeq,
+          numMerges, minPairCount)
+      }
+      // Over budget: fall through (the probe is bounded, not corpus-sized).
+    }
+    val words = wordCounts.select(bpeInitSeq(col("_w")).as("_seq"), col("_c"))
     var cur = words.localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -337,6 +357,74 @@ object Export {
       }
     }
     checkpointedRdd(cur).foreach(_.unpersist(blocking = false))
+    merges.toSeq
+  }
+
+  /** The driver-side twin of the distributed learn loop — MUST replay it
+    * byte-for-byte (BpeSpec asserts equality against localThreshold = 0):
+    * same codepoint-wise initial symbols (Spark's `split(w, "")` is a
+    * regex split, which never cuts a surrogate pair), same weighted pair
+    * counts, and the same tie-break — the distributed loop orders by the
+    * MARKER PAIR STRING ascending under Spark's UTF8 BINARY ordering,
+    * which disagrees with Java's UTF-16 `compareTo` on supplementary-
+    * plane symbols (the same trap connectedComponents' local fast path
+    * documents), so ties compare via UTF8String here. Pair counting is a
+    * full recount per round (simple, allocation-light); the loop is
+    * driver-CPU-bound at vocab scale, not job-latency-bound. */
+  private def bpeLearnLocal(words: Seq[(String, Long)], numMerges: Int,
+                            minPairCount: Long): Seq[(String, String)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        def pairKey(p: (String, String)): UTF8String =
+          UTF8String.fromString(s"$BpeSep${p._1}$BpeSep $BpeSep${p._2}$BpeSep")
+        val best = counts.toSeq.reduceLeft { (a, b) =>
+          if (b._2 > a._2 ||
+              (b._2 == a._2 && pairKey(b._1).compareTo(pairKey(a._1)) < 0)) b
+          else a
+        }
+        if (best._2 < minPairCount) exhausted = true
+        else {
+          val (x, y) = best._1
+          merges += ((x, y))
+          seqs = seqs.map { case (syms, c) =>
+            var has = false
+            var i = 0
+            while (!has && i + 1 < syms.length) {
+              has = syms(i) == x && syms(i + 1) == y; i += 1
+            }
+            if (!has) (syms, c)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == x && syms(j + 1) == y) {
+                  out += x + y; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              (out.toArray, c)
+            }
+          }
+          round += 1
+        }
+      }
+    }
     merges.toSeq
   }
 

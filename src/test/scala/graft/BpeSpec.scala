@@ -47,12 +47,35 @@ class BpeSpec extends SparkSpec {
 
   test("q91 pins: pinned merge table and vocab equal a fresh learn on sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // Default path is the driver fast path; the pins were learned by the
+    // DISTRIBUTED loop (graft.BpePin, round 10) — passing means the two
+    // paths agree on the fixture on top of the dedicated equality test.
     val merges = Export.bpeLearn(docs, "text", numMerges = 24)
     assert(merges == LlmQueries.BpeMerges,
       "pinned BpeMerges drifted from bpeLearn output — rerun graft.BpePin")
     val vocab = Export.bpeVocab(docs, "text", merges)
     assert(vocab == LlmQueries.BpeVocab,
       "pinned BpeVocab drifted from bpeVocab output — rerun graft.BpePin")
+  }
+
+  test("bpeLearn: driver fast path == distributed loop (ties, unicode, fixture)") {
+    import spark.implicits._
+    def both(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+      val local = Export.bpeLearn(docs, "text", n)
+      val dist = Export.bpeLearn(docs, "text", n, localThreshold = 0L)
+      assert(local == dist, s"fast path diverged: $local vs $dist")
+      local
+    }
+    // Tie-heavy: every pair count equal → order decided purely by the
+    // tie-break, where the two paths' string orderings could diverge.
+    both(Seq("ab cd ab cd ef ef").toDF("text"), 5)
+    // Supplementary-plane symbols: UTF8 binary order ≠ UTF-16 compareTo
+    // exactly here ( U+FF10 ＇０＇ sorts AFTER U+1D552 𝕒 in UTF8 bytes but
+    // BEFORE it in UTF-16 code units); counts tie so the tie-break decides.
+    both(Seq("𝕒x ０x 𝕒x ０x").toDF("text"), 3)
+    // Fixture sample.
+    both(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100), 8)
   }
 
   test("bpeEncode: round-trip decode rebuilds the normalized text; empty docs survive") {

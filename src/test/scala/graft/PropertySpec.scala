@@ -185,6 +185,9 @@ class PropertySpec extends SparkSpec {
       val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val merges = graft.ops.Export.bpeLearn(docs, "text", numMerges = 6)
+      if (corpus.hashCode % 4 == 0) // distributed loop is slow — spot-check
+        assert(graft.ops.Export.bpeLearn(docs, "text", 6,
+          localThreshold = 0L) == merges, s"local != distributed: $corpus")
       val vocab = graft.ops.Export.bpeVocab(docs, "text", merges)
       val inv = vocab.map(_.swap).toMap
       // Round-trip: decoded symbols rebuild each doc's space-stripped text

@@ -213,9 +213,24 @@ class SimilaritySpec extends SparkSpec {
       walk(new java.io.File(p))
     }
     val (fb, pb) = (bytes(s"$dir/full"), bytes(s"$dir/pq"))
-    // 64 float64s (512 B raw) collapse to 8 small ints + a norm; parquet
+    // 64 float64s (512 B raw) collapse to 32 small ints + a norm; parquet
     // encoding overhead still leaves a large multiple.
     assert(pb * 4 < fb, s"PQ index $pb B not <1/4 of full index $fb B")
+    // The storage round trip is result-invisible (the ivfIndex/q73
+    // contract): probes served from the written parquet + a round-tripped
+    // codebook table equal the in-plan path exactly.
+    Similarity.pqCodebooksDf(spark, books)
+      .write.mode("overwrite").parquet(s"$dir/books")
+    val storedBooks = Similarity.pqCodebooksFrom(spark.read.parquet(s"$dir/books"))
+    assert(storedBooks == books)
+    val queries = emb.where(col("id") % 100 === 0)
+    def run(idx: org.apache.spark.sql.DataFrame,
+            bks: Seq[(Int, Int, Seq[Double])]) =
+      Similarity.pqTopKAgainstIndex(queries, idx, emb, cents, bks, 64, 32,
+          nprobe = 16, rerank = 60, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(spark.read.parquet(s"$dir/pq"), storedBooks) ==
+      run(Similarity.pqIndex(full, 64, 32, books), books))
   }
 
   test("PQ + ADC + exact re-rank equals brute force on the fixture, with margin") {
