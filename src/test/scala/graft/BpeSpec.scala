@@ -78,6 +78,20 @@ class BpeSpec extends SparkSpec {
       .limit(100), 8)
   }
 
+  test("bpeEncode plan shape: one exchange (the id repartition), vocab broadcast, " +
+      "merge chain codegen'd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Export.bpeEncode(docs, "doc_id", "text",
+        LlmQueries.BpeMerges, LlmQueries.BpeVocab, oovBuckets = 256)
+      .queryExecution.executedPlan.toString
+    // Exactly one data exchange: the upfront doc_id repartition. The final
+    // per-doc rebuild groups on the same key in place, and the vocab join
+    // must be a broadcast — symbol rows never shuffle.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("bpeEncode: round-trip decode rebuilds the normalized text; empty docs survive") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

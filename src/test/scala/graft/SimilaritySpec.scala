@@ -243,6 +243,12 @@ class SimilaritySpec extends SparkSpec {
     val want = Similarity.bruteForceTopK(queries, emb, k = 10)
       .select("query_id", "neighbor_id", "sim", "rank")
       .collect().map(_.toString).sorted.toSeq
+    // Plan shape: probes (with their ADC tables) broadcast into the code
+    // rows — the corpus-side index never moves for a query batch.
+    val plan = Similarity.pqTopKAgainstIndex(queries, pqIdx, emb, cents,
+        books, 64, 32, nprobe = 16, rerank = 80, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
     // The q92 configuration (rerank=80) must reproduce brute force, and so
     // must a 25%-smaller shortlist — the recall margin assertion: exactness
     // is not sitting on the cliff edge of the rerank budget. (rerank=40
