@@ -80,6 +80,10 @@ object Bench {
         s""""driver_gc_ms":$driverGcMs,"storage_b":$storageUsed}"""
   }
 
+  /** Locale-pinned "%.2f" (JSON must never see a comma decimal mark). */
+  private def dp2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+
   private def driverGcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -216,9 +220,14 @@ object Bench {
     // query together. Flag, not fail: contention is an environment fact
     // the artifact should record, not a code defect that should discard
     // the round's numbers.
+    // Locale-pinned 2-dp render: the f-interpolator delegates to
+    // String.format under the JVM DEFAULT locale, so a comma-decimal host
+    // would emit "median_ratio":1,50 — invalid JSON that breaks history
+    // parsing. Everything else in the artifact uses Double.toString,
+    // which is locale-free.
     final case class Contention(nProbes: Int, ratio: Double, flagged: Boolean) {
       def json: String =
-        f"""{"n_probes":$nProbes,"median_ratio":$ratio%.2f,"flagged":$flagged}"""
+        s"""{"n_probes":$nProbes,"median_ratio":${Bench.dp2(ratio)},"flagged":$flagged}"""
     }
     def medianLong(xs: Seq[Long]): Long =
       if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
@@ -306,7 +315,7 @@ object Bench {
     val shortSuspect =
       if (suspects.isEmpty) "" else s""","suspect":$suspectsJson"""
     val shortContention = contention.filter(_.flagged)
-      .map(c => f""","contention_ratio":${c.ratio}%.2f""").getOrElse("")
+      .map(c => s""","contention_ratio":${Bench.dp2(c.ratio)}""").getOrElse("")
     val short = s"""{"metric":"total","value":$total,"unit":"sec"$shortSuspect$shortContention,"sf":"$sfDir"}"""
     // Silence ALL further logging (incl. the post-main ShutdownHookManager
     // INFO lines that otherwise print AFTER our JSON when the driver merges

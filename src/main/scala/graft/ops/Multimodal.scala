@@ -130,15 +130,45 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       if (img == null) None
       else {
-        val scaled = img.getScaledInstance(samples, 1,
-          java.awt.Image.SCALE_AREA_AVERAGING)
-        val gray = new java.awt.image.BufferedImage(samples, 1,
+        val w = img.getWidth; val h = img.getHeight
+        // Color → luma via a same-size draw into TYPE_BYTE_GRAY (drawing a
+        // BufferedImage source is synchronous — no Toolkit/
+        // FilteredImageSource production, so no ImageObserver timing to
+        // depend on; an earlier getScaledInstance(SCALE_AREA_AVERAGING)
+        // version leaned on an async production pipeline that only
+        // HAPPENS to complete synchronously on current OpenJDK), then an
+        // exact box average over each strip cell's column band read
+        // straight from the raster. Cell k covers source columns
+        // [⌊k·w/samples⌋, ⌊(k+1)·w/samples⌋) — widened to at least one
+        // column, so an image narrower than the strip still fills every
+        // cell (nearest-column replication, what any area resampler
+        // degrades to when upscaling).
+        val gray = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val g = gray.createGraphics()
-        g.drawImage(scaled, 0, 0, null)
+        g.drawImage(img, 0, 0, null)
         g.dispose()
+        val raster = gray.getRaster
+        val colSum = new Array[Long](w)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          raster.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) { colSum(x) += row(x); x += 1 }
+          y += 1
+        }
         val out = new Array[Byte](samples)
-        gray.getRaster.getDataElements(0, 0, samples, 1, out)
+        var k = 0
+        while (k < samples) {
+          val x0 = math.min((k.toLong * w / samples).toInt, w - 1)
+          val x1 = math.max(x0 + 1, ((k + 1).toLong * w / samples).toInt)
+          var s = 0L
+          var x = x0
+          while (x < x1) { s += colSum(x); x += 1 }
+          out(k) = (s / ((x1 - x0).toLong * h)).toByte
+          k += 1
+        }
         Some(out)
       }
     } catch { case scala.util.control.NonFatal(_) => None }

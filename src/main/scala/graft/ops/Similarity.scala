@@ -124,6 +124,16 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Length guard for vector columns feeding the PQ kernels: passes the
+    * vector through when it has at least `dim` elements, raises a clear
+    * error naming the op otherwise. One codegen'd `size` per row — the
+    * alternative is PqEncode's null codes surfacing as an opaque NPE (fit)
+    * or silently poisoning ADC scores (index/serve). */
+  private def vecChecked(vecCol: Column, dim: Int, op: String): Column =
+    when(size(vecCol) >= dim, vecCol).otherwise(
+      raise_error(concat(lit(s"$op: embedding shorter than dim=$dim (got "),
+        size(vecCol).cast("string"), lit(" elements)"))).cast("array<double>"))
+
   /** Oversized-bucket guard shared by the SRP paths: buckets with more than
     * `maxBucket` members (degenerate sign patterns — e.g. all-zero vectors)
     * are dropped before any self-join can go quadratic on them. The
@@ -283,14 +293,24 @@ object Similarity {
                      iters: Int): Seq[(Int, Int, Seq[Double])] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    val init = corpus.select(col("id"), col("vec")).orderBy(col("id"))
+    // Fail loudly on malformed input: a vec shorter than dim makes
+    // PqEncode yield null codes (its documented refuse-to-guess contract),
+    // which would otherwise surface as an opaque NPE at the driver-side
+    // means collect — and downstream (pqIndex / ADC) null codes would
+    // propagate silently. The guard is one codegen'd `size` per row.
+    val checked = corpus.select(col("id"),
+      vecChecked(col("vec"), dim, "pqFitCodebooks").as("vec"))
+    val init = checked.select(col("id"), col("vec")).orderBy(col("id"))
       .limit(ksub).collect()
+    require(init.length == ksub,
+      s"pqFitCodebooks: corpus has only ${init.length} rows; " +
+        s"need at least ksub=$ksub to seed the codebooks")
     var books: Seq[(Int, Int, Seq[Double])] = for {
       s <- 0 until m
       (r, c) <- init.zipWithIndex
     } yield (s, c, r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub))
     for (_ <- 0 until iters) {
-      val withCodes = corpus.select(
+      val withCodes = checked.select(
         pqCodes(col("vec"), dim, m, books).as("_codes"),
         posexplode(array((0 until m).map(s =>
           slice(col("vec"), s * dsub + 1, dsub)): _*)).as(Seq("_s", "_sv")))
@@ -333,7 +353,8 @@ object Similarity {
   def pqIndex(index: DataFrame, dim: Int, m: Int,
               books: Seq[(Int, Int, Seq[Double])]): DataFrame =
     index.select(col("id"), col("_cell"), col("_n"),
-      pqCodes(col("vec"), dim, m, books).as("_codes"))
+      pqCodes(vecChecked(col("vec"), dim, "pqIndex"), dim, m, books)
+        .as("_codes"))
 
   /** Codebook table (sub, code, cw) for storage alongside the index —
     * m×ksub×dsub, driver-sized by design. */

@@ -262,4 +262,37 @@ class SimilaritySpec extends SparkSpec {
       assert(got == want, s"PQ@rerank=$rerank diverged from brute force")
     }
   }
+
+  test("PQ input validation: short vectors and undersized corpora fail loudly") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    // A vec shorter than dim used to surface as an opaque NPE at the
+    // means collect (PqEncode's null-code contract); now it names the op.
+    val bad = Seq((1L, Seq(1.0, 2.0)), (2L, Seq.fill(64)(0.5)))
+      .toDF("id", "vec")
+    val e = intercept[Exception] {
+      Similarity.pqFitCodebooks(bad, dim = 64, m = 32, ksub = 2, iters = 1)
+    }
+    assert(chain(e).contains("pqFitCodebooks: embedding shorter than dim=64"),
+      chain(e).take(400))
+    // Null codes must not silently poison a stored index either.
+    val e2 = intercept[Exception] {
+      Similarity.pqIndex(
+        Similarity.ivfIndex(bad, Seq((0, Seq(1.0, 0.0)))),
+        dim = 64, m = 32,
+        Seq.tabulate(32, 16)((s, c) => (s, c, Seq(0.0, 0.0))).flatten)
+        .collect()
+    }
+    assert(chain(e2).contains("pqIndex: embedding shorter than dim=64"),
+      chain(e2).take(400))
+    // Fewer corpus rows than ksub fails at seeding with a clear message,
+    // not later inside the codebook-shape require.
+    val tiny = Seq((1L, Seq.fill(64)(0.5))).toDF("id", "vec")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqFitCodebooks(tiny, 64, 32, 16, iters = 1)
+    }
+    assert(e3.getMessage.contains("need at least ksub=16"))
+  }
 }
