@@ -184,6 +184,41 @@ object ScaleSmoke {
       val ne = graft.ops.Export.bpeEncode(d, "doc_id", "text", merges, vocab,
         oovBuckets = 4096).count()
       println(f"bpe_encode_100k: rows=$ne time=${(System.nanoTime()-te)/1e9}%.1f s")
+
+      // Production-vocab merge COUNT: a syllable-built corpus rich enough
+      // to sustain thousands of merges, learned through the incremental
+      // driver loop and applied through the native BpeApply kernel —
+      // whose plan size is constant in M (the nested-replace fold would
+      // need a plan tree as deep as the table; that is the ceiling this
+      // kernel removes).
+      val rnd = new scala.util.Random(13)
+      val sylls = Vector("ka", "to", "mi", "ra", "shu", "en", "bo", "li",
+        "dra", "pex", "ur", "van", "qi", "sol", "tem", "ny", "gar", "ze",
+        "plo", "wis", "chu", "fre", "ost", "bal", "ig", "mun", "tri", "vo",
+        "hep", "sa")
+      val pool = {
+        val s = scala.collection.mutable.LinkedHashSet.empty[String]
+        while (s.size < 20000)
+          s += Seq.fill(2 + rnd.nextInt(4))(sylls(rnd.nextInt(sylls.size))).mkString
+        s.toIndexedSeq
+      }
+      import spark.implicits._
+      val bigDocs = (0L until 100000L).map { i =>
+        (i, Seq.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" "))
+      }.toDF("doc_id", "text").repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigDocs.count()
+      val tbl = System.nanoTime()
+      val bigMerges = graft.ops.Export.bpeLearn(bigDocs, "text", numMerges = 3000)
+      println(f"bpe_learn_20kvocab: merges=${bigMerges.size} " +
+        f"time=${(System.nanoTime()-tbl)/1e9}%.1f s")
+      val bigVocab = graft.ops.Export.bpeVocab(bigDocs, "text", bigMerges)
+      val tbe = System.nanoTime()
+      val nbe = graft.ops.Export.bpeEncode(bigDocs, "doc_id", "text",
+        bigMerges, bigVocab, oovBuckets = 4096).count()
+      println(f"bpe_encode_100k_${bigMerges.size}merges: rows=$nbe " +
+        f"time=${(System.nanoTime()-tbe)/1e9}%.1f s")
+      bigDocs.unpersist()
     }
     spark.stop()
   }

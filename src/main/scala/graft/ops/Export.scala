@@ -265,7 +265,13 @@ object Export {
       c => concat(lit(BpeSep), c, lit(BpeSep))), " ")
 
   /** Apply a learned merge table (in learned order) to a marker-string
-    * symbol sequence — M nested `replace`s, fully codegen'd. */
+    * symbol sequence — M nested `replace`s, fully codegen'd. This is the
+    * ORACLE-REPLAYABLE form (the identical chain runs in ANSI SQL) and
+    * the only form that accepts arbitrary (non-learned) merge tables; its
+    * M-deep expression tree caps it at a few hundred merges, so the
+    * production encode path is [[graft.plans.BpeApply]] — a native kernel
+    * whose plan size is constant in M and which BpeSpec proves byte-equal
+    * on learned tables. */
   def bpeApplyMerges(seqCol: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(seqCol) { case (acc, (x, y)) =>
       replace(acc, lit(s"$BpeSep$x$BpeSep $BpeSep$y$BpeSep"),
@@ -294,16 +300,38 @@ object Export {
     * checkpoint RDD is unpersisted once the next is materialized.
     * `minPairCount` stops learning when the best pair is rarer than the
     * floor (default 2 — merging hapax pairs adds vocab entries that can
-    * never generalize). */
+    * never generalize).
+    *
+    * SCALE CONTRACT (the merge-COUNT dimension): the distributed loop
+    * pays one Spark job + one localCheckpoint PER MERGE ROUND by
+    * necessity (BPE is sequential), so a 32k-merge vocabulary over a
+    * genuinely driver-exceeding word table (10⁸+ distinct words) is
+    * days of job latency — that loop is the correctness backstop, not
+    * the production path. Production practice (every public tokenizer
+    * pipeline does this) is to LEARN ON A SAMPLE and apply to the full
+    * corpus: pass `sampleFraction < 1` to learn from a deterministic
+    * md5-banded document sample (replayable — the band is a pure
+    * function of the text, not runtime randomness), which shrinks the
+    * distinct-word table under `localThreshold` so the incremental
+    * driver loop (minutes at 30k merges on a 10⁶-word vocabulary) takes
+    * over. Applying the learned table to 100 TB stays one map-side scan
+    * regardless ([[bpeEncode]]). */
   def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int,
                minPairCount: Long = 2L,
-               localThreshold: Long = 1L << 20): Seq[(String, String)] = {
+               localThreshold: Long = 1L << 20,
+               sampleFraction: Double = 1.0): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
     def checkpointedRdd(df: DataFrame) =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
-    val wordCounts = docs
+    val base =
+      if (sampleFraction >= 1.0) docs
+      else docs.where(pmod(Dedup.md5Hash60(col(textCol)), lit(1000000L)) <
+        lit(math.round(sampleFraction * 1e6)))
+    val wordCounts = base
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
       .where(col("_w") =!= "")
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
@@ -360,23 +388,145 @@ object Export {
     merges.toSeq
   }
 
+  /** Codepoint-wise initial symbols of a word (Spark's `split(w, "")` is
+    * a regex split, which never cuts a surrogate pair). */
+  private def initSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Batch leftmost non-overlapping merge of (x, y) → xy in one word's
+    * symbol array — the distributed loop's `replace` semantics. Returns
+    * the same array instance when the pair is absent. */
+  private def mergeWordSyms(syms: Array[String], x: String,
+                            y: String): Array[String] = {
+    var has = false
+    var i = 0
+    while (!has && i + 1 < syms.length) {
+      has = syms(i) == x && syms(i + 1) == y; i += 1
+    }
+    if (!has) syms
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == x && syms(j + 1) == y) {
+          out += x + y; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** The distributed loop's tie-break key: the MARKER PAIR STRING under
+    * Spark's UTF8 BINARY ordering, which disagrees with Java's UTF-16
+    * `compareTo` on supplementary-plane symbols (the same trap
+    * connectedComponents' local fast path documents). */
+  private def pairKey(p: (String, String)): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      s"$BpeSep${p._1}$BpeSep $BpeSep${p._2}$BpeSep")
+
   /** The driver-side twin of the distributed learn loop — MUST replay it
     * byte-for-byte (BpeSpec asserts equality against localThreshold = 0):
-    * same codepoint-wise initial symbols (Spark's `split(w, "")` is a
-    * regex split, which never cuts a surrogate pair), same weighted pair
-    * counts, and the same tie-break — the distributed loop orders by the
-    * MARKER PAIR STRING ascending under Spark's UTF8 BINARY ordering,
-    * which disagrees with Java's UTF-16 `compareTo` on supplementary-
-    * plane symbols (the same trap connectedComponents' local fast path
-    * documents), so ties compare via UTF8String here. Pair counting is a
-    * full recount per round (simple, allocation-light); the loop is
-    * driver-CPU-bound at vocab scale, not job-latency-bound. */
-  private def bpeLearnLocal(words: Seq[(String, Long)], numMerges: Int,
-                            minPairCount: Long): Seq[(String, String)] = {
+    * same codepoint-wise initial symbols, same weighted pair counts, same
+    * UTF8-binary tie-break. This is the INCREMENTAL form: per round, only
+    * the words containing the merged pair are touched (their old pair
+    * contributions retracted, the merge applied, new contributions
+    * added), and the argmax comes from a lazily-invalidated heap — so a
+    * 30k-merge vocabulary costs minutes where the full per-round recount
+    * ([[bpeLearnLocalRecount]], kept as the spec's reference twin) costs
+    * hours. Memory: a pair → word-index occurrence index alongside the
+    * counts, ~O(total symbols) — a 10⁶-distinct-word vocabulary fits a
+    * few GB of driver heap, the same driver-sized budget as the word
+    * table itself. */
+  private[graft] def bpeLearnLocal(words: Seq[(String, Long)], numMerges: Int,
+                                   minPairCount: Long): Seq[(String, String)] = {
     import org.apache.spark.unsafe.types.UTF8String
-    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
-      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
-    }.toArray
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = words.map(w => initSyms(w._1)).toArray
+    val cnts: Array[Long] = words.map(_._2).toArray
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // Heap of (count-at-push, tie-key, pair) with lazy invalidation: an
+    // entry is live iff its recorded count equals the pair's CURRENT
+    // count (every count change pushes a fresh entry, so every current
+    // positive count has a live entry; stale ones are discarded at pop).
+    final case class Entry(count: Long, key: UTF8String, pair: (String, String))
+    val heap = new java.util.PriorityQueue[Entry](
+      new java.util.Comparator[Entry] {
+        def compare(a: Entry, b: Entry): Int = {
+          val byCount = java.lang.Long.compare(b.count, a.count) // desc
+          if (byCount != 0) byCount else a.key.compareTo(b.key)  // asc
+        }
+      })
+    def retract(i: Int, changed: mutable.HashSet[(String, String)]): Unit = {
+      val w = syms(i); val c = cnts(i)
+      var j = 0
+      val seen = mutable.HashSet.empty[(String, String)]
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        val n = pairCount(p) - c
+        if (n == 0L) pairCount.remove(p) else pairCount(p) = n
+        changed += p
+        if (seen.add(p)) {
+          val s = pairWords(p); s -= i; if (s.isEmpty) pairWords.remove(p)
+        }
+        j += 1
+      }
+    }
+    def contribute(i: Int, changed: mutable.HashSet[(String, String)]): Unit = {
+      val w = syms(i); val c = cnts(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        pairCount(p) = pairCount.getOrElse(p, 0L) + c
+        changed += p
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    val seed = mutable.HashSet.empty[(String, String)]
+    var i = 0
+    while (i < syms.length) { contribute(i, seed); i += 1 }
+    seed.foreach(p => heap.add(Entry(pairCount(p), pairKey(p), p)))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCount.getOrElse(e.pair, 0L) == e.count) top = e
+      }
+      if (top == null || top.count < minPairCount) exhausted = true
+      else {
+        val (x, y) = top.pair
+        merges += ((x, y))
+        val touched = pairWords.get((x, y)).map(_.toArray).getOrElse(Array.empty)
+        val changed = mutable.HashSet.empty[(String, String)]
+        touched.foreach { w =>
+          retract(w, changed)
+          syms(w) = mergeWordSyms(syms(w), x, y)
+          contribute(w, changed)
+        }
+        changed.foreach { p =>
+          pairCount.get(p).foreach(c => heap.add(Entry(c, pairKey(p), p)))
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Full-recount reference twin of [[bpeLearnLocal]]: recounts every
+    * pair every round. O(words·len) per round — hours at a 30k-merge
+    * production vocabulary, which is why the incremental form above is
+    * the shipped path; this one exists so BpeSpec can assert the two are
+    * byte-equal (the incremental index/heap bookkeeping has no oracle of
+    * its own). */
+  private[graft] def bpeLearnLocalRecount(words: Seq[(String, Long)],
+                                          numMerges: Int,
+                                          minPairCount: Long): Seq[(String, String)] = {
+    var seqs: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (initSyms(w), c) }.toArray
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
@@ -392,8 +542,6 @@ object Export {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        def pairKey(p: (String, String)): UTF8String =
-          UTF8String.fromString(s"$BpeSep${p._1}$BpeSep $BpeSep${p._2}$BpeSep")
         val best = counts.toSeq.reduceLeft { (a, b) =>
           if (b._2 > a._2 ||
               (b._2 == a._2 && pairKey(b._1).compareTo(pairKey(a._1)) < 0)) b
@@ -403,24 +551,7 @@ object Export {
         else {
           val (x, y) = best._1
           merges += ((x, y))
-          seqs = seqs.map { case (syms, c) =>
-            var has = false
-            var i = 0
-            while (!has && i + 1 < syms.length) {
-              has = syms(i) == x && syms(i + 1) == y; i += 1
-            }
-            if (!has) (syms, c)
-            else {
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              var j = 0
-              while (j < syms.length) {
-                if (j + 1 < syms.length && syms(j) == x && syms(j + 1) == y) {
-                  out += x + y; j += 2
-                } else { out += syms(j); j += 1 }
-              }
-              (out.toArray, c)
-            }
-          }
+          seqs = seqs.map { case (s, c) => (mergeWordSyms(s, x, y), c) }
           round += 1
         }
       }
@@ -461,16 +592,22 @@ object Export {
     * the same contract as [[vocabEncode]], so a char unseen at learn time
     * still encodes deterministically.
     *
-    * Scale shape: ONE corpus scan. The merge fold is map-side codegen'd
-    * compute (M nested replaces per word instance — linear in corpus
-    * tokens, no extra shuffle; the alternative, deduping distinct words
-    * first, would trade that compute for a full token-level shuffle). The
-    * doc-id repartition happens BEFORE the explodes, so the final
-    * per-doc rebuild groups in-partition without shuffling symbol rows,
-    * and the vocab join is an explicit broadcast. */
+    * Scale shape: ONE corpus scan. The merge application is map-side
+    * compute (linear in corpus tokens, no extra shuffle; the alternative,
+    * deduping distinct words first, would trade that compute for a full
+    * token-level shuffle). The doc-id repartition happens BEFORE the
+    * explodes, so the final per-doc rebuild groups in-partition without
+    * shuffling symbol rows, and the vocab join is an explicit broadcast.
+    *
+    * `useNative = true` (the default, and the only viable path at a
+    * production 32k-merge vocabulary) applies the table through the
+    * [[graft.plans.BpeApply]] kernel — constant plan size in M;
+    * `useNative = false` keeps the nested-`replace` fold whose chain the
+    * q91 DuckDB oracle replays verbatim. BpeSpec pins the two paths
+    * byte-equal on learned tables, so the oracle's proof transfers. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)], vocab: Seq[(String, Long)],
-                oovBuckets: Int): DataFrame = {
+                oovBuckets: Int, useNative: Boolean = true): DataFrame = {
     require(oovBuckets >= 1, "oovBuckets must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -482,12 +619,15 @@ object Export {
           .as(Seq("_wp", "_w")))
       .withColumn("_w",
         when(col("_w") === "", lit(null: String)).otherwise(col("_w")))
+    val symArr =
+      if (useNative) graft.plans.BpeApply(col("_w"), merges)
+      else transform(
+        split(when(col("_w").isNull, lit(null: String))
+          .otherwise(bpeApplyMerges(bpeInitSeq(col("_w")), merges)), " "),
+        s => s.substr(lit(2), length(s) - 2))
     val syms = words
-      .withColumn("_seq", when(col("_w").isNull, lit(null: String))
-        .otherwise(bpeApplyMerges(bpeInitSeq(col("_w")), merges)))
       .select(col(idCol), col("_wp"),
-        posexplode_outer(transform(split(col("_seq"), " "),
-          s => s.substr(lit(2), length(s) - 2))).as(Seq("_sp", "_sym")))
+        posexplode_outer(symArr).as(Seq("_sp", "_sym")))
     val ids = syms
       .join(broadcast(vocabDf), Seq("_sym"), "left")
       .withColumn("_id", when(col("_sym").isNull, lit(null: java.lang.Long))

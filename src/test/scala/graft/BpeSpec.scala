@@ -121,4 +121,122 @@ class BpeSpec extends SparkSpec {
       .select("n_toks").collect().map(_.getLong(0)).toSeq
     assert(empties == Seq(0L, 0L))
   }
+
+  // ── Native BpeApply kernel (the production-vocab path) ───────────────
+
+  /** Driver-side sequential reference: apply each merge fully (leftmost
+    * non-overlapping) before the next — the DEFINITION of BPE
+    * application, independent of both the fold's `replace` chain and the
+    * kernel's rank-priority loop. */
+  private def seqApply(word: String,
+                       merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toSeq
+    merges.foreach { case (x, y) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == x && syms(j + 1) == y) {
+          out += x + y; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("native bpeEncode == nested-replace fold, byte-for-byte (pinned table + edges)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+      .unionAll(Seq((200001L, ""), (200002L, "   "),
+        (200003L, "aaa abab 𝕒x０𝕒 scan window sort ORDER"),
+        (200004L, "zzzéé café naïve"))
+        .toDF("doc_id", "text"))
+    def run(native: Boolean) = Export.bpeEncode(docs, "doc_id", "text",
+        LlmQueries.BpeMerges, LlmQueries.BpeVocab, oovBuckets = 256,
+        useNative = native)
+      .select(col("doc_id"), col("n_toks"),
+        concat_ws(" ", transform(col("input_ids"), _.cast("string"))).as("ids"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(native = true) == run(native = false),
+      "native kernel diverged from the oracle-replayable fold")
+  }
+
+  test("BpeApply rejects non-learned merge tables (parts-precede validation)") {
+    // (ab, c) at rank 0 would consume a product that doesn't exist yet —
+    // rank-priority application is only sequential-equivalent for learned
+    // tables, so the kernel must refuse rather than silently diverge.
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.BpeApply(col("w"), Seq(("ab", "c"), ("a", "b")))
+    }
+    assert(e.getMessage.contains("parts-precede"))
+    // The same pairs in learnable order are accepted.
+    graft.plans.BpeApply(col("w"), Seq(("a", "b"), ("ab", "c")))
+  }
+
+  // ── Incremental learner + production-scale merge counts ──────────────
+
+  /** Deterministic syllable-built vocabulary: enough shared multi-char
+    * structure that thousands of merges stay above the count-2 floor. */
+  private def syllableVocab(nWords: Int): Seq[(String, Long)] = {
+    val rnd = new scala.util.Random(11)
+    val sylls = Vector("ka", "to", "mi", "ra", "shu", "en", "bo", "li",
+      "dra", "pex", "ur", "van", "qi", "sol", "tem", "ny", "gar", "ze",
+      "plo", "wis", "chu", "fre", "ost", "bal", "ig", "mun", "tri", "vo",
+      "hep", "sa")
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (words.size < nWords) {
+      val n = 2 + rnd.nextInt(4)
+      words += Seq.fill(n)(sylls(rnd.nextInt(sylls.size))).mkString
+    }
+    words.toSeq.map(w => (w, 1L + rnd.nextInt(100).toLong))
+  }
+
+  test("incremental learner == full-recount twin (small, ties, unicode, 200 merges)") {
+    def both(words: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      val inc = Export.bpeLearnLocal(words, n, minPairCount = 2L)
+      val rec = Export.bpeLearnLocalRecount(words, n, minPairCount = 2L)
+      assert(inc == rec,
+        s"incremental diverged at merge ${inc.zip(rec).indexWhere(t => t._1 != t._2)}")
+      inc
+    }
+    both(Seq(("ab", 2L), ("ac", 1L)), 5)
+    // Tie-heavy: argmax decided purely by the UTF8 tie-break every round.
+    both(Seq(("ab", 2L), ("cd", 2L), ("ef", 2L), ("abcd", 2L)), 8)
+    // Supplementary-plane tie-break (UTF8 binary ≠ UTF-16 compareTo).
+    both(Seq(("𝕒x", 2L), ("０x", 2L)), 3)
+    // Overlapping self-pairs: "aaaa" exercises the batch-merge + retract
+    // bookkeeping where one merge destroys a neighboring occurrence.
+    both(Seq(("aaaa", 3L), ("aaab", 2L), ("baaa", 2L)), 6)
+    // 200 merges over a structured vocabulary: every round's retract/
+    // contribute delta must exactly track the recount.
+    val m = both(syllableVocab(3000), 200)
+    assert(m.size == 200, s"expected 200 merges, learned ${m.size}")
+  }
+
+  test("production-scale merge table: >=2000 merges learned in seconds, " +
+      "native apply == sequential definition, fold path not required") {
+    import spark.implicits._
+    val vocab = syllableVocab(20000)
+    val t0 = System.nanoTime()
+    val merges = Export.bpeLearnLocal(vocab, 2500, minPairCount = 2L)
+    val learnSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size >= 2000,
+      s"vocabulary too shallow: only ${merges.size} merges above the floor")
+    info(f"learned ${merges.size} merges over 20k words in $learnSec%.1f s")
+    assert(learnSec < 60.0, f"incremental learn too slow: $learnSec%.1f s")
+    // The kernel applies the full table with a constant-size plan; check
+    // it against the sequential DEFINITION on a word sample (the fold
+    // path would need a ${merges.size}-deep expression tree — the exact
+    // ceiling this kernel removes — so the reference here is driver-side).
+    val sample = vocab.take(500).map(_._1)
+    val got = sample.toDF("w")
+      .select(col("w"), graft.plans.BpeApply(col("w"), merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    sample.foreach { w =>
+      assert(got(w) == seqApply(w, merges), s"kernel diverged on '$w'")
+      assert(got(w).mkString == w, s"round-trip lost bytes on '$w'")
+    }
+  }
 }
