@@ -168,6 +168,25 @@ object ScaleSmoke {
       v.where(col("id") % 2000 === 0), spark.read.parquet("/tmp/scale_pq"),
       v, cents200, books, dim, 16, nprobe = 4, rerank = 100, k = 10).count()
     println(f"pq_search_200k: rows=$nq time=${(System.nanoTime()-tq)/1e9}%.1f s")
+    // Residual (IVF-PQ) tier: real k-means coarse quantizer + codes over
+    // vec − centroid(cell); build adds the fitCentroids rounds, serve
+    // adds one ⟨q, c_cell⟩ dot per probe row — per-candidate cost
+    // unchanged (m lookups).
+    val trb = System.nanoTime()
+    val kmC = graft.ops.Similarity.fitCentroids(v, k = 16, iters = 2)
+    val resBooks = graft.ops.Similarity.pqFitCodebooksResidual(v, kmC, dim,
+      16, 16, iters = 1)
+    graft.ops.Similarity.pqIndexResidual(
+        graft.ops.Similarity.ivfIndex(v, kmC), dim, 16, resBooks, kmC)
+      .write.mode("overwrite").parquet("/tmp/scale_pq_res")
+    println(f"ivfpq_index_200k: rows=${spark.read.parquet("/tmp/scale_pq_res").count()} " +
+      f"time=${(System.nanoTime()-trb)/1e9}%.1f s")
+    val trq = System.nanoTime()
+    val nr = graft.ops.Similarity.pqTopKAgainstIndex(
+      v.where(col("id") % 2000 === 0), spark.read.parquet("/tmp/scale_pq_res"),
+      v, kmC, resBooks, dim, 16, nprobe = 4, rerank = 100, k = 10,
+      residualCents = Some(kmC)).count()
+    println(f"ivfpq_search_200k: rows=$nr time=${(System.nanoTime()-trq)/1e9}%.1f s")
     }
 
     if (sections("export")) {

@@ -300,15 +300,28 @@ object Similarity {
     // propagate silently. The guard is one codegen'd `size` per row.
     val checked = corpus.select(col("id"),
       vecChecked(col("vec"), dim, "pqFitCodebooks").as("vec"))
+    // Seed codewords from the lowest-id vectors (reproducible), but take
+    // the first ksub DISTINCT subvectors per subspace: duplicate seeds
+    // collapse the k-means to one effective codeword (the strict-< argmin
+    // sends every row to the lowest duplicate and empty codes never
+    // move). The residual fit hits this for real — rows that ARE coarse
+    // centroids have all-zero residuals — and raw fits are unchanged
+    // because their low-id subvectors are already distinct. If a subspace
+    // has fewer than ksub distinct subvectors in the probe window, the
+    // distinct ones cycle (bounded form of the old degenerate behavior).
     val init = checked.select(col("id"), col("vec")).orderBy(col("id"))
-      .limit(ksub).collect()
-    require(init.length == ksub,
+      .limit(math.max(ksub * 4, 64)).collect()
+    require(init.length >= ksub,
       s"pqFitCodebooks: corpus has only ${init.length} rows; " +
         s"need at least ksub=$ksub to seed the codebooks")
-    var books: Seq[(Int, Int, Seq[Double])] = for {
-      s <- 0 until m
-      (r, c) <- init.zipWithIndex
-    } yield (s, c, r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub))
+    var books: Seq[(Int, Int, Seq[Double])] = (0 until m).flatMap { s =>
+      val distinct = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      init.iterator.takeWhile(_ => distinct.size < ksub).foreach { r =>
+        distinct += r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub)
+      }
+      val base = distinct.toIndexedSeq
+      (0 until ksub).map(c => (s, c, base(c % base.size)))
+    }
     for (_ <- 0 until iters) {
       val withCodes = checked.select(
         pqCodes(col("vec"), dim, m, books).as("_codes"),
@@ -356,6 +369,62 @@ object Similarity {
       pqCodes(vecChecked(col("vec"), dim, "pqIndex"), dim, m, books)
         .as("_codes"))
 
+  // ── Residual (IVF-PQ) encoding ─────────────────────────────────────────
+  //
+  // Production IVF-PQ quantizes the RESIDUAL vec − centroid(cell), not the
+  // raw vector (Jégou et al. 2011, §IV — the "IVFADC" variant): within a
+  // cell the residuals are centered near zero with much smaller spread
+  // than the raw vectors, so the same m×ksub code budget spends all its
+  // resolution on the part of the vector the coarse quantizer didn't
+  // already explain — materially tighter ADC scores at identical index
+  // bytes. ADC adds the cell's contribution back per (query, cell):
+  // ⟨q, x⟩ ≈ ⟨q, c_cell⟩ + ⟨q, residual̂⟩, where the first term is one dot
+  // per PROBE row (a few per query) and the second is the usual m table
+  // lookups. Exactness contract is unchanged: the re-rank join re-scores
+  // the shortlist against full vectors, so ADC quality decides only who
+  // pays the exact join (SimilaritySpec shows the residual shortlist
+  // survives a rerank budget the raw-vector one drops neighbors at).
+
+  /** Centroids as a dense array-of-arrays plan literal, indexed by cell
+    * id + 1 (`element_at` is 1-based). Requires consecutive ids 0..k−1 —
+    * true of [[fitCentroids]] output and any sane quantizer. */
+  private def centArrayLit(cents: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      s"residual PQ requires consecutive centroid ids 0..k-1, got " +
+        sorted.map(_._1).mkString(","))
+    array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+  }
+
+  /** vec − centroid(cellCol): the IVF-PQ residual, computed map-side with
+    * the centroid matrix riding as a plan literal. */
+  def residualVec(vec: Column, cellCol: Column,
+                  cents: Seq[(Int, Seq[Double])]): Column =
+    zip_with(vec, element_at(centArrayLit(cents), cellCol + 1), _ - _)
+
+  /** Per-subspace codebooks fit on RESIDUALS — same deterministic k-means
+    * as [[pqFitCodebooks]], run over vec − centroid(cell). */
+  def pqFitCodebooksResidual(corpus: DataFrame,
+                             cents: Seq[(Int, Seq[Double])],
+                             dim: Int, m: Int, ksub: Int,
+                             iters: Int): Seq[(Int, Int, Seq[Double])] =
+    pqFitCodebooks(
+      corpus.select(col("id"),
+        residualVec(vecChecked(col("vec"), dim, "pqFitCodebooksResidual"),
+          ivfCell(col("vec"), cents), cents).as("vec")),
+      dim, m, ksub, iters)
+
+  /** The residual-encoded compressed index: [[pqIndex]] layout, codes
+    * computed over vec − centroid(_cell) (the SAME `_cell` the row is
+    * stored under — no re-assignment drift). Serve with
+    * [[pqTopKAgainstIndex]] passing `residualCents`. */
+  def pqIndexResidual(index: DataFrame, dim: Int, m: Int,
+                      books: Seq[(Int, Int, Seq[Double])],
+                      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    index.select(col("id"), col("_cell"), col("_n"),
+      pqCodes(residualVec(vecChecked(col("vec"), dim, "pqIndexResidual"),
+        col("_cell"), cents), dim, m, books).as("_codes"))
+
   /** Codebook table (sub, code, cw) for storage alongside the index —
     * m×ksub×dsub, driver-sized by design. */
   def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
@@ -384,7 +453,8 @@ object Similarity {
                          corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
                          books: Seq[(Int, Int, Seq[Double])],
                          dim: Int, m: Int,
-                         nprobe: Int, rerank: Int, k: Int): DataFrame = {
+                         nprobe: Int, rerank: Int, k: Int,
+                         residualCents: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(rerank >= k, "rerank candidate count must be >= k")
     val ksub = books.size / m
     // Per-query ADC table (flat, tab[s·ksub+c] = ⟨q_s, books[s][c]⟩) — a
@@ -398,12 +468,21 @@ object Similarity {
     }: _*))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_pc.s").desc, col("_pc.c").asc)
+    // For a residual-encoded index (`residualCents` = the index's coarse
+    // centroids): ⟨q, x⟩ ≈ ⟨q, c_cell⟩ + ⟨q, r̂⟩, so each PROBE row (a few
+    // per query) carries its cell's ⟨q, c_cell⟩ — one dot per probe, not
+    // per candidate; candidates still cost m lookups.
+    val cellIp = residualCents match {
+      case Some(rc) => dot(col("_qv"),
+        element_at(centArrayLit(rc), col("_pc.c") + 1))
+      case None => lit(0.0)
+    }
     val probes = queries.select(col("id").as("query_id"), col("vec").as("_qv"),
         norm(col("vec")).as("_qn"), adcTab.as("_tab"), probeCells.as("_pc"))
       .withColumn("_pr", row_number().over(wProbe))
       .where(col("_pr") <= nprobe)
       .select(col("query_id"), col("_qv"), col("_qn"), col("_tab"),
-        col("_pc.c").as("_cell"))
+        col("_pc.c").as("_cell"), cellIp.as("_cip"))
     // ADC scan: m table lookups + adds per candidate code row.
     val approxIp = (0 until m).map(s =>
       element_at(col("_tab"),
@@ -411,7 +490,8 @@ object Similarity {
     val cand = pqIdx.join(broadcast(probes), Seq("_cell"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"), col("_qv"),
-        col("_qn"), (approxIp / (col("_qn") * col("_n"))).as("_approx"))
+        col("_qn"),
+        ((col("_cip") + approxIp) / (col("_qn") * col("_n"))).as("_approx"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("_approx").desc, col("neighbor_id").asc)

@@ -1448,6 +1448,32 @@ object LlmQueries {
           nprobe = 16, rerank = 80, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // ── q94: residual (IVF-PQ) ANN — the production form of q92
+    //    (Jégou et al.'s IVFADC): a real spherical-k-means coarse
+    //    quantizer (deterministic lowest-id init, 2 rounds), codes over
+    //    vec − centroid(cell), ADC adds ⟨q, c_cell⟩ back per probe row.
+    //    Same contract as q92: the compression decides only who pays the
+    //    exact re-rank join, so the result must equal the BRUTE-FORCE
+    //    oracle exactly — and because residuals carry only the variance
+    //    the quantizer didn't explain, the same rerank budget holds a
+    //    wider margin (SimilaritySpec: 100/100 true rows at rerank=40
+    //    where raw PQ keeps 88). ──
+    QueryDef("q94_ann_ivfpq", BruteTopKSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = Similarity.fitCentroids(emb, k = 16, iters = 2)
+      val books = Similarity.pqFitCodebooksResidual(emb, cents, dim = 64,
+        m = 32, ksub = 16, iters = 2)
+      val pqIdx = Similarity.pqIndexResidual(Similarity.ivfIndex(emb, cents),
+        dim = 64, m = 32, books, cents)
+      Similarity.pqTopKAgainstIndex(emb.where(col("id") % 50 === 0), pqIdx,
+          emb, cents, books, dim = 64, m = 32,
+          nprobe = 16, rerank = 80, k = 10, residualCents = Some(cents))
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 

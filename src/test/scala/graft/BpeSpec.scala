@@ -122,6 +122,27 @@ class BpeSpec extends SparkSpec {
     assert(empties == Seq(0L, 0L))
   }
 
+  test("bpeLearn sampleFraction: deterministic md5 band, learn-on-sample contract") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // The band is a pure function of the text: two invocations (and any
+    // repartitioning) select the identical sample, so the learned table
+    // is reproducible — the property that lets a 100 TB pipeline learn on
+    // a sample and still be replayable.
+    val a = Export.bpeLearn(docs, "text", 12, sampleFraction = 0.5)
+    val b = Export.bpeLearn(docs.repartition(7), "text", 12, sampleFraction = 0.5)
+    assert(a == b, "sampled learn must be partitioning-invariant")
+    assert(a.nonEmpty)
+    // The sample is the md5 band, replayable outside the learner.
+    val banded = docs.where(
+      pmod(graft.ops.Dedup.md5Hash60(col("text")), lit(1000000L)) < lit(500000L))
+    assert(Export.bpeLearn(banded, "text", 12) == a)
+    // Degenerate fractions are rejected loudly.
+    intercept[IllegalArgumentException] {
+      Export.bpeLearn(docs, "text", 2, sampleFraction = 0.0)
+    }
+  }
+
   // ── Native BpeApply kernel (the production-vocab path) ───────────────
 
   /** Driver-side sequential reference: apply each merge fully (leftmost
