@@ -1450,6 +1450,27 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── q93: unigram-LM (SentencePiece-style) subword encoding — the
+    //    EM-trained complement to q91's BPE. The piece table is a
+    //    DETERMINISTIC PINNED LITERAL fit by Unigram.unigramFit on the
+    //    sf0.001 documents fixture (regenerate with `runMain
+    //    graft.UnigramPin /root/testdata/sf0.001 48`; UnigramSpec asserts
+    //    the pins equal a fresh fit). Scores are integer micro-log-probs,
+    //    so the Viterbi DP is exact integer arithmetic; the oracle
+    //    replays it by FULL ENUMERATION — a recursive CTE walks every
+    //    segmentation of every distinct word and picks the argmax under
+    //    the identical (score desc, piece-count asc, padded-id-path asc)
+    //    order the kernel's DP uses — so the two engines can only agree
+    //    if the DP is exactly the enumeration argmax. ──
+    QueryDef("q93_unigram_encode", UnigramOracleSql) { (s, d) =>
+      graft.ops.Unigram.unigramEncode(Tables.documents(s, d), "doc_id",
+          "text", UnigramPieces, oovBuckets = 256)
+        .select(col("doc_id"), col("n_toks"),
+          concat_ws(" ", transform(col("input_ids"), x => x.cast("string")))
+            .as("input_ids"))
+        .orderBy("doc_id")
+    },
+
     // ── q94: residual (IVF-PQ) ANN — the production form of q92
     //    (Jégou et al.'s IVFADC): a real spherical-k-means coarse
     //    quantizer (deterministic lowest-id init, 2 rounds), codes over
@@ -1500,6 +1521,123 @@ object LlmQueries {
     ("co", 37L), ("colu", 38L), ("colum", 39L), ("column", 40L),
     ("dow", 41L), ("indow", 42L), ("window", 43L), ("der", 44L),
     ("order", 45L), ("ort", 46L), ("sort", 47L))
+
+  /** Pinned unigram-LM piece table: `Unigram.unigramFit(documents@sf0.001,
+    * "text", 48)` output — 24 whole-word pieces + the 24-char alphabet,
+    * ids ranked by (count desc, piece UTF8 asc), scores in micro-log-prob
+    * units (round(ln p × 10⁶)). */
+  lazy val UnigramPieces: Seq[(String, Long, Long)] = Seq(
+    ("a", 0L, -2497894L),
+    ("l", 1L, -3199082L),
+    ("m", 2L, -3204106L),
+    ("s", 3L, -3204106L),
+    ("t", 4L, -3205226L),
+    ("o", 5L, -3222175L),
+    ("r", 6L, -3222175L),
+    ("scan", 7L, -3800773L),
+    ("column", 8L, -3806890L),
+    ("window", 9L, -3808937L),
+    ("order", 10L, -3809962L),
+    ("sort", 11L, -3810988L),
+    ("part", 12L, -3822346L),
+    ("agg", 13L, -3832784L),
+    ("value", 14L, -3835937L),
+    ("line", 15L, -3840157L),
+    ("key", 16L, -3841214L),
+    ("join", 17L, -3850784L),
+    ("merge", 18L, -3851853L),
+    ("group", 19L, -3852923L),
+    ("query", 20L, -3852923L),
+    ("vector", 21L, -3856140L),
+    ("d", 22L, -3862606L),
+    ("hash", 23L, -3864770L),
+    ("slow", 24L, -3866939L),
+    ("stream", 25L, -3869113L),
+    ("u", 26L, -3870202L),
+    ("filter", 27L, -3871292L),
+    ("fast", 28L, -3875663L),
+    ("batch", 29L, -3878955L),
+    ("spark", 30L, -3878955L),
+    ("the", 31L, -3878955L),
+    ("table", 32L, -3886677L),
+    ("b", 33L, -3901178L),
+    ("g", 34L, -3901178L),
+    ("i", 35L, -3901178L),
+    ("c", 36L, -3902302L),
+    ("e", 37L, -3902302L),
+    ("w", 38L, -3928514L),
+    ("p", 39L, -7325104L),
+    ("f", 40L, -10692399L),
+    ("h", 41L, -10692399L),
+    ("j", 42L, -10692399L),
+    ("k", 43L, -10692399L),
+    ("n", 44L, -10692399L),
+    ("q", 45L, -10692399L),
+    ("v", 46L, -10692399L),
+    ("y", 47L, -10692399L)
+  )
+
+  /** q93's DuckDB oracle: full-enumeration Viterbi from the same pinned
+    * literals. A recursive CTE extends every partial segmentation of
+    * every distinct word by one edge — a vocab piece matching at the
+    * position, or the hashed-OOV single-char edge (fixed −20000000 micro
+    * score, the kernel's [[graft.plans.UnigramKernel.OovScoreMicro]]) —
+    * then the argmax per word is taken under exactly the kernel's total
+    * order: score DESC, piece count (= path length / 6) ASC, zero-padded
+    * id path ASC. Integer micro scores make the comparison exact. */
+  private lazy val UnigramOracleSql: String = {
+    val vocabValues = UnigramPieces
+      .map { case (p, id, sc) => s"('${p.replace("'", "''")}', $id, $sc)" }
+      .mkString(", ")
+    val v = UnigramPieces.size
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+       |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |      FROM documents),
+       |w AS (SELECT doc_id, i AS wp, toks[i] AS w
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, len(toks))) AS i FROM t)
+       |      WHERE toks[i] <> ''),
+       |dw AS (SELECT DISTINCT w FROM w),
+       |voc AS (SELECT * FROM (VALUES $vocabValues) x(piece, id, score)),
+       |posn AS (SELECT w, unnest(generate_series(0, length(w) - 1)) AS pos
+       |         FROM dw),
+       |edges AS (
+       |  SELECT p.w, p.pos, length(v.piece) AS len, v.id, v.score
+       |  FROM posn p JOIN voc v
+       |    ON v.piece = substr(p.w, CAST(p.pos + 1 AS INT), length(v.piece))
+       |  UNION ALL
+       |  SELECT p.w, p.pos, 1 AS len,
+       |    $v + CAST('0x' || substr(md5(substr(p.w, CAST(p.pos + 1 AS INT), 1)), 1, 15)
+       |          AS BIGINT) % 256 AS id,
+       |    -20000000 AS score
+       |  FROM posn p
+       |  WHERE NOT EXISTS (SELECT 1 FROM voc v
+       |                    WHERE v.piece = substr(p.w, CAST(p.pos + 1 AS INT), 1))),
+       |seg(w, pos, score, path) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '' FROM dw
+       |  UNION ALL
+       |  SELECT s.w, s.pos + e.len, s.score + e.score,
+       |         s.path || lpad(CAST(e.id AS VARCHAR), 6, '0')
+       |  FROM seg s JOIN edges e ON e.w = s.w AND e.pos = s.pos),
+       |best AS (
+       |  SELECT w, path FROM (
+       |    SELECT w, path, row_number() OVER (PARTITION BY w
+       |        ORDER BY score DESC, length(path) ASC, path ASC) AS rn
+       |    FROM seg WHERE pos = length(w)) WHERE rn = 1),
+       |pid AS (
+       |  SELECT w, sp, CAST(substr(path, CAST((sp - 1) * 6 + 1 AS INT), 6) AS BIGINT) AS id
+       |  FROM (SELECT w, path,
+       |          unnest(generate_series(1, length(path) // 6)) AS sp
+       |        FROM best)),
+       |d AS (SELECT doc_id, count(*) AS n_toks,
+       |        array_to_string(list(id ORDER BY wp, sp), ' ') AS input_ids
+       |      FROM w JOIN pid USING (w) GROUP BY 1)
+       |SELECT doc_id, coalesce(n_toks, 0) AS n_toks,
+       |  coalesce(input_ids, '') AS input_ids
+       |FROM documents LEFT JOIN d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** q91's DuckDB oracle, assembled from the pinned literals so the SQL
     * can never disagree with the Spark side's inputs. U = U+001F, the
