@@ -204,6 +204,52 @@ object Bench {
 
     val results = SparkEntry.queries.map { case (name, fn) => name -> measure(name, fn) }
 
+    // ── PQ phase attribution: fit-once, serve-many ─────────────────────
+    // q92/q94's headline includes an in-query codebook fit, but a
+    // production pipeline pays fit+index ONCE and persists (pqIndex +
+    // pqCodebooksDf/ivfCentroidsDf), then serves every query batch from
+    // storage — the same split q73 already benches for IVF. Time the
+    // three phases separately (residual IVF-PQ, the q94 configuration) so
+    // the artifact records what each actually costs; phases are
+    // attribution detail, NOT added to the headline total.
+    val phases: Seq[(String, Double)] = try {
+      import org.apache.spark.sql.functions.{col, transform}
+      val emb = graft.queries.Tables.embeddings(spark, sfDir).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      def timed(name: String)(f: => Unit): (String, Double) = {
+        isolate()
+        val t0 = System.nanoTime()
+        f
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      var cents: Seq[(Int, Seq[Double])] = null
+      var books: Seq[(Int, Int, Seq[Double])] = null
+      val idxDir = Files.createTempDirectory("graft-bench-pq").toString
+      val fit = timed("pq_fit") {
+        cents = graft.ops.Similarity.fitCentroids(emb, k = 16, iters = 2)
+        books = graft.ops.Similarity.pqFitCodebooksResidual(emb, cents,
+          dim = 64, m = 32, ksub = 16, iters = 2)
+      }
+      val build = timed("pq_index") {
+        graft.ops.Similarity.pqIndexResidual(
+            graft.ops.Similarity.ivfIndex(emb, cents), 64, 32, books, cents)
+          .write.mode("overwrite").partitionBy("_cell").parquet(idxDir)
+      }
+      val serve = timed("pq_serve") {
+        graft.ops.Similarity.pqTopKAgainstIndex(
+          emb.where(col("id") % 50 === 0), spark.read.parquet(idxDir),
+          emb, cents, books, dim = 64, m = 32,
+          nprobe = 16, rerank = 80, k = 10,
+          residualCents = Some(cents)).count()
+      }
+      Seq(fit, build, serve)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] PQ phase attribution failed: $e")
+        Seq.empty
+    }
+
     // ── Cross-run contention guard (round-10) ──────────────────────────
     // The round-9 official bench was ~3x inflated by host contention yet
     // passed the per-query self-check: median-vs-own-cold-run cannot see a
@@ -290,11 +336,15 @@ object Bench {
     val totalCold = if (results.nonEmpty) results.values.map(_.cold).sum else 0.0
     val contentionJson =
       contention.map(c => s""","contention":${c.json}""").getOrElse("")
+    val phasesJson =
+      if (phases.isEmpty) ""
+      else phases.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","phases":{""", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
         s""""runs":$reps,"queries_runs":$qsRuns,"queries_env":$qsEnv,""" +
-        s""""suspect":$suspectsJson$contentionJson,"sf":"$sfDir"}"""
+        s""""suspect":$suspectsJson$contentionJson$phasesJson,"sf":"$sfDir"}"""
     // Anchor outputs to the repo root (not the process CWD) so the
     // git-tracked history archive can't silently land elsewhere when a
     // caller invokes the bench from another directory.
