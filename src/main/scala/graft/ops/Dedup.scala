@@ -923,6 +923,48 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  // ── Blocked edit-distance pairs (entity resolution) ────────────────────
+
+  /** Fuzzy-match candidate pairs over a VALUE DICTIONARY by bounded edit
+    * distance — the record-linkage/entity-resolution shape (Fellegi–Sunter
+    * blocking + verify): distinct values are grouped by a caller-supplied
+    * blocking key, and only within-block pairs are verified with
+    * Levenshtein. Emits (key_a, key_b, dist) with key_a < key_b and
+    * dist <= maxDist.
+    *
+    * Recall contract (standard for blocking): a true match whose two
+    * spellings land in DIFFERENT blocks is missed — choose the block from
+    * a field the corruption model preserves (here typically a token the
+    * typo doesn't touch; phonetic keys and length bands compose the same
+    * way). Within a block, recall is 1.0: the verify is the exact
+    * distance, computed with Spark's thresholded Levenshtein (early-exits
+    * the DP at maxDist — O(len·maxDist) per pair, not O(len²)), after a
+    * |len_a − len_b| ≤ maxDist length filter that kills most candidates
+    * before any DP runs.
+    *
+    * Scale shape: the pair space is DICTIONARY-sized, not corpus-sized —
+    * `df` is distinct-projected first (the same corpus-decoupling argument
+    * as bpeLearn's word table: a 100 TB corpus has a bounded value
+    * vocabulary for any human-entered field). One shuffle on the block
+    * key; within-block the join is quadratic per block, which is the
+    * intended economics when blocks are balanced — a hot block (e.g. a
+    * near-empty blocking field) should be split by composing a second key
+    * into `block`, exactly like salting a skewed join. */
+  def editDistancePairs(df: DataFrame, keyCol: String,
+                        block: Column => Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val dict = df.select(col(keyCol).cast("string").as("_k"))
+      .where(col("_k").isNotNull).distinct()
+      .withColumn("_b", block(col("_k")))
+    val a = dict.select(col("_b"), col("_k").as("key_a"))
+    val b = dict.select(col("_b").as("_b2"), col("_k").as("key_b"))
+    a.join(b, col("_b") === col("_b2") && col("key_a") < col("key_b") &&
+        abs(length(col("key_a")) - length(col("key_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("key_a"), col("key_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** Register op-internal persisted frames with the library cache registry
     * (for sibling ops in this package, e.g. [[Multimodal]]). */
   private[ops] def registerCaches(frames: DataFrame*): Unit =

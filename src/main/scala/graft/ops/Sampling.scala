@@ -151,6 +151,115 @@ object Sampling {
       .withColumn("split", expr)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): a weight-sensitive
+    * sample WITHOUT replacement of k rows, plus the threshold estimator
+    * ŵ = max(w, τ) that makes any subset-sum estimate over the sample
+    * unbiased. Each row draws priority q = w/u with u uniform in (0,1];
+    * the sample is the k largest priorities and τ is the (k+1)-th.
+    *
+    * Determinism: u is the md5-ppm hash of the id ((hash+1)/1e6, never 0),
+    * and the priority is the exact integer floor of w/u — q = (w·1e6) div
+    * u_ppm — so ordering, selection and the estimator are pure integer
+    * functions of (id, w): retry/layout/engine-replayable, no IEEE
+    * division anywhere. (Flooring q and τ to integers biases ŵ by < 1
+    * weight unit per sampled row — negligible against the estimator's
+    * own variance — and is what makes exact replay possible.) Requires
+    * non-negative integer weights with w ≤ ~9.2e12 (w·1e6 must fit a
+    * long) — token/char counts, byte sizes and click counts all qualify.
+    *
+    * Scale shape: the k+1 survivors are found with the same salted
+    * two-phase top-k as [[topKPerStratum]] (per-salt window bounded to
+    * k+1, then a (k+1)·fanout-row global window), and τ/ŵ are window
+    * functions over the ≤ k+1 retained rows — no second pass over the
+    * corpus, no driver round-trip. Output: input columns + `priority`,
+    * `w_hat` (both in the weight's own units). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, fanout: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(fanout > 0, "fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val k1 = k + 1
+    val base = df
+      .withColumn("_wu", col(weightCol).cast("long") * lit(1000000L))
+      .withColumn("_u", hashPpm(col(idCol)) + lit(1L))
+      .withColumn("_pri", expr("_wu div _u"))
+    val ord = Seq(col("_pri").desc, col(idCol).asc)
+    val local = Window
+      .partitionBy(pmod(xxhash64(col(idCol)), lit(fanout)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(lit(0)).orderBy(ord: _*)
+    // Bounded windows over the k+1 retained rows: count decides whether a
+    // (k+1)-th priority exists (τ = 0 when the corpus is smaller than the
+    // sample), min IS that (k+1)-th priority because the set is exactly
+    // the top k+1 under the same total order.
+    val all = Window.partitionBy(lit(0))
+    base
+      .withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k1)
+      .withColumn("_rk", row_number().over(global))
+      .where(col("_rk") <= k1)
+      .withColumn("_tau",
+        when(count(lit(1)).over(all) === k1, min(col("_pri")).over(all))
+          .otherwise(lit(0L)))
+      .where(col("_rk") <= k)
+      .withColumn("priority", col("_pri"))
+      .withColumn("w_hat",
+        greatest(col(weightCol).cast("long"), col("_tau")))
+      .drop("_wu", "_u", "_pri", "_lrk", "_rk", "_tau")
+  }
+
+  /** Temperature-flattened stratum sampling — the multilingual rebalance
+    * of XLM-R (Conneau et al. 2020, "Unsupervised cross-lingual
+    * representation learning at scale"): the kept corpus follows
+    * q_s ∝ n_s^alpha, so alpha < 1 upweights tail languages/domains
+    * relative to their natural share. `targetFraction` F sets the overall
+    * kept share: stratum s keeps rate_s = min(1, F·N·q_s / n_s).
+    *
+    * Everything derives IN-PLAN from the stratum counts (one agg + one
+    * broadcast join + a map-side ppm filter — no driver-supplied rate
+    * map, so the op composes into a pipeline that doesn't know its
+    * strata up front). Rates are snapped to integer ppm and selection is
+    * the md5-ppm threshold test ([[stratifiedSample]] contract).
+    *
+    * Determinism: at the default alpha = 0.5, n^alpha is IEEE `sqrt` —
+    * correctly rounded, so the whole rate computation (integer-ppm-rounded
+    * sqrt, exact long sums, fixed-shape double arithmetic) is bit-identical
+    * across engines and the sample is exactly replayable. Other alphas use
+    * `pow` (≤ 1 ulp, not exactly rounded): still retry/layout-stable
+    * within Spark, with a theoretical ±1-row boundary risk vs an external
+    * checker. Output: kept rows + `rate_ppm`. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        targetFraction: Double,
+                        alpha: Double = 0.5): DataFrame = {
+    require(targetFraction >= 0.0 && targetFraction <= 1.0,
+      "targetFraction must be in [0, 1]")
+    require(alpha > 0.0, "alpha must be > 0")
+    val counts = df.groupBy(col(stratumCol).as("_s"))
+      .agg(count(lit(1)).as("_n"))
+    val nAlpha = if (alpha == 0.5) sqrt(col("_n")) else pow(col("_n"), alpha)
+    // Integer-ppm snap BEFORE the sum: long sums are order-independent
+    // where double sums are not — the Z normalizer must not depend on
+    // stratum visit order (or on which engine sums it). The normalizer is
+    // an unpartitioned window over the COUNTS table (stratum-cardinality
+    // rows, never the corpus) so the corpus is scanned exactly once for
+    // the counts — an agg + join-back would re-run the count aggregate.
+    val t = counts.withColumn("_sppm",
+      round(nAlpha * lit(1000000.0)).cast("long"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val rates = t
+      .withColumn("_z", sum("_sppm").over(all))
+      .withColumn("_tot", sum("_n").over(all))
+      .withColumn("rate_ppm", expr(
+        s"least(1000000L, cast(round((($targetFraction * " +
+          "cast(_tot as double)) * (cast(_sppm as double) / " +
+          "cast(_z as double)) / cast(_n as double)) * 1000000) as long))"))
+      .select(col("_s"), col("rate_ppm"))
+    df.join(broadcast(rates), col(stratumCol) === col("_s"))
+      .where(hashPpm(col(idCol)) < col("rate_ppm"))
+      .drop("_s")
+  }
+
   /** Keep the best `fraction` of the corpus by score — EXACTLY the top
     * ⌈fraction·N⌉ rows under (score desc, id asc), with the global `rank`
     * attached (1-based; a downstream stage can re-cut a tighter budget

@@ -267,6 +267,90 @@ object AnalyticsQueries {
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // ── fuzzy entity resolution over the part-name dictionary: block on
+    //    the noun (second token), verify within-block with thresholded
+    //    Levenshtein <= 3. The pair space is dictionary-sized (distinct
+    //    names), never corpus-sized. ──
+    QueryDef("q96_fuzzy_match",
+      """WITH d AS (SELECT DISTINCT p_name AS k FROM part),
+        |b AS (SELECT k, split_part(k, ' ', 2) AS blk FROM d)
+        |SELECT a.k AS key_a, c.k AS key_b, levenshtein(a.k, c.k) AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.k < c.k
+        |  AND abs(length(a.k) - length(c.k)) <= 3
+        |WHERE levenshtein(a.k, c.k) <= 3
+        |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+      graft.ops.Dedup.editDistancePairs(Tables.part(s, d), "p_name",
+          k => element_at(split(k, " "), 2), maxDist = 3)
+        .orderBy("key_a", "key_b")
+    },
+
+    // ── fixed-point PageRank (3 iterations, d = 0.85) over the weighted
+    //    customer→supplier purchase graph; suppliers are all dangling, so
+    //    the sink correction is exercised every round. All arithmetic is
+    //    exact 64-bit integer (ranks in 1e-12 units), so the oracle
+    //    unrolls the identical recurrence and matches bit-for-bit —
+    //    impossible with IEEE summation-order-dependent double ranks. ──
+    QueryDef("q97_pagerank",
+      """WITH e AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+        |         COUNT(*) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e
+        |      GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM v),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM v CROSS JOIN nn),
+        |d0 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d FROM r0
+        |       LEFT JOIN ow ON r0.node = ow.src WHERE ow.wout IS NULL),
+        |s0 AS (SELECT e.dst, CAST(SUM((r0.r * e.w) // ow.wout)
+        |         AS BIGINT) AS insum
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |              JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT v.node, (15000000000000 // (100 * nn.n))
+        |         + (85 * (COALESCE(s0.insum, 0) + (d0.d // nn.n))) // 100
+        |         AS r
+        |       FROM v CROSS JOIN nn CROSS JOIN d0
+        |       LEFT JOIN s0 ON v.node = s0.dst),
+        |d1 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d FROM r1
+        |       LEFT JOIN ow ON r1.node = ow.src WHERE ow.wout IS NULL),
+        |s1 AS (SELECT e.dst, CAST(SUM((r1.r * e.w) // ow.wout)
+        |         AS BIGINT) AS insum
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |              JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT v.node, (15000000000000 // (100 * nn.n))
+        |         + (85 * (COALESCE(s1.insum, 0) + (d1.d // nn.n))) // 100
+        |         AS r
+        |       FROM v CROSS JOIN nn CROSS JOIN d1
+        |       LEFT JOIN s1 ON v.node = s1.dst),
+        |d2 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d FROM r2
+        |       LEFT JOIN ow ON r2.node = ow.src WHERE ow.wout IS NULL),
+        |s2 AS (SELECT e.dst, CAST(SUM((r2.r * e.w) // ow.wout)
+        |         AS BIGINT) AS insum
+        |       FROM e JOIN r2 ON e.src = r2.node
+        |              JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT v.node, (15000000000000 // (100 * nn.n))
+        |         + (85 * (COALESCE(s2.insum, 0) + (d2.d // nn.n))) // 100
+        |         AS r
+        |       FROM v CROSS JOIN nn CROSS JOIN d2
+        |       LEFT JOIN s2 ON v.node = s2.dst)
+        |SELECT node, r AS rank_units FROM r3 ORDER BY node""".stripMargin) {
+      (s, d) =>
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst", "w",
+            iters = 3)
+          .orderBy("node")
     }
   )
 }

@@ -1495,6 +1495,60 @@ object LlmQueries {
           nprobe = 16, rerank = 80, k = 10, residualCents = Some(cents))
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // ── weighted sampling WITHOUT replacement + unbiased estimator
+    //    (priority sampling, Duffield–Lund–Thorup): sample 100 docs with
+    //    probability sensitive to n_chars, emit the threshold estimator
+    //    ŵ = max(w, τ). Exact integer priorities (w·1e6 div md5-ppm+1),
+    //    so the oracle replays selection AND estimator bit-for-bit. ──
+    QueryDef("q95_priority_sample",
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    (n_chars * 1000000) //
+        |      ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1000000) + 1) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY priority DESC, doc_id) AS rk FROM p),
+        |t AS (SELECT coalesce(max(CASE WHEN rk = 101 THEN priority
+        |                           END), 0) AS tau FROM r)
+        |SELECT doc_id, n_chars, priority,
+        |       greatest(n_chars, tau) AS w_hat
+        |FROM r CROSS JOIN t
+        |WHERE rk <= 100
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.prioritySample(Tables.documents(s, d), "doc_id", "n_chars",
+          k = 100)
+        .select(col("doc_id"), col("n_chars"), col("priority"),
+          col("w_hat"))
+        .orderBy("doc_id")
+    },
+
+    // ── temperature-flattened language mix (XLM-R rebalance): per-lang
+    //    keep rates ∝ n^0.5 derived in-plan from the counts, target 30%
+    //    of the corpus. sqrt is IEEE-exact and the normalizer is an
+    //    integer-ppm sum, so the oracle replays the rates exactly. ──
+    QueryDef("q98_temperature_sample",
+      """WITH c AS (SELECT lang AS s, COUNT(*) AS n FROM documents
+        |           GROUP BY 1),
+        |t AS (SELECT s, n, CAST(round(sqrt(n) * 1000000) AS BIGINT)
+        |        AS sppm FROM c),
+        |z AS (SELECT SUM(sppm) AS z, SUM(n) AS tot FROM t),
+        |r AS (SELECT s,
+        |        LEAST(1000000, CAST(round(((0.3 * CAST(tot AS DOUBLE)) *
+        |          (CAST(sppm AS DOUBLE) / CAST(z AS DOUBLE)) /
+        |          CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS rate_ppm
+        |      FROM t CROSS JOIN z)
+        |SELECT d.doc_id, d.lang, r.rate_ppm
+        |FROM documents d JOIN r ON d.lang = r.s
+        |WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1000000) < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Sampling.temperatureSample(Tables.documents(s, d), "lang", "doc_id",
+          targetFraction = 0.3)
+        .select(col("doc_id"), col("lang"), col("rate_ppm"))
+        .orderBy("doc_id")
     }
   )
 

@@ -404,4 +404,36 @@ class DedupSpec extends SparkSpec {
     // The frame survives its caches: later actions recompute from lineage.
     assert(pairs.count() == 1)
   }
+
+  test("editDistancePairs: within-block pairs equal brute force, cross-block missed by contract, dist exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, split, levenshtein}
+    // Duplicated corpus rows exercise the distinct-dictionary projection.
+    val corpus = Seq(
+      "red widget", "red widget", "rad widget", "blue widget",
+      "red gadget", "reed widget", "tiny bolt", "tiny bolts", "tony bolt"
+    ).toDF("name")
+    val block: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      k => element_at(split(k, " "), -1)
+    val got = graft.ops.Dedup.editDistancePairs(corpus, "name", block, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // Brute force over the distinct dictionary, restricted to equal blocks
+    // (the documented recall contract), full untresholded Levenshtein.
+    val dict = corpus.distinct()
+    val brute = dict.as("a").crossJoin(dict.as("b"))
+      .where(col("a.name") < col("b.name") &&
+        element_at(split(col("a.name"), " "), -1) ===
+          element_at(split(col("b.name"), " "), -1))
+      .select(col("a.name"), col("b.name"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .where(col("d") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // Sanity on content: the rad/red pair survives at distance 1; the
+    // cross-block red widget/red gadget pair is absent (blocking miss);
+    // no pair exceeds the threshold; no self or duplicate-orientation pairs.
+    assert(got.contains(("rad widget", "red widget", 1)))
+    assert(!got.exists(p => p._1 == "red gadget" || p._2 == "red gadget"))
+    assert(got.forall(_._3 <= 3) && got.forall(p => p._1 < p._2))
+  }
 }

@@ -159,4 +159,77 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.keepTopFraction(df.repartition(13), "id", "score", 0.37)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("prioritySample: top-k by exact integer priority, tau/w-hat law, short input, layout-invariant") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, i % 50L + 1L)).toDF("id", "w")
+    val k = 100
+    val out = Sampling.prioritySample(df, "id", "w", k).cache()
+    try {
+      assert(out.count() == k.toLong)
+      // Replay the same integer law through the collected hash column and
+      // rank driver-side — checks the salted two-phase windows against a
+      // single-machine sort.
+      val pri = df.withColumn("_u", Sampling.hashPpm(col("id")) + lit(1L))
+        .select(col("id"), col("w"), (col("w") * 1000000L).as("_wu"),
+          expr("(w * 1000000L) div _u").as("_pri"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val sorted = pri.sortBy(t => (-t._4, t._1))
+      val expIds = sorted.take(k).map(_._1).toSet
+      val tau = sorted(k)._4 // 1000 > k+1 rows, so the threshold exists
+      assert(out.select("id").collect().map(_.getLong(0)).toSet == expIds)
+      val whatBad = out.where(col("w_hat") =!=
+        greatest(col("w"), lit(tau))).count()
+      assert(whatBad == 0L, s"w_hat law violated for $whatBad rows (tau=$tau)")
+      // Unbiasedness sanity (single realization, loose): the estimator sum
+      // should land near the true total weight.
+      val totalW = pri.map(_._2).sum
+      val estW = out.agg(sum("w_hat")).head().getLong(0)
+      assert(math.abs(estW - totalW).toDouble / totalW < 0.25,
+        s"est=$estW true=$totalW")
+      // Layout invariance.
+      val again = Sampling.prioritySample(df.repartition(17), "id", "w", k)
+      assert(again.select("id").collect().map(_.getLong(0)).toSet == expIds)
+    } finally out.unpersist()
+    // Corpus smaller than the sample: everything kept, tau = 0,
+    // w_hat = exact weight.
+    val small = (0L until 20L).map(i => (i, 7L)).toDF("id", "w")
+    val allKept = Sampling.prioritySample(small, "id", "w", k)
+    assert(allKept.count() == 20L)
+    assert(allKept.where(col("w_hat") =!= 7L).count() == 0L)
+  }
+
+  test("temperatureSample: alpha=1 is uniform, alpha=0.5 flattens, rates replayable, layout-invariant") {
+    import spark.implicits._
+    val df = ((0L until 3200L).map(i => (i, "big")) ++
+      (3200L until 3400L).map(i => (i, "small"))).toDF("id", "s")
+    // alpha = 1: every stratum keeps ~targetFraction (ppm within 1 of
+    // 300000 — the only rounding is the final ppm snap).
+    val u = Sampling.temperatureSample(df, "s", "id", 0.3, alpha = 1.0)
+    val uRates = u.select("s", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uRates.values.forall(v => math.abs(v - 300000L) <= 1L), uRates.toString)
+    // alpha = 0.5: the small stratum keeps a HIGHER rate than the big one
+    // (flattening), and the overall kept share still lands near target.
+    val t = Sampling.temperatureSample(df, "s", "id", 0.3).cache()
+    try {
+      val rates = t.select("s", "rate_ppm").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rates("small") > rates("big"), rates.toString)
+      val kept = t.count().toDouble / 3400.0
+      assert(kept > 0.2 && kept < 0.4, s"kept=$kept")
+      // Deterministic + layout-invariant.
+      val again = Sampling.temperatureSample(df.repartition(13), "s", "id", 0.3)
+      assert(t.select("id").exceptAll(again.select("id")).isEmpty)
+      assert(again.select("id").exceptAll(t.select("id")).isEmpty)
+    } finally t.unpersist()
+    // rate cap: a tiny stratum whose flattened share exceeds its size
+    // clips at 1e6 ppm (kept whole), never above.
+    val skew = ((0L until 5000L).map(i => (i, "big")) ++
+      (5000L until 5005L).map(i => (i, "tiny"))).toDF("id", "s")
+    val c = Sampling.temperatureSample(skew, "s", "id", 0.5)
+    val tinyRate = c.where(col("s") === "tiny")
+      .select("rate_ppm").distinct().collect()
+    assert(tinyRate.forall(_.getLong(0) <= 1000000L))
+  }
 }
