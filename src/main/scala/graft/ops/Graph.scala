@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph centrality in exact 64-bit integer ("fixed-point")
@@ -41,9 +41,8 @@ object Graph {
     * Overflow bounds (64-bit): r(u) ≤ scale, so `r(u) * w` requires
     * `scale * maxEdgeWeight < 2^63` — at the default scale 1e12 that is
     * maxEdgeWeight ≤ ~9.2e6. For heavier edges pass a smaller `scale` or
-    * pre-normalize weights (divide by their GCD / bucket them); asserted
-    * per-row in the plan so violation fails loudly, not silently wrapped
-    * (ANSI mode would throw anyway; the require documents the contract).
+    * pre-normalize weights (divide by their GCD / bucket them); checked
+    * per-row in the plan so a violation fails loudly, never silently.
     *
     * Scale shape: one persisted node table (node, wout) built once; per
     * iteration ONE join of the edge table with the rank vector on `src`
@@ -62,7 +61,33 @@ object Graph {
                          wCol: String, iters: Int,
                          scale: Long = 1000000000000L,
                          dampNum: Long = 85L, dampDen: Long = 100L,
-                         checkpointEvery: Int = 8): DataFrame = {
+                         checkpointEvery: Int = 8): DataFrame =
+    pprLoop(edges, srcCol, dstCol, wCol, iters, None, scale,
+      dampNum, dampDen, checkpointEvery)
+
+  /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: identical
+    * recurrence, but teleport mass (the base term AND the dangling
+    * redistribution) lands only on the `seeds` set instead of uniformly,
+    * so ranks measure relevance RELATIVE TO the seeds (the
+    * recommendation / related-items shape). Seeds are given as a
+    * predicate over the node id, keeping the whole computation one plan;
+    * nodes start at `scale div |S|` if seeded, else 0.
+    *
+    * With `seedPred` true everywhere this reduces exactly to
+    * [[pageRankFixedPoint]] (S = V). Same integer-determinism and scale
+    * contracts. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seedPred: Column, iters: Int,
+                           scale: Long = 1000000000000L,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           checkpointEvery: Int = 8): DataFrame =
+    pprLoop(edges, srcCol, dstCol, wCol, iters, Some(seedPred), scale,
+      dampNum, dampDen, checkpointEvery)
+
+  private def pprLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                      wCol: String, iters: Int, seedPred: Option[Column],
+                      scale: Long, dampNum: Long, dampDen: Long,
+                      checkpointEvery: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need scale > 0 and 0 <= dampNum <= dampDen")
@@ -75,16 +100,21 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
       .persist(MEMORY_AND_DISK)
 
-    // (node, wout) — wout null marks a dangling node. Built once, reused
-    // every round (it is the join spine of the whole loop).
+    // (node, wout, _seed) — wout null marks a dangling node. Built once,
+    // reused every round (it is the join spine of the whole loop).
     val outw = e.groupBy("src").agg(sum("w").as("wout"))
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
       .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .withColumn("_seed", seedPred.getOrElse(lit(true)))
       .persist(MEMORY_AND_DISK)
 
-    val n = nodes.count() // one O(1)-result agg on the persisted spine
+    // Two O(1)-result agg jobs on the persisted spine — the only driver
+    // scalars in the loop.
+    val cnt = nodes.agg(count(lit(1)),
+      coalesce(sum(when(col("_seed"), 1L).otherwise(0L)), lit(0L))).head()
+    val (n, nSeed) = (cnt.getLong(0), cnt.getLong(1))
     if (n == 0) {
       e.unpersist(); nodes.unpersist()
       return edges.sparkSession.createDataFrame(
@@ -95,10 +125,13 @@ object Graph {
           org.apache.spark.sql.types.StructField("rank_units",
             org.apache.spark.sql.types.LongType))))
     }
-    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    require(nSeed > 0, "personalizedPageRank: seed predicate matched no node")
+    val base = ((dampDen - dampNum) * scale) / (dampDen * nSeed)
     val maxW = scala.Long.MaxValue / scale
+    val seedBase = when(col("_seed"), lit(base)).otherwise(lit(0L))
+    val r0 = when(col("_seed"), lit(scale / nSeed)).otherwise(lit(0L))
 
-    var r = nodes.select(col("node"), col("wout"), lit(scale / n).as("r"))
+    var r = nodes.select(col("node"), col("wout"), col("_seed"), r0.as("r"))
     var round = 0
     while (round < iters) {
       val dang = r.where(col("wout").isNull)
@@ -115,15 +148,14 @@ object Graph {
       val next = nodes
         .join(insum.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"), col("wout"),
-          (lit(base) +
-            expr(s"($dampNum * (coalesce(_insum, 0L) + (_d div ${n}L))) " +
-              s"div $dampDen")).as("r"))
+        .select(col("node"), col("wout"), col("_seed"),
+          (seedBase +
+            expr(s"($dampNum * (coalesce(_insum, 0L) + " +
+              s"if(_seed, _d div ${nSeed}L, 0L))) div $dampDen")).as("r"))
       round += 1
       r = if (round % checkpointEvery == 0 && round < iters)
         next.localCheckpoint() else next
     }
-    val out = r.select(col("node"), col("r").as("rank_units"))
-    out
+    r.select(col("node"), col("r").as("rank_units"))
   }
 }

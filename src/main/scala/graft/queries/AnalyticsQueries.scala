@@ -351,6 +351,87 @@ object AnalyticsQueries {
         graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst", "w",
             iters = 3)
           .orderBy("node")
+    },
+
+    // ── personalized (topic-sensitive) PageRank: teleport restricted to
+    //    every 10th customer, so supplier ranks measure relevance TO that
+    //    customer cohort (the related-items shape). Same exact-integer
+    //    recurrence as q97, seed-restricted base + dangling terms. ──
+    QueryDef("q99_ppr",
+      """WITH e AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+        |         COUNT(*) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT node, (node LIKE 'c%' AND
+        |         CAST(substr(node, 2) AS BIGINT) % 10 = 0) AS seed FROM v),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e
+        |       GROUP BY 1),
+        |ns AS (SELECT CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS ns FROM sd),
+        |r0 AS (SELECT node, seed,
+        |         CASE WHEN seed THEN 1000000000000 // ns ELSE 0 END AS r
+        |       FROM sd CROSS JOIN ns),
+        |d0 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d FROM r0
+        |       LEFT JOIN ow ON r0.node = ow.src WHERE ow.wout IS NULL),
+        |s0 AS (SELECT e.dst, CAST(SUM((r0.r * e.w) // ow.wout)
+        |         AS BIGINT) AS insum
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |              JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT sd.node, sd.seed,
+        |         CASE WHEN sd.seed THEN 15000000000000 // (100 * ns.ns)
+        |              ELSE 0 END
+        |         + (85 * (COALESCE(s0.insum, 0) +
+        |             CASE WHEN sd.seed THEN d0.d // ns.ns ELSE 0 END)) // 100
+        |         AS r
+        |       FROM sd CROSS JOIN ns CROSS JOIN d0
+        |       LEFT JOIN s0 ON sd.node = s0.dst),
+        |d1 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d FROM r1
+        |       LEFT JOIN ow ON r1.node = ow.src WHERE ow.wout IS NULL),
+        |s1 AS (SELECT e.dst, CAST(SUM((r1.r * e.w) // ow.wout)
+        |         AS BIGINT) AS insum
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |              JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT sd.node, sd.seed,
+        |         CASE WHEN sd.seed THEN 15000000000000 // (100 * ns.ns)
+        |              ELSE 0 END
+        |         + (85 * (COALESCE(s1.insum, 0) +
+        |             CASE WHEN sd.seed THEN d1.d // ns.ns ELSE 0 END)) // 100
+        |         AS r
+        |       FROM sd CROSS JOIN ns CROSS JOIN d1
+        |       LEFT JOIN s1 ON sd.node = s1.dst),
+        |d2 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d FROM r2
+        |       LEFT JOIN ow ON r2.node = ow.src WHERE ow.wout IS NULL),
+        |s2 AS (SELECT e.dst, CAST(SUM((r2.r * e.w) // ow.wout)
+        |         AS BIGINT) AS insum
+        |       FROM e JOIN r2 ON e.src = r2.node
+        |              JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT sd.node, sd.seed,
+        |         CASE WHEN sd.seed THEN 15000000000000 // (100 * ns.ns)
+        |              ELSE 0 END
+        |         + (85 * (COALESCE(s2.insum, 0) +
+        |             CASE WHEN sd.seed THEN d2.d // ns.ns ELSE 0 END)) // 100
+        |         AS r
+        |       FROM sd CROSS JOIN ns CROSS JOIN d2
+        |       LEFT JOIN s2 ON sd.node = s2.dst)
+        |SELECT node, r AS rank_units FROM r3 ORDER BY node""".stripMargin) {
+      (s, d) =>
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graph.personalizedPageRank(edges, "src", "dst", "w",
+            col("node").like("c%") &&
+              expr("cast(substring(node, 2) as bigint) % 10 = 0"),
+            iters = 3)
+          .orderBy("node")
     }
   )
 }

@@ -71,6 +71,52 @@ class GraphSpec extends SparkSpec {
     assert(one == refRanks(edges, 3))
   }
 
+  /** PPR reference: same recurrence with seed-restricted base/dangling. */
+  private def refPpr(edges: Seq[(String, String, Long)], iters: Int,
+                     seeds: Set[String]): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val nS = nodes.count(seeds).toLong
+    val wout = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    var r = nodes.map(v => v -> (if (seeds(v)) Scale / nS else 0L)).toMap
+    val base = (15L * Scale) / (100L * nS)
+    for (_ <- 1 to iters) {
+      val d = nodes.filterNot(wout.contains).map(r).sum
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => (r(s) * w) / wout(s) }.sum
+      }
+      r = nodes.map(v => v ->
+        ((if (seeds(v)) base else 0L) +
+          (85L * (in.getOrElse(v, 0L) +
+            (if (seeds(v)) d / nS else 0L))) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: seed-restricted teleport matches reference; all-seeds reduces to uniform") {
+    import spark.implicits._
+    val edges = Seq(
+      ("A", "X", 2L), ("A", "Y", 1L), ("B", "Y", 3L), ("B", "Z", 1L),
+      ("X", "A", 1L)) // Y, Z dangle; A is both source and target
+    val df = edges.toDF("src", "dst", "w")
+    def run(pred: org.apache.spark.sql.Column): Map[String, Long] =
+      graft.ops.Graph.personalizedPageRank(df, "src", "dst", "w", pred, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Seeds = {A}: teleport mass flows only through A's out-edges.
+    val seeded = run(col("node") === "A")
+    assert(seeded == refPpr(edges, 3, Set("A")))
+    // Z is reachable only from B, which holds no mass -> rank exactly 0.
+    assert(seeded("Z") == 0L)
+    assert(seeded("X") > 0L && seeded("A") > 0L)
+    // seedPred true everywhere == the uniform variant, bit for bit.
+    val uniform = graft.ops.Graph
+      .pageRankFixedPoint(df, "src", "dst", "w", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(lit(true)) == uniform)
+    // Empty seed set fails loudly instead of dividing by zero.
+    val ex = intercept[IllegalArgumentException] { run(lit(false)) }
+    assert(ex.getMessage.contains("seed predicate"))
+  }
+
   test("pageRankFixedPoint: empty edges -> empty ranks; overflow guard trips") {
     import spark.implicits._
     val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")

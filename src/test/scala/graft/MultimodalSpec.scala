@@ -152,4 +152,62 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
     assert(pairs.head._3 == 0)
   }
+
+  /** 16-bit mono little-endian WAV from a per-frame sample function. */
+  private def wavBytes(nFrames: Int, sample: Int => Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = sample(i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudioEnvelope: real WAV decodes to a 65-window envelope; gain-invariant; garbage falls back") {
+    // Rising staircase of per-window amplitudes (all even, so the halved
+    // signal is sample-exact): window k of the envelope should rise too.
+    def amp(i: Int): Int = 2 * (100 + (i / 62))        // 4030 frames -> 65 windows
+    val loud = wavBytes(4030, i => if (i % 2 == 0) amp(i) else -amp(i))
+    val half = wavBytes(4030, i => (if (i % 2 == 0) amp(i) else -amp(i)) / 2)
+    val envL = Multimodal.decodeAudioEnvelope(loud)
+    val envH = Multimodal.decodeAudioEnvelope(half)
+    assert(envL.isDefined && envL.get.length == 65)
+    // Peak-normalized envelope: exact halving of every sample leaves the
+    // quantized envelope byte-identical -> identical fingerprint.
+    assert(java.util.Arrays.equals(envL.get, envH.get))
+    assert(Multimodal.perceptualHashAudio64(loud) ==
+      Multimodal.perceptualHashAudio64(half))
+    // Monotone-rising energy -> strictly gradient-up fingerprint bits set.
+    assert(java.lang.Long.bitCount(
+      Multimodal.perceptualHashAudio64(loud)) >= 48)
+    // Garbage payload: decoder refuses, byte tier answers.
+    val junk = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    assert(Multimodal.decodeAudioEnvelope(junk).isEmpty)
+    assert(Multimodal.perceptualHashAudio64(junk) ==
+      Multimodal.perceptualHash64(junk))
+  }
+
+  test("audioHashPairs: gain-scaled re-encode pairs at Hamming 0, different envelope shape doesn't pair") {
+    import spark.implicits._
+    def amp(i: Int): Int = 2 * (100 + (i / 62))
+    val rising = wavBytes(4030, i => if (i % 2 == 0) amp(i) else -amp(i))
+    val risingQuiet = wavBytes(4030,
+      i => (if (i % 2 == 0) amp(i) else -amp(i)) / 2)
+    val falling = wavBytes(4030,
+      i => { val a = amp(4029 - i); if (i % 2 == 0) a else -a })
+    val media = Seq((1L, rising), (2L, risingQuiet), (3L, falling))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.audioHashPairs(media, "media_id", "payload",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 0)
+  }
 }
