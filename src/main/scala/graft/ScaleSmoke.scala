@@ -7,7 +7,8 @@ object ScaleSmoke {
     import spark.implicits._
     // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
     // that section (sections: dedup, scoring, vectors, export). Default: all.
-    val sections = if (args.isEmpty) Set("dedup", "scoring", "vectors", "export")
+    val sections = if (args.isEmpty)
+                     Set("dedup", "scoring", "vectors", "export", "graph")
                    else args.toSet
     // 100k docs: 10k templates x 10 mutated near-dup variants each.
     val docs = spark.range(100000).select(
@@ -238,6 +239,37 @@ object ScaleSmoke {
       println(f"bpe_encode_100k_${bigMerges.size}merges: rows=$nbe " +
         f"time=${(System.nanoTime()-tbe)/1e9}%.1f s")
       bigDocs.unpersist()
+    }
+
+    if (sections("graph")) {
+      // 2M-edge directed graph over 500k nodes with a hot-hub tail: 10%
+      // of edges land on 1k hub nodes (the web-graph in-degree skew).
+      // PageRank's per-iteration cost is 2 shuffles of the EDGE table —
+      // 5 iterations over 2M edges must stay linear, and the integer
+      // ranks make the run layout-independent, so this number is
+      // directly comparable machine-to-machine.
+      val edges = spark.range(2000000).select(
+          pmod(col("id") * 2654435761L, lit(500000L)).as("src"),
+          when(col("id") % 10 === 0, pmod(col("id"), lit(1000L)))
+            .otherwise(pmod(col("id") * 40503L + 17L, lit(500000L))).as("dst"),
+          (pmod(col("id"), lit(5L)) + 1L).as("w"))
+        .where(col("src") =!= col("dst"))
+      edges.write.mode("overwrite").parquet("/tmp/scale_edges")
+      val eg = spark.read.parquet("/tmp/scale_edges")
+      val tg5 = System.nanoTime()
+      val ng5 = graft.ops.Graph.pageRankFixedPoint(eg, "src", "dst", "w",
+        iters = 5).count()
+      println(f"pagerank_2m_edges_5iter: nodes=$ng5 " +
+        f"time=${(System.nanoTime()-tg5)/1e9}%.1f s")
+      // Priority sampling at 5M rows: a map-only priority projection +
+      // salted two-phase top-k — the whole corpus is touched once.
+      val wdf = spark.range(5000000).select(col("id"),
+        (pmod(col("id") * 131L, lit(10000L)) + 1L).as("w"))
+      val tps = System.nanoTime()
+      val nps = graft.ops.Sampling.prioritySample(wdf, "id", "w", k = 10000)
+        .count()
+      println(f"priority_sample_5m: rows=$nps " +
+        f"time=${(System.nanoTime()-tps)/1e9}%.1f s")
     }
     spark.stop()
   }
