@@ -84,6 +84,79 @@ object Graph {
     pprLoop(edges, srcCol, dstCol, wCol, iters, Some(seedPred), scale,
       dampNum, dampDen, checkpointEvery)
 
+  /** Per-node triangle counts over an undirected graph given as an edge
+    * list (either direction, duplicates and self-loops tolerated — the
+    * input is canonicalized to distinct unordered pairs first).
+    *
+    * Algorithm: degree-ordered orientation (Cohen 2009; Suri &
+    * Vassilvitskii WWW 2011 — the standard MapReduce triangle count).
+    * Orient every undirected edge from its lower endpoint to its higher
+    * endpoint under the total order (degree, node); each triangle then has
+    * exactly ONE wedge centered at its lowest-ordered vertex, so joining
+    * the oriented wedge set (u→v, u→w) against the oriented edge set on
+    * (v, w) counts every triangle exactly once — no /3 correction, no
+    * double counting.
+    *
+    * Why this survives 100 TB graphs: wedge fan-out per node is bounded by
+    * the ORIENTED out-degree, which degree-ordering caps at O(√E) even for
+    * hubs (a celebrity node with 10⁸ neighbors orients almost all of its
+    * edges INWARD, so it centers almost no wedges — the naive per-neighbor
+    * self-join would generate 10¹⁶ pairs from that one node). All three
+    * stages are plain shuffle joins/aggregations: AQE handles residual
+    * skew, map-side combine shrinks the final count. The oriented edge
+    * table appears three times in the plan as an identical subtree, so
+    * Spark's ReusedExchange evaluates it once.
+    *
+    * Determinism: the only order used is (degree, node-string) — a pure
+    * function of the edge multiset, so counts are bit-identical across
+    * runs, partitionings and engines (ASCII node ids compare identically
+    * in UTF-16 and UTF-8 collations).
+    *
+    * Output: (node: String, triangles: Long) — one row per node of the
+    * canonicalized graph, zero-count nodes included. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val raw = edges.select(
+        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    // distinct unordered pairs, stored as u < v (string order — any
+    // consistent canonical form works; the ORIENTATION order is (deg, id)).
+    val und = raw.select(
+        least(col("_a"), col("_b")).as("u"),
+        greatest(col("_a"), col("_b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(uLower, col("u")).otherwise(col("v")).as("src"),
+        when(uLower, col("v")).otherwise(col("u")).as("dst"),
+        // the dst endpoint's degree rides along so the wedge self-join can
+        // order its two legs without another deg lookup
+        when(uLower, col("dv")).otherwise(col("du")).as("dd"))
+    val e1 = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"))
+      .select(col("src").as("n0"), col("x").as("n1"), col("y").as("n2"))
+    val cnt = tris
+      .select(explode(array(col("n0"), col("n1"), col("n2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select(col("node"))
+      .join(cnt, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   private def pprLoop(edges: DataFrame, srcCol: String, dstCol: String,
                       wCol: String, iters: Int, seedPred: Option[Column],
                       scale: Long, dampNum: Long, dampDen: Long,

@@ -432,6 +432,172 @@ object AnalyticsQueries {
               expr("cast(substring(node, 2) as bigint) % 10 = 0"),
             iters = 3)
           .orderBy("node")
+    },
+
+    // ── q100: deterministic HyperLogLog distinct — the mergeable-sketch
+    //    answer to COUNT(DISTINCT) at 100 TB (exact distinct shuffles
+    //    every value; the sketch shuffles ≤ m=256 register rows per group
+    //    and per-shard sketches union by per-register max without
+    //    revisiting data). Registers are derived from md5-60, so the
+    //    DuckDB oracle replays the sketch bit-for-bit; the harmonic sum is
+    //    an exact fixed-point BIGINT (addition-order-proof), and the one
+    //    transcendental in the small-range branch (256·ln(256/v)) was
+    //    verified to round identically across engines for ALL 255 possible
+    //    v (see SketchSpec). ──
+    QueryDef("q100_hll_distinct",
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |b AS (SELECT l_returnflag, h % 256 AS bucket,
+        |        CASE WHEN (h >> 8) = 0 THEN 53
+        |             ELSE 53 - length(bin(h >> 8)) END AS rho
+        |      FROM h),
+        |regs AS (SELECT l_returnflag, bucket, MAX(rho) AS r
+        |         FROM b GROUP BY 1, 2),
+        |a AS (SELECT l_returnflag,
+        |        SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_ne,
+        |        COUNT(*) AS nb
+        |      FROM regs GROUP BY 1),
+        |f AS (SELECT l_returnflag,
+        |        s_ne + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS s,
+        |        256 - nb AS v
+        |      FROM a)
+        |SELECT l_returnflag,
+        |  CAST(round(CASE
+        |    WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
+        |    THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+        |    ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |FROM f ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.ops.Sketches.hllDistinct(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_partkey", p = 8)
+        .orderBy("l_returnflag")
+    },
+
+    // ── q101: Count-Min frequency sketch, probed for a deterministic item
+    //    subset. The sketch is d=4 rows of w=512 counters (md5-60 row
+    //    hashes — oracle-replayable), built with ONE map-side-combined
+    //    groupBy whose shuffle carries ≤ d·w counter rows per partition,
+    //    never the data; estimates (min over rows) can only over-count.
+    //    At scale the 2 KB sketch is broadcast to the probe side. ──
+    QueryDef("q101_cms_counts",
+      """WITH vals AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+        |  WHERE l_partkey IS NOT NULL),
+        |cells AS (
+        |  SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v),
+        |           1, 15) AS BIGINT) % 512 AS cell, COUNT(*) AS cnt
+        |  FROM vals CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+        |  GROUP BY 1, 2),
+        |probe AS (SELECT p_partkey AS item FROM part WHERE p_partkey % 13 = 0),
+        |pc AS (
+        |  SELECT item, i,
+        |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |           CAST(item AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS cell
+        |  FROM probe CROSS JOIN (VALUES (0), (1), (2), (3)) t(i))
+        |SELECT item, MIN(COALESCE(cnt, 0)) AS est
+        |FROM pc LEFT JOIN cells USING (i, cell)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cms = graft.ops.Sketches.cmsSketch(Tables.lineitem(s, d),
+        "l_partkey", depth = 4, width = 512)
+      val probes = Tables.part(s, d)
+        .where(col("p_partkey") % 13 === 0).select(col("p_partkey"))
+      graft.ops.Sketches.cmsEstimate(cms, probes, "p_partkey",
+          depth = 4, width = 512)
+        .orderBy("item")
+    },
+
+    // ── q102: mergeable fixed-bin histogram + interpolated quantiles —
+    //    the sketch answer to exact percentiles (q44) when the data no
+    //    longer fits a sort: the histogram build is one map-side-combined
+    //    groupBy bounded by the bin count, per-shard histograms merge by
+    //    per-bin sum, and the quantile scan touches only the 1000-row
+    //    sketch. All counts are exact integers; the interpolation is a
+    //    fixed IEEE expression both engines evaluate identically. ──
+    QueryDef("q102_hist_quantiles",
+      """WITH h AS (
+        |  SELECT LEAST(GREATEST(CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |           / 500.0) AS BIGINT), 0), 999) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |hist AS (SELECT bin, COUNT(*) AS cnt FROM h GROUP BY 1),
+        |cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum
+        |        FROM hist),
+        |n AS (SELECT SUM(cnt) AS n FROM hist),
+        |probes AS (SELECT CAST(q AS DOUBLE) AS q FROM
+        |  (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q))
+        |SELECT q,
+        |  round(0.0 + 500.0 * (bin +
+        |    (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+        |      / CAST(cnt AS DOUBLE)), 6) AS est
+        |FROM probes CROSS JOIN n JOIN cum
+        |  ON CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
+        | AND q * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
+        |ORDER BY q""".stripMargin) { (s, d) =>
+      val hist = graft.ops.Sketches.histogram(Tables.orders(s, d),
+        "o_totalprice", lo = 0.0, hi = 500000.0, bins = 1000)
+      graft.ops.Sketches.histQuantiles(hist,
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99), lo = 0.0, hi = 500000.0,
+          bins = 1000)
+        .orderBy("q")
+    },
+
+    // ── q103: per-node triangle counts over the part co-purchase graph
+    //    (parts linked when they appear in the same order) — the clustering
+    //    /cohesion primitive of graph-based corpus curation. Degree-ordered
+    //    orientation (Suri & Vassilvitskii 2011) makes each triangle
+    //    countable from exactly one wedge and caps wedge fan-out at the
+    //    oriented out-degree, the hub defense that survives skewed graphs;
+    //    the oracle replays the identical orientation and joins. ──
+    QueryDef("q103_triangles",
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+        |           AS src,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+        |           AS dst,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END
+        |           AS dd
+        |  FROM (SELECT u, v, d1.deg AS du, d2.deg AS dv
+        |        FROM und JOIN deg d1 ON und.u = d1.node
+        |                 JOIN deg d2 ON und.v = d2.node)),
+        |w AS (
+        |  SELECT e1.src, e1.dst AS x, e2.dst AS y
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+        |tri AS (
+        |  SELECT w.src AS n0, w.x AS n1, w.y AS n2
+        |  FROM w JOIN o ON w.x = o.src AND w.y = o.dst),
+        |cnt AS (SELECT node, COUNT(*) AS triangles FROM
+        |  (SELECT n0 AS node FROM tri UNION ALL SELECT n1 FROM tri
+        |   UNION ALL SELECT n2 FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.node, COALESCE(cnt.triangles, 0) AS triangles
+        |FROM deg LEFT JOIN cnt ON deg.node = cnt.node
+        |ORDER BY deg.node""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("string").as("pk"))
+        .distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
+        .orderBy("node")
     }
   )
+
+  /** q100's HLL alpha numerator (p=8), %.17g so the oracle embeds the
+    * exact same double the Spark plan uses. */
+  private lazy val HllC8: String = String.format(java.util.Locale.ROOT,
+    "%.17g", Double.box(graft.ops.Sketches.hllAlphaNumerator(8)))
 }

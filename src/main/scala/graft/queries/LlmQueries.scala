@@ -1549,6 +1549,47 @@ object LlmQueries {
           targetFraction = 0.3)
         .select(col("doc_id"), col("lang"), col("rate_ppm"))
         .orderBy("doc_id")
+    },
+
+    // ── q104: tokenizer-efficiency evaluation — UTF-8 bytes per subword
+    //    token, per language, under the pinned q91 BPE tokenizer. The
+    //    standard way to compare tokenizers / spot languages a vocabulary
+    //    underserves (a high bytes-per-token language is being fragmented
+    //    into characters). One corpus scan: the map-side codegen'd merge
+    //    kernel yields per-doc token counts, then a map-side-combinable
+    //    per-lang sum; the ratio is exact integer ppm (floor), so no float
+    //    crosses the engine boundary. Oracle replays the identical merge
+    //    chain (BpeChainSql, same pinned literals as q91). ──
+    QueryDef("q104_bytes_per_token",
+      s"""WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+        |             AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, toks[i] AS w
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks))) AS i FROM t)
+        |      WHERE toks[i] <> ''),
+        |sq AS (SELECT doc_id, $BpeChainSql AS s FROM w),
+        |c AS (SELECT doc_id,
+        |        CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS n_toks
+        |      FROM sq GROUP BY 1),
+        |g AS (SELECT lang,
+        |        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes,
+        |        CAST(SUM(COALESCE(c.n_toks, 0)) AS BIGINT) AS toks
+        |      FROM documents LEFT JOIN c USING (doc_id) GROUP BY 1)
+        |SELECT lang, bytes, toks, (1000000 * bytes) // toks AS bpt_ppm
+        |FROM g ORDER BY lang""".stripMargin) { (s, d) =>
+      val enc = graft.ops.Export.bpeEncode(Tables.documents(s, d), "doc_id",
+        "text", BpeMerges, BpeVocab, oovBuckets = 256)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .join(enc.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum("n_bytes").as("bytes"), sum("n_toks").as("toks"))
+        .select(col("lang"), col("bytes"), col("toks"),
+          expr("1000000 * bytes div toks").as("bpt_ppm"))
+        .orderBy("lang")
     }
   )
 
@@ -1697,13 +1738,20 @@ object LlmQueries {
     * can never disagree with the Spark side's inputs. U = U+001F, the
     * same symbol-boundary marker Export.BpeSep uses; Verify's JSON dump
     * \u-escapes it, so the driver's json.load round-trips it intact. */
-  private lazy val BpeOracleSql: String = {
+  /** DuckDB expression replaying the pinned merge chain over one word
+    * column `w`: U+001F-marked initial symbols, then every BpeMerges
+    * replace in learned order — shared by q91's and q104's oracles. */
+  private lazy val BpeChainSql: String = {
     val U = graft.ops.Export.BpeSep
     val init = s"array_to_string(['$U' || substr(w, i::INT, 1) || '$U' " +
       "FOR i IN generate_series(1, length(w))], ' ')"
-    val chain = BpeMerges.foldLeft(init) { case (acc, (x, y)) =>
+    BpeMerges.foldLeft(init) { case (acc, (x, y)) =>
       s"replace($acc, '$U$x$U $U$y$U', '$U$x$y$U')"
     }
+  }
+
+  private lazy val BpeOracleSql: String = {
+    val chain = BpeChainSql
     val vocabValues = BpeVocab
       .map { case (sym, tid) => s"('$sym', $tid)" }.mkString(", ")
     s"""WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []

@@ -128,4 +128,77 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("pageRankFixedPoint") ||
       ex.getCause != null)
   }
+
+  // ── triangle counting ──────────────────────────────────────────────────
+
+  /** Brute-force per-node triangle counts over the canonicalized graph. */
+  private def refTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (Seq(a, b).min, Seq(a, b).max)
+    }.distinct
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct.sorted
+    val es = und.toSet
+    def conn(x: String, y: String) =
+      es.contains((Seq(x, y).min, Seq(x, y).max))
+    val tris = for {
+      i <- nodes.indices
+      j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      if conn(nodes(i), nodes(j)) && conn(nodes(i), nodes(k)) &&
+        conn(nodes(j), nodes(k))
+    } yield Seq(nodes(i), nodes(j), nodes(k))
+    val cnt = tris.flatten.groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    nodes.map(n => n -> cnt.getOrElse(n, 0L)).toMap
+  }
+
+  private def runTriangles(edges: Seq[(String, String)],
+                           parts: Int = 3): Map[String, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b").repartition(parts)
+    Graph.triangleCounts(df, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: K4, path, and messy input canonicalization") {
+    // K4: every node sits on 3 of the 4 triangles.
+    val k4 = for {
+      a <- Seq("p", "q", "r", "s"); b <- Seq("p", "q", "r", "s")
+      if a < b
+    } yield (a, b)
+    assert(runTriangles(k4) == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L))
+    // Path graph: no triangles, but every node present with count 0.
+    assert(runTriangles(Seq(("a", "b"), ("b", "c"), ("c", "d"))) ==
+      Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 0L))
+    // Self-loops dropped, duplicates and reversed duplicates collapse:
+    // still exactly the one (x,y,z) triangle.
+    val messy = Seq(("x", "y"), ("y", "x"), ("x", "x"), ("y", "z"),
+      ("z", "y"), ("x", "z"), ("x", "y"))
+    assert(runTriangles(messy) == Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("triangleCounts: matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 28).map(i => s"n$i")
+    val edges = for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))
+    // feed the op a messy multiset: both directions + duplicates
+    val messy = edges ++ edges.map(_.swap) ++ edges.take(30)
+    val expected = refTriangles(edges)
+    assert(runTriangles(messy, parts = 5) == expected)
+    assert(runTriangles(messy, parts = 1) == expected,
+      "layout must not change counts")
+  }
+
+  test("triangleCounts: hub node — orientation keeps the hub wedge-free") {
+    // Star hub h--l0..l59 plus one triangle (h, l0, l1): the hub's high
+    // degree orients all its edges inward, so wedges centered at h are
+    // impossible; the triangle is still found from its lowest-order corner.
+    val star = (0 until 60).map(i => ("h", s"l$i"))
+    val r = runTriangles(star :+ ("l0", "l1"))
+    assert(r("h") == 1L && r("l0") == 1L && r("l1") == 1L)
+    assert(r("l59") == 0L && r.size == 61)
+  }
 }

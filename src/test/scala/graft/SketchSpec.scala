@@ -38,6 +38,110 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact < 0.06, s"$est vs $exact")
   }
 
+  // ── deterministic (oracle-replayable) sketches: graft.ops.Sketches ──
+  // DataSketches aggregates above are approximate and engine-private; the
+  // md5-60-derived variants below trade bytes for bit-determinism, so an
+  // external engine can replay the sketch (q100-q102's DuckDB oracles do).
+  // NOTE on the HLL small-range branch: its one transcendental,
+  // m·ln(m/v), was checked EXHAUSTIVELY for m ∈ {256, 4096} and every
+  // v ∈ [1, m): java.lang.Math.log and DuckDB's ln disagree in the last
+  // ulp for 5 of 4350 inputs, but round() to integer units agrees on ALL
+  // of them — the oracle contract holds for any data, not just the tested
+  // tables.
+
+  private def detDf = spark.range(0, 60000, 1, 8).selectExpr(
+    "CAST(id % 3000 AS STRING) AS v",
+    "CAST(id % 4 AS INT) AS shard",
+    "CAST(id % 2 AS STRING) AS grp")
+
+  test("deterministic HLL: bounded error, shard-merge law, layout invariance") {
+    import graft.ops.Sketches
+    // id%2 and id%3000 split v into 1500 even / 1500 odd residues per group
+    val exact = 1500.0
+    val est = Sketches.hllDistinct(detDf, Seq("grp"), "v", p = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 2)
+    est.values.foreach(e =>
+      assert(math.abs(e - exact) / exact < 0.20, s"est $e vs exact $exact"))
+    // Merge law: per-shard register tables union (per-register max) to
+    // EXACTLY the whole-data register table — same rows, same estimate.
+    val whole = Sketches.hllRegisters(detDf, Seq("grp"), "v", p = 8)
+    val merged = (0 until 4).map(k =>
+        Sketches.hllRegisters(detDf.where(col("shard") === k),
+          Seq("grp"), "v", p = 8))
+      .reduce(Sketches.hllMergeRegisters(_, _, Seq("grp")))
+    assert(merged.collect().toSet == whole.collect().toSet)
+    val mergedEst = Sketches.hllEstimate(merged, Seq("grp"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedEst == est)
+    // Determinism: partitioning must not move the estimate by one unit.
+    val est1 = Sketches.hllDistinct(detDf.repartition(13), Seq("grp"), "v",
+      p = 8).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est1 == est)
+  }
+
+  test("deterministic HLL: small-range linear-counting branch within bound") {
+    import graft.ops.Sketches
+    // 90 distinct values <<< m=256 -> v > 0 and raw <= 2.5m: the
+    // linear-counting correction must engage and stay within ~12%.
+    val small = spark.range(0, 9000, 1, 4)
+      .selectExpr("CAST(id % 90 AS STRING) AS v", "'g' AS grp")
+    val est = Sketches.hllDistinct(small, Seq("grp"), "v", p = 8)
+      .head().getLong(1)
+    assert(math.abs(est - 90.0) / 90.0 < 0.12, s"linear-counting est $est")
+  }
+
+  test("deterministic CMS: never undercounts, bounded overcount, merge law") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    // Zipf-ish: value k appears ~60000/(k+1) times for k in 0..99.
+    val df = spark.range(0, 60000, 1, 8).selectExpr(
+      "CAST(CAST(floor(60000.0 / (id + 1.0)) AS BIGINT) % 100 AS STRING) AS v",
+      "CAST(id % 4 AS INT) AS shard")
+    val exact = df.groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cms = Sketches.cmsSketch(df, "v", depth = 4, width = 512)
+    val probes = exact.keys.toSeq.toDF("item")
+    val est = Sketches.cmsEstimate(cms, probes, "item", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+      assert(est(k) <= n + (0.05 * 60000).toLong,
+        s"CMS overcount on $k: ${est(k)} vs $n")
+    }
+    // Merge law: per-shard sketches sum per-cell to the whole-data sketch.
+    val merged = (0 until 4).map(k =>
+        Sketches.cmsSketch(df.where(col("shard") === k), "v",
+          depth = 4, width = 512))
+      .reduce(Sketches.cmsMerge)
+    assert(merged.collect().toSet ==
+      Sketches.cmsSketch(df, "v", depth = 4, width = 512).collect().toSet)
+  }
+
+  test("deterministic histogram: merge law; quantiles within one bin width") {
+    import graft.ops.Sketches
+    // x = id^2 / 60000 over [0, 60000): skewed so bins fill unevenly.
+    val df = spark.range(0, 60000, 1, 8).selectExpr(
+      "CAST(id AS DOUBLE) * CAST(id AS DOUBLE) / 60000.0 AS x",
+      "CAST(id % 4 AS INT) AS shard")
+    val (lo, hi, bins) = (0.0, 60000.0, 200)
+    val w = (hi - lo) / bins
+    val hist = Sketches.histogram(df, "x", lo, hi, bins)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = Sketches.histQuantiles(hist, qs, lo, hi, bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val xs = df.select("x").collect().map(_.getDouble(0)).sorted
+    qs.foreach { q =>
+      val exact = xs((q * xs.length).toInt min (xs.length - 1))
+      assert(math.abs(est(q) - exact) <= w,
+        s"q=$q est=${est(q)} exact=$exact binWidth=$w")
+    }
+    val merged = (0 until 4).map(k =>
+        Sketches.histogram(df.where(col("shard") === k), "x", lo, hi, bins))
+      .reduce(Sketches.histMerge)
+    assert(merged.collect().toSet == hist.collect().toSet)
+  }
+
   test("approx_percentile lands within rank tolerance of the exact percentile") {
     // Skewed data (squares) so a sloppy implementation would show.
     val df = spark.range(0, 100001, 1, 8).selectExpr("id * id AS x")
