@@ -103,9 +103,14 @@ object Graph {
     * edges INWARD, so it centers almost no wedges — the naive per-neighbor
     * self-join would generate 10¹⁶ pairs from that one node). All three
     * stages are plain shuffle joins/aggregations: AQE handles residual
-    * skew, map-side combine shrinks the final count. The oriented edge
-    * table appears three times in the plan as an identical subtree, so
-    * Spark's ReusedExchange evaluates it once.
+    * skew, map-side combine shrinks the final count. The canonical edge
+    * table, the degree table and the oriented edge table are persisted
+    * (MEMORY_AND_DISK, freed by the ContextCleaner when the result is
+    * dropped): the oriented table feeds THREE plan branches (both wedge
+    * legs + the closing-edge probe) and per-branch filter pushdown makes
+    * the subtrees physically distinct, so without materialization Spark
+    * re-derives the whole canonicalize→degree→orient pipeline once per
+    * branch — measured as a 3× blowup of the pair-generation join.
     *
     * Determinism: the only order used is (degree, node-string) — a pure
     * function of the edge multiset, so counts are bit-identical across
@@ -121,13 +126,16 @@ object Graph {
         col("_a") =!= col("_b"))
     // distinct unordered pairs, stored as u < v (string order — any
     // consistent canonical form works; the ORIENTATION order is (deg, id)).
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = raw.select(
         least(col("_a"), col("_b")).as("u"),
         greatest(col("_a"), col("_b")).as("v"))
       .distinct()
+      .persist(MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und
@@ -139,6 +147,7 @@ object Graph {
         // the dst endpoint's degree rides along so the wedge self-join can
         // order its two legs without another deg lookup
         when(uLower, col("dv")).otherwise(col("du")).as("dd"))
+      .persist(MEMORY_AND_DISK)
     val e1 = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
     val e2 = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
     val wedges = e1.join(e2, Seq("src"))
@@ -155,6 +164,150 @@ object Graph {
       .join(cnt, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 / Raghavan
+    * et al. 2007 "community LPA") over an undirected graph, made fully
+    * deterministic: synchronous rounds, each node takes the MAJORITY label
+    * among its labeled neighbors, ties broken by the SMALLEST label
+    * string; seed nodes are clamped to their given label; a node with no
+    * labeled neighbor keeps its current label (null until first reached).
+    * Both engines can replay the vote exactly — counts are integers and
+    * the tie-break is a total order, so there is none of classic LPA's
+    * update-order sensitivity.
+    *
+    * Scale shape: the directed adjacency (2E rows) and the node spine are
+    * built once and persisted; each round is ONE join of the adjacency
+    * with the current E-small label table on the neighbor key plus ONE
+    * two-level aggregate ((node,label) count, then per-node argmax via
+    * min(struct(-cnt, label)) — map-side combinable, window-free). Label
+    * lineage is truncated with localCheckpoint every `checkpointEvery`
+    * rounds, same contract as the PageRank loop.
+    *
+    * Output: (node: String, label: String) — one row per graph node;
+    * label null where no seed's influence has reached. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       seeds: DataFrame, seedNodeCol: String,
+                       seedLabelCol: String, iters: Int,
+                       checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = edges.select(
+        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    // directed adjacency, each undirected edge once per direction; a
+    // neighbor votes once however many parallel edges the input held
+    val adj = raw.select(
+        least(col("_a"), col("_b")).as("u"),
+        greatest(col("_a"), col("_b")).as("v"))
+      .distinct()
+      .select(explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node"), col("e.nbr"))
+      .persist(MEMORY_AND_DISK)
+    val seedTab = seeds.select(
+        col(seedNodeCol).cast("string").as("node"),
+        col(seedLabelCol).cast("string").as("_seed"))
+      .where(col("node").isNotNull && col("_seed").isNotNull)
+      .groupBy("node").agg(min(col("_seed")).as("_seed")) // dedupe, det.
+    val nodes = adj.select(col("node")).distinct()
+      .join(seedTab, Seq("node"), "left")
+      .persist(MEMORY_AND_DISK)
+
+    var labels = nodes.select(col("node"), col("_seed").as("label"))
+    var round = 0
+    while (round < iters) {
+      val votes = adj
+        .join(labels.where(col("label").isNotNull)
+            .select(col("node").as("nbr"), col("label")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("_cnt"))
+      val picked = votes
+        .groupBy("node")
+        .agg(min(struct((-col("_cnt")).as("_nc"), col("label")))
+          .as("_best"))
+        .select(col("node"), col("_best.label").as("_voted"))
+      val next = nodes
+        .join(labels.select(col("node"), col("label").as("_prev")),
+          Seq("node"))
+        .join(picked, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_seed"), col("_voted"), col("_prev")).as("label"))
+      round += 1
+      labels = if (round % checkpointEvery == 0 && round < iters)
+        next.localCheckpoint() else next
+    }
+    labels
+  }
+
+  /** Deterministic uniform random walks (the DeepWalk/node2vec corpus
+    * generator — Perozzi et al. 2014) over an undirected graph:
+    * `walksPerNode` walks of `walkLen` steps from every node, where step t
+    * of walk (start, r) at node c moves to
+    * `nbrs(c)[ md5-60(start:r:t:c) mod deg(c) ]` over c's SORTED distinct
+    * neighbor list. Hash-seeded instead of RNG-seeded, so the walk corpus
+    * is a pure function of the graph — reproducible across runs, retries,
+    * partitionings and engines (the q106 oracle replays every hop).
+    *
+    * Scale shape: the adjacency-list table (node → sorted nbr array) is
+    * built once and persisted; each step is ONE hash join of the
+    * walk-frontier (N·walksPerNode rows) against it, L steps = L joins —
+    * the standard distributed walk loop. Walk state lineage is truncated
+    * with localCheckpoint every `checkpointEvery` steps. NOTE for
+    * power-law graphs: the neighbor ARRAY of a celebrity node is held in
+    * one row; beyond ~10⁶ neighbors, pre-cap the adjacency (e.g. keep the
+    * maxDegree smallest md5-60(nbr) per node — itself deterministic)
+    * before walking, as production walk engines do.
+    *
+    * Output: (start: String, walk: Int, path: String) — path is the
+    * space-joined node sequence, walkLen+1 nodes. */
+  def randomWalks(edges: DataFrame, aCol: String, bCol: String,
+                  walksPerNode: Int, walkLen: Int,
+                  checkpointEvery: Int = 8): DataFrame = {
+    require(walksPerNode >= 1 && walkLen >= 0, "need walks >= 1, len >= 0")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = edges.select(
+        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    val adj = raw.select(
+        least(col("_a"), col("_b")).as("u"),
+        greatest(col("_a"), col("_b")).as("v"))
+      .distinct()
+      .select(explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node"), col("e.nbr"))
+    val adjl = adj.groupBy("node")
+      .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+      .persist(MEMORY_AND_DISK)
+
+    var frontier = adjl.select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk").cast("int").as("walk"),
+        col("start").as("cur"), col("start").as("path"))
+
+    var t = 0
+    while (t < walkLen) {
+      val key = concat(col("start"), lit(":"), col("walk").cast("string"),
+        lit(":"), lit(t.toString), lit(":"), col("cur"))
+      val stepped = frontier
+        .join(adjl.select(col("node").as("cur"), col("nbrs")), Seq("cur"))
+        .select(col("start"), col("walk"),
+          element_at(col("nbrs"),
+            (pmod(Dedup.md5Hash60(key), size(col("nbrs")).cast("long")) + 1)
+              .cast("int")).as("_next"),
+          col("path"))
+        .select(col("start"), col("walk"), col("_next").as("cur"),
+          concat(col("path"), lit(" "), col("_next")).as("path"))
+      t += 1
+      frontier = if (t % checkpointEvery == 0 && t < walkLen)
+        stepped.localCheckpoint() else stepped
+    }
+    frontier.select(col("start"), col("walk"), col("path"))
   }
 
   private def pprLoop(edges: DataFrame, srcCol: String, dstCol: String,

@@ -593,8 +593,120 @@ object AnalyticsQueries {
         .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
       graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
         .orderBy("node")
+    },
+
+    // ── q105: semi-supervised label propagation — spread brand labels
+    //    from a 20% seeded subset of parts across the co-purchase graph
+    //    (the graph-based classification primitive: propagate
+    //    quality/topic/spam labels from a small labeled set over a
+    //    similarity or link graph). Two synchronous majority-vote rounds,
+    //    ties to the smallest label, seeds clamped — deterministic, so
+    //    the oracle unrolls the identical votes. ──
+    QueryDef("q105_label_prop",
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk),
+        |adj AS (SELECT u AS node, v AS nbr FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |seeds AS (SELECT CAST(p_partkey AS VARCHAR) AS node,
+        |            MIN(p_brand) AS seed
+        |          FROM part WHERE p_partkey % 5 = 0 GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM adj),
+        |l0 AS (SELECT nodes.node, seeds.seed AS label
+        |       FROM nodes LEFT JOIN seeds USING (node)),
+        |v1 AS (SELECT adj.node, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l0 l ON adj.nbr = l.node
+        |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        |p1 AS (SELECT node, label AS voted FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT n.node, COALESCE(s.seed, p1.voted, l0.label) AS label
+        |       FROM nodes n LEFT JOIN seeds s USING (node)
+        |         LEFT JOIN p1 USING (node) LEFT JOIN l0 USING (node)),
+        |v2 AS (SELECT adj.node, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l1 l ON adj.nbr = l.node
+        |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        |p2 AS (SELECT node, label AS voted FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT n.node, COALESCE(s.seed, p2.voted, l1.label) AS label
+        |       FROM nodes n LEFT JOIN seeds s USING (node)
+        |         LEFT JOIN p2 USING (node) LEFT JOIN l1 USING (node))
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("string").as("pk"))
+        .distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      val seeds = Tables.part(s, d)
+        .where(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").cast("string").as("node"),
+          col("p_brand").as("brand"))
+      graft.ops.Graph.labelPropagation(pairs, "pa", "pb", seeds,
+          "node", "brand", iters = 2)
+        .orderBy("node")
+    },
+
+    // ── q106: deterministic random walks — the DeepWalk/node2vec corpus
+    //    generator over the co-purchase graph: 2 walks × 4 hops from every
+    //    node, each hop hash-seeded (md5-60(start:walk:t:cur) mod degree
+    //    over the sorted neighbor list) instead of RNG-seeded, so the walk
+    //    corpus is a pure function of the graph and the oracle replays
+    //    every hop. ──
+    QueryDef("q106_random_walks", WalkOracleSql) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("string").as("pk"))
+        .distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      graft.ops.Graph.randomWalks(pairs, "pa", "pb",
+          walksPerNode = 2, walkLen = 4)
+        .orderBy("start", "walk")
     }
   )
+
+  /** q106's oracle: the co-purchase adjacency list plus one unrolled CTE
+    * per hop, each replaying the identical md5-60 index expression the
+    * Spark op evaluates. */
+  private lazy val WalkOracleSql: String = {
+    def hop(prev: String, t: Int): String = {
+      val idx = s"CAST(CAST('0x' || substr(md5($prev.start || ':' || " +
+        s"CAST($prev.walk AS VARCHAR) || ':' || '$t' || ':' || " +
+        s"$prev.cur), 1, 15) AS BIGINT) % len(a.nbrs) AS INT) + 1"
+      s"""s${t + 1} AS (
+         |  SELECT $prev.start, $prev.walk, a.nbrs[$idx] AS cur,
+         |    $prev.path || ' ' || a.nbrs[$idx] AS path
+         |  FROM $prev JOIN adjl a ON $prev.cur = a.node)""".stripMargin
+    }
+    val hops = (0 until 4)
+      .map(t => hop(if (t == 0) "s0" else s"s$t", t)).mkString(",\n")
+    s"""WITH pr AS (
+       |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+       |  FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+       |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk),
+       |adj AS (SELECT u AS node, v AS nbr FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |adjl AS (SELECT node, list(nbr ORDER BY nbr) AS nbrs
+       |         FROM adj GROUP BY 1),
+       |s0 AS (SELECT node AS start, r AS walk, node AS cur, node AS path
+       |       FROM adjl CROSS JOIN (VALUES (0), (1)) t(r)),
+       |$hops
+       |SELECT start, walk, path FROM s4
+       |ORDER BY start, walk""".stripMargin
+  }
 
   /** q100's HLL alpha numerator (p=8), %.17g so the oracle embeds the
     * exact same double the Spark plan uses. */

@@ -192,6 +192,123 @@ class GraphSpec extends SparkSpec {
       "layout must not change counts")
   }
 
+  // ── label propagation ──────────────────────────────────────────────────
+
+  private def runLp(edges: Seq[(String, String)], seeds: Seq[(String, String)],
+                    iters: Int, parts: Int = 3): Map[String, String] = {
+    import spark.implicits._
+    val e = edges.toDF("a", "b").repartition(parts)
+    val s = seeds.toDF("node", "lab")
+    Graph.labelPropagation(e, "a", "b", s, "node", "lab", iters)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("labelPropagation: frontier advances one hop per synchronous round") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val seeds = Seq(("a", "L"))
+    assert(runLp(path, seeds, 0) ==
+      Map("a" -> "L", "b" -> null, "c" -> null, "d" -> null))
+    assert(runLp(path, seeds, 1) ==
+      Map("a" -> "L", "b" -> "L", "c" -> null, "d" -> null))
+    assert(runLp(path, seeds, 2) ==
+      Map("a" -> "L", "b" -> "L", "c" -> "L", "d" -> null))
+    assert(runLp(path, seeds, 3)("d") == "L")
+  }
+
+  test("labelPropagation: majority wins, ties to smallest label, seeds clamp") {
+    // m's neighbors: x seeded B, y seeded A -> 1:1 tie -> "A".
+    assert(runLp(Seq(("m", "x"), ("m", "y")),
+      Seq(("x", "B"), ("y", "A")), 1)("m") == "A")
+    // Majority: two "T" neighbors beat one "S" neighbor.
+    val star = Seq(("c", "s1"), ("c", "t1"), ("c", "t2"))
+    assert(runLp(star, Seq(("s1", "S"), ("t1", "T"), ("t2", "T")), 1)("c")
+      == "T")
+    // Clamping: a seed surrounded by the other label keeps its own.
+    val r = runLp(star ++ Seq(("c", "t3")),
+      Seq(("c", "S"), ("t1", "T"), ("t2", "T"), ("t3", "T")), 3)
+    assert(r("c") == "S")
+    // ...and its influence still votes: s1 sees only c -> "S".
+    assert(r("s1") == "S")
+  }
+
+  test("labelPropagation: parallel/reversed edges vote once; layout-invariant") {
+    // c--a triplicated both ways (label L), c--b and c--d single (label M):
+    // dedup makes the vote L:1 vs M:2 -> M despite 6 raw L edge rows.
+    val messy = Seq(("c", "a"), ("a", "c"), ("c", "a"), ("a", "c"),
+      ("c", "a"), ("a", "c"), ("c", "b"), ("c", "d"))
+    val seeds = Seq(("a", "L"), ("b", "M"), ("d", "M"))
+    val exp = runLp(messy, seeds, 2, parts = 1)
+    assert(exp("c") == "M")
+    assert(runLp(messy, seeds, 2, parts = 7) == exp,
+      "layout must not change labels")
+  }
+
+  // ── random walks ───────────────────────────────────────────────────────
+
+  /** First 15 hex chars of md5 as a long — the engine's md5-60. */
+  private def md560(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Independent driver-side replay of the documented hop rule. */
+  private def refWalks(edges: Seq[(String, String)], walks: Int,
+                       len: Int): Map[(String, Int), String] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (Seq(a, b).min, Seq(a, b).max)
+    }.distinct
+    val adjm = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).distinct.sorted }
+    (for {
+      start <- adjm.keys.toSeq; r <- 0 until walks
+    } yield {
+      var cur = start
+      var path = start
+      for (t <- 0 until len) {
+        val nbrs = adjm(cur)
+        val idx = (md560(s"$start:$r:$t:$cur") % nbrs.size).toInt
+        cur = nbrs(idx)
+        path = path + " " + cur
+      }
+      (start, r) -> path
+    }).toMap
+  }
+
+  test("randomWalks: every hop matches the documented md5 rule; layout-invariant") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0 until 20).map(i => s"v$i")
+    val edges = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.3
+    } yield (nodes(i), nodes(j))) :+ ("v0", "v1") // ensure connectivity base
+    import spark.implicits._
+    def run(parts: Int) = Graph.randomWalks(
+        edges.toDF("a", "b").repartition(parts), "a", "b",
+        walksPerNode = 2, walkLen = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    val got = run(3)
+    assert(got == refWalks(edges, 2, 4))
+    assert(run(1) == got, "layout must not change walks")
+    // structural sanity: every consecutive pair is an edge of the graph
+    val es = edges.map { case (a, b) => Set(a, b) }.toSet
+    got.values.foreach { p =>
+      p.split(" ").sliding(2).foreach(w =>
+        assert(es.contains(Set(w(0), w(1))), s"non-edge hop in $p"))
+    }
+  }
+
+  test("randomWalks: walkLen 0 returns the start; counts per node are exact") {
+    import spark.implicits._
+    val df = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    val r0 = Graph.randomWalks(df, "a", "b", walksPerNode = 3, walkLen = 0)
+      .collect()
+    assert(r0.length == 9) // 3 nodes x 3 walks
+    assert(r0.forall(r => r.getString(2) == r.getString(0)))
+  }
+
   test("triangleCounts: hub node — orientation keeps the hub wedge-free") {
     // Star hub h--l0..l59 plus one triangle (h, l0, l1): the hub's high
     // degree orients all its edges inward, so wedges centered at h are
