@@ -8,7 +8,8 @@ object ScaleSmoke {
     // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
     // that section (sections: dedup, scoring, vectors, export). Default: all.
     val sections = if (args.isEmpty)
-                     Set("dedup", "scoring", "vectors", "export", "graph")
+                     Set("dedup", "scoring", "vectors", "export", "graph",
+                       "sketches")
                    else args.toSet
     // 100k docs: 10k templates x 10 mutated near-dup variants each.
     val docs = spark.range(100000).select(
@@ -270,6 +271,79 @@ object ScaleSmoke {
         .count()
       println(f"priority_sample_5m: rows=$nps " +
         f"time=${(System.nanoTime()-tps)/1e9}%.1f s")
+      // Triangle counting on a 1M-edge undirected graph over 200k nodes:
+      // 2000 dense 100-node communities (real triangles, ~200k of them)
+      // plus a ~47k-degree hub (node 0) bridging them. Degree orientation
+      // must keep the hub wedge-free — a naive neighbor self-join would
+      // generate ~1.1e9 wedge rows from the hub alone; oriented, the hub
+      // centers none. xxhash64 mixing avoids the modular-arithmetic
+      // artifacts a linear-congruence generator bakes in (a first draft
+      // produced a provably triangle-free "random" graph).
+      val und = spark.range(1000000).select(
+          when(col("id") % 20 === 0, lit(0L))
+            .otherwise(
+              pmod(xxhash64(col("id"), lit(0)), lit(2000L)) * 100L +
+                pmod(xxhash64(col("id"), lit(1)), lit(100L))).as("a"),
+          when(col("id") % 20 === 0,
+              pmod(xxhash64(col("id"), lit(2)), lit(200000L)))
+            .otherwise(
+              pmod(xxhash64(col("id"), lit(0)), lit(2000L)) * 100L +
+                pmod(xxhash64(col("id"), lit(3)), lit(100L))).as("b"))
+        .where(col("a") =!= col("b"))
+      und.write.mode("overwrite").parquet("/tmp/scale_und")
+      val ug = spark.read.parquet("/tmp/scale_und")
+      val ttr = System.nanoTime()
+      val tri = graft.ops.Graph.triangleCounts(ug, "a", "b")
+        .agg(sum(col("triangles")).as("t")).head().getLong(0)
+      println(f"triangles_1m_edges_hub: tri3x=$tri " +
+        f"time=${(System.nanoTime()-ttr)/1e9}%.1f s")
+      // Label propagation, 3 synchronous rounds, 1-in-100 nodes seeded
+      // with one of 5 labels: per-round cost is one adjacency join + one
+      // two-level aggregate — linear in E, window-free.
+      val seeds = spark.range(0, 200000, 100).select(
+        col("id").as("node"), concat(lit("L"), col("id") % 5).as("lab"))
+      val tlp = System.nanoTime()
+      val nlp = graft.ops.Graph.labelPropagation(ug, "a", "b", seeds,
+          "node", "lab", iters = 3)
+        .where(col("label").isNotNull).count()
+      println(f"label_prop_1m_edges_3iter: labeled=$nlp " +
+        f"time=${(System.nanoTime()-tlp)/1e9}%.1f s")
+      // Random walks: 1 walk x 4 hops from every node = 200k paths; each
+      // hop is one join of the frontier against the persisted
+      // adjacency-list table.
+      val trw = System.nanoTime()
+      val nrw = graft.ops.Graph.randomWalks(ug, "a", "b",
+        walksPerNode = 1, walkLen = 4).count()
+      println(f"random_walks_200k_x4: walks=$nrw " +
+        f"time=${(System.nanoTime()-trw)/1e9}%.1f s")
+    }
+
+    if (sections("sketches")) {
+      // Deterministic sketches at 50M rows: the point of the tier is that
+      // the shuffle carries the SKETCH (256 registers / 2k counters /
+      // 1k bins per group), not the 50M values — wall time must track the
+      // scan, not the aggregation.
+      val big = spark.range(50000000).select(
+        (col("id") % 1000000).cast("string").as("v"),
+        (col("id") % 8).cast("int").as("g"),
+        (col("id") % 97).cast("double").as("x"))
+      val th = System.nanoTime()
+      val nh = graft.ops.Sketches.hllDistinct(big, Seq("g"), "v", p = 8)
+        .count()
+      println(f"hll_50m: groups=$nh time=${(System.nanoTime()-th)/1e9}%.1f s")
+      val tc = System.nanoTime()
+      val probes = spark.range(0, 1000000, 9973).select(
+        col("id").cast("string").as("item"))
+      val ncm = graft.ops.Sketches.cmsEstimate(
+        graft.ops.Sketches.cmsSketch(big, "v", depth = 4, width = 512),
+        probes, "item", depth = 4, width = 512).count()
+      println(f"cms_50m: probes=$ncm time=${(System.nanoTime()-tc)/1e9}%.1f s")
+      val tq = System.nanoTime()
+      val nq = graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.histogram(big, "x", 0.0, 100.0, 1000),
+        Seq(0.5, 0.9, 0.99), 0.0, 100.0, 1000).count()
+      println(f"hist_quantiles_50m: qs=$nq " +
+        f"time=${(System.nanoTime()-tq)/1e9}%.1f s")
     }
     spark.stop()
   }
