@@ -335,4 +335,32 @@ object Ops {
         col("_ivb") === expr(s"greatest(`$lStart`, `$rStart`) div $b"))
       .drop("_ivb")
   }
+
+  /** Incremental snapshot delta — the "what changed since the last crawl"
+    * primitive that lets a 100 TB pipeline reprocess only the delta
+    * instead of the corpus: per-id status ∈ added / removed / changed /
+    * unchanged between two snapshots, decided by comparing an md5 content
+    * fingerprint of `contentCols` (never the content itself — at scale
+    * both sides reduce to (id, 16-byte fp) at their scans, and the single
+    * full-outer shuffle join carries fingerprints only; bucket both
+    * snapshots by id to make it co-located). `contentCols` are
+    * stringified and joined with U+0001 before hashing; null and empty
+    * collapse (concat_ws skips nulls) — acceptable for change DETECTION,
+    * not a content proof. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs at least 1 content col")
+    def fp(df: DataFrame, name: String) = df.select(
+      col(idCol),
+      md5(concat_ws("\u0001",
+        contentCols.map(c => col(c).cast("string")): _*)
+        .cast("binary")).as(name))
+    fp(oldDf, "_fp_old")
+      .join(fp(newDf, "_fp_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fp_old").isNull, lit("added"))
+          .when(col("_fp_new").isNull, lit("removed"))
+          .when(col("_fp_old") === col("_fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

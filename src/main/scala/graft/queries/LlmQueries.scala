@@ -1590,6 +1590,75 @@ object LlmQueries {
         .select(col("lang"), col("bytes"), col("toks"),
           expr("1000000 * bytes div toks").as("bpt_ppm"))
         .orderBy("lang")
+    },
+
+    // ── q107: incremental snapshot delta — per-doc added / removed /
+    //    changed / unchanged status between two corpus snapshots, decided
+    //    on md5 content fingerprints (both sides reduce to (id, fp) at the
+    //    scan; ONE co-partitionable full-outer join carries 16-byte
+    //    fingerprints, never text) — the primitive that lets a recurring
+    //    100 TB crawl reprocess only its delta. Snapshots are derived
+    //    deterministically from the fixture: 1-in-11 docs removed,
+    //    1-in-13 added, 1-in-7 revised. ──
+    QueryDef("q107_snapshot_diff",
+      """WITH o AS (SELECT doc_id, md5(CAST(text AS VARCHAR)) AS fp
+        |           FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |            ELSE text END) AS fp
+        |      FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val old = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val neu = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Ops.snapshotDiff(old, neu, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    },
+
+    // ── q108: duplication profile — the cluster-size histogram of the
+    //    near-dup graph ("how duplicated is this corpus, and in what
+    //    shape"): n_clusters and n_docs per exact cluster size, from the
+    //    same lossless Jaccard pairs + connected components q57 publishes,
+    //    so the oracle replays the closure and aggregates it identically.
+    //    Output is sketch-sized (distinct cluster sizes), the input one
+    //    pass over the assignment table. ──
+    QueryDef("q108_dedup_profile",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id,
+         |          COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |       FROM asg GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  cluster_size * COUNT(*) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id", pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
     }
   )
 

@@ -313,4 +313,19 @@ class OpsSpec extends SparkSpec {
     assert(out.toSet.count(_._2 == "all") == 20) // no duplicate meetings
     assert(out.filter(_._2 == "tiny").toSeq == Seq((100000L, "tiny")))
   }
+
+  test("snapshotDiff: all four statuses; multi-column fields don't smear") {
+    import spark.implicits._
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (5L, "ab", "c")).toDF("id", "f1", "f2")
+    val neu = Seq((1L, "a", "x"), (2L, "B", "y"), (4L, "d", "w"),
+      (5L, "a", "bc")).toDF("id", "f1", "f2")
+    val got = Ops.snapshotDiff(old, neu, "id", Seq("f1", "f2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      // ("ab","c") vs ("a","bc"): the U+0001 separator keeps the
+      // fingerprints distinct — concatenation must not smear fields.
+      5L -> "changed"))
+  }
 }
