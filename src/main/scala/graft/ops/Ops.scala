@@ -346,7 +346,9 @@ object Ops {
     * snapshots by id to make it co-located). `contentCols` are
     * stringified and joined with U+0001 before hashing; null and empty
     * collapse (concat_ws skips nulls) — acceptable for change DETECTION,
-    * not a content proof. */
+    * not a content proof. `idCol` must be unique within each snapshot
+    * (the usual snapshot invariant); duplicate ids would cross-multiply
+    * in the join and over-report the delta. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff needs at least 1 content col")

@@ -1659,8 +1659,110 @@ object LlmQueries {
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
         .orderBy("cluster_size")
+    },
+
+    // ── q109: percentile-rank ensemble scoring — the standard way to
+    //    BLEND heterogeneous quality signals (a ratio in [0,1], a length,
+    //    a classifier logit all live on different scales; percentile
+    //    ranks are scale-free). Each signal is rank-normalized to integer
+    //    ppm under a total order (signal, doc_id) via the pinned
+    //    range-exchange ranker (no unpartitioned window), then averaged
+    //    with floor division — all integers, engine-exact. Signals:
+    //    stopword ratio ASC (more natural prose ranks higher) and
+    //    punctuation ratio DESC (less punctuation noise ranks higher). ──
+    QueryDef("q109_score_ensemble",
+      """WITH q AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0.0
+        |       ELSE CAST(len([t FOR t IN regexp_split_to_array(lower(trim(text)), '\s+')
+        |                      IF t IN ('the','a','of','and','to','in','is')]) AS DOUBLE)
+        |            / len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS sw,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |            / length(text) END AS pr
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM q),
+        |r AS (SELECT doc_id,
+        |        ROW_NUMBER() OVER (ORDER BY sw ASC, doc_id ASC) AS rn1,
+        |        ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id ASC) AS rn2
+        |      FROM q)
+        |SELECT doc_id,
+        |  ((rn1 - 1) * 1000000) // (n - 1) AS sw_pct_ppm,
+        |  ((rn2 - 1) * 1000000) // (n - 1) AS punct_pct_ppm,
+        |  (((rn1 - 1) * 1000000) // (n - 1)
+        |    + ((rn2 - 1) * 1000000) // (n - 1)) // 2 AS blend_ppm
+        |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sigs = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.stopwordRatio(col("text")).as("sw"),
+        TextFunctions.punctRatio(col("text")).as("pr"))
+      val r1 = graft.ops.Ops.globalRowNumber(sigs,
+          Seq(col("sw").asc, col("doc_id").asc), "rn1")
+        .select(col("doc_id"), col("rn1"))
+      val r2 = graft.ops.Ops.globalRowNumber(sigs,
+          Seq(col("pr").desc, col("doc_id").asc), "rn2")
+        .select(col("doc_id"), col("rn2"))
+      val n = sigs.agg(count(lit(1)).as("n"))
+      r1.join(r2, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          expr("((rn1 - 1) * 1000000) div (n - 1)").as("sw_pct_ppm"),
+          expr("((rn2 - 1) * 1000000) div (n - 1)").as("punct_pct_ppm"),
+          expr("(((rn1 - 1) * 1000000) div (n - 1) + " +
+            "((rn2 - 1) * 1000000) div (n - 1)) div 2").as("blend_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // ── q110: vocabulary OOV-rate audit — per-language fraction (ppm) of
+    //    subword tokens falling through to the hashed-OOV tail under the
+    //    pinned q91 vocabulary: the coverage complement to q104's
+    //    bytes-per-token (a language can look byte-efficient while
+    //    hashing half its mass into collision buckets). One scan through
+    //    the codegen'd merge kernel; OOV = token id beyond the vocab
+    //    table, counted with a map-side-combinable per-lang sum. ──
+    QueryDef("q110_oov_rate", OovOracleSql) { (s, d) =>
+      val vocabSize = BpeVocab.size.toLong
+      val enc = graft.ops.Export.bpeEncode(Tables.documents(s, d), "doc_id",
+        "text", BpeMerges, BpeVocab, oovBuckets = 256)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(enc.select(col("doc_id"), col("n_toks"),
+          size(filter(col("input_ids"), x => x >= lit(vocabSize)))
+            .cast("long").as("n_oov")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum("n_toks").as("toks"), sum("n_oov").as("oov"))
+        .select(col("lang"), col("toks"), col("oov"),
+          expr("1000000 * oov div toks").as("oov_ppm"))
+        .orderBy("lang")
     }
   )
+
+  /** q110's oracle: the q91 merge-chain replay, symbols flagged OOV when
+    * absent from the pinned vocab, aggregated per language. */
+  private lazy val OovOracleSql: String = {
+    val vocabValues = BpeVocab
+      .map { case (sym, tid) => s"('$sym', $tid)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+       |             ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+       |             AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id, toks[i] AS w
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, len(toks))) AS i FROM t)
+       |      WHERE toks[i] <> ''),
+       |sq AS (SELECT doc_id, $BpeChainSql AS s FROM w),
+       |sy AS (SELECT doc_id,
+       |         substr(sym, 2, length(sym) - 2) AS sym
+       |       FROM (SELECT doc_id, unnest(string_split(s, ' ')) AS sym
+       |             FROM sq)),
+       |flag AS (SELECT doc_id,
+       |           CASE WHEN voc.tid IS NULL THEN 1 ELSE 0 END AS oov
+       |         FROM sy LEFT JOIN (VALUES $vocabValues) voc(sym, tid)
+       |           USING (sym)),
+       |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS toks,
+       |        CAST(SUM(oov) AS BIGINT) AS oov
+       |      FROM documents JOIN flag USING (doc_id) GROUP BY 1)
+       |SELECT lang, toks, oov, (1000000 * oov) // toks AS oov_ppm
+       |FROM g ORDER BY lang""".stripMargin
+  }
 
   /** Pinned BPE merge table: `Export.bpeLearn(documents@sf0.001, "text",
     * 24)` output, in learned order (most frequent pair first). */
