@@ -673,6 +673,72 @@ object AnalyticsQueries {
       graft.ops.Graph.randomWalks(pairs, "pa", "pb",
           walksPerNode = 2, walkLen = 4)
         .orderBy("start", "walk")
+    },
+
+    // ── q111: entity clustering — q96's fuzzy pairs closed into canonical
+    //    entities by connected components (the full Fellegi–Sunter ER
+    //    pipeline: block → verify → cluster → canonicalize). Every
+    //    distinct name gets an entity_id (the smallest member) and a keep
+    //    flag for the canonical representative; the oracle replays the
+    //    closure with a recursive CTE over the identical pair SQL. ──
+    QueryDef("q111_entity_clusters",
+      """WITH RECURSIVE d AS (SELECT DISTINCT p_name AS k FROM part),
+        |b AS (SELECT k, split_part(k, ' ', 2) AS blk FROM d),
+        |pairs AS (
+        |  SELECT a.k AS key_a, c.k AS key_b
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.k < c.k
+        |    AND abs(length(a.k) - length(c.k)) <= 3
+        |  WHERE levenshtein(a.k, c.k) <= 3),
+        |e AS (SELECT key_a AS u, key_b AS v FROM pairs
+        |      UNION SELECT key_b, key_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |comp AS (SELECT u AS name, LEAST(u, MIN(v)) AS eid
+        |         FROM reach GROUP BY u)
+        |SELECT d.k AS name, COALESCE(c.eid, d.k) AS entity_id,
+        |  CAST(COALESCE(c.eid, d.k) = d.k AS INT) AS keep
+        |FROM d LEFT JOIN comp c ON d.k = c.name
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val pairs = graft.ops.Dedup.editDistancePairs(part, "p_name",
+        k => element_at(split(k, " "), 2), maxDist = 3)
+      graft.ops.Dedup.dedupAssign(
+          part.select(col("p_name").as("name")).distinct(), "name",
+          pairs, aCol = "key_a", bCol = "key_b")
+        .select(col("name"), col("cluster_id").as("entity_id"), col("keep"))
+        .orderBy("name")
+    },
+
+    // ── q112: order-independent table checksum — dataset-equality
+    //    validation at 100 TB without sorting or moving rows: per-group
+    //    (n_rows, bit_xor of md5-60 row hashes, exact decimal row-hash
+    //    sum). XOR is associative+commutative (any partitioning, any
+    //    order), the decimal sum catches the XOR blind spot (row pairs
+    //    canceling), and the count catches empty-vs-empty. Two engines /
+    //    two snapshots agree on these three numbers per group iff the row
+    //    multisets agree (up to md5 collisions). ──
+    QueryDef("q112_table_checksum",
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+        |      1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_rows, bit_xor(h) AS checksum_xor,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) AS VARCHAR)
+        |    AS checksum_sum
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          graft.ops.Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+            lit(":"), col("text"))).as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum_xor"),
+          sum(col("h").cast("decimal(38,0)")).cast("string")
+            .as("checksum_sum"))
+        .orderBy("lang")
     }
   )
 
