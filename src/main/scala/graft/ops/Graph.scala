@@ -148,6 +148,7 @@ object Graph {
         // order its two legs without another deg lookup
         when(uLower, col("dv")).otherwise(col("du")).as("dd"))
       .persist(MEMORY_AND_DISK)
+    Dedup.register(Dedup.CacheHandle.of(und, deg, oriented))
     val e1 = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
     val e2 = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
     val wedges = e1.join(e2, Seq("src"))
@@ -216,6 +217,7 @@ object Graph {
       .join(seedTab, Seq("node"), "left")
       .persist(MEMORY_AND_DISK)
 
+    Dedup.register(Dedup.CacheHandle.of(adj, nodes))
     var labels = nodes.select(col("node"), col("_seed").as("label"))
     var round = 0
     while (round < iters) {
@@ -285,6 +287,7 @@ object Graph {
       .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
       .persist(MEMORY_AND_DISK)
 
+    Dedup.register(Dedup.CacheHandle.of(adjl))
     var frontier = adjl.select(col("node").as("start"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
       .select(col("start"), col("walk").cast("int").as("walk"),
@@ -335,6 +338,7 @@ object Graph {
       .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("_seed", seedPred.getOrElse(lit(true)))
       .persist(MEMORY_AND_DISK)
+    Dedup.register(Dedup.CacheHandle.of(e, nodes))
 
     // Two O(1)-result agg jobs on the persisted spine — the only driver
     // scalars in the loop.

@@ -158,7 +158,10 @@ object Sketches {
                 bins: Int): DataFrame = {
     require(hi > lo && bins >= 1, s"bad histogram [$lo,$hi)/$bins")
     val w = (hi - lo) / bins
-    df.where(col(valueCol).isNotNull)
+    // NaN would make floor() NaN and the ANSI long cast throw mid-job;
+    // drop NaN with the nulls (a NaN measurement has no bin).
+    df.where(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .select(least(greatest(
           floor((col(valueCol).cast("double") - lo) / w).cast("long"),
           lit(0L)), lit(bins - 1L)).cast("int").as("bin"))

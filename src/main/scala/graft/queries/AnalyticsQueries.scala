@@ -739,6 +739,75 @@ object AnalyticsQueries {
           sum(col("h").cast("decimal(38,0)")).cast("string")
             .as("checksum_sum"))
         .orderBy("lang")
+    },
+
+    // ── q113: time-series resampling with forward fill — regularize each
+    //    user's irregular event stream onto a daily grid, carrying the
+    //    last observation forward (the gap-filling step before any
+    //    fixed-step model). Per-user grids come from one explode bounded
+    //    by the user's own span; the fill is the engine's as-of machinery
+    //    (per-key window over the union — no per-grid-point probe join).
+    //    filled_from records the observation day each grid row carries
+    //    (its staleness). Observations collapse to MAX(value) per
+    //    (user, day) first so the fill source — and thus the whole grid —
+    //    is deterministic across engines. ──
+    QueryDef("q113_resample_ffill",
+      """WITH e AS (SELECT user_id,
+        |             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS obs_day,
+        |             MAX(value) AS v
+        |           FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(obs_day) AS lo, MAX(obs_day) AS hi
+        |         FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+        |         FROM span)
+        |SELECT g.user_id, g.day, e.obs_day AS filled_from, e.v AS value
+        |FROM grid g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.day >= e.obs_day
+        |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      val obs = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"),
+          Tables.floorDiv("ts", 86400000000000L).as("obs_day"),
+          col("value"))
+        .groupBy("user_id", "obs_day").agg(max("value").as("v"))
+      val grid = obs.groupBy("user_id")
+        .agg(min("obs_day").as("lo"), max("obs_day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      graft.ops.Ops.asofJoin(grid, obs, Seq("user_id"), "day", "obs_day")
+        .select(col("user_id"), col("day"), col("obs_day").as("filled_from"),
+          col("v").as("value"))
+        .orderBy("user_id", "day")
+    },
+
+    // ── q114: sliding (hopping) window aggregation — 7-day windows, 1-day
+    //    hop, per event type: each event expands to the 7 windows covering
+    //    it (one bounded explode), then ONE map-side-combined groupBy —
+    //    the shuffle carries windows, not events, so a 100 TB stream costs
+    //    its scan plus a window-cardinality-sized aggregate. DECIMAL sums
+    //    (layout-stable), same money rendering as q13. ──
+    QueryDef("q114_sliding_window",
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |             value
+        |           FROM events),
+        |w AS (SELECT unnest(generate_series(day - 6, day)) AS win_start,
+        |        event_type, value
+        |      FROM e)
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS VARCHAR) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) {
+      (s, d) =>
+        graft.queries.RelationalQueries.eventsNs(s, d)
+          .select(Tables.floorDiv("ts", 86400000000000L).as("day"),
+            col("event_type"), col("value"))
+          .select(
+            explode(sequence(col("day") - 6, col("day"))).as("win_start"),
+            col("event_type"), col("value"))
+          .groupBy("win_start", "event_type")
+          .agg(count(lit(1)).as("n"),
+            graft.queries.RelationalQueries.moneyStr(
+              sum(col("value").cast(D)).cast(D)).as("sum_value"))
+          .orderBy("win_start", "event_type")
     }
   )
 
