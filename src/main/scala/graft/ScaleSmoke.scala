@@ -6,7 +6,8 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
-    // that section (sections: dedup, scoring, vectors, export). Default: all.
+    // that section (sections: dedup, scoring, vectors, export, graph,
+    // sketches). Default: all.
     val sections = if (args.isEmpty)
                      Set("dedup", "scoring", "vectors", "export", "graph",
                        "sketches")

@@ -120,17 +120,8 @@ object Graph {
     * Output: (node: String, triangles: Long) — one row per node of the
     * canonicalized graph, zero-count nodes included. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val raw = edges.select(
-        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
-      .where(col("_a").isNotNull && col("_b").isNotNull &&
-        col("_a") =!= col("_b"))
-    // distinct unordered pairs, stored as u < v (string order — any
-    // consistent canonical form works; the ORIENTATION order is (deg, id)).
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = raw.select(
-        least(col("_a"), col("_b")).as("u"),
-        greatest(col("_a"), col("_b")).as("v"))
-      .distinct()
+    val und = canonicalUndirected(edges, aCol, bCol)
       .persist(MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -193,20 +184,9 @@ object Graph {
                        checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val raw = edges.select(
-        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
-      .where(col("_a").isNotNull && col("_b").isNotNull &&
-        col("_a") =!= col("_b"))
     // directed adjacency, each undirected edge once per direction; a
     // neighbor votes once however many parallel edges the input held
-    val adj = raw.select(
-        least(col("_a"), col("_b")).as("u"),
-        greatest(col("_a"), col("_b")).as("v"))
-      .distinct()
-      .select(explode(array(
-        struct(col("u").as("node"), col("v").as("nbr")),
-        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
-      .select(col("e.node"), col("e.nbr"))
+    val adj = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
       .persist(MEMORY_AND_DISK)
     val seedTab = seeds.select(
         col(seedNodeCol).cast("string").as("node"),
@@ -271,19 +251,8 @@ object Graph {
                   checkpointEvery: Int = 8): DataFrame = {
     require(walksPerNode >= 1 && walkLen >= 0, "need walks >= 1, len >= 0")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val raw = edges.select(
-        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
-      .where(col("_a").isNotNull && col("_b").isNotNull &&
-        col("_a") =!= col("_b"))
-    val adj = raw.select(
-        least(col("_a"), col("_b")).as("u"),
-        greatest(col("_a"), col("_b")).as("v"))
-      .distinct()
-      .select(explode(array(
-        struct(col("u").as("node"), col("v").as("nbr")),
-        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
-      .select(col("e.node"), col("e.nbr"))
-    val adjl = adj.groupBy("node")
+    val adjl = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
+      .groupBy("node")
       .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
       .persist(MEMORY_AND_DISK)
 
@@ -312,6 +281,27 @@ object Graph {
     }
     frontier.select(col("start"), col("walk"), col("path"))
   }
+
+  /** Canonical undirected edge set shared by every undirected-graph op:
+    * distinct (u, v) string pairs with u < v; nulls, self-loops,
+    * duplicates and reversed duplicates all collapse here, so each op
+    * sees exactly one row per unordered pair. */
+  private def canonicalUndirected(edges: DataFrame, aCol: String,
+                                  bCol: String): DataFrame =
+    edges.select(
+        col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+      .select(least(col("_a"), col("_b")).as("u"),
+        greatest(col("_a"), col("_b")).as("v"))
+      .distinct()
+
+  /** Both directions of a canonical edge set as (node, nbr) rows. */
+  private def directedAdjacency(und: DataFrame): DataFrame =
+    und.select(explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node"), col("e.nbr"))
 
   private def pprLoop(edges: DataFrame, srcCol: String, dstCol: String,
                       wCol: String, iters: Int, seedPred: Option[Column],

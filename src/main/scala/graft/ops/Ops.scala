@@ -344,9 +344,12 @@ object Ops {
     * both sides reduce to (id, 16-byte fp) at their scans, and the single
     * full-outer shuffle join carries fingerprints only; bucket both
     * snapshots by id to make it co-located). `contentCols` are
-    * stringified and joined with U+0001 before hashing; null and empty
-    * collapse (concat_ws skips nulls) — acceptable for change DETECTION,
-    * not a content proof. `idCol` must be unique within each snapshot
+    * stringified, nulls replaced with a U+0002 sentinel, and joined with
+    * U+0001 before hashing — a null→''/''→null or null-position flip is
+    * a CHANGE (an earlier draft let concat_ws skip nulls, which reported
+    * such rows 'unchanged'; under-detection is exactly the unsafe
+    * direction for a delta-reprocessing primitive). `idCol` must be
+    * unique within each snapshot
     * (the usual snapshot invariant); duplicate ids would cross-multiply
     * in the join and over-report the delta. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
@@ -355,7 +358,8 @@ object Ops {
     def fp(df: DataFrame, name: String) = df.select(
       col(idCol),
       md5(concat_ws("\u0001",
-        contentCols.map(c => col(c).cast("string")): _*)
+        contentCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*)
         .cast("binary")).as(name))
     fp(oldDf, "_fp_old")
       .join(fp(newDf, "_fp_new"), Seq(idCol), "full_outer")

@@ -550,12 +550,7 @@ object AnalyticsQueries {
     //    oriented out-degree, the hub defense that survives skewed graphs;
     //    the oracle replays the identical orientation and joins. ──
     QueryDef("q103_triangles",
-      """WITH pr AS (
-        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
-        |  FROM lineitem),
-        |und AS (
-        |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
-        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk),
+      s"""WITH $CoPurchaseCtes,
         |deg AS (SELECT node, COUNT(*) AS deg FROM
         |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
         |  GROUP BY 1),
@@ -583,14 +578,7 @@ object AnalyticsQueries {
         |SELECT deg.node, COALESCE(cnt.triangles, 0) AS triangles
         |FROM deg LEFT JOIN cnt ON deg.node = cnt.node
         |ORDER BY deg.node""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("string").as("pk"))
-        .distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      val pairs = coPurchasePairs(s, d)
       graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
         .orderBy("node")
     },
@@ -603,12 +591,7 @@ object AnalyticsQueries {
     //    ties to the smallest label, seeds clamped — deterministic, so
     //    the oracle unrolls the identical votes. ──
     QueryDef("q105_label_prop",
-      """WITH pr AS (
-        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
-        |  FROM lineitem),
-        |und AS (
-        |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
-        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk),
+      s"""WITH $CoPurchaseCtes,
         |adj AS (SELECT u AS node, v AS nbr FROM und
         |        UNION ALL SELECT v, u FROM und),
         |seeds AS (SELECT CAST(p_partkey AS VARCHAR) AS node,
@@ -638,14 +621,7 @@ object AnalyticsQueries {
         |       FROM nodes n LEFT JOIN seeds s USING (node)
         |         LEFT JOIN p2 USING (node) LEFT JOIN l1 USING (node))
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("string").as("pk"))
-        .distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      val pairs = coPurchasePairs(s, d)
       val seeds = Tables.part(s, d)
         .where(col("p_partkey") % 5 === 0)
         .select(col("p_partkey").cast("string").as("node"),
@@ -662,14 +638,7 @@ object AnalyticsQueries {
     //    corpus is a pure function of the graph and the oracle replays
     //    every hop. ──
     QueryDef("q106_random_walks", WalkOracleSql) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"),
-          col("l_partkey").cast("string").as("pk"))
-        .distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      val pairs = coPurchasePairs(s, d)
       graft.ops.Graph.randomWalks(pairs, "pa", "pb",
           walksPerNode = 2, walkLen = 4)
         .orderBy("start", "walk")
@@ -826,12 +795,7 @@ object AnalyticsQueries {
     }
     val hops = (0 until 4)
       .map(t => hop(if (t == 0) "s0" else s"s$t", t)).mkString(",\n")
-    s"""WITH pr AS (
-       |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
-       |  FROM lineitem),
-       |und AS (
-       |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
-       |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk),
+    s"""WITH $CoPurchaseCtes,
        |adj AS (SELECT u AS node, v AS nbr FROM und
        |        UNION ALL SELECT v, u FROM und),
        |adjl AS (SELECT node, list(nbr ORDER BY nbr) AS nbrs
@@ -842,6 +806,34 @@ object AnalyticsQueries {
        |SELECT start, walk, path FROM s4
        |ORDER BY start, walk""".stripMargin
   }
+
+  /** The part co-purchase graph — parts linked when they appear in the
+    * same order — shared by q103 (triangles), q105 (label propagation)
+    * and q106 (random walks), as directed pair rows the graph ops
+    * canonicalize. */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("string").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+  }
+
+  /** The matching oracle CTEs (pr = distinct per-order parts, und = the
+    * canonical undirected edge set) — ONE text shared by the q103/q105/
+    * q106 oracles so engine and oracle cannot diverge on the graph
+    * definition. */
+  private lazy val CoPurchaseCtes: String =
+    """pr AS (
+      |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+      |  FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+      |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk)""".stripMargin
 
   /** q100's HLL alpha numerator (p=8), %.17g so the oracle embeds the
     * exact same double the Spark plan uses. */

@@ -1682,8 +1682,10 @@ object LlmQueries {
         |  FROM documents),
         |n AS (SELECT COUNT(*) AS n FROM q),
         |r AS (SELECT doc_id,
-        |        ROW_NUMBER() OVER (ORDER BY sw ASC, doc_id ASC) AS rn1,
-        |        ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id ASC) AS rn2
+        |        ROW_NUMBER() OVER (ORDER BY sw ASC NULLS LAST, doc_id ASC)
+        |          AS rn1,
+        |        ROW_NUMBER() OVER (ORDER BY pr DESC NULLS LAST, doc_id ASC)
+        |          AS rn2
         |      FROM q)
         |SELECT doc_id,
         |  ((rn1 - 1) * 1000000) // (n - 1) AS sw_pct_ppm,
@@ -1695,13 +1697,17 @@ object LlmQueries {
         col("doc_id"),
         TextFunctions.stopwordRatio(col("text")).as("sw"),
         TextFunctions.punctRatio(col("text")).as("pr"))
+      // NULLS LAST pinned on both sides: Spark's bare asc is nulls-first,
+      // DuckDB's is nulls-last — a NULL-text doc would shift every rank.
       val r1 = graft.ops.Ops.globalRowNumber(sigs,
-          Seq(col("sw").asc, col("doc_id").asc), "rn1")
+          Seq(col("sw").asc_nulls_last, col("doc_id").asc), "rn1")
         .select(col("doc_id"), col("rn1"))
       val r2 = graft.ops.Ops.globalRowNumber(sigs,
-          Seq(col("pr").desc, col("doc_id").asc), "rn2")
+          Seq(col("pr").desc_nulls_last, col("doc_id").asc), "rn2")
         .select(col("doc_id"), col("rn2"))
-      val n = sigs.agg(count(lit(1)).as("n"))
+      // n from the already-ranked (internally persisted) frame — counting
+      // `sigs` again would re-scan the corpus and re-run both regex ratios.
+      val n = r1.agg(count(lit(1)).as("n"))
       r1.join(r2, Seq("doc_id"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"),

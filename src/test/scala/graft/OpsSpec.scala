@@ -328,4 +328,23 @@ class OpsSpec extends SparkSpec {
       // fingerprints distinct — concatenation must not smear fields.
       5L -> "changed"))
   }
+
+  test("snapshotDiff: null transitions are changes, not silent matches") {
+    import spark.implicits._
+    // (null,"x")->("x",null) and "x"->null and null->"" must all be
+    // CHANGED; (null,null)->(null,null) stays unchanged. An unsentineled
+    // concat_ws would report the first three 'unchanged' (nulls skipped).
+    val old = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("x"), Option("y")), (3L, Option.empty[String], Option("y")),
+      (4L, Option.empty[String], Option.empty[String]))
+      .toDF("id", "f1", "f2")
+    val neu = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option("y")), (3L, Option(""), Option("y")),
+      (4L, Option.empty[String], Option.empty[String]))
+      .toDF("id", "f1", "f2")
+    val got = Ops.snapshotDiff(old, neu, "id", Seq("f1", "f2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "changed",
+      4L -> "unchanged"))
+  }
 }
