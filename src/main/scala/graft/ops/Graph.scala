@@ -282,6 +282,87 @@ object Graph {
     frontier.select(col("start"), col("walk"), col("path"))
   }
 
+  /** The k-core of an undirected graph — the maximal subgraph in which
+    * every node has degree ≥ k (Seidman 1983; the standard graph-cleanup
+    * / cohesion filter: everything outside the core is tree-like fringe).
+    * Computed by iterative peeling to the FIXPOINT: drop nodes with
+    * degree < k, restrict edges to survivors, repeat. The result is the
+    * true k-core regardless of peel order, so it is a pure function of
+    * the edge multiset — deterministic and oracle-replayable (an oracle
+    * unrolls more peels than the data needs; peeling a fixpoint is the
+    * identity, so over-unrolling is harmless).
+    *
+    * Scale shape: each round is ONE degree aggregate + one two-sided
+    * semi-join of the edge set against surviving nodes; the round's edge
+    * set is eagerly `localCheckpoint`ed (it is counted anyway for the
+    * fixpoint test), so plan depth stays constant however many peels the
+    * fringe cascade takes. Rounds are data-dependent but bounded by the
+    * longest elimination chain — O(peel depth), typically ≪ n.
+    *
+    * Output: (node: String, deg_in_core: Long) — core members with their
+    * within-core degrees; empty when no k-core exists. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 200): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var cur = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
+    var prev = -1L
+    var cnt = cur.count()
+    var round = 0
+    while (cnt != prev && cnt > 0 && round < maxIter) {
+      val keep = directedAdjacency(cur)
+        .groupBy("node").agg(count(lit(1)).as("_deg"))
+        .where(col("_deg") >= k)
+        .select(col("node"))
+      val nxt = cur
+        .join(keep.select(col("node").as("u")), Seq("u"))
+        .join(keep.select(col("node").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      prev = cnt
+      cnt = nxt.count()
+      cur = nxt
+      round += 1
+    }
+    directedAdjacency(cur)
+      .groupBy("node").agg(count(lit(1)).as("deg_in_core"))
+  }
+
+  /** Common-neighbor counts for node pairs — the classic link-prediction
+    * / related-items score (Liben-Nowell & Kleinberg 2003): pairs (a, b)
+    * with ≥ `minCommon` shared neighbors, counting only shared neighbors
+    * whose degree is ≤ `maxDeg`. The degree cap is the production
+    * approximation that makes this survive power-law graphs: a 10⁸-degree
+    * hub would otherwise contribute C(10⁸, 2) wedge pairs while carrying
+    * almost no similarity signal (co-occurring at a mega-hub is not
+    * evidence of relatedness — the same reasoning as IDF). With
+    * `maxDeg` ≥ the graph's max degree the counts are exact.
+    *
+    * Scale shape: wedge pairs are generated per qualifying CENTER, so the
+    * blow-up is bounded by maxDeg² per node; one map-side-combinable
+    * groupBy counts them. Deterministic — pure function of the edge
+    * multiset and the two thresholds.
+    *
+    * Output: (node_a, node_b, common: Long) with node_a < node_b. */
+  def commonNeighborPairs(edges: DataFrame, aCol: String, bCol: String,
+                          maxDeg: Int, minCommon: Int): DataFrame = {
+    require(maxDeg >= 1 && minCommon >= 1, "need maxDeg >= 1, minCommon >= 1")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adj = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
+      .persist(MEMORY_AND_DISK)
+    Dedup.register(Dedup.CacheHandle.of(adj))
+    val centers = adj.groupBy("node").agg(count(lit(1)).as("_deg"))
+      .where(col("_deg") <= maxDeg)
+      .select(col("node"))
+    val capped = adj.join(centers, Seq("node"))
+    val e1 = capped.select(col("node"), col("nbr").as("node_a"))
+    val e2 = capped.select(col("node"), col("nbr").as("node_b"))
+    e1.join(e2, Seq("node"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+  }
+
   /** Canonical undirected edge set shared by every undirected-graph op:
     * distinct (u, v) string pairs with u < v; nulls, self-loops,
     * duplicates and reversed duplicates all collapse here, so each op

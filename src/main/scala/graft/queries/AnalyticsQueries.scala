@@ -710,6 +710,43 @@ object AnalyticsQueries {
         .orderBy("lang")
     },
 
+    // ── q115: k-core extraction (k=3) over the REPEAT-co-purchase graph —
+    //    the standard graph-cleanup filter separating the cohesive core
+    //    from tree-like fringe (Seidman 1983). Iterative peeling to the
+    //    fixpoint in the engine (10 cascade rounds at sf0.01); the oracle
+    //    unrolls 16 peels — peeling a fixpoint is the identity, so the
+    //    over-unroll is harmless and the equality proves the engine found
+    //    the true core. ──
+    QueryDef("q115_kcore", KCoreOracleSql) { (s, d) =>
+      graft.ops.Graph.kCore(coPurchaseW2(s, d), "u", "v", k = 3)
+        .orderBy("node")
+    },
+
+    // ── q116: common-neighbor link prediction (Liben-Nowell–Kleinberg)
+    //    over the repeat-co-purchase graph: pairs sharing ≥ 2 neighbors,
+    //    counting only shared neighbors of degree ≤ 50 — the hub cap that
+    //    bounds wedge fan-out on power-law graphs (co-occurring at a
+    //    mega-hub is not relatedness evidence, the IDF argument). ──
+    QueryDef("q116_common_neighbors",
+      s"""WITH $CoPurchaseW2Ctes,
+         |adj AS (SELECT u AS node, v AS nbr FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT node, COUNT(*) AS dg FROM adj GROUP BY 1),
+         |centers AS (SELECT node FROM deg WHERE dg <= 50),
+         |capped AS (SELECT adj.node, adj.nbr FROM adj
+         |           JOIN centers USING (node)),
+         |w AS (SELECT e1.node, e1.nbr AS node_a, e2.nbr AS node_b
+         |      FROM capped e1 JOIN capped e2 ON e1.node = e2.node
+         |      WHERE e1.nbr < e2.nbr),
+         |cn AS (SELECT node_a, node_b, COUNT(*) AS common
+         |       FROM w GROUP BY 1, 2)
+         |SELECT node_a, node_b, common FROM cn WHERE common >= 2
+         |ORDER BY node_a, node_b""".stripMargin) { (s, d) =>
+      graft.ops.Graph.commonNeighborPairs(coPurchaseW2(s, d), "u", "v",
+          maxDeg = 50, minCommon = 2)
+        .orderBy("node_a", "node_b")
+    },
+
     // ── q113: time-series resampling with forward fill — regularize each
     //    user's irregular event stream onto a daily grid, carrying the
     //    last observation forward (the gap-filling step before any
@@ -834,6 +871,61 @@ object AnalyticsQueries {
       |und AS (
       |  SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
       |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk)""".stripMargin
+
+  /** The REPEAT-co-purchase graph (pairs co-occurring in ≥ 2 orders) —
+    * sparser and structured, used by q115/q116 where the full graph's
+    * homogeneity would make cores/overlaps degenerate. Spark builder +
+    * matching oracle CTEs, single definitions. */
+  private def coPurchaseW2(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("string").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  private lazy val CoPurchaseW2Ctes: String =
+    """pr AS (
+      |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+      |  FROM lineitem),
+      |und AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+      |    FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2)
+      |  WHERE w >= 2)""".stripMargin
+
+  /** q115's oracle: 16 unrolled peel rounds (peeling a fixpoint is the
+    * identity, so over-unrolling beyond the data's peel depth — 10 rounds
+    * at sf0.01 — is harmless). Every per-round CTE is MATERIALIZED:
+    * DuckDB inlines plain CTEs at each reference, and with e(i+1)
+    * referencing e(i) three times the inlined scan tree grows 3^16-fold —
+    * the un-materialized form exhausts file handles before it exhausts
+    * CPU. */
+  private lazy val KCoreOracleSql: String = {
+    val rounds = (0 until 16).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM
+         |  (SELECT u AS node FROM e$i UNION ALL SELECT v FROM e$i)
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= 3),
+         |e${i + 1} AS MATERIALIZED (SELECT e$i.u, e$i.v FROM e$i
+         |  JOIN k$i ku ON e$i.u = ku.node
+         |  JOIN k$i kv ON e$i.v = kv.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CoPurchaseW2Ctes,
+       |e0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$rounds
+       |SELECT node, COUNT(*) AS deg_in_core FROM
+       |  (SELECT u AS node FROM e16 UNION ALL SELECT v FROM e16)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
 
   /** q100's HLL alpha numerator (p=8), %.17g so the oracle embeds the
     * exact same double the Spark plan uses. */

@@ -309,6 +309,76 @@ class GraphSpec extends SparkSpec {
     assert(r0.forall(r => r.getString(2) == r.getString(0)))
   }
 
+  // ── k-core ─────────────────────────────────────────────────────────────
+
+  /** Reference peel-to-fixpoint. */
+  private def refKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (Seq(a, b).min, Seq(a, b).max)
+    }.distinct
+    var adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    var done = false
+    while (!done) {
+      val drop = adj.collect { case (n, s) if s.size < k => n }.toSet
+      if (drop.isEmpty) done = true
+      else adj = adj.collect { case (n, s) if !drop(n) => n -> (s -- drop) }
+    }
+    adj.map { case (n, s) => n -> s.size }
+  }
+
+  private def runKCore(edges: Seq[(String, String)], k: Int,
+                       parts: Int = 3): Map[String, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("a", "b").repartition(parts), "a", "b", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: cascading fringe peels to the true core; empty when none") {
+    // Triangle (x,y,z) with a 3-node tail hanging off x: the tail peels
+    // over THREE cascade rounds (t3 -> t2 -> t1), the triangle survives.
+    val g = Seq(("x", "y"), ("y", "z"), ("x", "z"),
+      ("x", "t1"), ("t1", "t2"), ("t2", "t3"))
+    assert(runKCore(g, 2) == Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+    // k=3: the triangle itself dies -> empty result.
+    assert(runKCore(g, 3) == Map.empty[String, Long])
+    // k=1 keeps everything (degrees recomputed within the core).
+    assert(runKCore(g, 1).keySet ==
+      Set("x", "y", "z", "t1", "t2", "t3"))
+  }
+
+  test("kCore: matches reference peeling on a seeded random graph") {
+    val rnd = new scala.util.Random(23)
+    val nodes = (0 until 40).map(i => s"k$i")
+    val edges = for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.08
+    } yield (nodes(i), nodes(j))
+    for (k <- Seq(2, 3)) {
+      val exp = refKCore(edges, k).map { case (n, d) => n -> d.toLong }
+      assert(runKCore(edges, k) == exp, s"k=$k")
+      assert(runKCore(edges, k, parts = 1) == exp, s"k=$k layout")
+    }
+  }
+
+  // ── common neighbors ───────────────────────────────────────────────────
+
+  test("commonNeighborPairs: exact counts under a high cap; hub cap excludes") {
+    import spark.implicits._
+    // square a-b-c-d-a plus diagonal-ish wing: a and c share {b, d}.
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    def run(maxDeg: Int, minCommon: Int) =
+      Graph.commonNeighborPairs(g.toDF("x", "y"), "x", "y", maxDeg, minCommon)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    assert(run(10, 2) == Map(("a", "c") -> 2L, ("b", "d") -> 2L))
+    // adjacent pairs (a,b) etc. share NO neighbors on a square — only the
+    // two diagonals appear even at minCommon=1
+    assert(run(10, 1) == Map(("a", "c") -> 2L, ("b", "d") -> 2L))
+    // hub cap: center degree 2 everywhere; cap below it removes all wedges
+    assert(run(1, 1).isEmpty)
+  }
+
   test("triangleCounts: hub node — orientation keeps the hub wedge-free") {
     // Star hub h--l0..l59 plus one triangle (h, l0, l1): the hub's high
     // degree orients all its edges inward, so wedges centered at h are
