@@ -317,6 +317,22 @@ object ScaleSmoke {
         walksPerNode = 1, walkLen = 4).count()
       println(f"random_walks_200k_x4: walks=$nrw " +
         f"time=${(System.nanoTime()-trw)/1e9}%.1f s")
+      // k-core: within-block degree ~9.5, so k=8 peels the per-block tail
+      // with a multi-round cascade; per-round cost is one aggregate + one
+      // semi-join over the surviving edges.
+      val tkc = System.nanoTime()
+      val nkc = graft.ops.Graph.kCore(ug, "a", "b", k = 8).count()
+      println(f"kcore_1m_edges_k8: core_nodes=$nkc " +
+        f"time=${(System.nanoTime()-tkc)/1e9}%.1f s")
+      // Common neighbors with the hub cap: the 47k-degree hub is excluded
+      // as a wedge center, so pair generation stays bounded by maxDeg^2
+      // per node.
+      val tcn = System.nanoTime()
+      val ncn = graft.ops.Graph.commonNeighborPairs(ug, "a", "b",
+        maxDeg = 50, minCommon = 3).count()
+      println(f"common_neighbors_1m_edges: pairs=$ncn " +
+        f"time=${(System.nanoTime()-tcn)/1e9}%.1f s")
+      graft.ops.Dedup.releaseCaches()
     }
 
     if (sections("sketches")) {
