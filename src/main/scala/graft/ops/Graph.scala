@@ -323,6 +323,11 @@ object Graph {
       cur = nxt
       round += 1
     }
+    // A silent truncation would report sub-k-degree nodes as core members;
+    // the contract is the TRUE k-core, so non-convergence fails loudly.
+    require(cnt == prev || cnt == 0,
+      s"kCore: no fixpoint after $maxIter rounds ($cnt edges remain); " +
+        "raise maxIter — peel depth equals the longest elimination chain")
     directedAdjacency(cur)
       .groupBy("node").agg(count(lit(1)).as("deg_in_core"))
   }

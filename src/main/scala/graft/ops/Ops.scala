@@ -343,12 +343,14 @@ object Ops {
     * fingerprint of `contentCols` (never the content itself — at scale
     * both sides reduce to (id, 16-byte fp) at their scans, and the single
     * full-outer shuffle join carries fingerprints only; bucket both
-    * snapshots by id to make it co-located). `contentCols` are
-    * stringified, nulls replaced with a U+0002 sentinel, and joined with
-    * U+0001 before hashing — a null→''/''→null or null-position flip is
-    * a CHANGE (an earlier draft let concat_ws skip nulls, which reported
-    * such rows 'unchanged'; under-detection is exactly the unsafe
-    * direction for a delta-reprocessing primitive). `idCol` must be
+    * snapshots by id to make it co-located). `contentCols` are encoded
+    * SELF-DELIMITING before hashing — null → "n:", value v →
+    * "v<len>:<v>" — so no value can imitate a null, no null a value,
+    * and no field content can smear across a field boundary: fingerprint
+    * equality ⇔ per-field content equality, exactly (an earlier draft
+    * let concat_ws skip nulls, which reported null transitions
+    * 'unchanged'; under-detection is the unsafe direction for a
+    * delta-reprocessing primitive). `idCol` must be
     * unique within each snapshot
     * (the usual snapshot invariant); duplicate ids would cross-multiply
     * in the join and over-report the delta. */
@@ -357,9 +359,12 @@ object Ops {
     require(contentCols.nonEmpty, "snapshotDiff needs at least 1 content col")
     def fp(df: DataFrame, name: String) = df.select(
       col(idCol),
-      md5(concat_ws("\u0001",
-        contentCols.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      md5(concat(
+        contentCols.map { c =>
+          val v = col(c).cast("string")
+          when(v.isNull, lit("n:"))
+            .otherwise(concat(lit("v"), length(v), lit(":"), v))
+        }: _*)
         .cast("binary")).as(name))
     fp(oldDf, "_fp_old")
       .join(fp(newDf, "_fp_new"), Seq(idCol), "full_outer")

@@ -159,12 +159,15 @@ object Sketches {
     require(hi > lo && bins >= 1, s"bad histogram [$lo,$hi)/$bins")
     val w = (hi - lo) / bins
     // NaN would make floor() NaN and the ANSI long cast throw mid-job;
-    // drop NaN with the nulls (a NaN measurement has no bin).
+    // drop NaN with the nulls (a NaN measurement has no bin). The clamp
+    // happens in DOUBLE space BEFORE the cast: +/-Infinity and huge
+    // finite values must clamp to the edge bins as documented, not blow
+    // up the ANSI double->long cast.
     df.where(col(valueCol).isNotNull &&
         !isnan(col(valueCol).cast("double")))
       .select(least(greatest(
-          floor((col(valueCol).cast("double") - lo) / w).cast("long"),
-          lit(0L)), lit(bins - 1L)).cast("int").as("bin"))
+          floor((col(valueCol).cast("double") - lo) / w),
+          lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
 

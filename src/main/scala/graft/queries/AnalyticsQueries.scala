@@ -716,7 +716,10 @@ object AnalyticsQueries {
     //    fixpoint in the engine (10 cascade rounds at sf0.01); the oracle
     //    unrolls 16 peels — peeling a fixpoint is the identity, so the
     //    over-unroll is harmless and the equality proves the engine found
-    //    the true core. ──
+    //    the true core. NOTE: the 16-round unroll is a FIXTURE constant
+    //    with a 1.6x margin over the observed depth; a fixture whose peel
+    //    cascade exceeds 16 rounds would need KCoreOracleSql's constant
+    //    raised (the engine side is depth-independent). ──
     QueryDef("q115_kcore", KCoreOracleSql) { (s, d) =>
       graft.ops.Graph.kCore(coPurchaseW2(s, d), "u", "v", k = 3)
         .orderBy("node")
@@ -770,11 +773,15 @@ object AnalyticsQueries {
         |FROM grid g ASOF LEFT JOIN e
         |  ON g.user_id = e.user_id AND g.day >= e.obs_day
         |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      // persisted: the observation table feeds BOTH the span/grid branch
+      // and the as-of fill side — without it the events scan + per-day
+      // aggregate runs twice (the q109 double-scan lesson).
       val obs = graft.queries.RelationalQueries.eventsNs(s, d)
         .select(col("user_id"),
           Tables.floorDiv("ts", 86400000000000L).as("obs_day"),
           col("value"))
         .groupBy("user_id", "obs_day").agg(max("value").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grid = obs.groupBy("user_id")
         .agg(min("obs_day").as("lo"), max("obs_day").as("hi"))
         .select(col("user_id"),

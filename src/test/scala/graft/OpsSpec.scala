@@ -346,5 +346,10 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "changed",
       4L -> "unchanged"))
+    // no string value can imitate null: "n:" as DATA != null field
+    val o2 = Seq((9L, Option.empty[String])).toDF("id", "f1")
+    val n2 = Seq((9L, Option("n:"))).toDF("id", "f1")
+    assert(Ops.snapshotDiff(o2, n2, "id", Seq("f1"))
+      .head().getString(1) == "changed")
   }
 }
