@@ -151,11 +151,12 @@ object Sketches {
 
   // ── Mergeable fixed-bin histogram + quantile estimate ────────────────
 
-  /** Fixed-bin histogram of a numeric column over [lo, hi):
-    * `(bin INT, cnt BIGINT)`, non-empty bins only; out-of-range values
-    * clamp to the edge bins. Map-side combinable to ≤ bins rows. */
+  /** Fixed-bin histogram of a numeric column over [lo, hi), optionally
+    * PER GROUP: `(keyCols*, bin INT, cnt BIGINT)`, non-empty bins only;
+    * out-of-range values clamp to the edge bins. Map-side combinable to
+    * ≤ groups × bins rows. */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
-                bins: Int): DataFrame = {
+                bins: Int, keyCols: Seq[String] = Nil): DataFrame = {
     require(hi > lo && bins >= 1, s"bad histogram [$lo,$hi)/$bins")
     val w = (hi - lo) / bins
     // NaN would make floor() NaN and the ANSI long cast throw mid-job;
@@ -165,45 +166,58 @@ object Sketches {
     // up the ANSI double->long cast.
     df.where(col(valueCol).isNotNull &&
         !isnan(col(valueCol).cast("double")))
-      .select(least(greatest(
+      .select(keyCols.map(col) :+ least(greatest(
           floor((col(valueCol).cast("double") - lo) / w),
-          lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+          lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"): _*)
+      .groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Merge two histograms of the same shape: per-bin sum. */
-  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+  /** Merge two histograms of the same shape: per-(key, bin) sum. */
+  def histMerge(a: DataFrame, b: DataFrame,
+                keyCols: Seq[String] = Nil): DataFrame =
+    a.unionByName(b).groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
 
-  /** Quantile estimates from a (merged) histogram by linear interpolation
-    * inside the containing bin: `(q DOUBLE, est DOUBLE)` rounded to 6 dp.
-    * The histogram is sketch-sized, so the rank scan is one tiny sorted
-    * pass; estimates are within one bin width of the exact quantile. */
+  /** Quantile estimates from a (merged, possibly per-group) histogram by
+    * linear interpolation inside the containing bin:
+    * `(keyCols*, q DOUBLE, est DOUBLE)` rounded to 6 dp, one row per
+    * group × probe. The histogram is sketch-sized, so the cumulative
+    * window runs over ≤ bins rows per group (partitioned on the keys —
+    * groups never serialize onto one task); estimates are within one bin
+    * width of the exact group quantile. */
   def histQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double, hi: Double,
-                    bins: Int): DataFrame = {
+                    bins: Int, keyCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs $qs")
     val w = (hi - lo) / bins
     val spark = hist.sparkSession
     import spark.implicits._
-    // cum over ≤ `bins` rows: the unpartitioned window is sketch-sized by
-    // construction, not data-sized.
-    val win = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist.select(col("bin"), col("cnt"),
-      sum(col("cnt")).over(win).as("cum"))
-    val n = hist.agg(sum(col("cnt")).as("n"))
+    // cum carries its keys under collision-proof names so the probe join
+    // below can equate them without ambiguous references.
+    val ck = keyCols.indices.map(i => s"_ck$i")
+    val cum = hist.select(
+      keyCols.zip(ck).map { case (k, a) => col(k).as(a) } ++
+        Seq(col("bin"), col("cnt"), sum(col("cnt")).over(win).as("cum")): _*)
+    val n = hist.groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("n"))
     val probes = qs.toDF("q")
-    // (cum - cnt, cum] intervals tile (0, n]; t = q·n lands in exactly one.
+    // (cum - cnt, cum] intervals tile (0, n] per group; t = q·n lands in
+    // exactly one.
+    val interval = (col("cum") - col("cnt")).cast("double") < col("t") &&
+      col("t") <= col("cum").cast("double")
+    val joinCond = keyCols.zip(ck)
+      .map { case (k, a) => col(k) === col(a) }
+      .foldLeft(interval)(_ && _)
     probes.crossJoin(broadcast(n))
       .withColumn("t", col("q") * col("n").cast("double"))
-      .join(broadcast(cum),
-        (col("cum") - col("cnt")).cast("double") < col("t") &&
-          col("t") <= col("cum").cast("double"))
-      .select(col("q"),
+      .join(broadcast(cum), joinCond)
+      .select(keyCols.map(col) ++ Seq(col("q"),
         round(lit(lo) + lit(w) *
             (col("bin") +
               (col("t") - (col("cum") - col("cnt")).cast("double")) /
-                col("cnt").cast("double")), 6).as("est"))
+                col("cnt").cast("double")), 6).as("est")): _*)
   }
 }

@@ -750,6 +750,43 @@ object AnalyticsQueries {
         .orderBy("node_a", "node_b")
     },
 
+    // ── q117: per-group histogram quantiles — the mergeable-sketch
+    //    counterpart of q44's EXACT per-priority quantiles: per-group
+    //    histograms are group×bins-bounded, merge by per-(key,bin) sum,
+    //    and the cumulative window partitions on the group key so no
+    //    task ever sees more than one group's 1000 bins. ──
+    QueryDef("q117_grouped_quantiles",
+      """WITH h AS (
+        |  SELECT o_orderpriority,
+        |    LEAST(GREATEST(CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |      / 500.0) AS BIGINT), 0), 999) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |hist AS (SELECT o_orderpriority, bin, COUNT(*) AS cnt
+        |         FROM h GROUP BY 1, 2),
+        |cum AS (SELECT o_orderpriority, bin, cnt,
+        |          SUM(cnt) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY bin) AS cum
+        |        FROM hist),
+        |n AS (SELECT o_orderpriority, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |probes AS (SELECT CAST(q AS DOUBLE) AS q FROM
+        |  (VALUES (0.5), (0.9), (0.99)) t(q))
+        |SELECT n.o_orderpriority, q,
+        |  round(0.0 + 500.0 * (bin +
+        |    (q * CAST(n.n AS DOUBLE) - CAST(cum.cum - cum.cnt AS DOUBLE))
+        |      / CAST(cum.cnt AS DOUBLE)), 6) AS est
+        |FROM probes CROSS JOIN n JOIN cum
+        |  ON cum.o_orderpriority = n.o_orderpriority
+        | AND CAST(cum.cum - cum.cnt AS DOUBLE) < q * CAST(n.n AS DOUBLE)
+        | AND q * CAST(n.n AS DOUBLE) <= CAST(cum.cum AS DOUBLE)
+        |ORDER BY n.o_orderpriority, q""".stripMargin) { (s, d) =>
+      val keys = Seq("o_orderpriority")
+      val hist = graft.ops.Sketches.histogram(Tables.orders(s, d),
+        "o_totalprice", lo = 0.0, hi = 500000.0, bins = 1000, keyCols = keys)
+      graft.ops.Sketches.histQuantiles(hist, Seq(0.5, 0.9, 0.99),
+          lo = 0.0, hi = 500000.0, bins = 1000, keyCols = keys)
+        .orderBy("o_orderpriority", "q")
+    },
+
     // ── q113: time-series resampling with forward fill — regularize each
     //    user's irregular event stream onto a daily grid, carrying the
     //    last observation forward (the gap-filling step before any

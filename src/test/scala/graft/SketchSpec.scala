@@ -138,8 +138,42 @@ class SketchSpec extends SparkSpec {
     }
     val merged = (0 until 4).map(k =>
         Sketches.histogram(df.where(col("shard") === k), "x", lo, hi, bins))
-      .reduce(Sketches.histMerge)
+      .reduce(Sketches.histMerge(_, _))
     assert(merged.collect().toSet == hist.collect().toSet)
+  }
+
+  test("grouped histogram: per-group merge law and per-group quantile bound") {
+    import graft.ops.Sketches
+    // two groups with different distributions: g=0 uniform, g=1 squared
+    val df = spark.range(0, 40000, 1, 8).selectExpr(
+      "CAST(id % 2 AS STRING) AS g",
+      "CASE WHEN id % 2 = 0 THEN CAST(id AS DOUBLE) / 2.0 " +
+        "ELSE CAST(id AS DOUBLE) * CAST(id AS DOUBLE) / 40000.0 END AS x",
+      "CAST(id % 4 AS INT) AS shard")
+    val (lo, hi, bins) = (0.0, 40000.0, 100)
+    val w = (hi - lo) / bins
+    val hist = Sketches.histogram(df, "x", lo, hi, bins, keyCols = Seq("g"))
+    // merge law with keys
+    val merged = (0 until 4).map(k =>
+        Sketches.histogram(df.where(col("shard") === k), "x", lo, hi, bins,
+          keyCols = Seq("g")))
+      .reduce(Sketches.histMerge(_, _, keyCols = Seq("g")))
+    assert(merged.collect().toSet == hist.collect().toSet)
+    // per-group quantiles within one bin width of the group's exact value
+    val est = Sketches.histQuantiles(hist, Seq(0.5, 0.9), lo, hi, bins,
+        keyCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for (g <- Seq("0", "1"); q <- Seq(0.5, 0.9)) {
+      val xs = df.where(col("g") === g).select("x")
+        .collect().map(_.getDouble(0)).sorted
+      val exact = xs((q * xs.length).toInt min (xs.length - 1))
+      assert(math.abs(est((g, q)) - exact) <= w,
+        s"g=$g q=$q est=${est((g, q))} exact=$exact")
+    }
+    // group q90s must differ (uniform ~18000, squared ~32400 — the
+    // medians coincide by construction: (0.5*40000)^2/40000 = 10000)
+    assert(math.abs(est(("0", 0.9)) - est(("1", 0.9))) > 10 * w)
   }
 
   test("approx_percentile lands within rank tolerance of the exact percentile") {
