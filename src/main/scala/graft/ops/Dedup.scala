@@ -966,7 +966,7 @@ object Dedup {
   }
 
   /** Register op-internal persisted frames with the library cache registry
-    * (for sibling ops in this package, e.g. [[Multimodal]]). */
-  private[ops] def registerCaches(frames: DataFrame*): Unit =
+    * (for sibling ops and query definitions, e.g. [[Multimodal]], q113). */
+  private[graft] def registerCaches(frames: DataFrame*): Unit =
     openHandles.add(CacheHandle.of(frames.toIndexedSeq: _*))
 }

@@ -50,10 +50,14 @@ object Graph {
     * with map-side partial aggregation on the contrib sum. The dangling
     * mass is a one-row aggregate broadcast back (`crossJoin(broadcast)`),
     * never a driver round-trip; N is the only driver scalar (one O(1)
-    * count on the persisted node table). Rank lineage is truncated with
-    * `localCheckpoint` every `checkpointEvery` rounds, same contract as
-    * the CC loop — without it a 50-iteration plan tree chokes the
-    * analyzer long before data size matters.
+    * count on the persisted node table). Rank lineage is truncated every
+    * `checkpointEvery` rounds, same contract as the CC loop — without it
+    * a 50-iteration plan tree chokes the analyzer long before data size
+    * matters. `checkpointDir` picks the truncation medium (see
+    * [[RoundStore]]): default `localCheckpoint` (fast, but truncated
+    * lineage dies with a lost executor); set it to reliable storage for
+    * production multi-iteration runs — one preempted executor must not
+    * kill a 50-iteration job.
     *
     * Output: (node: String, rank_units: Long) — rank in `scale` units.
     */
@@ -61,9 +65,10 @@ object Graph {
                          wCol: String, iters: Int,
                          scale: Long = 1000000000000L,
                          dampNum: Long = 85L, dampDen: Long = 100L,
-                         checkpointEvery: Int = 8): DataFrame =
+                         checkpointEvery: Int = 8,
+                         checkpointDir: Option[String] = None): DataFrame =
     pprLoop(edges, srcCol, dstCol, wCol, iters, None, scale,
-      dampNum, dampDen, checkpointEvery)
+      dampNum, dampDen, checkpointEvery, checkpointDir)
 
   /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: identical
     * recurrence, but teleport mass (the base term AND the dangling
@@ -80,9 +85,10 @@ object Graph {
                            wCol: String, seedPred: Column, iters: Int,
                            scale: Long = 1000000000000L,
                            dampNum: Long = 85L, dampDen: Long = 100L,
-                           checkpointEvery: Int = 8): DataFrame =
+                           checkpointEvery: Int = 8,
+                           checkpointDir: Option[String] = None): DataFrame =
     pprLoop(edges, srcCol, dstCol, wCol, iters, Some(seedPred), scale,
-      dampNum, dampDen, checkpointEvery)
+      dampNum, dampDen, checkpointEvery, checkpointDir)
 
   /** Per-node triangle counts over an undirected graph given as an edge
     * list (either direction, duplicates and self-loops tolerated — the
@@ -173,15 +179,17 @@ object Graph {
     * with the current E-small label table on the neighbor key plus ONE
     * two-level aggregate ((node,label) count, then per-node argmax via
     * min(struct(-cnt, label)) — map-side combinable, window-free). Label
-    * lineage is truncated with localCheckpoint every `checkpointEvery`
-    * rounds, same contract as the PageRank loop.
+    * lineage is truncated every `checkpointEvery` rounds, same contract
+    * (and same `checkpointDir` reliable-storage option) as the PageRank
+    * loop.
     *
     * Output: (node: String, label: String) — one row per graph node;
     * label null where no seed's influence has reached. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        seeds: DataFrame, seedNodeCol: String,
                        seedLabelCol: String, iters: Int,
-                       checkpointEvery: Int = 8): DataFrame = {
+                       checkpointEvery: Int = 8,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // directed adjacency, each undirected edge once per direction; a
@@ -198,6 +206,7 @@ object Graph {
       .persist(MEMORY_AND_DISK)
 
     Dedup.register(Dedup.CacheHandle.of(adj, nodes))
+    val store = new RoundStore(checkpointDir, "labels")
     var labels = nodes.select(col("node"), col("_seed").as("label"))
     var round = 0
     while (round < iters) {
@@ -220,7 +229,7 @@ object Graph {
           coalesce(col("_seed"), col("_voted"), col("_prev")).as("label"))
       round += 1
       labels = if (round % checkpointEvery == 0 && round < iters)
-        next.localCheckpoint() else next
+        store.truncate(next) else next
     }
     labels
   }
@@ -236,9 +245,19 @@ object Graph {
     *
     * Scale shape: the adjacency-list table (node → sorted nbr array) is
     * built once and persisted; each step is ONE hash join of the
-    * walk-frontier (N·walksPerNode rows) against it, L steps = L joins —
-    * the standard distributed walk loop. Walk state lineage is truncated
-    * with localCheckpoint every `checkpointEvery` steps. NOTE for
+    * walk-frontier (N·walksPerNode rows of (start, walk, cur) — hop
+    * state only, NEVER the accumulated path) against it, L steps =
+    * L joins — the standard distributed walk loop. Each hop emits its
+    * (start, walk, t, node) rows into an accumulating hop table instead
+    * of dragging a growing path string through every join (which would
+    * shuffle O(walkLen²) bytes per walk and inflate frontier-join skew
+    * at DeepWalk-scale walk lengths of 40–80); paths are assembled ONCE
+    * at the end by a single groupBy + in-group sort on t. Stepped
+    * frontiers are persisted (each hop's rows are computed exactly once
+    * even though both the next hop and the final assembly read them) and
+    * both the frontier and the hop table are lineage-truncated every
+    * `checkpointEvery` steps — with the same `checkpointDir`
+    * reliable-storage option as the PageRank loop. NOTE for
     * power-law graphs: the neighbor ARRAY of a celebrity node is held in
     * one row; beyond ~10⁶ neighbors, pre-cap the adjacency (e.g. keep the
     * maxDegree smallest md5-60(nbr) per node — itself deterministic)
@@ -248,7 +267,8 @@ object Graph {
     * space-joined node sequence, walkLen+1 nodes. */
   def randomWalks(edges: DataFrame, aCol: String, bCol: String,
                   walksPerNode: Int, walkLen: Int,
-                  checkpointEvery: Int = 8): DataFrame = {
+                  checkpointEvery: Int = 8,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(walksPerNode >= 1 && walkLen >= 0, "need walks >= 1, len >= 0")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val adjl = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
@@ -257,11 +277,16 @@ object Graph {
       .persist(MEMORY_AND_DISK)
 
     Dedup.register(Dedup.CacheHandle.of(adjl))
+    val fStore = new RoundStore(checkpointDir, "walk_frontier")
+    val hStore = new RoundStore(checkpointDir, "walk_hops")
     var frontier = adjl.select(col("node").as("start"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
       .select(col("start"), col("walk").cast("int").as("walk"),
-        col("start").as("cur"), col("start").as("path"))
+        col("start").as("cur"))
+    var hops = frontier.select(col("start"), col("walk"),
+      lit(0).as("t"), col("cur").as("node"))
 
+    val stepCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var t = 0
     while (t < walkLen) {
       val key = concat(col("start"), lit(":"), col("walk").cast("string"),
@@ -271,15 +296,26 @@ object Graph {
         .select(col("start"), col("walk"),
           element_at(col("nbrs"),
             (pmod(Dedup.md5Hash60(key), size(col("nbrs")).cast("long")) + 1)
-              .cast("int")).as("_next"),
-          col("path"))
-        .select(col("start"), col("walk"), col("_next").as("cur"),
-          concat(col("path"), lit(" "), col("_next")).as("path"))
+              .cast("int")).as("cur"))
+        .persist(MEMORY_AND_DISK)
+      stepCaches += stepped
+      hops = hops.unionAll(stepped.select(col("start"), col("walk"),
+        lit(t + 1).as("t"), col("cur").as("node")))
       t += 1
-      frontier = if (t % checkpointEvery == 0 && t < walkLen)
-        stepped.localCheckpoint() else stepped
+      if (t % checkpointEvery == 0 && t < walkLen) {
+        frontier = fStore.truncate(stepped)
+        hops = hStore.truncate(hops)
+      } else frontier = stepped
     }
-    frontier.select(col("start"), col("walk"), col("path"))
+    Dedup.register(Dedup.CacheHandle.of(stepCaches.toSeq: _*))
+    // One shuffle carries each hop row exactly once; t is unique within a
+    // (start, walk) group, so the struct sort is a total order and the
+    // assembled path is deterministic under any collect_list order.
+    hops.groupBy(col("start"), col("walk"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("t"), col("node")))),
+          x => x.getField("node")), " ").as("path"))
+      .select(col("start"), col("walk"), col("path"))
   }
 
   /** The k-core of an undirected graph — the maximal subgraph in which
@@ -294,17 +330,26 @@ object Graph {
     *
     * Scale shape: each round is ONE degree aggregate + one two-sided
     * semi-join of the edge set against surviving nodes; the round's edge
-    * set is eagerly `localCheckpoint`ed (it is counted anyway for the
-    * fixpoint test), so plan depth stays constant however many peels the
+    * set is eagerly truncated (it is counted anyway for the fixpoint
+    * test; default `localCheckpoint`, reliable `checkpointDir` for
+    * production runs — same contract as the PageRank loop), so plan
+    * depth stays constant however many peels the
     * fringe cascade takes. Rounds are data-dependent but bounded by the
     * longest elimination chain — O(peel depth), typically ≪ n.
     *
     * Output: (node: String, deg_in_core: Long) — core members with their
     * within-core degrees; empty when no k-core exists. */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            maxIter: Int = 200): DataFrame = {
+            maxIter: Int = 200,
+            checkpointDir: Option[String] = None): DataFrame =
+    kCoreCanon(canonicalUndirected(edges, aCol, bCol), k, maxIter,
+      checkpointDir)
+
+  private def kCoreCanon(canon: DataFrame, k: Int, maxIter: Int,
+                         checkpointDir: Option[String]): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var cur = canonicalUndirected(edges, aCol, bCol).localCheckpoint()
+    val store = new RoundStore(checkpointDir, "kcore")
+    var cur = store.truncate(canon)
     var prev = -1L
     var cnt = cur.count()
     var round = 0
@@ -313,11 +358,10 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("_deg"))
         .where(col("_deg") >= k)
         .select(col("node"))
-      val nxt = cur
+      val nxt = store.truncate(cur
         .join(keep.select(col("node").as("u")), Seq("u"))
         .join(keep.select(col("node").as("v")), Seq("v"))
-        .select(col("u"), col("v"))
-        .localCheckpoint()
+        .select(col("u"), col("v")))
       prev = cnt
       cnt = nxt.count()
       cur = nxt
@@ -350,11 +394,16 @@ object Graph {
     * Output: (node_a, node_b, common: Long) with node_a < node_b. */
   def commonNeighborPairs(edges: DataFrame, aCol: String, bCol: String,
                           maxDeg: Int, minCommon: Int): DataFrame = {
-    require(maxDeg >= 1 && minCommon >= 1, "need maxDeg >= 1, minCommon >= 1")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val adj = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
       .persist(MEMORY_AND_DISK)
     Dedup.register(Dedup.CacheHandle.of(adj))
+    commonNeighborsFromAdj(adj, maxDeg, minCommon)
+  }
+
+  private def commonNeighborsFromAdj(adj: DataFrame, maxDeg: Int,
+                                     minCommon: Int): DataFrame = {
+    require(maxDeg >= 1 && minCommon >= 1, "need maxDeg >= 1, minCommon >= 1")
     val centers = adj.groupBy("node").agg(count(lit(1)).as("_deg"))
       .where(col("_deg") <= maxDeg)
       .select(col("node"))
@@ -367,6 +416,78 @@ object Graph {
       .agg(count(lit(1)).as("common"))
       .where(col("common") >= minCommon)
   }
+
+  // ── persisted graph spine (fit-once / serve-many) ──────────────────────
+
+  /** Write the graph's canonical spine ONCE — the fit-once/serve-many
+    * contract the ANN tier established ([[Similarity.ivfIndex]] persists,
+    * `ivfTopKAgainstIndex` serves), applied to graphs: every
+    * `*AgainstIndex` op below starts from these tables instead of
+    * re-running canonicalize (cast → null/self-loop filter → least/
+    * greatest → distinct, a full shuffle of the raw edge list) per query.
+    * Two bucketed+sorted managed parquet tables are written:
+    *
+    *  - `<prefix>_edges` — the canonical undirected edge set (u, v) with
+    *    u < v, bucketed by u: the input shape of [[kCore]] peeling and of
+    *    the doubled-edge PageRank below;
+    *  - `<prefix>_adj` — the directed adjacency (node, nbr), bucketed AND
+    *    sorted by node: groupBy(node)/join(node) consumers (degrees,
+    *    wedge generation, frontier joins) plan without an exchange on the
+    *    bucket key.
+    *
+    * Size `buckets` so one adjacency bucket fits a task (the
+    * [[graft.sources.Bucketed]] sizing rule); all consumers of one spine
+    * see the same bucketing, so repeated graph queries amortize the
+    * canonicalization shuffle to zero — the q73/q94 storage contract. */
+  def graphIndex(edges: DataFrame, aCol: String, bCol: String,
+                 tablePrefix: String, buckets: Int = 32): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = canonicalUndirected(edges, aCol, bCol).persist(MEMORY_AND_DISK)
+    graft.sources.Bucketed.writeBucketed(canon, s"${tablePrefix}_edges",
+      "u", buckets, Seq("u", "v"))
+    graft.sources.Bucketed.writeBucketed(directedAdjacency(canon),
+      s"${tablePrefix}_adj", "node", buckets, Seq("node", "nbr"))
+    canon.unpersist(blocking = false)
+    ()
+  }
+
+  /** Fixed-point PageRank over a persisted spine: each canonical
+    * undirected edge contributes BOTH unit-weight directions (the
+    * standard undirected-PageRank convention — no dangling nodes exist,
+    * every spine node has ≥ 1 neighbor). Bit-identical to
+    * `pageRankFixedPoint` on the doubled canonical edge list (spec-pinned),
+    * minus the per-query canonicalization. */
+  def pageRankAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           tablePrefix: String, iters: Int,
+                           scale: Long = 1000000000000L,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           checkpointEvery: Int = 8,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    val und = spark.table(s"${tablePrefix}_edges")
+    val both = und.select(col("u").as("src"), col("v").as("dst"),
+        lit(1L).as("w"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
+        lit(1L).as("w")))
+    pprLoop(both, "src", "dst", "w", iters, None, scale, dampNum, dampDen,
+      checkpointEvery, checkpointDir)
+  }
+
+  /** [[kCore]] served from a persisted spine — peeling starts directly on
+    * the stored canonical edge table. */
+  def kCoreAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        tablePrefix: String, k: Int, maxIter: Int = 200,
+                        checkpointDir: Option[String] = None): DataFrame =
+    kCoreCanon(spark.table(s"${tablePrefix}_edges"), k, maxIter,
+      checkpointDir)
+
+  /** [[commonNeighborPairs]] served from a persisted spine — the degree
+    * aggregate and both wedge legs read the bucketed adjacency with no
+    * exchange on `node`. */
+  def commonNeighborPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                      tablePrefix: String, maxDeg: Int,
+                                      minCommon: Int): DataFrame =
+    commonNeighborsFromAdj(spark.table(s"${tablePrefix}_adj"), maxDeg,
+      minCommon)
 
   /** Canonical undirected edge set shared by every undirected-graph op:
     * distinct (u, v) string pairs with u < v; nulls, self-loops,
@@ -392,7 +513,8 @@ object Graph {
   private def pprLoop(edges: DataFrame, srcCol: String, dstCol: String,
                       wCol: String, iters: Int, seedPred: Option[Column],
                       scale: Long, dampNum: Long, dampDen: Long,
-                      checkpointEvery: Int): DataFrame = {
+                      checkpointEvery: Int,
+                      checkpointDir: Option[String]): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need scale > 0 and 0 <= dampNum <= dampDen")
@@ -437,6 +559,7 @@ object Graph {
     val seedBase = when(col("_seed"), lit(base)).otherwise(lit(0L))
     val r0 = when(col("_seed"), lit(scale / nSeed)).otherwise(lit(0L))
 
+    val store = new RoundStore(checkpointDir, "pagerank")
     var r = nodes.select(col("node"), col("wout"), col("_seed"), r0.as("r"))
     var round = 0
     while (round < iters) {
@@ -460,8 +583,38 @@ object Graph {
               s"if(_seed, _d div ${nSeed}L, 0L))) div $dampDen")).as("r"))
       round += 1
       r = if (round % checkpointEvery == 0 && round < iters)
-        next.localCheckpoint() else next
+        store.truncate(next) else next
     }
     r.select(col("node"), col("r").as("rank_units"))
+  }
+
+  /** Lineage truncation for the iterative loops. Default (`dir` = None):
+    * eager `localCheckpoint` — fast, but the truncated lineage CANNOT be
+    * recomputed after executor loss, so it is a local[N]/interactive
+    * configuration. With `dir` set: each truncation is written to that
+    * directory (reliable storage — HDFS/S3 on a real cluster) and read
+    * back, so a 1000-executor 50-iteration job survives preemption and
+    * resumes from the last written round. Superseded truncations are
+    * deleted as the loop advances; the FINAL truncation's files back the
+    * returned frame, so the caller owns deleting the directory after
+    * consuming the result — the same contract as
+    * [[Dedup.connectedComponents]]'s `checkpointDir`. */
+  private final class RoundStore(dir: Option[String], tag: String) {
+    private var round = 0
+    private var prev: Option[org.apache.hadoop.fs.Path] = None
+    def truncate(df: DataFrame): DataFrame = dir match {
+      case Some(d) =>
+        val spark = df.sparkSession
+        val path = s"$d/${tag}_$round"; round += 1
+        df.write.mode("overwrite").parquet(path)
+        val out = spark.read.parquet(path)
+        // The new round is fully written (it was computed FROM the prior
+        // round during the write above), so the superseded files can go.
+        prev.foreach(p => p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).delete(p, true))
+        prev = Some(new org.apache.hadoop.fs.Path(path))
+        out
+      case None => df.localCheckpoint()
+    }
   }
 }

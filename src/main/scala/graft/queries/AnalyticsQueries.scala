@@ -819,6 +819,7 @@ object AnalyticsQueries {
           col("value"))
         .groupBy("user_id", "obs_day").agg(max("value").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Dedup.registerCaches(obs)
       val grid = obs.groupBy("user_id")
         .agg(min("obs_day").as("lo"), max("obs_day").as("hi"))
         .select(col("user_id"),
@@ -920,8 +921,10 @@ object AnalyticsQueries {
     * sparser and structured, used by q115/q116 where the full graph's
     * homogeneity would make cores/overlaps degenerate. Spark builder +
     * matching oracle CTEs, single definitions. */
-  private def coPurchaseW2(s: org.apache.spark.sql.SparkSession,
-                           d: String): org.apache.spark.sql.DataFrame = {
+  // private[graft]: GraphSpec's q115 peel-margin guard measures this
+  // fixture's cascade depth against the oracle's 16-peel unroll.
+  private[graft] def coPurchaseW2(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"),
         col("l_partkey").cast("string").as("pk"))

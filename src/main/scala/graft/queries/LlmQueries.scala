@@ -1601,12 +1601,18 @@ object LlmQueries {
     //    deterministically from the fixture: 1-in-11 docs removed,
     //    1-in-13 added, 1-in-7 revised. ──
     QueryDef("q107_snapshot_diff",
-      """WITH o AS (SELECT doc_id, md5(CAST(text AS VARCHAR)) AS fp
-        |           FROM documents WHERE doc_id % 11 <> 0),
+      """WITH o AS (SELECT doc_id,
+        |        md5(CASE WHEN text IS NULL THEN 'n:'
+        |            ELSE 'v' || length(text) || ':' || text END) AS fp
+        |      FROM documents WHERE doc_id % 11 <> 0),
+        |n0 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |              ELSE text END AS t
+        |       FROM documents WHERE doc_id % 13 <> 0),
         |n AS (SELECT doc_id,
-        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-        |            ELSE text END) AS fp
-        |      FROM documents WHERE doc_id % 13 <> 0)
+        |        md5(CASE WHEN t IS NULL THEN 'n:'
+        |            ELSE 'v' || length(t) || ':' || t END) AS fp
+        |      FROM n0)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.fp IS NULL THEN 'added'
         |       WHEN n.fp IS NULL THEN 'removed'

@@ -379,6 +379,119 @@ class GraphSpec extends SparkSpec {
     assert(run(1, 1).isEmpty)
   }
 
+  // ── reliable checkpointDir ≡ localCheckpoint (the CC pattern) ──────────
+
+  test("iterative loops: checkpointDir round storage is result-equal to localCheckpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gckpt").toString
+    val rnd = new scala.util.Random(31)
+    val nodes = (0 until 25).map(i => s"c$i")
+    val edges = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.2
+    } yield (nodes(i), nodes(j))) :+ ("c0", "c1")
+    val e = edges.toDF("a", "b")
+    val w = e.select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+    // checkpointEvery = 2 forces several reliable-round writes in 5 iters.
+    def pr(ck: Option[String]) = Graph.pageRankFixedPoint(w, "src", "dst",
+        "w", iters = 5, checkpointEvery = 2, checkpointDir = ck)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pr(Some(s"$dir/pr")) == pr(None))
+    val seeds = Seq(("c0", "L"), ("c3", "M")).toDF("node", "lab")
+    def lp(ck: Option[String]) = Graph.labelPropagation(e, "a", "b", seeds,
+        "node", "lab", iters = 5, checkpointEvery = 2, checkpointDir = ck)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lp(Some(s"$dir/lp")) == lp(None))
+    def rw(ck: Option[String]) = Graph.randomWalks(e, "a", "b",
+        walksPerNode = 2, walkLen = 5, checkpointEvery = 2,
+        checkpointDir = ck)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(rw(Some(s"$dir/rw")) == rw(None))
+    def kc(ck: Option[String]) = Graph.kCore(e, "a", "b", k = 2,
+        checkpointDir = ck)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kc(Some(s"$dir/kc")) == kc(None))
+    // The final rounds' files remain (the returned frames read them);
+    // the directory is the caller's to delete — the CC contract.
+    val left = new java.io.File(dir)
+    assert(left.exists)
+    org.apache.commons.io.FileUtils.deleteDirectory(left)
+  }
+
+  // ── persisted graph spine (fit-once / serve-many) ──────────────────────
+
+  test("graphIndex + *AgainstIndex: result-equal to the direct ops") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val nodes = (0 until 30).map(i => s"s$i")
+    val base = for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.15
+    } yield (nodes(i), nodes(j))
+    // messy input: reversed duplicates + self loops the spine must collapse
+    val messy = (base ++ base.map(_.swap) ++ Seq(("s0", "s0"))).toDF("a", "b")
+    graft.ops.Graph.graphIndex(messy, "a", "b", "spine_spec", buckets = 4)
+    try {
+      // canonical undirected reference, doubled with unit weights
+      val und = base.map { case (x, y) => (Seq(x, y).min, Seq(x, y).max) }
+        .distinct
+      val doubled = (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+        .toDF("src", "dst", "w")
+      val prDirect = Graph.pageRankFixedPoint(doubled, "src", "dst", "w", 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val prIdx = Graph.pageRankAgainstIndex(spark, "spine_spec", iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(prIdx == prDirect)
+      val kcDirect = Graph.kCore(messy, "a", "b", k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val kcIdx = Graph.kCoreAgainstIndex(spark, "spine_spec", k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kcIdx == kcDirect)
+      val cnDirect = Graph.commonNeighborPairs(messy, "a", "b",
+          maxDeg = 10, minCommon = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val cnIdx = Graph.commonNeighborPairsAgainstIndex(spark, "spine_spec",
+          maxDeg = 10, minCommon = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(cnIdx == cnDirect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spine_spec_edges")
+      spark.sql("DROP TABLE IF EXISTS spine_spec_adj")
+    }
+  }
+
+  // ── q115 oracle peel-margin guard ──────────────────────────────────────
+
+  test("q115 fixture: observed peel depth stays ≤ 14 (oracle unrolls 16)") {
+    // The q115 DuckDB oracle unrolls a HARD-CODED 16 peels; peeling a
+    // fixpoint is the identity, so over-unrolling is harmless — but only
+    // while the fixture's cascade depth stays under the unroll. This guard
+    // measures the depth with an independent driver-side synchronous peel
+    // (drop ALL sub-k nodes each round, exactly the round the unrolled SQL
+    // replays) and fails LOUDLY at depth > 14, keeping a 2-round margin.
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists)
+    val edges = graft.queries.AnalyticsQueries.coPurchaseW2(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    var adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    var depth = 0
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, s) if s.size < 3 => n }.toSet
+      changed = drop.nonEmpty
+      if (changed) {
+        adj = adj.collect { case (n, s) if !drop(n) => n -> (s -- drop) }
+        depth += 1
+      }
+    }
+    assert(depth <= 14,
+      s"q115 fixture peel depth $depth eats the oracle's 16-peel unroll " +
+        "margin — raise KCoreOracleSql's unroll before this silently breaks")
+  }
+
   test("triangleCounts: hub node — orientation keeps the hub wedge-free") {
     // Star hub h--l0..l59 plus one triangle (h, l0, l1): the hub's high
     // degree orients all its edges inward, so wedges centered at h are

@@ -324,8 +324,9 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(
       1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
-      // ("ab","c") vs ("a","bc"): the U+0001 separator keeps the
-      // fingerprints distinct — concatenation must not smear fields.
+      // ("ab","c") vs ("a","bc"): the length-prefixed self-delimiting
+      // "v<len>:<v>" encoding keeps the fingerprints distinct —
+      // concatenation must not smear fields.
       5L -> "changed"))
   }
 
