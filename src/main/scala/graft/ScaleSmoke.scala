@@ -317,6 +317,16 @@ object ScaleSmoke {
         walksPerNode = 1, walkLen = 4).count()
       println(f"random_walks_200k_x4: walks=$nrw " +
         f"time=${(System.nanoTime()-trw)/1e9}%.1f s")
+      // DeepWalk-length walks (walkLen 40, Perozzi et al.'s setting):
+      // per-hop state is (start, walk, cur) ONLY — hop-join shuffle bytes
+      // stay flat in t (the round-11 path-string design shuffled the
+      // growing prefix, O(walkLen^2) bytes); paths assemble in ONE final
+      // groupBy. 200k walks x 40 hops = 8.2M hop rows.
+      val trw40 = System.nanoTime()
+      val nrw40 = graft.ops.Graph.randomWalks(ug, "a", "b",
+        walksPerNode = 1, walkLen = 40).count()
+      println(f"random_walks_200k_x40: walks=$nrw40 " +
+        f"time=${(System.nanoTime()-trw40)/1e9}%.1f s")
       // k-core: within-block degree ~9.5, so k=8 peels the per-block tail
       // with a multi-round cascade; per-round cost is one aggregate + one
       // semi-join over the surviving edges.
@@ -332,6 +342,38 @@ object ScaleSmoke {
         maxDeg = 50, minCommon = 3).count()
       println(f"common_neighbors_1m_edges: pairs=$ncn " +
         f"time=${(System.nanoTime()-tcn)/1e9}%.1f s")
+      // Production fault-tolerance configuration: the SAME PageRank and
+      // k-core runs with every lineage truncation written to reliable
+      // storage (checkpointDir) instead of localCheckpoint — the
+      // cluster-mode setting where one preempted executor must not kill a
+      // multi-iteration job. The delta vs the rows above is the price of
+      // durability (parquet write+read per truncation).
+      val ckDir = java.nio.file.Files.createTempDirectory("smoke_gc").toString
+      val tgc = System.nanoTime()
+      val ngc = graft.ops.Graph.pageRankFixedPoint(eg, "src", "dst", "w",
+        iters = 5, checkpointEvery = 2,
+        checkpointDir = Some(s"$ckDir/pr")).count()
+      println(f"pagerank_2m_edges_5iter_ckpt: nodes=$ngc " +
+        f"time=${(System.nanoTime()-tgc)/1e9}%.1f s")
+      val tkcc = System.nanoTime()
+      val nkcc = graft.ops.Graph.kCore(ug, "a", "b", k = 8,
+        checkpointDir = Some(s"$ckDir/kc")).count()
+      println(f"kcore_1m_edges_k8_ckpt: core_nodes=$nkcc " +
+        f"time=${(System.nanoTime()-tkcc)/1e9}%.1f s")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      // Spine build/serve split on the 1M-edge graph: graphIndex pays the
+      // canonicalization + bucketed write once; AgainstIndex serves skip it.
+      val tsb = System.nanoTime()
+      graft.ops.Graph.graphIndex(ug, "a", "b", "smoke_spine", buckets = 32)
+      println(f"graph_spine_build_1m_edges: " +
+        f"time=${(System.nanoTime()-tsb)/1e9}%.1f s")
+      val tss = System.nanoTime()
+      val nss = graft.ops.Graph.pageRankAgainstIndex(spark, "smoke_spine",
+        iters = 5).count()
+      println(f"graph_spine_pagerank_5iter: nodes=$nss " +
+        f"time=${(System.nanoTime()-tss)/1e9}%.1f s")
+      spark.sql("DROP TABLE IF EXISTS smoke_spine_edges")
+      spark.sql("DROP TABLE IF EXISTS smoke_spine_adj")
       graft.ops.Dedup.releaseCaches()
     }
 
