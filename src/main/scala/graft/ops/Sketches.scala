@@ -179,6 +179,90 @@ object Sketches {
     a.unionByName(b).groupBy((keyCols :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** [[histogram]] with the bounds derived IN-PLAN — the first-pass
+    * profiling case where nobody knows the range yet. One extra aggregate
+    * computes exact per-group (global when `keyCols` is empty) min/max,
+    * broadcast back onto the scan (the ZOrder stats-row pattern: a
+    * driver-free crossJoin/equi-join of one tiny stats table), then the
+    * same clamp-free binning as [[histogram]] — every value lands inside
+    * [lo, hi] by construction. Output rows CARRY their bounds
+    * (`keyCols*, lo DOUBLE, hi DOUBLE, bin INT, cnt BIGINT`) so the
+    * sketch is self-describing: [[histQuantilesAuto]] reads them instead
+    * of trusting the caller to repeat the right constants. A constant
+    * group (hi == lo) degenerates to the single bin 0.
+    *
+    * Determinism: min/max are exact, the bin expression is a fixed IEEE
+    * double formula — bit-identical across engines/partitionings (q119).
+    * Merging shards: derived bounds are a function of the DATA, so
+    * per-shard autos don't align; the composition law is
+    * `histogramAuto(a ∪ b) = histMerge(histogram(a, lo, hi),
+    * histogram(b, lo, hi))` at the union's bounds (spec-pinned) — derive
+    * bounds once over the union (cheap: the stats agg is mergeable
+    * min/max), then the fixed-bounds mergeable machinery applies. */
+  def histogramAuto(df: DataFrame, valueCol: String, bins: Int,
+                    keyCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 1, s"bad histogramAuto bins=$bins")
+    // NaN and ±Infinity have no bin (an infinite bound would NaN the bin
+    // arithmetic and, under ANSI, throw mid-job) — drop them with the nulls.
+    val vals = df.where(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")) &&
+        abs(col(valueCol).cast("double")) =!= lit(Double.PositiveInfinity))
+      .select(keyCols.map(col) :+ col(valueCol).cast("double").as("_v"): _*)
+    val stats = vals.groupBy(keyCols.map(col): _*)
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"))
+    val joined =
+      if (keyCols.isEmpty) vals.crossJoin(broadcast(stats))
+      else vals.join(broadcast(stats), keyCols)
+    val w = (col("hi") - col("lo")) / bins
+    val bin = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(
+        floor((col("_v") - col("lo")) / w),
+        lit((bins - 1).toDouble)).cast("int"))
+    joined
+      .select(keyCols.map(col) ++
+        Seq(col("lo"), col("hi"), bin.as("bin")): _*)
+      .groupBy((keyCols ++ Seq("lo", "hi", "bin")).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a SELF-DESCRIBING histogram
+    * ([[histogramAuto]] output — rows carry lo/hi): the same containing-
+    * bin linear interpolation as [[histQuantiles]], bounds read from the
+    * rows. A constant group (hi == lo) answers `lo` for every probe.
+    * `(keyCols*, q DOUBLE, est DOUBLE)` rounded to 6 dp. */
+  def histQuantilesAuto(hist: DataFrame, qs: Seq[Double], bins: Int,
+                        keyCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ck = keyCols.indices.map(i => s"_ck$i")
+    val cum = hist.select(
+      keyCols.zip(ck).map { case (k, a) => col(k).as(a) } ++
+        Seq(col("lo"), col("hi"), col("bin"), col("cnt"),
+          sum(col("cnt")).over(win).as("cum")): _*)
+    val n = hist.groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("n"))
+    val probes = qs.toDF("q")
+    val interval = (col("cum") - col("cnt")).cast("double") < col("t") &&
+      col("t") <= col("cum").cast("double")
+    val joinCond = keyCols.zip(ck)
+      .map { case (k, a) => col(k) === col(a) }
+      .foldLeft(interval)(_ && _)
+    val w = (col("hi") - col("lo")) / bins
+    probes.crossJoin(broadcast(n))
+      .withColumn("t", col("q") * col("n").cast("double"))
+      .join(broadcast(cum), joinCond)
+      .select(keyCols.map(col) ++ Seq(col("q"),
+        round(when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") + w *
+            (col("bin") +
+              (col("t") - (col("cum") - col("cnt")).cast("double")) /
+                col("cnt").cast("double"))), 6).as("est")): _*)
+  }
+
   /** Quantile estimates from a (merged, possibly per-group) histogram by
     * linear interpolation inside the containing bin:
     * `(keyCols*, q DOUBLE, est DOUBLE)` rounded to 6 dp, one row per

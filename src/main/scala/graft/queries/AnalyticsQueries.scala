@@ -787,6 +787,58 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority", "q")
     },
 
+    // ── q119: AUTO-ranged histogram quantiles — the first-pass profiling
+    //    case q102/q117 cannot serve: nobody knows [lo, hi] yet. One
+    //    extra exact min/max aggregate per group, broadcast back onto the
+    //    scan, then the same mergeable binning + containing-bin
+    //    interpolation; the sketch rows carry their derived bounds. All
+    //    arithmetic is fixed IEEE expressions over exact integer counts,
+    //    so the oracle replays bounds, bins and estimates bit-for-bit. ──
+    QueryDef("q119_auto_quantiles",
+      """WITH v AS (SELECT l_returnflag AS k,
+        |             CAST(l_extendedprice AS DOUBLE) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |st AS (SELECT k, MIN(v) AS lo, MAX(v) AS hi FROM v GROUP BY 1),
+        |b AS (SELECT v.k, st.lo, st.hi,
+        |        CASE WHEN st.hi = st.lo THEN 0
+        |             ELSE CAST(LEAST(floor((v.v - st.lo)
+        |                    / ((st.hi - st.lo) / 512)), 511.0) AS INT)
+        |        END AS bin
+        |      FROM v JOIN st USING (k)),
+        |hist AS (SELECT k, lo, hi, bin, COUNT(*) AS cnt
+        |         FROM b GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT k, lo, hi, bin, cnt,
+        |          SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum
+        |        FROM hist),
+        |n AS (SELECT k, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |probes AS (SELECT CAST(q AS DOUBLE) AS q FROM
+        |  (VALUES (0.5), (0.9), (0.99)) t(q))
+        |SELECT n.k AS l_returnflag, q,
+        |  round(CASE WHEN cum.hi = cum.lo THEN cum.lo
+        |        ELSE cum.lo + ((cum.hi - cum.lo) / 512) * (cum.bin +
+        |          (q * CAST(n.n AS DOUBLE)
+        |            - CAST(cum.cum - cum.cnt AS DOUBLE))
+        |            / CAST(cum.cnt AS DOUBLE)) END, 6) AS est
+        |FROM probes CROSS JOIN n JOIN cum
+        |  ON cum.k = n.k
+        | AND CAST(cum.cum - cum.cnt AS DOUBLE) < q * CAST(n.n AS DOUBLE)
+        | AND q * CAST(n.n AS DOUBLE) <= CAST(cum.cum AS DOUBLE)
+        |ORDER BY l_returnflag, q""".stripMargin) { (s, d) =>
+      val keys = Seq("l_returnflag")
+      // persisted: the sketch feeds BOTH the cumulative and the per-group
+      // total branch of the quantile scan — without it the two-pass
+      // auto-bounds build runs twice (the q113 multi-branch lesson).
+      val hist = graft.ops.Sketches.histogramAuto(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice", bins = 512, keyCols = keys)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Dedup.registerCaches(hist)
+      graft.ops.Sketches.histQuantilesAuto(hist, Seq(0.5, 0.9, 0.99),
+          bins = 512, keyCols = keys)
+        .orderBy("l_returnflag", "q")
+    },
+
     // ── q113: time-series resampling with forward fill — regularize each
     //    user's irregular event stream onto a daily grid, carrying the
     //    last observation forward (the gap-filling step before any

@@ -1744,8 +1744,98 @@ object LlmQueries {
         .select(col("lang"), col("toks"), col("oov"),
           expr("1000000 * oov div toks").as("oov_ppm"))
         .orderBy("lang")
+    },
+
+    // ── q118: HTML main-content extraction — the first stage of a
+    //    web-corpus pipeline (strip script/style/comments + tags, decode
+    //    entities, then keep only long, link-sparse blocks: the jusText/
+    //    trafilatura boilerplate heuristic). The fixture wraps every
+    //    document in a realistic page (nav links, heading, body copy with
+    //    an inline anchor, a conditional second paragraph, comment +
+    //    link-dense footer); the extractor must recover exactly the body
+    //    copy. All regexes are RE2-safe and shared verbatim with the
+    //    oracle, link density is integer ppm — the whole extraction is
+    //    engine-replayable, map-only until one output-sized groupBy. ──
+    QueryDef("q118_html_main_content", HtmlOracleSql) { (s, d) =>
+      val page = concat(
+        lit("<html><head><title>Doc</title><style>p{margin:0}</style>" +
+          "<script>if(x<1){y=2;}</script></head><body>" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/help\">Help &amp; FAQ</a></div>" +
+          "<h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>See <a href=\"/ref\">notes</a>. "),
+        col("text"),
+        lit("</p>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<p>Data &amp; query engines both clear the gate when the " +
+            "paragraph carries enough body text to count.</p>"))
+          .otherwise(lit("")),
+        lit("<!-- pixel --><div class=\"footer\">" +
+          "<a href=\"/tos\">Terms</a> 2026</div></body></html>"))
+      graft.ops.Html.mainContent(
+          Tables.documents(s, d).select(col("doc_id"), page.as("html")),
+          "doc_id", "html", minChars = 60, maxLinkPpm = 300000L)
+        .orderBy("doc_id")
     }
   )
+
+  /** q118's oracle: the identical page construction and extraction —
+    * same RE2-safe regexes, same single-pass entity decode order, same
+    * integer-ppm link-density gate — replayed in DuckDB SQL. */
+  private lazy val HtmlOracleSql: String = {
+    val blockRe = "(?i)</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|tr" +
+      "|td|th|blockquote|pre|section|article|main|header|footer|nav" +
+      "|aside|form|fieldset|figure|figcaption|br|hr)\\b[^>]*>"
+    // single-pass entity decode, &amp; LAST — mirrors Html.decodeEntities
+    def dec(x: String): String =
+      s"replace(replace(replace(replace(replace(replace($x," +
+        "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39))," +
+        "'&nbsp;',' '),'&amp;','&')"
+    def itext(x: String): String =
+      s"trim(regexp_replace(${dec(s"regexp_replace($x, '<[^>]*>', ' ', 'g')")}," +
+        " '[ \\t\\r\\n]+', ' ', 'g'))"
+    s"""WITH h AS (SELECT doc_id,
+       |    '<html><head><title>Doc</title><style>p{margin:0}</style>' ||
+       |    '<script>if(x<1){y=2;}</script></head><body>' ||
+       |    '<div class="nav"><a href="/">Home</a> ' ||
+       |    '<a href="/help">Help &amp; FAQ</a></div>' ||
+       |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</h1><p>See <a href="/ref">notes</a>. ' || text || '</p>' ||
+       |    CASE WHEN doc_id % 5 = 0 THEN
+       |      '<p>Data &amp; query engines both clear the gate when the ' ||
+       |      'paragraph carries enough body text to count.</p>'
+       |    ELSE '' END ||
+       |    '<!-- pixel --><div class="footer">' ||
+       |    '<a href="/tos">Terms</a> 2026</div></body></html>' AS html
+       |  FROM documents),
+       |pre AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?s)<!--.*?-->', ' ', 'g') AS hh
+       |  FROM h),
+       |arrs AS (SELECT doc_id,
+       |    regexp_split_to_array(hh, '$blockRe') AS arr FROM pre),
+       |blocks AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(arr))) AS bi,
+       |    unnest(arr) AS raw
+       |  FROM arrs),
+       |scored AS (SELECT doc_id, bi,
+       |    ${itext("raw")} AS btext,
+       |    ${itext("array_to_string(regexp_extract_all(raw, " +
+                "'(?is)<a\\b[^>]*>(.*?)</a>', 1), ' ')")} AS ltext
+       |  FROM blocks),
+       |kept AS (SELECT doc_id, bi, btext FROM scored
+       |  WHERE length(btext) >= 60
+       |    -- coalesce: DuckDB's array_to_string over ZERO anchor matches
+       |    -- is NULL where Spark's array_join is '' — a linkless block
+       |    -- must score 0 ppm, not NULL-drop
+       |    AND (1000000 * coalesce(length(ltext), 0))
+       |          // greatest(length(btext), 1) <= 300000)
+       |SELECT doc_id, string_agg(btext, chr(10) ORDER BY bi) AS content
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** q110's oracle: the q91 merge-chain replay, symbols flagged OOV when
     * absent from the pinned vocab, aggregated per language. */

@@ -176,6 +176,75 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est(("0", 0.9)) - est(("1", 0.9))) > 10 * w)
   }
 
+  test("histogramAuto: derived bounds are exact min/max; composition law; junk dropped") {
+    import graft.ops.Sketches
+    // unknown-range data: values in [-137.5, 862.41) per group, plus junk
+    val df = spark.range(0, 30000, 1, 8).selectExpr(
+      "CAST(id % 2 AS STRING) AS g",
+      "CAST(id AS DOUBLE) / 30.0 - 137.5 + CAST(id % 2 AS DOUBLE) * 0.41 AS x",
+      "CAST(id % 4 AS INT) AS shard")
+    val bins = 128
+    val hist = Sketches.histogramAuto(df, "x", bins, keyCols = Seq("g"))
+    // every row of one group carries the group's exact min/max
+    val stats = df.groupBy("g").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    hist.select("g", "lo", "hi").distinct().collect().foreach { r =>
+      assert((r.getDouble(1), r.getDouble(2)) == stats(r.getString(0)))
+    }
+    // composition law: auto over the union == fixed-bounds shard
+    // histograms merged at the union's derived bounds (checked ungrouped —
+    // per-group bounds differ by construction)
+    val g = df.agg(min(col("x")), max(col("x"))).head()
+    val (glo, ghi) = (g.getDouble(0), g.getDouble(1))
+    val autoAll = Sketches.histogramAuto(df, "x", bins)
+      .select("bin", "cnt").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mergedAll = (0 until 4).map(k =>
+        Sketches.histogram(df.where(col("shard") === k), "x", glo, ghi, bins))
+      .reduce(Sketches.histMerge(_, _))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(autoAll == mergedAll)
+    // junk: null, NaN, infinities binless; finite data untouched
+    import spark.implicits._
+    val junk = Seq(Some(1.0), Some(5.0), None, Some(Double.NaN),
+      Some(Double.PositiveInfinity), Some(Double.NegativeInfinity))
+      .toDF("x")
+    val jh = Sketches.histogramAuto(junk, "x", 4).collect()
+    assert(jh.map(_.getLong(3)).sum == 2L)
+    assert(jh.forall(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0))
+  }
+
+  test("histQuantilesAuto: within one derived bin width; constant group answers the constant") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    val df = spark.range(0, 20000, 1, 8).selectExpr(
+      "CAST(id AS DOUBLE) * CAST(id AS DOUBLE) / 20000.0 - 250.0 AS x")
+    val bins = 256
+    val hist = Sketches.histogramAuto(df, "x", bins)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = Sketches.histQuantilesAuto(hist, qs, bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val xs = df.select("x").collect().map(_.getDouble(0)).sorted
+    val w = (xs.last - xs.head) / bins
+    qs.foreach { q =>
+      val exact = xs((q * xs.length).toInt min (xs.length - 1))
+      assert(math.abs(est(q) - exact) <= w,
+        s"q=$q est=${est(q)} exact=$exact binWidth=$w")
+    }
+    // constant group: hi == lo degenerates to bin 0 and answers lo exactly
+    val const = Seq(("a", 42.5), ("a", 42.5), ("a", 42.5), ("b", 1.0),
+      ("b", 2.0)).toDF("g", "x")
+    val ch = Sketches.histogramAuto(const, "x", 8, keyCols = Seq("g"))
+    assert(ch.where(col("g") === "a").collect()
+      .forall(r => r.getInt(3) == 0 && r.getLong(4) == 3L))
+    val cq = Sketches.histQuantilesAuto(ch, Seq(0.5, 0.99), 8,
+        keyCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(cq(("a", 0.5)) == 42.5 && cq(("a", 0.99)) == 42.5)
+    assert(cq(("b", 0.99)) > 1.0)
+  }
+
   test("approx_percentile lands within rank tolerance of the exact percentile") {
     // Skewed data (squares) so a sloppy implementation would show.
     val df = spark.range(0, 100001, 1, 8).selectExpr("id * id AS x")

@@ -270,4 +270,82 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bg("") == Seq.empty)
     assert(bg("  spaced   out  ") == Seq("spaced out"))
   }
+
+  // ── HTML main-content extraction ───────────────────────────────────────
+
+  private def html2text(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("h").select(graft.ops.Html.htmlToText($"h")).head.getString(0)
+  }
+
+  test("htmlToText: nested tags, entities, script-in-body, comments") {
+    // nested inline tags strip cleanly, text order preserved
+    assert(html2text("<p>a <b>bold <i>and italic</i></b> end</p>")
+      == "a bold and italic end")
+    // entity decode, &amp; last (single pass: &amp;lt; -> literal &lt;)
+    assert(html2text("x &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;&amp; done")
+      == "x <tag> \"q\" 'a' & done")
+    assert(html2text("&amp;lt;") == "&lt;")
+    // script IN BODY with raw '<' inside must not leak code into text
+    assert(html2text("<body>keep <script>if(a<b){x=1;}</script>this</body>")
+      == "keep this")
+    assert(html2text("<style>p < div {}</style>text") == "text")
+    assert(html2text("a<!-- hidden <p>not text</p> -->b") == "a b")
+    // uppercase/attribute-laden script tag still stripped
+    assert(html2text("<SCRIPT type=\"text/javascript\">var y;</SCRIPT>ok")
+      == "ok")
+    // whitespace collapse across newlines/tabs
+    assert(html2text("<p>one\n\t two</p>\n<p>three</p>") == "one two three")
+  }
+
+  test("mainContentBlocks: length gate and link-density gate") {
+    import spark.implicits._
+    val longText = "This paragraph clearly has enough characters to pass " +
+      "the minimum main-content length gate of the extractor."
+    val doc =
+      "<html><body>" +
+        "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        s"<p>$longText</p>" +
+        "<p>short</p>" +
+        "<p>See <a href=\"/r\">notes</a>. " + longText + "</p>" +
+        "</body></html>"
+    val rows = graft.ops.Html.mainContentBlocks(
+        Seq((1L, doc)).toDF("id", "html"), "id", "html",
+        minChars = 60, maxLinkPpm = 300000L)
+      .where(org.apache.spark.sql.functions.length($"block_text") > 0)
+      .orderBy($"block_idx")
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    // nav: short AND fully link text -> ppm 1e6, dropped
+    val nav = rows.find(_._1.startsWith("Home")).get
+    assert(nav._3 == 1000000L && !nav._4)
+    // body paragraph: long, zero links -> kept
+    val body = rows.find(_._1 == longText).get
+    assert(body._3 == 0L && body._4)
+    // short paragraph dropped by the length gate despite zero links
+    assert(!rows.find(_._1 == "short").get._4)
+    // inline link INSIDE body copy stays under the density gate
+    val linked = rows.find(_._1.startsWith("See notes")).get
+    assert(linked._4 && linked._3 > 0L && linked._3 <= 300000L)
+  }
+
+  test("mainContent: kept blocks join in document order; all-boilerplate page drops") {
+    import spark.implicits._
+    val para1 = "First body paragraph with plenty of characters to clear " +
+      "the length gate comfortably end to end."
+    val para2 = "Second body paragraph, also long enough to clear the " +
+      "length gate and keep its document position."
+    val page =
+      "<div class=\"nav\"><a href=\"/\">Home</a></div>" +
+        s"<p>$para1</p><div class=\"ad\"><a href=\"/buy\">Buy now</a></div>" +
+        s"<p>$para2</p><div class=\"footer\"><a href=\"/tos\">Terms</a></div>"
+    val boilerplateOnly =
+      "<div><a href=\"/\">Home</a></div><p>tiny</p>"
+    val out = graft.ops.Html.mainContent(
+        Seq((1L, page), (2L, boilerplateOnly)).toDF("id", "html"),
+        "id", "html", minChars = 60, maxLinkPpm = 300000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == s"$para1\n$para2")
+  }
 }
