@@ -196,6 +196,16 @@ object Graph {
     // neighbor votes once however many parallel edges the input held
     val adj = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
       .persist(MEMORY_AND_DISK)
+    Dedup.register(Dedup.CacheHandle.of(adj))
+    lpFromAdj(adj, seeds, seedNodeCol, seedLabelCol, iters, checkpointEvery,
+      checkpointDir)
+  }
+
+  private def lpFromAdj(adj: DataFrame, seeds: DataFrame,
+                        seedNodeCol: String, seedLabelCol: String,
+                        iters: Int, checkpointEvery: Int,
+                        checkpointDir: Option[String]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val seedTab = seeds.select(
         col(seedNodeCol).cast("string").as("node"),
         col(seedLabelCol).cast("string").as("_seed"))
@@ -205,7 +215,7 @@ object Graph {
       .join(seedTab, Seq("node"), "left")
       .persist(MEMORY_AND_DISK)
 
-    Dedup.register(Dedup.CacheHandle.of(adj, nodes))
+    Dedup.register(Dedup.CacheHandle.of(nodes))
     val store = new RoundStore(checkpointDir, "labels")
     var labels = nodes.select(col("node"), col("_seed").as("label"))
     var round = 0
@@ -269,12 +279,20 @@ object Graph {
                   walksPerNode: Int, walkLen: Int,
                   checkpointEvery: Int = 8,
                   checkpointDir: Option[String] = None): DataFrame = {
-    require(walksPerNode >= 1 && walkLen >= 0, "need walks >= 1, len >= 0")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val adjl = directedAdjacency(canonicalUndirected(edges, aCol, bCol))
       .groupBy("node")
       .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
-      .persist(MEMORY_AND_DISK)
+    walksFromAdj(adjl, walksPerNode, walkLen, checkpointEvery, checkpointDir)
+  }
+
+  /** Walk loop over a (node, nbr) adjacency reduced to sorted-array lists;
+    * shared by [[randomWalks]] and [[randomWalksAgainstIndex]]. */
+  private def walksFromAdj(adjLists: DataFrame, walksPerNode: Int,
+                           walkLen: Int, checkpointEvery: Int,
+                           checkpointDir: Option[String]): DataFrame = {
+    require(walksPerNode >= 1 && walkLen >= 0, "need walks >= 1, len >= 0")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adjl = adjLists.persist(MEMORY_AND_DISK)
 
     Dedup.register(Dedup.CacheHandle.of(adjl))
     val fStore = new RoundStore(checkpointDir, "walk_frontier")
@@ -488,6 +506,33 @@ object Graph {
                                       minCommon: Int): DataFrame =
     commonNeighborsFromAdj(spark.table(s"${tablePrefix}_adj"), maxDeg,
       minCommon)
+
+  /** [[labelPropagation]] served from a persisted spine — the adjacency
+    * read replaces the per-query canonicalize + explode. */
+  def labelPropagationAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                   tablePrefix: String, seeds: DataFrame,
+                                   seedNodeCol: String, seedLabelCol: String,
+                                   iters: Int, checkpointEvery: Int = 8,
+                                   checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    lpFromAdj(spark.table(s"${tablePrefix}_adj"), seeds, seedNodeCol,
+      seedLabelCol, iters, checkpointEvery, checkpointDir)
+  }
+
+  /** [[randomWalks]] served from a persisted spine — the sorted
+    * neighbor-list build reads the bucketed adjacency exchange-free
+    * (grouping key == bucket key); the spine's distinct canonical pairs
+    * make collect_set ≡ collect_list, so walks are bit-identical to the
+    * direct op. */
+  def randomWalksAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              tablePrefix: String, walksPerNode: Int,
+                              walkLen: Int, checkpointEvery: Int = 8,
+                              checkpointDir: Option[String] = None): DataFrame =
+    walksFromAdj(
+      spark.table(s"${tablePrefix}_adj")
+        .groupBy("node")
+        .agg(sort_array(collect_set(col("nbr"))).as("nbrs")),
+      walksPerNode, walkLen, checkpointEvery, checkpointDir)
 
   /** Canonical undirected edge set shared by every undirected-graph op:
     * distinct (u, v) string pairs with u < v; nulls, self-loops,

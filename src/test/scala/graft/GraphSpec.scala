@@ -456,6 +456,23 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .toSet
       assert(cnIdx == cnDirect)
+      val seeds = Seq(("s0", "L"), ("s5", "M")).toDF("node", "lab")
+      val lpDirect = Graph.labelPropagation(messy, "a", "b", seeds,
+          "node", "lab", iters = 3)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val lpIdx = Graph.labelPropagationAgainstIndex(spark, "spine_spec",
+          seeds, "node", "lab", iters = 3)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lpIdx == lpDirect)
+      val rwDirect = Graph.randomWalks(messy, "a", "b",
+          walksPerNode = 2, walkLen = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      val rwIdx = Graph.randomWalksAgainstIndex(spark, "spine_spec",
+          walksPerNode = 2, walkLen = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(rwIdx == rwDirect)
     } finally {
       spark.sql("DROP TABLE IF EXISTS spine_spec_edges")
       spark.sql("DROP TABLE IF EXISTS spine_spec_adj")
