@@ -374,4 +374,43 @@ object Ops {
           .when(col("_fp_old") === col("_fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Sessionization — split each key's event stream into sessions at
+    * inactivity gaps, the standard segmentation for clickstreams /
+    * interaction logs / agent-trajectory training data: a new session
+    * starts at the first event and at every event whose distance from
+    * the previous one (same key) EXCEEDS `gap` (same time unit as
+    * `tsCol`). Events are annotated, not aggregated — compose any
+    * per-session rollup on (key, session_seq) downstream.
+    *
+    * Scale shape: ONE exchange on the key; both window passes (the lag
+    * and the running session counter) run inside the same per-key sort —
+    * Spark plans a single Sort + two Window operators, no second
+    * shuffle. Sessions never cross keys, so key-partitioning is the
+    * natural 100 TB layout (bucket the log by key to remove even that
+    * exchange).
+    *
+    * Determinism under timestamp ties: tied events have distance 0 ≤ gap,
+    * so a tie can never start a session — every tied row lands in the
+    * same session whatever order the sort breaks the tie, making
+    * `session_seq` a pure function of the (key, ts multiset) stream.
+    *
+    * Output: the input rows plus `session_seq` (1-based session ordinal
+    * within the key). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: Long): DataFrame = {
+    require(gap >= 0, "gap must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(tsCol) - col("_prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new")).over(wRun))
+      .drop("_prev", "_new")
+  }
 }

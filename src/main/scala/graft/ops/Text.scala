@@ -285,6 +285,67 @@ object Text {
     cutSpans(docs, idCol, textCol,
       matchingSpansBloom(docs, idCol, textCol, reference, refTextCol, n, fpp))
 
+  /** Cross-corpus repeated-paragraph removal — the CCNet paragraph-dedup
+    * stage (Wenzek et al. 2020: web boilerplate like cookie banners,
+    * share bars, nav footers repeats ACROSS pages at paragraph
+    * granularity, where doc-level dedup can't see it): split each doc on
+    * `sep`, count each non-blank paragraph's DOCUMENT frequency over the
+    * corpus via its md5-60 hash (the shuffle carries 8-byte hashes, not
+    * paragraph text — CCNet's own sha1-per-paragraph trick), drop every
+    * instance of paragraphs with df ≥ `minDf`, reassemble the survivors
+    * in document order.
+    *
+    * Scale shape: one hash-groupBy over paragraph instances for the df
+    * table; the hot list (df ≥ minDf) is bounded by
+    * total-paragraphs / minDf, so the anti-join's build side is orders
+    * of magnitude smaller than the corpus (broadcast at typical
+    * thresholds, SMJ co-partitioned with the df agg otherwise); one
+    * output-sized groupBy(id) reassembles. Blank paragraphs never enter
+    * the df count and are never dropped (they are structure, not
+    * content). Within-doc repeats count df ONCE (distinct doc count) but
+    * every instance drops when hot. Documents whose every paragraph is
+    * boilerplate produce NO row — the corpus-filter contract shared with
+    * [[Html.mainContent]].
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped) — counts over
+    * non-blank paragraph instances. Deterministic: pure function of the
+    * corpus (md5 df, total-order reassembly). */
+  def dropRepeatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                             minDf: Long, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf must be >= 2 (1 would drop every paragraph)")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val paras = docs
+      .select(col(idCol),
+        F.posexplode(F.split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("p_idx", "para")))
+      .withColumn("_blank", F.trim(col("para")) === "")
+      .withColumn("_h", Dedup.md5Hash60(col("para")))
+      .persist(MEMORY_AND_DISK)
+    Dedup.registerCaches(paras)
+    val hot = paras.where(!col("_blank"))
+      .groupBy("_h")
+      .agg(F.countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDf)
+      .select(col("_h"))
+    // blank paragraphs can't be hot (hot is built from non-blank rows),
+    // so the anti-join drops exactly the hot non-blank instances
+    paras.join(hot, Seq("_h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(col("p_idx"), col("para")))),
+            x => x.getField("para")), sep).as("clean_text"),
+        F.sum(F.when(col("_blank"), 0L).otherwise(1L)).as("n_kept"))
+      .join(
+        paras.where(!col("_blank")).groupBy(col(idCol))
+          .agg(F.count(F.lit(1)).as("_total")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("clean_text"), col("n_kept"),
+        (F.coalesce(col("_total"), F.lit(0L)) - col("n_kept"))
+          .as("n_dropped"))
+  }
+
   /** (id, len, 1-based position, 64-bit positional window hash) rows for
     * every `n`-char window; compact text repartitioned by id first so the
     * downstream flag-join + island window stay co-partitioned. */

@@ -839,6 +839,42 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "q")
     },
 
+    // ── q121: sessionization — split each user's event stream into
+    //    sessions at >6h inactivity gaps (the clickstream / interaction-
+    //    log / agent-trajectory segmentation), then roll each session up.
+    //    ONE exchange on user_id; both window passes share the per-key
+    //    sort. Timestamps floor to µs on BOTH engines first so the gap
+    //    comparison can't straddle DuckDB's µs timestamp precision;
+    //    tied timestamps can never start a session, so session_seq is a
+    //    pure function of the event multiset. ──
+    QueryDef("q121_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |x AS (SELECT user_id, us, event_type,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 21600000000
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us, event_type,
+        |        CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |      FROM x)
+        |SELECT user_id, seq AS session_seq, MIN(us) AS start_us,
+        |  MAX(us) AS end_us, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), Tables.floorDiv("ts", 1000L).as("us"),
+          col("event_type"))
+      graft.ops.Ops.sessionize(ev, "user_id", "us", gap = 21600000000L)
+        .groupBy("user_id", "session_seq")
+        .agg(min("us").as("start_us"), max("us").as("end_us"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id", "session_seq")
+    },
+
     // ── q113: time-series resampling with forward fill — regularize each
     //    user's irregular event stream onto a daily grid, carrying the
     //    last observation forward (the gap-filling step before any

@@ -1777,6 +1777,53 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), page.as("html")),
           "doc_id", "html", minChars = 60, maxLinkPpm = 300000L)
         .orderBy("doc_id")
+    },
+
+    // ── q120: cross-corpus repeated-paragraph removal — the CCNet
+    //    paragraph-dedup stage: boilerplate (newsletter banners, per-lang
+    //    category footers) repeats ACROSS pages at paragraph granularity
+    //    where doc-level dedup can't see it. The fixture appends one
+    //    corpus-wide banner, one per-language footer and one unique
+    //    footer to every document; df counting runs over md5-60
+    //    paragraph hashes (the shuffle carries 8 bytes per paragraph),
+    //    blank separator lines are structure and survive. ──
+    QueryDef("q120_paragraph_dedup",
+      """WITH d2 AS (SELECT doc_id,
+        |    text || chr(10)
+        |      || 'Subscribe to our newsletter for daily updates.'
+        |      || chr(10) || 'Category: ' || lang || chr(10) || chr(10)
+        |      || 'Doc ' || CAST(doc_id AS VARCHAR) || ' footer.' AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(arr))) AS pi,
+        |        unnest(arr) AS para
+        |      FROM (SELECT doc_id, string_split(t, chr(10)) AS arr
+        |            FROM d2)),
+        |ph AS (SELECT doc_id, pi, para,
+        |         CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS h,
+        |         trim(para) = '' AS blank
+        |       FROM p),
+        |hot AS (SELECT h FROM ph WHERE NOT blank
+        |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 20),
+        |keep AS (SELECT * FROM ph WHERE h NOT IN (SELECT h FROM hot)),
+        |agg AS (SELECT doc_id,
+        |          string_agg(para, chr(10) ORDER BY pi) AS clean_text,
+        |          SUM(CASE WHEN blank THEN 0 ELSE 1 END) AS n_kept
+        |        FROM keep GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS total FROM ph
+        |        WHERE NOT blank GROUP BY 1)
+        |SELECT a.doc_id, a.clean_text, CAST(a.n_kept AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(t.total, 0) - a.n_kept AS BIGINT) AS n_dropped
+        |FROM agg a LEFT JOIN tot t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t2 = concat(col("text"),
+        lit("\nSubscribe to our newsletter for daily updates.\nCategory: "),
+        col("lang"),
+        lit("\n\nDoc "), col("doc_id").cast("string"), lit(" footer."))
+      graft.ops.Text.dropRepeatedParagraphs(
+          Tables.documents(s, d).select(col("doc_id"), t2.as("text")),
+          "doc_id", "text", minDf = 20L)
+        .orderBy("doc_id")
     }
   )
 

@@ -330,6 +330,34 @@ class OpsSpec extends SparkSpec {
       5L -> "changed"))
   }
 
+  test("sessionize: gap boundaries, ties never split, layout-invariant") {
+    import spark.implicits._
+    // user a: events at 0, 10, 11, 50, 60 with gap 10 -> sessions
+    // {0,10,11} (10-0 == gap, NOT >), {50,60}; user b: single event.
+    val ev = Seq(("a", 0L), ("a", 10L), ("a", 11L), ("a", 50L), ("a", 60L),
+      ("b", 7L)).toDF("k", "ts")
+    def run(parts: Int) = Ops.sessionize(ev.repartition(parts), "k", "ts",
+        gap = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val got = run(3)
+    assert(got == Map(("a", 0L) -> 1L, ("a", 10L) -> 1L, ("a", 11L) -> 1L,
+      ("a", 50L) -> 2L, ("a", 60L) -> 2L, ("b", 7L) -> 1L))
+    assert(run(1) == got, "layout must not change sessions")
+    // tied timestamps land in one session even when the tie straddles
+    // what would otherwise be a boundary
+    val tied = Seq(("u", 0L), ("u", 100L), ("u", 100L), ("u", 100L))
+      .toDF("k", "ts")
+    val ts = Ops.sessionize(tied, "k", "ts", gap = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ts.filter(_._1 == 100L).map(_._2).distinct.toSeq == Seq(2L))
+    assert(ts.find(_._1 == 0L).get._2 == 1L)
+    // gap = 0: every distinct timestamp its own session, ties merge
+    val g0 = Ops.sessionize(tied, "k", "ts", gap = 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).distinct.sorted.toSeq
+    assert(g0 == Seq((0L, 1L), (100L, 2L)))
+  }
+
   test("snapshotDiff: null transitions are changes, not silent matches") {
     import spark.implicits._
     // (null,"x")->("x",null) and "x"->null and null->"" must all be

@@ -329,6 +329,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(linked._4 && linked._3 > 0L && linked._3 <= 300000L)
   }
 
+  test("dropRepeatedParagraphs: hot paragraphs drop, blanks survive, counts exact") {
+    import spark.implicits._
+    val banner = "Subscribe to our newsletter."
+    // banner in all 4 docs (df=4 >= minDf=3); "rare" in 2 (df=2 < 3);
+    // doc 4 repeats the banner twice (df counts it ONCE, both drop) and
+    // has nothing else -> doc 4 vanishes entirely.
+    val docs = Seq(
+      (1L, s"alpha one\n$banner\n\nunique tail 1"),
+      (2L, s"beta two\n$banner\nrare shared line"),
+      (3L, s"gamma three\n$banner\nrare shared line"),
+      (4L, s"$banner\n$banner")).toDF("id", "text")
+    val out = graft.ops.Text.dropRepeatedParagraphs(docs, "id", "text",
+        minDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // blank separator line preserved as structure
+    assert(out(1L) == (("alpha one\n\nunique tail 1", 2L, 1L)))
+    assert(out(2L) == (("beta two\nrare shared line", 2L, 1L)))
+    assert(out(3L) == (("gamma three\nrare shared line", 2L, 1L)))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("mainContent: kept blocks join in document order; all-boilerplate page drops") {
     import spark.implicits._
     val para1 = "First body paragraph with plenty of characters to clear " +
