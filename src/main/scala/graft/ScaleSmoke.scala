@@ -83,6 +83,22 @@ object ScaleSmoke {
     val ts = System.nanoTime()
     val ns = graft.ops.Text.duplicatedSpans(d, "doc_id", "text", n = 50).count()
     println(f"dup_spans_100k: spans=$ns time=${(System.nanoTime()-ts)/1e9}%.1f s")
+    // Paragraph-level dedup (round 12): the 100k docs each get 4
+    // paragraphs — own text, a corpus-wide banner (df=100k), a
+    // per-decile footer (df=10k) and a unique tail. The df shuffle
+    // carries md5-60 hashes (8 bytes/paragraph); the hot list is 11
+    // rows; per-doc reassembly dominates.
+    val tpd = System.nanoTime()
+    val pd = d.select(col("doc_id"), concat(col("text"),
+        lit("\nSubscribe to the newsletter.\nSection "),
+        (col("doc_id") % 10).cast("string"),
+        lit(" index page\nTail "), col("doc_id").cast("string")).as("text"))
+    val npd = graft.ops.Text.dropRepeatedParagraphs(pd, "doc_id", "text",
+        minDf = 1000L)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    println(f"paragraph_dedup_100k: dropped=$npd " +
+      f"time=${(System.nanoTime()-tpd)/1e9}%.1f s")
+    graft.ops.Dedup.releaseCaches()
     // ── Adversarial boilerplate corpus (round 9): ONE viral block in 20%
     // of the 100k docs (df ≈ 20k — the license-header shape) plus 50
     // near-pure-boilerplate shard docs. The shards' rarest-first PREFIXES
@@ -263,6 +279,19 @@ object ScaleSmoke {
         iters = 5).count()
       println(f"pagerank_2m_edges_5iter: nodes=$ng5 " +
         f"time=${(System.nanoTime()-tg5)/1e9}%.1f s")
+      // Sessionization at 5M events / 100k users (round 12): one exchange
+      // on the key, both windows inside the per-key sort; per-event cost
+      // must stay flat (the 100 TB layout buckets the log by key and
+      // removes even this exchange).
+      val sev = spark.range(5000000).select(
+        (col("id") % 100000L).as("k"),
+        (pmod(xxhash64(col("id")), lit(100000000L))).as("ts"))
+      val tse = System.nanoTime()
+      val nse = graft.ops.Ops.sessionize(sev, "k", "ts", gap = 500000L)
+        .groupBy("k", "session_seq").agg(count(lit(1)))
+        .count()
+      println(f"sessionize_5m_events: sessions=$nse " +
+        f"time=${(System.nanoTime()-tse)/1e9}%.1f s")
       // Priority sampling at 5M rows: a map-only priority projection +
       // salted two-phase top-k — the whole corpus is touched once.
       val wdf = spark.range(5000000).select(col("id"),
