@@ -248,20 +248,24 @@ object Bench {
       // the bucketed spine ONCE; the AgainstIndex serves skip the
       // canonicalization shuffle every graph query otherwise pays.
       val gPrefix = "bench_spine"
-      val gBuild = timed("graph_build") {
-        graft.ops.Graph.graphIndex(
-          graft.queries.AnalyticsQueries.coPurchaseW2(spark, sfDir),
-          "u", "v", gPrefix, buckets = 32)
+      try {
+        val gBuild = timed("graph_build") {
+          graft.ops.Graph.graphIndex(
+            graft.queries.AnalyticsQueries.coPurchaseW2(spark, sfDir),
+            "u", "v", gPrefix, buckets = 32)
+        }
+        val gServe = timed("graph_serve") {
+          graft.ops.Graph.pageRankAgainstIndex(spark, gPrefix, iters = 3)
+            .count()
+          graft.ops.Graph.kCoreAgainstIndex(spark, gPrefix, k = 3).count()
+          ()
+        }
+        Seq(fit, build, serve, gBuild, gServe)
+      } finally {
+        // not leaked into the warehouse catalog on a failed phase
+        spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_edges")
+        spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_adj")
       }
-      val gServe = timed("graph_serve") {
-        graft.ops.Graph.pageRankAgainstIndex(spark, gPrefix, iters = 3)
-          .count()
-        graft.ops.Graph.kCoreAgainstIndex(spark, gPrefix, k = 3).count()
-        ()
-      }
-      spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_edges")
-      spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_adj")
-      Seq(fit, build, serve, gBuild, gServe)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] phase attribution failed: $e")

@@ -286,7 +286,22 @@ object Graph {
   }
 
   /** Walk loop over a (node, nbr) adjacency reduced to sorted-array lists;
-    * shared by [[randomWalks]] and [[randomWalksAgainstIndex]]. */
+    * shared by [[randomWalks]] and [[randomWalksAgainstIndex]].
+    *
+    * Hop rows accumulate in SEGMENTS of `checkpointEvery` hops: at each
+    * truncation point only the CURRENT segment is truncated (each hop row
+    * is written exactly once — truncating the full accumulated table
+    * would re-write O(walkLen²/checkpointEvery) rows), sealed segments
+    * keep their storage until the result is consumed (`keepHistory` —
+    * they back the final union), and the ORDER is load-bearing: the
+    * segment truncates BEFORE the frontier, while the frontier round the
+    * segment's lineage may recompute through still exists on disk —
+    * truncating the frontier first would delete that round and strand the
+    * segment's recompute path on executor loss, the exact failure
+    * `checkpointDir` exists to prevent. Superseded per-hop frontier
+    * caches are released at each truncation (the sealed segment and the
+    * truncated frontier replace them), bounding cache footprint at
+    * O(checkpointEvery · frontier) instead of O(walkLen · frontier). */
   private def walksFromAdj(adjLists: DataFrame, walksPerNode: Int,
                            walkLen: Int, checkpointEvery: Int,
                            checkpointDir: Option[String]): DataFrame = {
@@ -296,12 +311,14 @@ object Graph {
 
     Dedup.register(Dedup.CacheHandle.of(adjl))
     val fStore = new RoundStore(checkpointDir, "walk_frontier")
-    val hStore = new RoundStore(checkpointDir, "walk_hops")
+    val hStore = new RoundStore(checkpointDir, "walk_hops",
+      keepHistory = true)
     var frontier = adjl.select(col("node").as("start"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
       .select(col("start"), col("walk").cast("int").as("walk"),
         col("start").as("cur"))
-    var hops = frontier.select(col("start"), col("walk"),
+    val sealedSegs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var segment = frontier.select(col("start"), col("walk"),
       lit(0).as("t"), col("cur").as("node"))
 
     val stepCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -317,15 +334,20 @@ object Graph {
               .cast("int")).as("cur"))
         .persist(MEMORY_AND_DISK)
       stepCaches += stepped
-      hops = hops.unionAll(stepped.select(col("start"), col("walk"),
+      segment = segment.unionAll(stepped.select(col("start"), col("walk"),
         lit(t + 1).as("t"), col("cur").as("node")))
       t += 1
       if (t % checkpointEvery == 0 && t < walkLen) {
+        sealedSegs += hStore.truncate(segment) // BEFORE the frontier truncation
         frontier = fStore.truncate(stepped)
-        hops = hStore.truncate(hops)
+        segment = frontier.limit(0).select(col("start"), col("walk"),
+          lit(0).as("t"), col("cur").as("node")) // empty, same schema
+        stepCaches.foreach(_.unpersist(blocking = false))
+        stepCaches.clear()
       } else frontier = stepped
     }
     Dedup.register(Dedup.CacheHandle.of(stepCaches.toSeq: _*))
+    val hops = (sealedSegs :+ segment).reduce(_ unionAll _)
     // One shuffle carries each hop row exactly once; t is unique within a
     // (start, walk) group, so the struct sort is a total order and the
     // assembled path is deterministic under any collect_list order.
@@ -643,8 +665,12 @@ object Graph {
     * deleted as the loop advances; the FINAL truncation's files back the
     * returned frame, so the caller owns deleting the directory after
     * consuming the result — the same contract as
-    * [[Dedup.connectedComponents]]'s `checkpointDir`. */
-  private final class RoundStore(dir: Option[String], tag: String) {
+    * [[Dedup.connectedComponents]]'s `checkpointDir`. `keepHistory`
+    * disables the superseded-round deletion for stores whose EVERY
+    * truncation stays live (the walk loop's sealed hop segments all back
+    * the final union). */
+  private final class RoundStore(dir: Option[String], tag: String,
+                                 keepHistory: Boolean = false) {
     private var round = 0
     private var prev: Option[org.apache.hadoop.fs.Path] = None
     def truncate(df: DataFrame): DataFrame = dir match {
@@ -655,9 +681,11 @@ object Graph {
         val out = spark.read.parquet(path)
         // The new round is fully written (it was computed FROM the prior
         // round during the write above), so the superseded files can go.
-        prev.foreach(p => p.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).delete(p, true))
-        prev = Some(new org.apache.hadoop.fs.Path(path))
+        if (!keepHistory) {
+          prev.foreach(p => p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).delete(p, true))
+          prev = Some(new org.apache.hadoop.fs.Path(path))
+        }
         out
       case None => df.localCheckpoint()
     }

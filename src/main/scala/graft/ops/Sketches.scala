@@ -228,9 +228,12 @@ object Sketches {
   /** Quantile estimates from a SELF-DESCRIBING histogram
     * ([[histogramAuto]] output — rows carry lo/hi): the same containing-
     * bin linear interpolation as [[histQuantiles]], bounds read from the
-    * rows. A constant group (hi == lo) answers `lo` for every probe.
-    * `(keyCols*, q DOUBLE, est DOUBLE)` rounded to 6 dp. */
-  def histQuantilesAuto(hist: DataFrame, qs: Seq[Double], bins: Int,
+    * rows and the bin COUNT derived from them too — the build's maximum
+    * value always lands in the last bin, so bins = max(bin) + 1 per
+    * group (degenerate hi == lo groups answer `lo` for every probe and
+    * never consult it). No caller-repeated constant can silently skew
+    * the estimates. `(keyCols*, q DOUBLE, est DOUBLE)` rounded to 6 dp. */
+  def histQuantilesAuto(hist: DataFrame, qs: Seq[Double],
                         keyCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs $qs")
     val spark = hist.sparkSession
@@ -244,14 +247,16 @@ object Sketches {
       keyCols.zip(ck).map { case (k, a) => col(k).as(a) } ++
         Seq(col("lo"), col("hi"), col("bin"), col("cnt"),
           sum(col("cnt")).over(win).as("cum")): _*)
-    val n = hist.groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("n"))
+    val n = hist.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n"),
+        (max(col("bin")) + 1).cast("double").as("_bins"))
     val probes = qs.toDF("q")
     val interval = (col("cum") - col("cnt")).cast("double") < col("t") &&
       col("t") <= col("cum").cast("double")
     val joinCond = keyCols.zip(ck)
       .map { case (k, a) => col(k) === col(a) }
       .foldLeft(interval)(_ && _)
-    val w = (col("hi") - col("lo")) / bins
+    val w = (col("hi") - col("lo")) / col("_bins")
     probes.crossJoin(broadcast(n))
       .withColumn("t", col("q") * col("n").cast("double"))
       .join(broadcast(cum), joinCond)

@@ -835,7 +835,7 @@ object AnalyticsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Dedup.registerCaches(hist)
       graft.ops.Sketches.histQuantilesAuto(hist, Seq(0.5, 0.9, 0.99),
-          bins = 512, keyCols = keys)
+          keyCols = keys)
         .orderBy("l_returnflag", "q")
     },
 

@@ -222,7 +222,7 @@ class SketchSpec extends SparkSpec {
     val bins = 256
     val hist = Sketches.histogramAuto(df, "x", bins)
     val qs = Seq(0.25, 0.5, 0.9)
-    val est = Sketches.histQuantilesAuto(hist, qs, bins)
+    val est = Sketches.histQuantilesAuto(hist, qs)
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     val xs = df.select("x").collect().map(_.getDouble(0)).sorted
     val w = (xs.last - xs.head) / bins
@@ -237,7 +237,7 @@ class SketchSpec extends SparkSpec {
     val ch = Sketches.histogramAuto(const, "x", 8, keyCols = Seq("g"))
     assert(ch.where(col("g") === "a").collect()
       .forall(r => r.getInt(3) == 0 && r.getLong(4) == 3L))
-    val cq = Sketches.histQuantilesAuto(ch, Seq(0.5, 0.99), 8,
+    val cq = Sketches.histQuantilesAuto(ch, Seq(0.5, 0.99),
         keyCols = Seq("g"))
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
       .toMap
