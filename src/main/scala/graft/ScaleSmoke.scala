@@ -389,6 +389,15 @@ object ScaleSmoke {
         checkpointDir = Some(s"$ckDir/kc")).count()
       println(f"kcore_1m_edges_k8_ckpt: core_nodes=$nkcc " +
         f"time=${(System.nanoTime()-tkcc)/1e9}%.1f s")
+      // DeepWalk-length walks with reliable storage: sealed hop segments
+      // + frontier rounds all on disk — the full fault-tolerant walk
+      // configuration (segments keep history; each hop row written once).
+      val trwc = System.nanoTime()
+      val nrwc = graft.ops.Graph.randomWalks(ug, "a", "b",
+        walksPerNode = 1, walkLen = 40,
+        checkpointDir = Some(s"$ckDir/rw")).count()
+      println(f"random_walks_200k_x40_ckpt: walks=$nrwc " +
+        f"time=${(System.nanoTime()-trwc)/1e9}%.1f s")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
       // Spine build/serve split on the 1M-edge graph: graphIndex pays the
       // canonicalization + bucketed write once; AgainstIndex serves skip it.
