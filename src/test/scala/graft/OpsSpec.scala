@@ -358,6 +358,19 @@ class OpsSpec extends SparkSpec {
     assert(g0 == Seq((0L, 1L), (100L, 2L)))
   }
 
+  test("sessionize plan: ONE exchange — both windows share the per-key sort") {
+    import spark.implicits._
+    val ev = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "ts")
+      .repartition(4)
+    val plan = Ops.sessionize(ev, "k", "ts", gap = 10L)
+      .queryExecution.executedPlan.toString
+    // the repartition(4) above is RoundRobin; the op itself must add
+    // exactly one hash exchange (on the key) and no extra sort barrier
+    assert(plan.split("hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$plan")
+    assert(plan.split("Window").length - 1 >= 2, "both windows present")
+  }
+
   test("snapshotDiff: null transitions are changes, not silent matches") {
     import spark.implicits._
     // (null,"x")->("x",null) and "x"->null and null->"" must all be

@@ -265,4 +265,109 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sessionize == per-key scan model on random streams, any layout") {
+    import spark.implicits._
+    val g = for {
+      k <- Gen.oneOf("u1", "u2", "u3", "u4")
+      ts <- Gen.chooseNum(0L, 200L)
+    } yield (k, ts)
+    val events = samples(g, 300)
+    val gap = 13L
+    // model: per key, sort (stable), walk assigning session ordinals
+    val want = events.groupBy(_._1).flatMap { case (k, es) =>
+      val sorted = es.map(_._2).sorted
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { ts =>
+        if (prev == Long.MinValue || ts - prev > gap) seq += 1
+        prev = ts
+        (k, ts) -> seq
+      }
+    }.toMap // ties collapse to one entry; op must agree on every row
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.Ops.sessionize(
+          events.toDF("k", "ts").repartition(parts), "k", "ts", gap)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      assert(got.length == events.length)
+      got.foreach { case (key, seq) =>
+        assert(seq == want(key), s"parts=$parts key=$key")
+      }
+    }
+  }
+
+  test("dropRepeatedParagraphs == df-model on random corpora") {
+    import spark.implicits._
+    val pool = Vector("shared banner", "rare line", "alpha", "beta beta",
+      "", "  ", "tail piece", "footer x")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(pool)).map(_.mkString("\n"))
+    val corpus = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val minDf = 5L
+    // model
+    val paras = corpus.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+    val hot = paras.flatMap { case (id, ps) =>
+      ps.filter(_.trim.nonEmpty).distinct.map(p => (p, id))
+    }.groupBy(_._1).collect { case (p, xs) if xs.size >= minDf => p }.toSet
+    val want = paras.flatMap { case (id, ps) =>
+      val kept = ps.filterNot(hot)
+      if (kept.isEmpty) None
+      else Some(id -> ((kept.mkString("\n"),
+        kept.count(_.trim.nonEmpty).toLong,
+        ps.count(_.trim.nonEmpty).toLong - kept.count(_.trim.nonEmpty))))
+    }.toMap
+    val got = graft.ops.Text.dropRepeatedParagraphs(
+        corpus.toDF("id", "text").repartition(5), "id", "text", minDf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("histogramAuto quantiles within one derived bin width on random data") {
+    import spark.implicits._
+    val g = Gen.listOfN(500, Gen.chooseNum(-1000.0, 1000.0))
+    samples(g, 5).foreach { xs0 =>
+      val xs = xs0.sorted
+      val bins = 64
+      val hist = graft.ops.Sketches.histogramAuto(xs0.toDF("x"), "x", bins)
+      val est = graft.ops.Sketches.histQuantilesAuto(hist, Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val w = (xs.last - xs.head) / bins
+      Seq(0.5, 0.9).foreach { q =>
+        // the ceil(q·n)-th smallest is the element the containing-bin
+        // interval (cum−cnt, cum] provably holds, so the one-bin-width
+        // bound is deterministic even across empty-bin gaps
+        val exact = xs((math.ceil(q * xs.length).toInt - 1).max(0))
+        assert(math.abs(est(q) - exact) <= w + 1e-9,
+          s"q=$q est=${est(q)} exact=$exact w=$w")
+      }
+    }
+  }
+
+  test("htmlToText: structured random pages recover exactly the content words") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val g = for {
+      ws <- Gen.nonEmptyListOf(word)
+      tag <- Gen.oneOf("p", "div", "li", "h2")
+      depth <- Gen.oneOf("b", "i", "em")
+      junk <- Gen.oneOf(
+        "<script>var hidden=1 && a<b;</script>",
+        "<style>p < q {}</style>",
+        "<!-- hiddenword -->", "")
+    } yield {
+      val body = ws.map(w => s"<$depth>$w</$depth>").mkString(" ")
+      (s"<$tag class='c'>$junk$body</$tag>", ws.mkString(" "))
+    }
+    val cases = samples(g, 120)
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.ops.Html.htmlToText(col("h"))).collect()
+      .map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g2) =>
+      assert(g2 == want, s"want=[$want] got=[$g2]")
+      assert(!g2.contains("hidden"), s"non-content leaked: $g2")
+    }
+  }
 }

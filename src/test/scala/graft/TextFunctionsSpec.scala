@@ -329,6 +329,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(linked._4 && linked._3 > 0L && linked._3 <= 300000L)
   }
 
+  test("dropRepeatedParagraphs plan: anti-join is hash-based, no NLJ/cartesian") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("id", "text")
+    val plan = graft.ops.Text.dropRepeatedParagraphs(docs, "id", "text",
+        minDf = 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair machinery leaked a quadratic join:\n$plan")
+    assert(plan.contains("LeftAnti"), "hot-paragraph anti-join present")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("dropRepeatedParagraphs: hot paragraphs drop, blanks survive, counts exact") {
     import spark.implicits._
     val banner = "Subscribe to our newsletter."
