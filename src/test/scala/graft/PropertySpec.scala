@@ -340,7 +340,8 @@ class PropertySpec extends SparkSpec {
         // interval (cum−cnt, cum] provably holds, so the one-bin-width
         // bound is deterministic even across empty-bin gaps
         val exact = xs((math.ceil(q * xs.length).toInt - 1).max(0))
-        assert(math.abs(est(q) - exact) <= w + 1e-9,
+        // +1e-6 covers the op's own round(est, 6) on top of the w bound
+        assert(math.abs(est(q) - exact) <= w + 1e-6,
           s"q=$q est=${est(q)} exact=$exact w=$w")
       }
     }
@@ -366,8 +367,9 @@ class PropertySpec extends SparkSpec {
       .select(graft.ops.Html.htmlToText(col("h"))).collect()
       .map(_.getString(0))
     cases.map(_._2).zip(got).foreach { case (want, g2) =>
+      // exact equality covers leakage too: want is built from the pool
+      // words only, so any script/style/comment residue fails here
       assert(g2 == want, s"want=[$want] got=[$g2]")
-      assert(!g2.contains("hidden"), s"non-content leaked: $g2")
     }
   }
 }
