@@ -542,4 +542,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  // ── group centroids (mean pooling) ─────────────────────────────────────
+
+  /** Per-group embedding centroid — mean pooling over a vector column:
+    * the domain/cluster/class PROTOTYPE primitive (domain vectors for
+    * mixture weighting, cluster centers for semantic bucketing, class
+    * prototypes for nearest-centroid classification). Output is FLAT —
+    * one row per (group, dimension): `(keyCol, d BIGINT, c DOUBLE,
+    * n BIGINT)` with `c` the mean of dimension d over the group's
+    * vectors and `n` the group's vector count — the layout downstream
+    * per-dim math (re-normalization, centroid distances) consumes
+    * directly, and the layout an external engine can hash-compare.
+    *
+    * Determinism: IEEE double summation is addition-order-dependent, so
+    * each component is rounded to 6 dp and summed as DECIMAL(38,12) —
+    * exact and associative, bit-identical across partitionings, retries
+    * and engines (the Scoring tier's decimal-sum contract); the single
+    * trailing division and 6-dp render are fixed IEEE expressions.
+    *
+    * Scale shape: one posexplode (narrow) + ONE map-side-combinable
+    * groupBy on (group, d) — the shuffle carries groups × dim partial
+    * sums, never the vectors; no collect_list, no per-group arrays on
+    * the heap. Null keys/vectors and vectors of the wrong length are
+    * dropped (a malformed embedding has no centroid contribution). */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String,
+                     dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    df.where(col(keyCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim)
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("d", "_v")))
+      .groupBy(col(keyCol), col("d").cast("long").as("d"))
+      .agg(sum(round(col("_v"), 6).cast("decimal(38,12)")).as("_s"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol), col("d"),
+        round(col("_s").cast("double") / col("n"), 6).as("c"), col("n"))
+  }
 }

@@ -1824,6 +1824,30 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), t2.as("text")),
           "doc_id", "text", minDf = 20L)
         .orderBy("doc_id")
+    },
+
+    // ── q122: per-label embedding centroids (mean pooling) — the
+    //    domain/cluster prototype primitive. Components round to 6 dp
+    //    and sum as DECIMAL(38,12) (exact, associative — layout- and
+    //    engine-proof, the Scoring decimal contract), one trailing
+    //    double division; the shuffle carries labels × 64 partial sums,
+    //    never vectors. Flat (label, d, c, n) rows hash-compare directly. ──
+    QueryDef("q122_group_centroids",
+      """WITH v AS (SELECT label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(embedding) = 64),
+        |a AS (SELECT label, d, SUM(CAST(round(v, 6) AS DECIMAL(38,12))) AS s,
+        |        COUNT(*) AS n
+        |      FROM v GROUP BY 1, 2)
+        |SELECT label, d, round(CAST(s AS DOUBLE) / n, 6) AS c, n
+        |FROM a ORDER BY label, d""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("label"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      graft.ops.Similarity.groupCentroids(emb, "label", "vec", dim = 64)
+        .orderBy("label", "d")
     }
   )
 

@@ -342,4 +342,24 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("need at least ksub=16"))
   }
+
+  test("groupCentroids: exact means, malformed rows dropped, layout-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 5.0)), ("b", Seq(10.0, -2.5)),
+      ("a", Seq(0.25)),            // wrong length -> dropped
+      ("b", null.asInstanceOf[Seq[Double]]), // null vec -> dropped
+      (null.asInstanceOf[String], Seq(7.0, 7.0))) // null key -> dropped
+      .toDF("k", "vec")
+    def run(parts: Int) = Similarity.groupCentroids(
+        rows.repartition(parts), "k", "vec", dim = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    val got = run(3)
+    assert(got == Map(
+      ("a", 0L) -> ((2.0, 2L)), ("a", 1L) -> ((3.5, 2L)),
+      ("b", 0L) -> ((10.0, 1L)), ("b", 1L) -> ((-2.5, 1L))))
+    assert(run(1) == got, "layout must not change centroids")
+  }
 }
