@@ -543,6 +543,56 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Contrastive hard-negative mining — the training-pair generator for
+    * embedding/retrieval models: for each query, the k most-similar
+    * corpus items EXCLUDING the query itself and everything in the
+    * query's near-dup CLUSTER. The cluster exclusion is the point: the
+    * most cosine-similar items to a document are usually its near
+    * duplicates, and a near-dup labeled "negative" poisons a contrastive
+    * objective (it is a false negative) — so similarity must be mined
+    * OUTSIDE the duplicate equivalence class, which is exactly the
+    * cluster table the dedup tier already publishes
+    * ([[Dedup.dedupAssign]] over [[srpNearDupPairs]] — the SemDeDup
+    * pipeline's byproduct).
+    *
+    * `clusters`: (idCol, clusterCol) — ids absent from it count as their
+    * own singleton cluster (only exact self-matches excluded). Scale
+    * shape: same as [[bruteForceTopK]] — queries broadcast, corpus scan
+    * map-only, per-row norms computed once; cluster ids ride the
+    * broadcast/scan sides so the exclusion is a plan predicate, not a
+    * join against the pair graph. Swap the scoring side for the IVF/PQ
+    * serving path when the corpus outgrows brute force — the exclusion
+    * predicate composes unchanged.
+    *
+    * Output: (query_id, negative_id, sim, rank), rank 1..k by (sim desc,
+    * id asc) — deterministic. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    clusters: DataFrame, idCol: String, clusterCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cl = clusters.select(col(idCol).as("_cid"),
+      col(clusterCol).as("_cluster"))
+    def withCluster(df: DataFrame, side: String) = df
+      .join(cl, df("id") === col("_cid"), "left")
+      .select(df("id").as(s"${side}_id"), col("vec").as(s"_${side}v"),
+        norm(col("vec")).as(s"_${side}n"),
+        coalesce(col("_cluster").cast("string"), df("id").cast("string"))
+          .as(s"_${side}c"))
+    val q = withCluster(queries, "query")
+    val c = withCluster(corpus, "negative")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("negative_id") &&
+          col("_queryc") =!= col("_negativec"))
+      .select(col("query_id"), col("negative_id"),
+        round(dot(col("_queryv"), col("_negativev")) /
+          (col("_queryn") * col("_negativen")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   // ── group centroids (mean pooling) ─────────────────────────────────────
 
   /** Per-group embedding centroid — mean pooling over a vector column:

@@ -141,6 +141,60 @@ object MultimodalQueries {
         .orderBy("vec_id")
     },
 
+    // ── q123: contrastive hard-negative mining — the training-pair
+    //    generator for retrieval/embedding models: per query, the top-5
+    //    most-similar corpus items EXCLUDING the query's own near-dup
+    //    cluster (a near-dup labeled "negative" is a false negative that
+    //    poisons the contrastive objective). Composes the SemDeDup
+    //    cluster table (q58's SRP pairs → closure) with brute-force
+    //    cosine ranking; the oracle replays planes, closure, exclusion
+    //    and ranking end to end. ──
+    QueryDef("q123_hard_negatives",
+      s"""WITH RECURSIVE pairs AS ($EmbeddingPairsSql),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |d AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
+         |cm AS (SELECT d.vec_id, COALESCE(c.cluster_id, d.vec_id) AS cid
+         |       FROM d LEFT JOIN comp c USING (vec_id)),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e2,
+         |        sqrt(list_inner_product(embedding::DOUBLE[],
+         |                                embedding::DOUBLE[])) AS n
+         |      FROM embeddings WHERE vec_id % 2 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+         |    round(list_inner_product(q.e2, c.e2) / (q.n * c.n), 6) AS sim
+         |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+         |  JOIN cm qc ON qc.vec_id = q.vec_id
+         |  JOIN cm cc ON cc.vec_id = c.vec_id
+         |  WHERE q.vec_id % 10 = 0 AND qc.cid <> cc.cid),
+         |ranked AS (SELECT query_id, negative_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, negative_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, negative_id, sim, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"))
+      val pairs = Similarity.srpNearDupPairs(emb, dim = 64,
+        planesPerTable = 4, tables = 8, threshold = 0.35)
+      val clusters = graft.ops.Dedup.dedupAssign(
+          emb.select(col("id").as("vec_id")), "vec_id", pairs,
+          "id_a", "id_b")
+        .select(col("vec_id"), col("cluster_id"))
+      Similarity.hardNegatives(emb.where(col("id") % 10 === 0), emb,
+          clusters, "vec_id", "cluster_id", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ── media near-dup: dHash-style perceptual signature (decoder tier —
     //    65 evenly-spaced byte samples standing in for a decoded 9×8 luma
     //    grid, bit k = gradient direction) + the SimHash 16-bit-chunk

@@ -343,6 +343,35 @@ class SimilaritySpec extends SparkSpec {
     assert(e3.getMessage.contains("need at least ksub=16"))
   }
 
+  test("hardNegatives: same-cluster near-dups excluded, ranks contiguous") {
+    import spark.implicits._
+    // q0 and d1 are near-identical AND share cluster c0: d1 must NOT
+    // appear among q0's negatives even though it is the most similar.
+    // d2 is similar but in another cluster -> the rank-1 negative.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),   // query, cluster 0
+      (1L, Seq(0.999, 0.001, 0.0)), // near-dup of 0, cluster 0
+      (2L, Seq(0.9, 0.1, 0.0)),   // similar, own cluster
+      (3L, Seq(0.0, 1.0, 0.0)),   // orthogonal, own cluster
+      (4L, Seq(-1.0, 0.0, 0.0))   // opposite, own cluster
+    ).toDF("id", "vec")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("vec_id", "cluster_id")
+    val got = Similarity.hardNegatives(vecs.where($"id" === 0L), vecs,
+        clusters, "vec_id", "cluster_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 4L),
+      s"expected cluster-excluded ranking, got ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(1, 2, 3), "ranks contiguous after exclusion")
+    // ids missing from the cluster table are singletons: only the self
+    // match is excluded
+    val noCl = Similarity.hardNegatives(vecs.where($"id" === 0L), vecs,
+        Seq.empty[(Long, Long)].toDF("vec_id", "cluster_id"), "vec_id",
+        "cluster_id", k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(noCl == Set(1L, 2L, 3L, 4L))
+  }
+
   test("groupCentroids: exact means, malformed rows dropped, layout-invariant") {
     import spark.implicits._
     val rows = Seq(
