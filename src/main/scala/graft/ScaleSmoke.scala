@@ -168,6 +168,27 @@ object ScaleSmoke {
     val n3 = graft.ops.Similarity.srpNearDupPairs(v, dim = dim,
       planesPerTable = 16, tables = 4, threshold = 0.99, maxBucket = 1000).count()
     println(f"srp_neardup_200k: pairs=$n3 time=${(System.nanoTime()-t2)/1e9}%.1f s")
+    // Group centroids at 200k x 32-d over 1000 groups (round 12): the
+    // shuffle carries 1000 x 32 decimal partial sums, never vectors —
+    // wall time must track the scan + explode, not group count.
+    val tgc2 = System.nanoTime()
+    val ngc2 = graft.ops.Similarity.groupCentroids(
+      v.select((col("id") % 1000).as("grp"), col("vec")), "grp", "vec",
+      dim = dim).count()
+    println(f"group_centroids_200k: rows=$ngc2 " +
+      f"time=${(System.nanoTime()-tgc2)/1e9}%.1f s")
+    // Hard negatives (round 12): 100 broadcast queries scored against the
+    // 200k corpus with the jitter-cluster (id div 10) exclusion — the
+    // contrastive-pair generator at its brute-force tier; the map-only
+    // scan shape is the claim (swap in IVF/PQ for larger corpora).
+    val thn = System.nanoTime()
+    val clus = v.select(col("id").as("vec_id"),
+      expr("id div 10").as("cluster_id"))
+    val nhn = graft.ops.Similarity.hardNegatives(
+      v.where(col("id") % 2000 === 0), v, clus, "vec_id", "cluster_id",
+      k = 10).count()
+    println(f"hard_negatives_200k: rows=$nhn " +
+      f"time=${(System.nanoTime()-thn)/1e9}%.1f s")
     // PQ tier over the same 200k vectors: codebook fit is bounded by the
     // m·ksub·dsub collect, encoding is one map-only pass (the codegen'd
     // loop kernel), ADC search cost scales with probed lists — per-row

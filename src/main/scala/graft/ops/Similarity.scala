@@ -40,11 +40,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByQuery(scored, "neighbor_id", k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine >=
@@ -570,14 +566,21 @@ object Similarity {
                     clusters: DataFrame, idCol: String, clusterCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val cl = clusters.select(col(idCol).as("_cid"),
-      col(clusterCol).as("_cluster"))
+    // Deduplicated (min label — deterministic) so a pair-derived cluster
+    // table with repeated ids can't fan rows out into duplicate ranks;
+    // "c:"/"i:" prefixes keep cluster labels and singleton-fallback ids
+    // in DISJOINT namespaces (a dense cluster index 3 must not collide
+    // with an unclustered id 3).
+    val cl = clusters
+      .select(col(idCol).as("_cid"), col(clusterCol).cast("string").as("_cl"))
+      .where(col("_cid").isNotNull && col("_cl").isNotNull)
+      .groupBy("_cid").agg(min(col("_cl")).as("_cluster"))
     def withCluster(df: DataFrame, side: String) = df
       .join(cl, df("id") === col("_cid"), "left")
       .select(df("id").as(s"${side}_id"), col("vec").as(s"_${side}v"),
         norm(col("vec")).as(s"_${side}n"),
-        coalesce(col("_cluster").cast("string"), df("id").cast("string"))
-          .as(s"_${side}c"))
+        coalesce(concat(lit("c:"), col("_cluster")),
+          concat(lit("i:"), df("id").cast("string"))).as(s"_${side}c"))
     val q = withCluster(queries, "query")
     val c = withCluster(corpus, "negative")
     val scored = c.join(broadcast(q),
@@ -586,9 +589,15 @@ object Similarity {
       .select(col("query_id"), col("negative_id"),
         round(dot(col("_queryv"), col("_negativev")) /
           (col("_queryn") * col("_negativen")), 6).as("sim"))
+    topKByQuery(scored, "negative_id", k)
+  }
+
+  /** Shared rank-and-cut tail of the per-query scorers: rank 1..k by
+    * (sim desc, id asc) — one tie-break contract for every top-k path. */
+  private def topKByQuery(scored: DataFrame, idOut: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("negative_id").asc)
+      .orderBy(col("sim").desc, col(idOut).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -614,13 +623,18 @@ object Similarity {
     * Scale shape: one posexplode (narrow) + ONE map-side-combinable
     * groupBy on (group, d) — the shuffle carries groups × dim partial
     * sums, never the vectors; no collect_list, no per-group arrays on
-    * the heap. Null keys/vectors and vectors of the wrong length are
-    * dropped (a malformed embedding has no centroid contribution). */
+    * the heap. Null keys/vectors, vectors of the wrong length, and
+    * vectors with any non-finite or |v| ≥ 1e9 component are dropped
+    * WHOLE (a malformed embedding has no centroid contribution; a NaN
+    * component would throw in the ANSI decimal cast mid-job, and a
+    * per-component drop would silently skew the mean — the Sketches
+    * NaN-defense rule applied row-wise). */
   def groupCentroids(df: DataFrame, keyCol: String, vecCol: String,
                      dim: Int): DataFrame = {
     require(dim >= 1, "dim must be >= 1")
     df.where(col(keyCol).isNotNull && col(vecCol).isNotNull &&
-        size(col(vecCol)) === dim)
+        size(col(vecCol)) === dim &&
+        !exists(col(vecCol), x => x.isNull || isnan(x) || abs(x) >= 1e9))
       .select(col(keyCol), posexplode(col(vecCol)).as(Seq("d", "_v")))
       .groupBy(col(keyCol), col("d").cast("long").as("d"))
       .agg(sum(round(col("_v"), 6).cast("decimal(38,12)")).as("_s"),

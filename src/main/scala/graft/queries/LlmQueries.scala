@@ -1838,7 +1838,10 @@ object LlmQueries {
         |    unnest(embedding::DOUBLE[]) AS v
         |  FROM embeddings
         |  WHERE label IS NOT NULL AND embedding IS NOT NULL
-        |    AND len(embedding) = 64),
+        |    AND len(embedding) = 64
+        |    -- mirror the op's whole-vector malformed-component drop
+        |    AND len(list_filter(embedding::DOUBLE[],
+        |          x -> x IS NULL OR isnan(x) OR abs(x) >= 1e9)) = 0),
         |a AS (SELECT label, d, SUM(CAST(round(v, 6) AS DECIMAL(38,12))) AS s,
         |        COUNT(*) AS n
         |      FROM v GROUP BY 1, 2)

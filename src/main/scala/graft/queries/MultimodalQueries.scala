@@ -44,6 +44,21 @@ object MultimodalQueries {
        |WHERE round(list_inner_product(x.e, y.e) / (x.n * y.n), 6) >= 0.35""".stripMargin
   }
 
+  /** The SemDeDup cluster closure over [[EmbeddingPairsSql]] — CTE text
+    * (no WITH prefix) shared by q58 and q123 so a closure-semantics fix
+    * can never desynchronize the two oracles. Yields `comp(vec_id,
+    * cluster_id)` for every clustered id; singletons are absent (callers
+    * COALESCE to the id itself). */
+  private val ClusterClosureCtes: String =
+    """e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+      |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+      |         FROM reach GROUP BY u)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ── expression tier: metadata + frame sampling over a binary column ──
@@ -116,14 +131,7 @@ object MultimodalQueries {
     //    replayed in the oracle as a recursive CTE. ──
     QueryDef("q58_semantic_dedup",
       s"""WITH RECURSIVE pairs AS ($EmbeddingPairsSql),
-         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |      UNION SELECT id_b, id_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
-         |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
-         |         FROM reach GROUP BY u)
+         |$ClusterClosureCtes
          |SELECT d.vec_id,
          |       COALESCE(c.cluster_id, d.vec_id) AS cluster_id,
          |       CAST(COALESCE(c.cluster_id, d.vec_id) = d.vec_id AS INT) AS keep
@@ -151,14 +159,7 @@ object MultimodalQueries {
     //    and ranking end to end. ──
     QueryDef("q123_hard_negatives",
       s"""WITH RECURSIVE pairs AS ($EmbeddingPairsSql),
-         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |      UNION SELECT id_b, id_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
-         |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
-         |         FROM reach GROUP BY u),
+         |$ClusterClosureCtes,
          |d AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
          |cm AS (SELECT d.vec_id, COALESCE(c.cluster_id, d.vec_id) AS cid
          |       FROM d LEFT JOIN comp c USING (vec_id)),
