@@ -370,6 +370,25 @@ class SimilaritySpec extends SparkSpec {
         "cluster_id", k = 4)
       .collect().map(_.getLong(1)).toSet
     assert(noCl == Set(1L, 2L, 3L, 4L))
+    // dense cluster INDICES must not collide with unclustered raw ids:
+    // query 0 sits in cluster index 2; corpus item 2 is absent from the
+    // cluster table — its singleton label "i:2" differs from "c:2", so
+    // it stays a valid negative.
+    val dense = Seq((0L, 2L), (1L, 2L)).toDF("vec_id", "cluster_id")
+    val denseGot = Similarity.hardNegatives(vecs.where($"id" === 0L), vecs,
+        dense, "vec_id", "cluster_id", k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(denseGot == Set(2L, 3L, 4L), s"dense-index collision: $denseGot")
+    // duplicate cluster rows (pair-derived tables repeat ids) must not
+    // fan a negative into multiple ranks
+    val dup = Seq((0L, 0L), (1L, 0L), (2L, 2L), (2L, 2L), (2L, 9L))
+      .toDF("vec_id", "cluster_id")
+    val dupGot = Similarity.hardNegatives(vecs.where($"id" === 0L), vecs,
+        dup, "vec_id", "cluster_id", k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(dupGot.map(_._1).distinct.length == dupGot.length,
+      s"duplicate negative ranks: ${dupGot.toSeq}")
+    assert(dupGot.map(_._2).sorted.toSeq == (1 to dupGot.length).toSeq)
   }
 
   test("groupCentroids: exact means, malformed rows dropped, layout-invariant") {
