@@ -164,11 +164,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByQuery(scored, "neighbor_id", k)
   }
 
   // ── IVF (inverted-file) ANN ────────────────────────────────────────────
@@ -488,11 +484,7 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("_qv"),
         col("_qn"),
         ((col("_cip") + approxIp) / (col("_qn") * col("_n"))).as("_approx"))
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("_approx").desc, col("neighbor_id").asc)
-    val shortlist = cand.withColumn("_ar", row_number().over(wAdc))
-      .where(col("_ar") <= rerank)
+    val shortlist = boundedTopK(cand, "neighbor_id", col("_approx"), rerank)
       .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_qn"))
     // Exact re-rank: only `rerank` rows per query pay the full-vector join.
     val exact = shortlist
@@ -500,11 +492,7 @@ object Similarity {
         norm(col("vec")).as("_cn")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByQuery(exact, "neighbor_id", k)
   }
 
   /** IVF top-k against a PRECOMPUTED index ([[ivfIndex]] output, typically
@@ -532,11 +520,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByQuery(scored, "neighbor_id", k)
   }
 
   /** Contrastive hard-negative mining — the training-pair generator for
@@ -552,7 +536,11 @@ object Similarity {
     * pipeline's byproduct).
     *
     * `clusters`: (idCol, clusterCol) — ids absent from it count as their
-    * own singleton cluster (only exact self-matches excluded). Scale
+    * own singleton cluster (only exact self-matches excluded). Rows with
+    * a NULL id on either side are dropped explicitly (same contract as
+    * [[bruteForceTopK]], where the null-unsafe =!= self-match predicate
+    * drops them implicitly): a null id can't be excluded, ranked, or
+    * tie-broken, so it has no place in a training pair. Scale
     * shape: same as [[bruteForceTopK]] — queries broadcast, corpus scan
     * map-only, per-row norms computed once; cluster ids ride the
     * broadcast/scan sides so the exclusion is a plan predicate, not a
@@ -575,7 +563,10 @@ object Similarity {
       .select(col(idCol).as("_cid"), col(clusterCol).cast("string").as("_cl"))
       .where(col("_cid").isNotNull && col("_cl").isNotNull)
       .groupBy("_cid").agg(min(col("_cl")).as("_cluster"))
+    // Explicit null-id drop (see scaladoc): without it the nulls would be
+    // silently discarded anyway by the null-unsafe =!= join predicates.
     def withCluster(df: DataFrame, side: String) = df
+      .where(col("id").isNotNull)
       .join(cl, df("id") === col("_cid"), "left")
       .select(df("id").as(s"${side}_id"), col("vec").as(s"_${side}v"),
         norm(col("vec")).as(s"_${side}n"),
@@ -594,12 +585,34 @@ object Similarity {
 
   /** Shared rank-and-cut tail of the per-query scorers: rank 1..k by
     * (sim desc, id asc) — one tie-break contract for every top-k path. */
-  private def topKByQuery(scored: DataFrame, idOut: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idOut).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+  private def topKByQuery(scored: DataFrame, idOut: String, k: Int): DataFrame =
+    boundedTopK(scored, idOut, col("sim"), k).withColumnRenamed("_rk", "rank")
+
+  /** Salted two-phase per-query top-k — the bounded-task form of
+    * `row_number().over(partitionBy(query_id))` (the
+    * [[Sampling.topKPerStratum]] pattern, stratum = query): a naive
+    * per-query window lands EVERY scored candidate for one query in ONE
+    * task — |corpus| rows per task for the brute-force paths, the probed
+    * cells' contents for IVF/PQ, both unbounded in corpus size. Phase 1
+    * ranks within (query, xxhash64(id) mod fanout) sub-windows and keeps
+    * k per salt, so no task ever sorts more than ~|candidates|/fanout
+    * rows; phase 2 ranks the ≤ k·fanout survivors per query. Exact and
+    * byte-identical to the naive window: the order (ord desc, id asc) is
+    * total, and a global top-k row is necessarily a top-k row of its
+    * salt bucket. Output: input columns + `_rk` (1..k). */
+  private def boundedTopK(scored: DataFrame, idOut: String, ordCol: Column,
+                          k: Int, fanout: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col(idOut)), lit(fanout)))
+      .orderBy(ordCol.desc, col(idOut).asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(ordCol.desc, col(idOut).asc)
+    scored.withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .withColumn("_rk", row_number().over(global))
+      .where(col("_rk") <= k)
+      .drop("_lrk")
   }
 
   // ── group centroids (mean pooling) ─────────────────────────────────────

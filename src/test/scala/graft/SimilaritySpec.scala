@@ -391,6 +391,36 @@ class SimilaritySpec extends SparkSpec {
     assert(dupGot.map(_._2).sorted.toSeq == (1 to dupGot.length).toSeq)
   }
 
+  test("top-k tails: salted two-phase windows, byte-equal to the naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = fixtureEmb
+    val queries = emb.where(col("id") % 100 === 0)
+    val out = Similarity.bruteForceTopK(queries, emb, k = 5)
+    // Plan shape: TWO window nodes — a local rank partitioned by
+    // (query_id, pmod(xxhash64(id), fanout)) that bounds any single task to
+    // ~|candidates|/fanout rows, then the global per-query rank over the
+    // <= k*fanout survivors. A single per-query window (one task holding a
+    // full query's candidate set — |corpus| rows here) must NOT appear.
+    val plan = out.queryExecution.executedPlan.toString
+    assert("windowspecdefinition".r.findAllIn(plan).size == 2, plan.take(2000))
+    assert(plan.contains("xxhash64") && plan.contains("pmod"), plan.take(2000))
+    // Spark's own WindowGroupLimit kicks in on both phases (map-side
+    // partial top-k before each exchange) — keep it that way.
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // Byte-equality with the naive single-window ranking over the same
+    // scored set (the order is total, so two-phase is exact, not approx).
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val naive = emb.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      .crossJoin(q).where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine6(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= 5)
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      naive.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("groupCentroids: exact means, malformed rows dropped, layout-invariant") {
     import spark.implicits._
     val rows = Seq(
