@@ -446,7 +446,57 @@ object Similarity {
                          books: Seq[(Int, Int, Seq[Double])],
                          dim: Int, m: Int,
                          nprobe: Int, rerank: Int, k: Int,
-                         residualCents: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+                         residualCents: Option[Seq[(Int, Seq[Double])]] = None): DataFrame =
+    pqServe(queries, pqIdx, corpus, cents, books, dim, m, nprobe, rerank, k,
+      residualCents, excludeClusters = None, idOut = "neighbor_id")
+
+  /** Hard-negative mining SERVED FROM the persisted PQ/IVF index — the
+    * scale form of [[hardNegatives]]: per query, the k most-ADC-similar
+    * NON-cluster-mate candidates from the probed cells, exact-re-ranked.
+    * The cluster exclusion applies BEFORE the ADC shortlist cut, so an
+    * excluded near-dup can never consume rerank budget (a cluster-mate
+    * topping the ADC scores — the common case, near-dups are the most
+    * similar items — would otherwise crowd eligible negatives out of the
+    * shortlist). Same label contract as [[hardNegatives]] ("c:"/"i:"
+    * namespaces, min-label dedup, null ids dropped); same exactness
+    * contract as [[pqTopKAgainstIndex]] (published sims are exact cosine;
+    * with adequate nprobe/rerank margin the result equals the brute-force
+    * [[hardNegatives]] — q124 pins exactly that).
+    *
+    * Scale shape: query labels ride the broadcast probe rows; candidate
+    * labels come from ONE join of the probed code rows against the
+    * (id → cluster) table — at a recurring 100 TB serve, materialize
+    * `_cluster` into the stored index at build time instead (attach the
+    * label column before the `partitionBy("_cell")` write) and this join
+    * collapses to a stored-column read. Output: (query_id, negative_id,
+    * sim, rank). */
+  def hardNegativesAgainstIndex(queries: DataFrame, pqIdx: DataFrame,
+                                corpus: DataFrame,
+                                cents: Seq[(Int, Seq[Double])],
+                                books: Seq[(Int, Int, Seq[Double])],
+                                dim: Int, m: Int,
+                                nprobe: Int, rerank: Int, k: Int,
+                                clusters: DataFrame, idCol: String,
+                                clusterCol: String,
+                                residualCents: Option[Seq[(Int, Seq[Double])]] = None): DataFrame =
+    pqServe(queries, pqIdx, corpus, cents, books, dim, m, nprobe, rerank, k,
+      residualCents,
+      excludeClusters = Some(clusterTable(clusters, idCol, clusterCol)),
+      idOut = "negative_id")
+
+  /** Shared PQ/IVF-PQ serving core behind [[pqTopKAgainstIndex]] and
+    * [[hardNegativesAgainstIndex]]. `excludeClusters`: deduped
+    * (_cid, _cluster) table; when present, candidates sharing the query's
+    * cluster label are dropped at the ADC candidate stage (before the
+    * shortlist cut) and output ids are named `idOut`. */
+  private def pqServe(queries: DataFrame, pqIdx: DataFrame,
+                      corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      books: Seq[(Int, Int, Seq[Double])],
+                      dim: Int, m: Int,
+                      nprobe: Int, rerank: Int, k: Int,
+                      residualCents: Option[Seq[(Int, Seq[Double])]],
+                      excludeClusters: Option[DataFrame],
+                      idOut: String): DataFrame = {
     require(rerank >= k, "rerank candidate count must be >= k")
     val ksub = books.size / m
     // Per-query ADC table (flat, tab[s·ksub+c] = ⟨q_s, books[s][c]⟩) — a
@@ -469,30 +519,57 @@ object Similarity {
         element_at(centArrayLit(rc), col("_pc.c") + 1))
       case None => lit(0.0)
     }
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("_qv"),
-        norm(col("vec")).as("_qn"), adcTab.as("_tab"), probeCells.as("_pc"))
+    // With exclusion: cluster labels attach via one left join per side
+    // (query labels ride the broadcast probes; candidate labels join the
+    // probed code rows) under the hardNegatives "c:"/"i:" namespace
+    // contract; ids absent from the table are singletons.
+    val qBase = excludeClusters match {
+      case Some(cl) => queries.where(col("id").isNotNull)
+        .join(cl, queries("id") === col("_cid"), "left")
+      case None => queries
+    }
+    val qLabel = excludeClusters.map(_ =>
+      coalesce(concat(lit("c:"), col("_cluster")),
+        concat(lit("i:"), col("id").cast("string"))).as("_qc")).toSeq
+    val probes = qBase.select(Seq(col("id").as("query_id"),
+        col("vec").as("_qv"), norm(col("vec")).as("_qn"), adcTab.as("_tab"),
+        probeCells.as("_pc")) ++ qLabel: _*)
       .withColumn("_pr", row_number().over(wProbe))
       .where(col("_pr") <= nprobe)
-      .select(col("query_id"), col("_qv"), col("_qn"), col("_tab"),
-        col("_pc.c").as("_cell"), cellIp.as("_cip"))
-    // ADC scan: m table lookups + adds per candidate code row.
+      .select(Seq(col("query_id"), col("_qv"), col("_qn"), col("_tab"),
+        col("_pc.c").as("_cell"), cellIp.as("_cip")) ++
+        excludeClusters.map(_ => col("_qc")).toSeq: _*)
+    val idx = excludeClusters match {
+      case Some(cl) => pqIdx.where(col("id").isNotNull)
+        .join(cl, pqIdx("id") === col("_cid"), "left")
+        .withColumn("_nc", coalesce(concat(lit("c:"), col("_cluster")),
+          concat(lit("i:"), col("id").cast("string"))))
+      case None => pqIdx
+    }
+    // ADC scan: m table lookups + adds per candidate code row. Exclusion
+    // (self + cluster-mates) applies HERE — before the shortlist cut, so
+    // excluded ids never consume rerank budget.
     val approxIp = (0 until m).map(s =>
       element_at(col("_tab"),
         lit(s * ksub + 1) + element_at(col("_codes"), s + 1))).reduce(_ + _)
-    val cand = pqIdx.join(broadcast(probes), Seq("_cell"))
-      .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("_qv"),
+    val keep = excludeClusters match {
+      case Some(_) => col("query_id") =!= col("id") && col("_qc") =!= col("_nc")
+      case None => col("query_id") =!= col("id")
+    }
+    val cand = idx.join(broadcast(probes), Seq("_cell"))
+      .where(keep)
+      .select(col("query_id"), col("id").as(idOut), col("_qv"),
         col("_qn"),
         ((col("_cip") + approxIp) / (col("_qn") * col("_n"))).as("_approx"))
-    val shortlist = boundedTopK(cand, "neighbor_id", col("_approx"), rerank)
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_qn"))
+    val shortlist = boundedTopK(cand, idOut, col("_approx"), rerank)
+      .select(col("query_id"), col(idOut), col("_qv"), col("_qn"))
     // Exact re-rank: only `rerank` rows per query pay the full-vector join.
     val exact = shortlist
-      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
-        norm(col("vec")).as("_cn")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
+      .join(corpus.select(col("id").as(idOut), col("vec").as("_cv"),
+        norm(col("vec")).as("_cn")), idOut)
+      .select(col("query_id"), col(idOut),
         round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6).as("sim"))
-    topKByQuery(exact, "neighbor_id", k)
+    topKByQuery(exact, idOut, k)
   }
 
   /** IVF top-k against a PRECOMPUTED index ([[ivfIndex]] output, typically
@@ -554,15 +631,7 @@ object Similarity {
                     clusters: DataFrame, idCol: String, clusterCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // Deduplicated (min label — deterministic) so a pair-derived cluster
-    // table with repeated ids can't fan rows out into duplicate ranks;
-    // "c:"/"i:" prefixes keep cluster labels and singleton-fallback ids
-    // in DISJOINT namespaces (a dense cluster index 3 must not collide
-    // with an unclustered id 3).
-    val cl = clusters
-      .select(col(idCol).as("_cid"), col(clusterCol).cast("string").as("_cl"))
-      .where(col("_cid").isNotNull && col("_cl").isNotNull)
-      .groupBy("_cid").agg(min(col("_cl")).as("_cluster"))
+    val cl = clusterTable(clusters, idCol, clusterCol)
     // Explicit null-id drop (see scaladoc): without it the nulls would be
     // silently discarded anyway by the null-unsafe =!= join predicates.
     def withCluster(df: DataFrame, side: String) = df
@@ -582,6 +651,19 @@ object Similarity {
           (col("_queryn") * col("_negativen")), 6).as("sim"))
     topKByQuery(scored, "negative_id", k)
   }
+
+  /** Deduplicated (id → cluster label) table shared by the hard-negative
+    * paths: min label per id (deterministic — a pair-derived cluster
+    * table with repeated ids can't fan rows out into duplicate ranks);
+    * labels are later prefixed "c:" while singleton fallbacks get "i:",
+    * keeping the two namespaces DISJOINT (a dense cluster index 3 must
+    * not collide with an unclustered id 3). */
+  private def clusterTable(clusters: DataFrame, idCol: String,
+                           clusterCol: String): DataFrame =
+    clusters
+      .select(col(idCol).as("_cid"), col(clusterCol).cast("string").as("_cl"))
+      .where(col("_cid").isNotNull && col("_cl").isNotNull)
+      .groupBy("_cid").agg(min(col("_cl")).as("_cluster"))
 
   /** Shared rank-and-cut tail of the per-query scorers: rank 1..k by
     * (sim desc, id asc) — one tie-break contract for every top-k path. */

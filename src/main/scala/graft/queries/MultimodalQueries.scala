@@ -59,6 +59,47 @@ object MultimodalQueries {
       |comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
       |         FROM reach GROUP BY u)""".stripMargin
 
+  /** q123/q124's shared oracle: brute-force cluster-excluded top-5 mining
+    * (planes → closure → exclusion → ranking replayed end to end). q124
+    * serves the SAME answer from the persisted PQ index, so the two
+    * queries pin one SQL — the index may change who pays the exact
+    * re-rank join, never the result. */
+  private val HardNegativesSql: String =
+    s"""WITH RECURSIVE pairs AS ($EmbeddingPairsSql),
+       |$ClusterClosureCtes,
+       |d AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
+       |cm AS (SELECT d.vec_id, COALESCE(c.cluster_id, d.vec_id) AS cid
+       |       FROM d LEFT JOIN comp c USING (vec_id)),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e2,
+       |        sqrt(list_inner_product(embedding::DOUBLE[],
+       |                                embedding::DOUBLE[])) AS n
+       |      FROM embeddings WHERE vec_id % 2 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+       |    round(list_inner_product(q.e2, c.e2) / (q.n * c.n), 6) AS sim
+       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |  JOIN cm qc ON qc.vec_id = q.vec_id
+       |  JOIN cm cc ON cc.vec_id = c.vec_id
+       |  WHERE q.vec_id % 10 = 0 AND qc.cid <> cc.cid),
+       |ranked AS (SELECT query_id, negative_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, negative_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, negative_id, sim, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The SemDeDup cluster table (SRP pairs → connected components) both
+    * hard-negative queries exclude against — q58's assignment, reused so
+    * the mined-against clusters can never diverge between q123 and q124. */
+  private def hardNegClusters(emb: org.apache.spark.sql.DataFrame) = {
+    val pairs = Similarity.srpNearDupPairs(emb, dim = 64,
+      planesPerTable = 4, tables = 8, threshold = 0.35)
+    graft.ops.Dedup.dedupAssign(
+        emb.select(col("id").as("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── expression tier: metadata + frame sampling over a binary column ──
@@ -157,42 +198,41 @@ object MultimodalQueries {
     //    cluster table (q58's SRP pairs → closure) with brute-force
     //    cosine ranking; the oracle replays planes, closure, exclusion
     //    and ranking end to end. ──
-    QueryDef("q123_hard_negatives",
-      s"""WITH RECURSIVE pairs AS ($EmbeddingPairsSql),
-         |$ClusterClosureCtes,
-         |d AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
-         |cm AS (SELECT d.vec_id, COALESCE(c.cluster_id, d.vec_id) AS cid
-         |       FROM d LEFT JOIN comp c USING (vec_id)),
-         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e2,
-         |        sqrt(list_inner_product(embedding::DOUBLE[],
-         |                                embedding::DOUBLE[])) AS n
-         |      FROM embeddings WHERE vec_id % 2 = 0),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
-         |    round(list_inner_product(q.e2, c.e2) / (q.n * c.n), 6) AS sim
-         |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
-         |  JOIN cm qc ON qc.vec_id = q.vec_id
-         |  JOIN cm cc ON cc.vec_id = c.vec_id
-         |  WHERE q.vec_id % 10 = 0 AND qc.cid <> cc.cid),
-         |ranked AS (SELECT query_id, negative_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, negative_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, negative_id, sim, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("q123_hard_negatives", HardNegativesSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .where(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("id"),
           transform(col("embedding"), _.cast("double")).as("vec"))
-      val pairs = Similarity.srpNearDupPairs(emb, dim = 64,
-        planesPerTable = 4, tables = 8, threshold = 0.35)
-      val clusters = graft.ops.Dedup.dedupAssign(
-          emb.select(col("id").as("vec_id")), "vec_id", pairs,
-          "id_a", "id_b")
-        .select(col("vec_id"), col("cluster_id"))
+      val clusters = hardNegClusters(emb)
       Similarity.hardNegatives(emb.where(col("id") % 10 === 0), emb,
           clusters, "vec_id", "cluster_id", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ── q124: hard-negative mining SERVED FROM the persisted PQ index —
+    //    the scale form of q123: the cluster-exclusion predicate composes
+    //    with the ADC serving path BEFORE the shortlist cut (an excluded
+    //    near-dup can never consume rerank budget), candidates come from
+    //    the probed cells' code rows, survivors are exact-re-ranked. With
+    //    the q92 probe/rerank margins the result must equal q123's
+    //    brute-force mining EXACTLY, so the oracle is the identical SQL —
+    //    the index changes who pays the exact join, never the answer. ──
+    QueryDef("q124_hard_negatives_indexed", HardNegativesSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("vec"))
+      val clusters = hardNegClusters(emb)
+      val cents = emb.where(col("id") < 32).orderBy(col("id")).collect()
+        .map { case r => (r.getLong(0).toInt / 2, r.getSeq[Double](1)) }.toSeq
+      val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 32, ksub = 16,
+        iters = 2)
+      val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(emb, cents),
+        dim = 64, m = 32, books)
+      Similarity.hardNegativesAgainstIndex(emb.where(col("id") % 10 === 0),
+          pqIdx, emb, cents, books, dim = 64, m = 32,
+          nprobe = 16, rerank = 80, k = 5,
+          clusters, "vec_id", "cluster_id")
         .orderBy("query_id", "rank")
     },
 

@@ -391,6 +391,43 @@ class SimilaritySpec extends SparkSpec {
     assert(dupGot.map(_._2).sorted.toSeq == (1 to dupGot.length).toSeq)
   }
 
+  test("hardNegativesAgainstIndex: equals brute-force mining; cluster-mates " +
+      "topping the ADC shortlist are excluded without eating rerank budget") {
+    import spark.implicits._
+    val emb = fixtureEmb
+    // 100 near-clones of query 0's vector, all in query 0's cluster: they
+    // top the ADC ranking for query 0 BY CONSTRUCTION, and there are more
+    // of them than the whole rerank budget (60) — if exclusion ran after
+    // the shortlist cut, query 0's shortlist would be clones only and the
+    // query would get zero (or wrong) negatives.
+    val q0vec = emb.where(col("id") === 0L).collect()(0).getSeq[Double](1)
+    val rnd = new scala.util.Random(11)
+    val clones = (0 until 100)
+      .map(i => (10000L + i, q0vec.map(_ + rnd.nextGaussian() * 1e-4)))
+      .toDF("id", "vec")
+    val corpus = emb.unionByName(clones)
+    val clusters = ((0 until 100).map(i => (10000L + i, 0L)) :+ ((0L, 0L)))
+      .toDF("vec_id", "cluster_id")
+    val queries = emb.where(col("id") % 100 === 0)
+    val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val books = Similarity.pqFitCodebooks(emb, 64, 32, 16, iters = 2)
+    val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(corpus, cents),
+      64, 32, books)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    val got = rows(Similarity.hardNegativesAgainstIndex(queries, pqIdx,
+      corpus, cents, books, dim = 64, m = 32, nprobe = 16, rerank = 60,
+      k = 5, clusters, "vec_id", "cluster_id"))
+    val want = rows(Similarity.hardNegatives(queries, corpus, clusters,
+      "vec_id", "cluster_id", k = 5))
+    assert(got == want, s"index-served mining diverged from brute force")
+    // Query 0 got its full k ranks and no clone appears anywhere.
+    assert(got.count(_._1 == 0L) == 5)
+    assert(!got.exists(_._2 >= 10000L), s"clone leaked into negatives")
+  }
+
   test("top-k tails: salted two-phase windows, byte-equal to the naive window") {
     import org.apache.spark.sql.expressions.Window
     val emb = fixtureEmb
