@@ -227,9 +227,10 @@ object Bench {
       var books: Seq[(Int, Int, Seq[Double])] = null
       val idxDir = Files.createTempDirectory("graft-bench-pq").toString
       val fit = timed("pq_fit") {
-        cents = graft.ops.Similarity.fitCentroids(emb, k = 16, iters = 2)
+        cents = graft.ops.Similarity.fitCentroids(emb, k = 16, iters = 2,
+          maxSample = 4096)
         books = graft.ops.Similarity.pqFitCodebooksResidual(emb, cents,
-          dim = 64, m = 32, ksub = 16, iters = 2)
+          dim = 64, m = 32, ksub = 16, iters = 2, maxSample = 4096)
       }
       val build = timed("pq_index") {
         graft.ops.Similarity.pqIndexResidual(
@@ -248,6 +249,8 @@ object Bench {
       // the bucketed spine ONCE; the AgainstIndex serves skip the
       // canonicalization shuffle every graph query otherwise pays.
       val gPrefix = "bench_spine"
+      // Own catch: a graph-spine failure must report the already-measured
+      // PQ fit/build/serve timings, not discard them with its own.
       try {
         val gBuild = timed("graph_build") {
           graft.ops.Graph.graphIndex(
@@ -261,6 +264,10 @@ object Bench {
           ()
         }
         Seq(fit, build, serve, gBuild, gServe)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] graph-spine phase attribution failed: $e")
+          Seq(fit, build, serve)
       } finally {
         // not leaked into the warehouse catalog on a failed phase
         spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_edges")

@@ -195,7 +195,7 @@ object ScaleSmoke {
     // time must stay flat vs the 500-row fixture.
     val tp = System.nanoTime()
     val books = graft.ops.Similarity.pqFitCodebooks(v, dim = dim, m = 16,
-      ksub = 16, iters = 1)
+      ksub = 16, iters = 1, maxSample = 4096)
     val cents200 = v.where(col("id") < 16).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
     val pqIdx = graft.ops.Similarity.pqIndex(
@@ -213,9 +213,10 @@ object ScaleSmoke {
     // adds one ⟨q, c_cell⟩ dot per probe row — per-candidate cost
     // unchanged (m lookups).
     val trb = System.nanoTime()
-    val kmC = graft.ops.Similarity.fitCentroids(v, k = 16, iters = 2)
+    val kmC = graft.ops.Similarity.fitCentroids(v, k = 16, iters = 2,
+      maxSample = 4096)
     val resBooks = graft.ops.Similarity.pqFitCodebooksResidual(v, kmC, dim,
-      16, 16, iters = 1)
+      16, 16, iters = 1, maxSample = 4096)
     graft.ops.Similarity.pqIndexResidual(
         graft.ops.Similarity.ivfIndex(v, kmC), dim, 16, resBooks, kmC)
       .write.mode("overwrite").parquet("/tmp/scale_pq_res")

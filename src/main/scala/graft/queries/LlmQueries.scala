@@ -1439,8 +1439,11 @@ object LlmQueries {
         transform(col("embedding"), _.cast("double")).as("vec"))
       val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      // Fit on the bounded md5-ordered sample (the production contract —
+      // fit cost capped independent of corpus size); the re-rank margin
+      // absorbs the codebook drift, so the oracle equality is unchanged.
       val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 32, ksub = 16,
-        iters = 2)
+        iters = 2, maxSample = 4096)
       val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(emb, cents),
         dim = 64, m = 32, books)
       Similarity.pqTopKAgainstIndex(emb.where(col("id") % 50 === 0), pqIdx,
@@ -1485,9 +1488,10 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d).select(
         col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("vec"))
-      val cents = Similarity.fitCentroids(emb, k = 16, iters = 2)
+      val cents = Similarity.fitCentroids(emb, k = 16, iters = 2,
+        maxSample = 4096)
       val books = Similarity.pqFitCodebooksResidual(emb, cents, dim = 64,
-        m = 32, ksub = 16, iters = 2)
+        m = 32, ksub = 16, iters = 2, maxSample = 4096)
       val pqIdx = Similarity.pqIndexResidual(Similarity.ivfIndex(emb, cents),
         dim = 64, m = 32, books, cents)
       Similarity.pqTopKAgainstIndex(emb.where(col("id") % 50 === 0), pqIdx,

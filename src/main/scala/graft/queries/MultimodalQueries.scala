@@ -226,7 +226,7 @@ object MultimodalQueries {
       val cents = emb.where(col("id") < 32).orderBy(col("id")).collect()
         .map { case r => (r.getLong(0).toInt / 2, r.getSeq[Double](1)) }.toSeq
       val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 32, ksub = 16,
-        iters = 2)
+        iters = 2, maxSample = 4096)
       val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(emb, cents),
         dim = 64, m = 32, books)
       Similarity.hardNegativesAgainstIndex(emb.where(col("id") % 10 === 0),

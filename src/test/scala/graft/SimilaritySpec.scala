@@ -391,6 +391,39 @@ class SimilaritySpec extends SparkSpec {
     assert(dupGot.map(_._2).sorted.toSeq == (1 to dupGot.length).toSeq)
   }
 
+  test("sampled ANN fits: layout-invariant, full-width sample equals the " +
+      "unsampled fit, sampled codebooks still serve brute-force-exact") {
+    val emb = fixtureEmb // 500 rows
+    // The md5-ordered sample is a pure function of the ids: any
+    // partitioning/ordering of the input fits identical codebooks.
+    val books = Similarity.pqFitCodebooks(emb, 64, 32, 16, iters = 1,
+      maxSample = 256)
+    assert(Similarity.pqFitCodebooks(emb.repartition(7), 64, 32, 16, 1,
+      256) == books)
+    // maxSample >= |corpus| is the whole corpus: byte-equal to unsampled.
+    assert(Similarity.pqFitCodebooks(emb, 64, 32, 16, 1, 4096) ==
+      Similarity.pqFitCodebooks(emb, 64, 32, 16, 1))
+    val cents = Similarity.fitCentroids(emb, k = 4, iters = 2,
+      maxSample = 256)
+    assert(Similarity.fitCentroids(emb.repartition(5), 4, 2, 256) == cents)
+    assert(Similarity.fitCentroids(emb, 4, 2, 4096) ==
+      Similarity.fitCentroids(emb, 4, 2))
+    // A genuinely-sub-corpus fit (256 of 500) still reproduces the brute
+    // force top-k at the q92 rerank margin: sampling moves ADC scores,
+    // never the exact re-ranked answer.
+    val qs = emb.where(col("id") % 50 === 0)
+    val ivfCents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val pqIdx = Similarity.pqIndex(Similarity.ivfIndex(emb, ivfCents),
+      64, 32, books)
+    val got = Similarity.pqTopKAgainstIndex(qs, pqIdx, emb, ivfCents, books,
+        64, 32, nprobe = 16, rerank = 80, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.bruteForceTopK(qs, emb, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "sampled-fit PQ diverged from brute force")
+  }
+
   test("hardNegativesAgainstIndex: equals brute-force mining; cluster-mates " +
       "topping the ADC shortlist are excluded without eating rerank budget") {
     import spark.implicits._
