@@ -143,6 +143,58 @@ object Scoring {
       .withColumn("keep", col("score") > 0.0)
   }
 
+  /** Multiclass hashed language identification — the fastText-LID shape
+    * (Joulin et al., "Bag of Tricks for Efficient Text Classification"):
+    * `weights` is a trained multiclass model as a (lang, bucket, weight)
+    * frame, each token instance contributes its md5-60 bucket's weight to
+    * EVERY class that has one there, and the doc's language is the argmax
+    * class with the SMALLEST lang label breaking ties. This is the first
+    * gate of a multilingual pipeline — the producer of the `lang` column
+    * the per-language ops (bytes-per-token audits, temperature mixtures)
+    * consume. Output: (idCol, n_toks, lang, score) with score the winning
+    * class's mean per-token contribution; token-less docs get NULL
+    * lang/score (no evidence, no verdict).
+    *
+    * Determinism: weights quantize ONCE to integer micro-units (the
+    * [[hashedLinearScore]] contract), per-class sums are exact integer
+    * aggregates, and the argmax compares integer sums (same n_toks for
+    * every class of a doc, so the sum argmax IS the mean argmax) via a
+    * lexicographic struct min over (−sum, lang) — bit-identical under
+    * retry, layout, and engine replay. A class absent from a doc's
+    * buckets competes at score 0, not absent — missing evidence is a
+    * zero vote, and a sparse model must not silently shrink the class
+    * list per doc.
+    *
+    * Scale shape: the model is (classes × buckets)-bounded and broadcast
+    * twice (weights into the token stream, the distinct class list into
+    * the per-doc frame); after [[toksOuter]]'s one id-repartition the
+    * token fan-out (≤ classes rows per instance), both aggregates, the
+    * class cross join and the argmax all run IN PLACE — id-partitioning
+    * satisfies every downstream (id, lang) clustering, so nothing
+    * text-sized or token-sized ever re-shuffles. */
+  def langIdScore(docs: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wq = weights.select(col("lang"), col("bucket"),
+      round(col("weight") * 1e6).cast("long").as("_wq"))
+    val langs = wq.select(col("lang")).distinct()
+    val toks = toksOuter(docs, idCol, textCol)
+      .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
+    val counts = toks.groupBy(col(idCol)).agg(count(col("_tok")).as("n_toks"))
+    val sums = toks.join(broadcast(wq), col("_bkt") === col("bucket"))
+      .groupBy(col(idCol), col("lang")).agg(sum(col("_wq")).as("_s"))
+    counts.crossJoin(broadcast(langs))
+      .join(sums, Seq(idCol, "lang"), "left")
+      .withColumn("_sc", coalesce(col("_s"), lit(0L)))
+      .groupBy(col(idCol), col("n_toks"))
+      .agg(min(struct((-col("_sc")).as("s"), col("lang").as("l"))).as("_m"))
+      .select(col(idCol), col("n_toks"),
+        when(col("n_toks") > 0, col("_m").getField("l")).as("lang"),
+        when(col("n_toks") > 0,
+          round((-col("_m").getField("s")).cast("double") / (col("n_toks") * 1e6), 6))
+          .as("score"))
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling"): score each doc by how much more
     * likely its hashed-unigram features are under a TARGET domain than

@@ -957,6 +957,48 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── q125: multiclass hashed language-ID (fastText-LID shape) — the
+    //    `lang`-column producer for the per-language ops: per-class
+    //    integer micro-unit scores over md5-60 hashed tokens (B=65536),
+    //    argmax with smallest-lang tie-break; a synthetic-but-
+    //    deterministic 3-class model w_i(b) = (((b·p_i + q_i) % 2001) −
+    //    1000)/1000 (q82's convention, one (p, q) pair per class) so the
+    //    oracle replays inference AND argmax exactly. Empty docs get NULL
+    //    lang/score — no evidence, no verdict. ──
+    QueryDef("q125_lang_id",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 65536 AS bkt
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |      WHERE tok <> ''),
+        |cls(lang, p, q) AS (VALUES ('de', 3, 17), ('en', 5, 29), ('fr', 7, 41)),
+        |d AS (SELECT doc_id, lang, count(*) AS n_toks,
+        |        sum(((bkt * p + q) % 2001) - 1000) AS sm
+        |      FROM s CROSS JOIN cls GROUP BY 1, 2),
+        |r AS (SELECT doc_id, n_toks, lang,
+        |        round(CAST(sm AS DOUBLE) / (n_toks * 1000.0), 6) AS score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY sm DESC, lang) AS rk
+        |      FROM d),
+        |w AS (SELECT doc_id, n_toks, lang, score FROM r WHERE rk = 1)
+        |SELECT doc_id, coalesce(w.n_toks, 0) AS n_toks,
+        |  w.lang AS lang, w.score AS score
+        |FROM documents LEFT JOIN w USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val weights = Seq(("de", 3L, 17L), ("en", 5L, 29L), ("fr", 7L, 41L))
+        .map { case (l, p, q) =>
+          s.range(65536).select(lit(l).as("lang"), col("id").as("bucket"),
+            (((col("id") * p + q) % 2001 - 1000).cast("double") / 1000.0)
+              .as("weight"))
+        }.reduce(_ unionByName _)
+      Scoring.langIdScore(Tables.documents(s, d), "doc_id", "text",
+          weights, buckets = 65536)
+        .orderBy("doc_id")
+    },
+
     // ── vocabulary encoding: ids 0..49 for the 50 most frequent tokens
     //    (count desc, token asc — a deterministic total order), OOV id
     //    50 + md5-60(token) % 256; input_ids in original token order,

@@ -82,6 +82,52 @@ class ScoringSpec extends SparkSpec {
       Seq(exp1 > 0, exp2 > 0, true))
   }
 
+  test("langIdScore: driver-replayed argmax, sparse class competes at zero, " +
+      "smallest-lang tie-break, empty doc abstains") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z"),
+      (2L, "x x"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val b = 1024
+    // Two dense synthetic classes (q125's formula with distinct (p, q))
+    // plus "aa": a class with NO weights at all — it must still compete
+    // at score 0 for every doc (missing evidence is a zero vote).
+    def dense(l: String, p: Long, q: Long) = spark.range(b).select(
+      lit(l).as("lang"), col("id").as("bucket"),
+      (((col("id") * p + q) % 21 - 10).cast("double") / 10.0).as("weight"))
+    val weights = dense("de", 3, 5).unionByName(dense("en", 7, 11))
+      .unionByName(Seq(("aa", -1L, 0.0)).toDF("lang", "bucket", "weight"))
+    val out = Scoring.langIdScore(docs, "doc_id", "text", weights, buckets = b)
+      .orderBy("doc_id").collect()
+    // Driver replica: integer micro-unit sums per class, argmax by
+    // (sum desc, lang asc); bucket -1 never matches a real pmod bucket.
+    def sum(tokens: Seq[String], p: Long, q: Long): Long =
+      tokens.map { t =>
+        val bkt = md5h60(t) % b
+        ((bkt * p + q) % 21 - 10) * 100000L
+      }.sum
+    def expect(tokens: Seq[String]): (String, Double) = {
+      val scores = Seq("aa" -> 0L, "de" -> sum(tokens, 3, 5),
+        "en" -> sum(tokens, 7, 11))
+      val (l, sc) = scores.minBy { case (lang, s) => (-s, lang) }
+      (l, r6(sc.toDouble / (tokens.size * 1e6)))
+    }
+    val e1 = expect(Seq("x", "y", "z")); val e2 = expect(Seq("x", "x"))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 0L)))
+    assert((out(0).getString(2), out(0).getDouble(3)) == e1)
+    assert((out(1).getString(2), out(1).getDouble(3)) == e2)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3), "empty doc must abstain")
+    // Forced tie: identical weight rows under two labels — every doc's
+    // sums tie and the smallest label must win deterministically.
+    val tied = dense("zz", 3, 5).unionByName(dense("ab", 3, 5))
+    val t = Scoring.langIdScore(docs.where($"doc_id" === 1L), "doc_id",
+      "text", tied, buckets = b).collect()(0)
+    assert(t.getString(2) == "ab", s"tie must break to smallest lang: $t")
+  }
+
   test("dsirWeights: target-vs-raw log ratio, driver-checked") {
     import spark.implicits._
     val docs = Seq(
