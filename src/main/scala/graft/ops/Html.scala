@@ -75,7 +75,11 @@ object Html {
   def htmlToText(c: Column): Column = innerText(stripNonContent(c))
 
   /** Per-block main-content scoring: segment `htmlCol` on block-level tags
-    * and score every block. Output one row per non-empty-input block:
+    * and score every block. Output one row per SPLIT FRAGMENT — including
+    * the empty fragments `split` yields between adjacent block tags and at
+    * the document edges, which score `n_chars = 0, keep = false` (so
+    * `block_idx` always numbers the raw segmentation; [[mainContent]]'s
+    * keep-filter discards them). Each row is:
     * `(idCol, block_idx INT, block_text STRING, n_chars BIGINT,
     * link_ppm BIGINT, keep BOOLEAN)` where `link_ppm` is the link-text
     * share of the block's text in parts-per-million (integer floor — no

@@ -1803,25 +1803,42 @@ object LlmQueries {
     //    oracle, link density is integer ppm — the whole extraction is
     //    engine-replayable, map-only until one output-sized groupBy. ──
     QueryDef("q118_html_main_content", HtmlOracleSql) { (s, d) =>
-      val page = concat(
-        lit("<html><head><title>Doc</title><style>p{margin:0}</style>" +
-          "<script>if(x<1){y=2;}</script></head><body>" +
-          "<div class=\"nav\"><a href=\"/\">Home</a> " +
-          "<a href=\"/help\">Help &amp; FAQ</a></div>" +
-          "<h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>See <a href=\"/ref\">notes</a>. "),
-        col("text"),
-        lit("</p>"),
-        when(col("doc_id") % 5 === 0,
-          lit("<p>Data &amp; query engines both clear the gate when the " +
-            "paragraph carries enough body text to count.</p>"))
-          .otherwise(lit("")),
-        lit("<!-- pixel --><div class=\"footer\">" +
-          "<a href=\"/tos\">Terms</a> 2026</div></body></html>"))
       graft.ops.Html.mainContent(
-          Tables.documents(s, d).select(col("doc_id"), page.as("html")),
+          Tables.documents(s, d).select(col("doc_id"), WebPage.as("html")),
           "doc_id", "html", minChars = 60, maxLinkPpm = 300000L)
+        .orderBy("doc_id")
+    },
+
+    // ── q126: the web-corpus pipeline END-TO-END (the CCNet shape) —
+    //    q118's HTML main-content extraction → q120's cross-corpus
+    //    repeated-paragraph removal → q81's in-corpus bigram-LM scoring
+    //    (fitted on the CLEANED text — scoring garbage the earlier stages
+    //    failed to remove is the point of the staging) → q98's
+    //    temperature-flattened language sample over the survivors. Proves
+    //    the four stages compose without hidden coupling the way q85
+    //    proved the curation chain: the repeated q118 fixture paragraph
+    //    (df=100) is extracted as main content by stage 1 and then
+    //    removed as boilerplate by stage 2; the LM vocabulary and the
+    //    per-lang sampling rates derive from the SURVIVING corpus, not
+    //    the raw one. Oracle replays all four stages in one CTE chain. ──
+    QueryDef("q126_web_pipeline_e2e", WebPipelineSql) { (s, d) =>
+      val content = graft.ops.Html.mainContent(
+        Tables.documents(s, d).select(col("doc_id"), WebPage.as("html")),
+        "doc_id", "html", minChars = 60, maxLinkPpm = 300000L)
+      val cleaned = graft.ops.Text.dropRepeatedParagraphs(
+        content.select(col("doc_id"), col("content").as("text")),
+        "doc_id", "text", minDf = 20L)
+      val lm = Scoring.bigramLmScore(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text")
+      val sampled = Sampling.temperatureSample(
+        cleaned.join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id")),
+        "lang", "doc_id", targetFraction = 0.3)
+      sampled.select(col("doc_id"), col("lang"), col("rate_ppm"))
+        .join(lm, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("rate_ppm"),
+          col("n_bigrams"), col("cross_entropy"))
         .orderBy("doc_id")
     },
 
@@ -1903,7 +1920,32 @@ object LlmQueries {
   /** q118's oracle: the identical page construction and extraction —
     * same RE2-safe regexes, same single-pass entity decode order, same
     * integer-ppm link-density gate — replayed in DuckDB SQL. */
-  private lazy val HtmlOracleSql: String = {
+  /** The q118/q126 fixture page: every document wrapped in a realistic
+    * web page (nav links, heading, body copy with an inline anchor, a
+    * CONDITIONAL repeated paragraph — df=100 at the 500-doc corpus, so
+    * stage 2 of q126 removes it as boilerplate — and a comment +
+    * link-dense footer). Shared by both queries so the fixture can never
+    * drift between the extraction test and the composition test. */
+  private lazy val WebPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc</title><style>p{margin:0}</style>" +
+      "<script>if(x<1){y=2;}</script></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/help\">Help &amp; FAQ</a></div>" +
+      "<h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>See <a href=\"/ref\">notes</a>. "),
+    col("text"),
+    lit("</p>"),
+    when(col("doc_id") % 5 === 0,
+      lit("<p>Data &amp; query engines both clear the gate when the " +
+        "paragraph carries enough body text to count.</p>"))
+      .otherwise(lit("")),
+    lit("<!-- pixel --><div class=\"footer\">" +
+      "<a href=\"/tos\">Terms</a> 2026</div></body></html>"))
+
+  /** CTE chain (no WITH prefix) yielding `content(doc_id, content)` — the
+    * q118 extraction replay, shared with q126's composition oracle. */
+  private lazy val HtmlContentCtes: String = {
     val blockRe = "(?i)</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|tr" +
       "|td|th|blockquote|pre|section|article|main|header|footer|nav" +
       "|aside|form|fieldset|figure|figcaption|br|hr)\\b[^>]*>"
@@ -1915,7 +1957,7 @@ object LlmQueries {
     def itext(x: String): String =
       s"trim(regexp_replace(${dec(s"regexp_replace($x, '<[^>]*>', ' ', 'g')")}," +
         " '[ \\t\\r\\n]+', ' ', 'g'))"
-    s"""WITH h AS (SELECT doc_id,
+    s"""h AS (SELECT doc_id,
        |    '<html><head><title>Doc</title><style>p{margin:0}</style>' ||
        |    '<script>if(x<1){y=2;}</script></head><body>' ||
        |    '<div class="nav"><a href="/">Home</a> ' ||
@@ -1952,10 +1994,78 @@ object LlmQueries {
        |    -- is NULL where Spark's array_join is '' — a linkless block
        |    -- must score 0 ppm, not NULL-drop
        |    AND (1000000 * coalesce(length(ltext), 0))
-       |          // greatest(length(btext), 1) <= 300000)
-       |SELECT doc_id, string_agg(btext, chr(10) ORDER BY bi) AS content
-       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |          // greatest(length(btext), 1) <= 300000),
+       |content AS (SELECT doc_id,
+       |    string_agg(btext, chr(10) ORDER BY bi) AS content
+       |  FROM kept GROUP BY doc_id)""".stripMargin
   }
+
+  /** q118's oracle: the identical page construction and extraction —
+    * same RE2-safe regexes, same single-pass entity decode order, same
+    * integer-ppm link-density gate — replayed in DuckDB SQL. */
+  private lazy val HtmlOracleSql: String =
+    s"""WITH $HtmlContentCtes
+       |SELECT doc_id, content FROM content ORDER BY doc_id""".stripMargin
+
+  /** q126's oracle: the full CCNet-shape chain — [[HtmlContentCtes]]
+    * extraction → q120's paragraph-df dedup (minDf=20) → q81's bigram LM
+    * fitted on the CLEANED text → q98's temperature rates over the
+    * surviving docs' languages — replayed as one CTE chain. */
+  private lazy val WebPipelineSql: String =
+    s"""WITH $HtmlContentCtes,
+       |p AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(arr2))) AS pi,
+       |        unnest(arr2) AS para
+       |      FROM (SELECT doc_id, string_split(content, chr(10)) AS arr2
+       |            FROM content)),
+       |ph AS (SELECT doc_id, pi, para,
+       |         CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS h2,
+       |         trim(para) = '' AS blank
+       |       FROM p),
+       |hot AS (SELECT h2 FROM ph WHERE NOT blank
+       |        GROUP BY h2 HAVING COUNT(DISTINCT doc_id) >= 20),
+       |keepp AS (SELECT * FROM ph WHERE h2 NOT IN (SELECT h2 FROM hot)),
+       |agg AS (SELECT doc_id,
+       |          string_agg(para, chr(10) ORDER BY pi) AS clean_text
+       |        FROM keepp GROUP BY 1),
+       |t AS (SELECT doc_id, CASE WHEN trim(clean_text) = '' THEN []
+       |        ELSE regexp_split_to_array(lower(trim(clean_text)), '\\s+') END
+       |        AS toks
+       |      FROM agg),
+       |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+       |         FOR i IN generate_series(1, len(toks)-1)]) AS g FROM t),
+       |c12 AS (SELECT g, count(*) AS c12 FROM bg GROUP BY 1),
+       |ctx AS (SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+       |        FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT unnest(toks) AS tok FROM t)),
+       |lp AS (SELECT doc_id,
+       |         CAST(round(-ln((c12 + 1.0) / (c1 + 1.0 * v)), 6)
+       |              AS DECIMAL(18,6)) AS lp
+       |       FROM bg JOIN c12 USING (g)
+       |       JOIN ctx ON ctx.w1 = split_part(g, ' ', 1) CROSS JOIN v),
+       |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+       |       FROM lp GROUP BY 1),
+       |docs2 AS (SELECT a.doc_id, d.lang FROM agg a
+       |          JOIN documents d USING (doc_id)),
+       |c AS (SELECT lang AS s, COUNT(*) AS n FROM docs2 GROUP BY 1),
+       |tt AS (SELECT s, n, CAST(round(sqrt(n) * 1000000) AS BIGINT)
+       |         AS sppm FROM c),
+       |z AS (SELECT SUM(sppm) AS z, SUM(n) AS tot FROM tt),
+       |r AS (SELECT s,
+       |        LEAST(1000000, CAST(round(((0.3 * CAST(tot AS DOUBLE)) *
+       |          (CAST(sppm AS DOUBLE) / CAST(z AS DOUBLE)) /
+       |          CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS rate_ppm
+       |      FROM tt CROSS JOIN z)
+       |SELECT d2.doc_id, d2.lang, r.rate_ppm,
+       |  CAST(coalesce(lm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  lm.cross_entropy
+       |FROM docs2 d2 JOIN r ON d2.lang = r.s
+       |LEFT JOIN lm ON lm.doc_id = d2.doc_id
+       |WHERE (CAST('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR)), 1, 15)
+       |         AS BIGINT) % 1000000) < r.rate_ppm
+       |ORDER BY d2.doc_id""".stripMargin
 
   /** q110's oracle: the q91 merge-chain replay, symbols flagged OOV when
     * absent from the pinned vocab, aggregated per language. */
