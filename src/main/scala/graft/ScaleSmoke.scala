@@ -432,6 +432,17 @@ object ScaleSmoke {
         iters = 5).count()
       println(f"graph_spine_pagerank_5iter: nodes=$nss " +
         f"time=${(System.nanoTime()-tss)/1e9}%.1f s")
+      // Incremental append: a 1%-sized crawl delta (half re-seen pairs —
+      // the dedup anti-join does real work) merges into the spine at
+      // delta-canonicalize + one spine-scan cost, NOT a full rebuild.
+      val delta = ug.limit(5000).unionAll(ug.limit(5000)
+        .select(concat(col("a"), lit("_x")).as("a"),
+          concat(col("b"), lit("_x")).as("b")))
+      val tsa = System.nanoTime()
+      graft.ops.Graph.graphIndexAppend(spark, delta, "a", "b", "smoke_spine")
+      val nApp = spark.table("smoke_spine_edges").count()
+      println(f"graph_spine_append_10k_delta: edges=$nApp " +
+        f"time=${(System.nanoTime()-tsa)/1e9}%.1f s")
       spark.sql("DROP TABLE IF EXISTS smoke_spine_edges")
       spark.sql("DROP TABLE IF EXISTS smoke_spine_adj")
       graft.ops.Dedup.releaseCaches()

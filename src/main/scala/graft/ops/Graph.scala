@@ -491,6 +491,61 @@ object Graph {
     ()
   }
 
+  /** Merge NEW edges into an existing spine WITHOUT a full rebuild — the
+    * recurring-crawl contract (the q107 snapshot-diff story applied to
+    * the graph tier): a daily crawl delta must not re-canonicalize the
+    * whole history. The delta is canonicalized, anti-joined against the
+    * stored edge table (the spine stays an exact DISTINCT pair set —
+    * re-crawled, reversed, or self-loop edges all drop out), and the
+    * truly-new pairs plus their adjacency rows are APPENDED into the
+    * bucketed tables under the tables' own catalog bucket spec. Every
+    * `*AgainstIndex` op is a pure function of the stored edge SET, so an
+    * appended spine serves results bit-identical to a full rebuild over
+    * the union (GraphSpec pins this).
+    *
+    * Cost shape: canonicalizing the DELTA shuffles delta-sized data; the
+    * dedup anti-join is one scan of the stored edge table (bucketed on u
+    * — no exchange on the stored side) — O(spine) read, never the
+    * O(full-history) canonicalize+distinct shuffle a rebuild pays. Each
+    * append adds one file set per bucket; bucketing (the exchange-free
+    * property every consumer plans around) is preserved, but multi-file
+    * buckets forfeit the single-file sorted-scan shortcut — after many
+    * appends, re-run [[graphIndex]] once as compaction (the lake-hygiene
+    * Compaction contract). */
+  def graphIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       newEdges: DataFrame, aCol: String, bCol: String,
+                       tablePrefix: String): Unit = {
+    val edgesTable = s"${tablePrefix}_edges"
+    val adjTable = s"${tablePrefix}_adj"
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(edgesTable))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"graphIndexAppend: $edgesTable has no bucket spec — not a graphIndex spine"))
+    // The canonical delta is CHECKPOINTED (not persisted): each append
+    // below invalidates every cached plan that reads the appended table,
+    // so a cached anti-join would silently recompute against the
+    // already-updated spine (= empty) for the second write. Each table
+    // then dedups against ITSELF, which also makes the append idempotent
+    // — a crash between the two writes repairs on re-run (whichever
+    // table is behind receives exactly its missing rows).
+    val canon = canonicalUndirected(newEdges, aCol, bCol).localCheckpoint()
+    def appendBucketed(df: DataFrame, table: String, key: String,
+                       sortCols: Seq[String]): Unit =
+      df.repartition(spec.numBuckets, df(key)).write.mode("append")
+        .bucketBy(spec.numBuckets, key)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+    appendBucketed(
+      canon.join(spark.table(edgesTable), Seq("u", "v"), "left_anti"),
+      edgesTable, "u", Seq("u", "v"))
+    appendBucketed(
+      directedAdjacency(canon)
+        .join(spark.table(adjTable), Seq("node", "nbr"), "left_anti"),
+      adjTable, "node", Seq("node", "nbr"))
+  }
+
   /** Fixed-point PageRank over a persisted spine: each canonical
     * undirected edge contributes BOTH unit-weight directions (the
     * standard undirected-PageRank convention — no dangling nodes exist,
@@ -669,14 +724,26 @@ object Graph {
     * disables the superseded-round deletion for stores whose EVERY
     * truncation stays live (the walk loop's sealed hop segments all back
     * the final union). */
+  /** Process-wide instance counter: two concurrent loops of the SAME op
+    * sharing one checkpointDir (two pageRank calls, a retried driver
+    * program re-entering the loop) must not overwrite / delete each
+    * other's round files — each RoundStore instance salts its paths with
+    * a unique id. Distinct JVMs sharing one directory still need distinct
+    * dirs (the counter is per-process); the tests and ScaleSmoke pass
+    * per-invocation subdirs anyway. */
+  private object RoundStore {
+    private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
   private final class RoundStore(dir: Option[String], tag: String,
                                  keepHistory: Boolean = false) {
+    private val inst = RoundStore.ids.getAndIncrement()
     private var round = 0
     private var prev: Option[org.apache.hadoop.fs.Path] = None
     def truncate(df: DataFrame): DataFrame = dir match {
       case Some(d) =>
         val spark = df.sparkSession
-        val path = s"$d/${tag}_$round"; round += 1
+        val path = s"$d/${tag}_i${inst}_$round"; round += 1
         df.write.mode("overwrite").parquet(path)
         val out = spark.read.parquet(path)
         // The new round is fully written (it was computed FROM the prior

@@ -418,6 +418,36 @@ class GraphSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(left)
   }
 
+  test("RoundStore instance salt: two loops sharing one checkpointDir do " +
+      "not overwrite each other's round files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gshare").toString
+    val rnd = new scala.util.Random(37)
+    val nodes = (0 until 20).map(i => s"r$i")
+    val w = ((for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))) :+ ("r0", "r1"))
+      .toDF("a", "b")
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+    // SAME directory for both: the first result is consumed only AFTER
+    // the second loop ran — before the per-instance path salt, the second
+    // loop reused (overwrote, then deleted) the first loop's round files
+    // and this collect read corrupt/absent parquet.
+    val ck = Some(dir)
+    val lazy1 = Graph.pageRankFixedPoint(w, "src", "dst", "w", iters = 5,
+      checkpointEvery = 2, checkpointDir = ck)
+    val r2 = Graph.pageRankFixedPoint(w, "src", "dst", "w", iters = 5,
+        checkpointEvery = 2, checkpointDir = ck)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val r1 = lazy1.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val local = Graph.pageRankFixedPoint(w, "src", "dst", "w", iters = 5,
+        checkpointEvery = 2, checkpointDir = None)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r1 == local && r2 == local)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   // ── persisted graph spine (fit-once / serve-many) ──────────────────────
 
   test("graphIndex + *AgainstIndex: result-equal to the direct ops") {
@@ -476,6 +506,61 @@ class GraphSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS spine_spec_edges")
       spark.sql("DROP TABLE IF EXISTS spine_spec_adj")
+    }
+  }
+
+  test("graphIndexAppend: appended spine equals a full rebuild; dedup " +
+      "against stored pairs; bucketing preserved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val nodes = (0 until 40).map(i => s"n$i")
+    val all = for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if rnd.nextDouble() < 0.12
+    } yield (nodes(i), nodes(j))
+    val (e1, e2) = all.splitAt(all.size / 2)
+    // the crawl delta re-sees old pairs (some reversed) and a self loop —
+    // the append must add ONLY the genuinely new canonical pairs
+    val delta = (e2 ++ e1.take(5).map(_.swap) ++ Seq(("n1", "n1")))
+      .toDF("a", "b")
+    graft.ops.Graph.graphIndex(e1.toDF("a", "b"), "a", "b", "spine_app",
+      buckets = 4)
+    graft.ops.Graph.graphIndex(all.toDF("a", "b"), "a", "b", "spine_full",
+      buckets = 4)
+    try {
+      graft.ops.Graph.graphIndexAppend(spark, delta, "a", "b", "spine_app")
+      def pairs(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val app = pairs("spine_app_edges")
+      assert(app.length == app.distinct.length, "duplicate stored pairs")
+      assert(app.toSet == pairs("spine_full_edges").toSet)
+      assert(pairs("spine_app_adj").toSet == pairs("spine_full_adj").toSet)
+      // served results are a pure function of the stored edge set
+      def pr(t: String) = Graph.pageRankAgainstIndex(spark, t, iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(pr("spine_app") == pr("spine_full"))
+      def kc(t: String) = Graph.kCoreAgainstIndex(spark, t, k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kc("spine_app") == kc("spine_full"))
+      def rw(t: String) = Graph.randomWalksAgainstIndex(spark, t,
+          walksPerNode = 2, walkLen = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(rw("spine_app") == rw("spine_full"))
+      // a second append of an ALREADY-SEEN delta is a no-op on the set
+      graft.ops.Graph.graphIndexAppend(spark, delta, "a", "b", "spine_app")
+      val again = pairs("spine_app_edges")
+      assert(again.length == again.distinct.length &&
+        again.toSet == app.toSet, "re-appending a seen delta changed the spine")
+      // the appended (multi-fileset) adjacency still carries its bucket
+      // spec: a groupBy on the bucket key plans with NO exchange
+      val plan = spark.table("spine_app_adj").groupBy("node").count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+    } finally {
+      for (t <- Seq("spine_app_edges", "spine_app_adj",
+          "spine_full_edges", "spine_full_adj"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 
