@@ -842,6 +842,21 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** 120-bit identity key both engines can replay: a struct of two 60-bit
+    * halves of md5 (hex chars 1-15 and 17-31). Use where a single 60-bit
+    * hash keys DELETION at corpus scale — at billions of keys, 60-bit
+    * birthday collisions are expected (n²/2⁶¹) and would silently merge
+    * unrelated content, while 120 bits pushes the odds to n²/2¹²¹
+    * (negligible past 10¹⁵ keys). DuckDB equivalent:
+    * (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT),
+    *  CAST('0x' || substr(md5(t), 17, 15) AS BIGINT)). */
+  def md5Hash120(c: Column): Column = {
+    val m = md5(c.cast("binary"))
+    struct(
+      conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 17, 15), 16, 10).cast("long").as("h2"))
+  }
+
   /** Per-doc 64-bit SimHash over whitespace tokens, computed distributed:
     * explode tokens, hash each once, then 64 per-bit majority votes as
     * codegen'd sum() aggregates (+1 for a set bit, -1 for clear) in ONE

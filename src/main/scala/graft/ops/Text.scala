@@ -290,8 +290,11 @@ object Text {
     * share bars, nav footers repeats ACROSS pages at paragraph
     * granularity, where doc-level dedup can't see it): split each doc on
     * `sep`, count each non-blank paragraph's DOCUMENT frequency over the
-    * corpus via its md5-60 hash (the shuffle carries 8-byte hashes, not
-    * paragraph text — CCNet's own sha1-per-paragraph trick), drop every
+    * corpus via its md5-120 key (the shuffle carries 16-byte hashes, not
+    * paragraph text — CCNet's own sha1-per-paragraph trick; 120 bits
+    * because the key drives DELETION: at the billions of paragraphs this
+    * op targets, 60-bit birthday collisions would silently drop innocent
+    * paragraphs that collide with hot boilerplate), drop every
     * instance of paragraphs with df ≥ `minDf`, reassemble the survivors
     * in document order.
     *
@@ -319,7 +322,7 @@ object Text {
         F.posexplode(F.split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("p_idx", "para")))
       .withColumn("_blank", F.trim(col("para")) === "")
-      .withColumn("_h", Dedup.md5Hash60(col("para")))
+      .withColumn("_h", Dedup.md5Hash120(col("para")))
       .persist(MEMORY_AND_DISK)
     Dedup.registerCaches(paras)
     val hot = paras.where(!col("_blank"))

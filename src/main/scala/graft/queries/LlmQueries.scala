@@ -1847,8 +1847,9 @@ object LlmQueries {
     //    category footers) repeats ACROSS pages at paragraph granularity
     //    where doc-level dedup can't see it. The fixture appends one
     //    corpus-wide banner, one per-language footer and one unique
-    //    footer to every document; df counting runs over md5-60
-    //    paragraph hashes (the shuffle carries 8 bytes per paragraph),
+    //    footer to every document; df counting runs over md5-120
+    //    paragraph keys (16 bytes per paragraph — the key drives
+    //    deletion, so 60 bits would collide at CCNet scale),
     //    blank separator lines are structure and survive. ──
     QueryDef("q120_paragraph_dedup",
       """WITH d2 AS (SELECT doc_id,
@@ -1863,12 +1864,15 @@ object LlmQueries {
         |      FROM (SELECT doc_id, string_split(t, chr(10)) AS arr
         |            FROM d2)),
         |ph AS (SELECT doc_id, pi, para,
-        |         CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS h,
+        |         CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS ha,
+        |         CAST('0x' || substr(md5(para), 17, 15) AS BIGINT) AS hb,
         |         trim(para) = '' AS blank
         |       FROM p),
-        |hot AS (SELECT h FROM ph WHERE NOT blank
-        |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 20),
-        |keep AS (SELECT * FROM ph WHERE h NOT IN (SELECT h FROM hot)),
+        |hot AS (SELECT ha, hb FROM ph WHERE NOT blank
+        |        GROUP BY ha, hb HAVING COUNT(DISTINCT doc_id) >= 20),
+        |keep AS (SELECT * FROM ph WHERE NOT EXISTS
+        |          (SELECT 1 FROM hot
+        |           WHERE hot.ha = ph.ha AND hot.hb = ph.hb)),
         |agg AS (SELECT doc_id,
         |          string_agg(para, chr(10) ORDER BY pi) AS clean_text,
         |          SUM(CASE WHEN blank THEN 0 ELSE 1 END) AS n_kept
@@ -2019,12 +2023,15 @@ object LlmQueries {
        |      FROM (SELECT doc_id, string_split(content, chr(10)) AS arr2
        |            FROM content)),
        |ph AS (SELECT doc_id, pi, para,
-       |         CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS h2,
+       |         CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS ha,
+       |         CAST('0x' || substr(md5(para), 17, 15) AS BIGINT) AS hb,
        |         trim(para) = '' AS blank
        |       FROM p),
-       |hot AS (SELECT h2 FROM ph WHERE NOT blank
-       |        GROUP BY h2 HAVING COUNT(DISTINCT doc_id) >= 20),
-       |keepp AS (SELECT * FROM ph WHERE h2 NOT IN (SELECT h2 FROM hot)),
+       |hot AS (SELECT ha, hb FROM ph WHERE NOT blank
+       |        GROUP BY ha, hb HAVING COUNT(DISTINCT doc_id) >= 20),
+       |keepp AS (SELECT * FROM ph WHERE NOT EXISTS
+       |          (SELECT 1 FROM hot
+       |           WHERE hot.ha = ph.ha AND hot.hb = ph.hb)),
        |agg AS (SELECT doc_id,
        |          string_agg(para, chr(10) ORDER BY pi) AS clean_text
        |        FROM keepp GROUP BY 1),
