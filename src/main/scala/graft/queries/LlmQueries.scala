@@ -1918,8 +1918,146 @@ object LlmQueries {
         transform(col("embedding"), _.cast("double")).as("vec"))
       graft.ops.Similarity.groupCentroids(emb, "label", "vec", dim = 64)
         .orderBy("label", "d")
+    },
+
+    // ── q127: URL parsing + canonicalization — the crawl-frontier /
+    //    URL-dedup key (RefinedWeb's first gate). The fixture builds a
+    //    deterministic absolute URL per document exercising every
+    //    normalization rule: mixed-case scheme/host, userinfo, default
+    //    and non-default ports, tracking params mixed with real ones,
+    //    unsorted params, fragments. The oracle replays the identical
+    //    RE2-safe regex grammar in DuckDB. ──
+    QueryDef("q127_url_normalize", UrlPartsSql) { (s, d) =>
+      graft.ops.Web.withUrlParts(
+          Tables.documents(s, d).select(col("doc_id"), FixtureUrl.as("url")),
+          "url")
+        .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+          col("domain"), col("path"), col("norm_url"))
+        .orderBy("doc_id")
+    },
+
+    // ── q128: per-registrable-domain corpus stats behind a domain
+    //    blocklist — the table crawl policy keys on. Subdomains of one
+    //    registrable domain fold together (www.srcN.example.co.uk all
+    //    land in example.co.uk; n_hosts counts the distinct hosts), the
+    //    blocklist anti-join is broadcast (map-only at corpus size). ──
+    QueryDef("q128_domain_stats", DomainStatsSql) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), FixtureUrl.as("url"), col("text"))
+      graft.ops.Web.domainStats(
+          graft.ops.Web.filterBlockedDomains(docs, "url",
+            Seq("example.org").toDF("domain")),
+          "url", "text")
+        .orderBy("domain")
     }
   )
+
+  /** The q127/q128 fixture URL: a deterministic absolute URL per document
+    * covering every normalization rule — mixed-case scheme and host,
+    * userinfo, default port on https (stripped) AND on http (:443 kept —
+    * not that scheme's default), non-default ports, tracking params
+    * interleaved with real ones, unsorted params, fragments. Shared by
+    * both queries so parse and aggregate can never drift. */
+  private lazy val FixtureUrl: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+    lit("://"),
+    when(col("doc_id") % 7 === 0, lit("crawler:pw@")).otherwise(lit("")),
+    lit("WWW."), col("source"),
+    when(col("doc_id") % 3 === 0, lit(".Example.CO.UK"))
+      .when(col("doc_id") % 3 === 1, lit(".example.com"))
+      .otherwise(lit(".News.example.ORG")),
+    when(col("doc_id") % 5 === 0, lit(":443"))
+      .when(col("doc_id") % 5 === 1, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/Articles/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=q&lang="), col("lang")))
+      .when(col("doc_id") % 4 === 1, lit("?b=2&a=1&fbclid=xyz"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit("")))
+
+  /** CTE chain (no WITH prefix) replaying the fixture-URL construction
+    * and the full Web.scala parse/normalize grammar in DuckDB —
+    * identical RE2-safe regexes, identical tracking-param list, identical
+    * default-port / empty-path / fragment rules. Yields `normed` with
+    * (doc_id, lang, text, url, scheme, host, port, path, domain,
+    * norm_url). */
+  private lazy val UrlCtes: String =
+    """u AS (SELECT doc_id, lang, text,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END) ||
+      |    'WWW.' || source ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
+      |             WHEN doc_id % 3 = 1 THEN '.example.com'
+      |             ELSE '.News.example.ORG' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443'
+      |             WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/Articles/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' ||
+      |          CAST(doc_id AS VARCHAR) || '&utm_campaign=q&lang=' || lang
+      |             WHEN doc_id % 4 = 1 THEN '?b=2&a=1&fbclid=xyz'
+      |             ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |pa AS (SELECT doc_id, lang, text, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    regexp_extract(
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |      '(?:.*@)?([^@]*)$', 1) AS hostport
+      |  FROM u),
+      |pb AS (SELECT *,
+      |    lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  FROM pa),
+      |pc AS (SELECT *,
+      |    CASE WHEN regexp_extract(host,
+      |        '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.(?:uk|jp|au|nz|br|in|za|kr|id|il|mx|sg|tr|ar))$',
+      |        1) <> ''
+      |      THEN regexp_extract(host,
+      |        '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.(?:uk|jp|au|nz|br|in|za|kr|id|il|mx|sg|tr|ar))$',
+      |        1)
+      |      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+      |      THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      |      ELSE host END AS domain,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(q, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|twclid|mc_cid|mc_eid|ref|ref_src)='))),
+      |      '&'), '') AS qn
+      |  FROM pb),
+      |normed AS (SELECT doc_id, lang, text, url, scheme, host, port, path,
+      |    domain,
+      |    CASE WHEN scheme = '' THEN NULL
+      |      ELSE scheme || '://' || host ||
+      |        (CASE WHEN port <> ''
+      |                  AND NOT (scheme = 'http' AND port = '80')
+      |                  AND NOT (scheme = 'https' AND port = '443')
+      |            THEN ':' || port ELSE '' END) ||
+      |        (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |        (CASE WHEN qn = '' THEN '' ELSE '?' || qn END)
+      |      END AS norm_url
+      |  FROM pc)""".stripMargin
+
+  /** q127's oracle: the parse/normalize replay, one row per document. */
+  private lazy val UrlPartsSql: String =
+    s"""WITH $UrlCtes
+       |SELECT doc_id, url, scheme, host, domain, path, norm_url
+       |FROM normed ORDER BY doc_id""".stripMargin
+
+  /** q128's oracle: per-domain stats over the non-blocklisted documents. */
+  private lazy val DomainStatsSql: String =
+    s"""WITH $UrlCtes
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |FROM normed WHERE domain NOT IN ('example.org')
+       |GROUP BY 1 ORDER BY domain""".stripMargin
 
   /** q118's oracle: the identical page construction and extraction —
     * same RE2-safe regexes, same single-pass entity decode order, same

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Web
+
+/** URL hygiene specs: parsing grammar edges, canonicalization rules,
+  * registrable-domain folding, and the blocklist filter's broadcast plan. */
+class WebSpec extends SparkSpec {
+
+  private def one(u: String): (String, String, String, String, String, String) = {
+    import spark.implicits._
+    Seq(u).toDF("u")
+      .select(Web.urlScheme(col("u")), Web.urlHost(col("u")),
+        Web.urlPortStr(col("u")), Web.urlPath(col("u")),
+        Web.urlQuery(col("u")), Web.urlFragment(col("u")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).head
+  }
+
+  private def norm(u: String): Option[String] = {
+    import spark.implicits._
+    Seq(u).toDF("u").select(Web.normalizeUrl(col("u"))).collect()
+      .map(r => Option(r.getString(0))).head
+  }
+
+  test("urlParts: full grammar, userinfo, ports, missing pieces") {
+    assert(one("HTTPS://User:pw@WWW.Example.COM:8443/A/b?x=1&y=2#frag") ==
+      ("https", "www.example.com", "8443", "/A/b", "x=1&y=2", "frag"))
+    assert(one("http://example.com") == ("http", "example.com", "", "", "", ""))
+    assert(one("ftp://files.example.org/pub/x.txt") ==
+      ("ftp", "files.example.org", "", "/pub/x.txt", "", ""))
+    // not an absolute URL: every part ''
+    assert(one("example.com/path") == ("", "", "", "", "", ""))
+    // two @: userinfo strips through the LAST @
+    assert(one("http://a@b@host.net/p")._2 == "host.net")
+  }
+
+  test("normalizeUrl: case fold, default ports, tracking strip, param sort, " +
+      "fragment drop, empty path, junk -> null") {
+    assert(norm("HTTP://WWW.Example.COM:80/Path?b=2&a=1#sec")
+      .contains("http://www.example.com/Path?a=1&b=2"))
+    // https default port stripped; non-default kept; http:443 is NOT default
+    assert(norm("https://e.com:443/x").contains("https://e.com/x"))
+    assert(norm("https://e.com:8443/x").contains("https://e.com:8443/x"))
+    assert(norm("http://e.com:443/x").contains("http://e.com:443/x"))
+    // tracking params drop even when they are the whole query
+    assert(norm("http://e.com/p?utm_source=a&utm_medium=b")
+      .contains("http://e.com/p"))
+    assert(norm("http://e.com/p?gclid=1&id=7&fbclid=2&ref=rss")
+      .contains("http://e.com/p?id=7"))
+    // empty path canonicalizes to /; userinfo dropped
+    assert(norm("http://u:p@E.com").contains("http://e.com/"))
+    // path case preserved (paths are case-sensitive)
+    assert(norm("http://e.com/CaseSensitive").contains("http://e.com/CaseSensitive"))
+    assert(norm("not a url").isEmpty)
+    assert(norm("").isEmpty)
+  }
+
+  test("registrableDomain: two labels, second-level registries, single label") {
+    import spark.implicits._
+    val got = Seq("www.bbc.co.uk", "news.example.com", "a.b.c.example.com.au",
+        "example.org", "localhost", "deep.sub.example.ac.jp")
+      .toDF("h").select(Web.registrableDomain(col("h"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("bbc.co.uk", "example.com", "example.com.au",
+      "example.org", "localhost", "example.ac.jp"))
+  }
+
+  test("withUrlParts + domainStats: per-domain aggregation, junk row visible") {
+    import spark.implicits._
+    val docs = Seq(
+      ("http://www.a.com/1", "xxxx"), ("https://blog.a.com/2?utm_source=f", "yy"),
+      ("http://b.co.uk/", "zzz"), ("junk", "qq")).toDF("url", "text")
+    val stats = Web.domainStats(docs, "url", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set(("a.com", 2L, 2L, 6L), ("b.co.uk", 1L, 1L, 3L),
+      ("", 1L, 1L, 2L)))
+  }
+
+  test("filterBlockedDomains: domain-level anti-join, broadcast plan") {
+    import spark.implicits._
+    val docs = Seq("http://www.bad.com/x", "http://sub.bad.com/y",
+        "http://good.org/z", "http://bad.com.evil.net/w")
+      .toDF("url")
+    val blocked = Seq("bad.com").toDF("domain")
+    val out = Web.filterBlockedDomains(docs, "url", blocked)
+    assert(out.collect().map(_.getString(0)).toSet ==
+      Set("http://good.org/z", "http://bad.com.evil.net/w"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+  }
+}
