@@ -7,6 +7,53 @@ import org.apache.spark.sql.functions._
   * lives in [[graft.functions.TextFunctions]]). */
 object Text {
 
+  /** Email address — the ubiquitous pragmatic pattern (local@domain.tld),
+    * RE2-safe (no lookaround), ASCII. */
+  private[graft] val EmailRe: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4, word-bounded (ASCII \b agrees between Java regex
+    * and RE2). Octet-range validation (no 999) is deliberately skipped —
+    * for REDACTION a false positive is the safe direction. */
+  private[graft] val Ipv4Re: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Phone-shaped digit run: optional +, then 8-18 chars of digits /
+    * spaces / parens / dashes, digit-terminated. Dots excluded on purpose
+    * (decimals and dotted quads are not phones); run AFTER [[Ipv4Re]]
+    * redaction so IP digits are already gone. Long enough (>= 8 total)
+    * that years and small counts never match. */
+  private[graft] val PhoneRe: String = "\\+?[0-9][0-9 ()-]{6,16}[0-9]"
+
+  /** PII redaction — the privacy gate every released corpus runs (the
+    * C4 / CCNet / Gopher pipelines all scrub before publishing): replace
+    * emails, then IPv4s, then phone-shaped digit runs with typed tokens
+    * (`<EMAIL>`, `<IP>`, `<PHONE>`), counting each category as it is
+    * removed. The ORDER is load-bearing and part of the contract: email
+    * redaction runs on raw text; IP counting runs on email-redacted text
+    * (digits inside an already-redacted email can't double-count); phone
+    * counting runs after both (a dotted quad is never also a phone).
+    *
+    * Pure codegen expression pack — three regexp_replace + three
+    * regexp_count over the RE2-safe subset, ONE map-only scan, no UDFs,
+    * no shuffle at any corpus size; a DuckDB oracle replays it exactly
+    * (q129). These are the published pragmatic REGEX scrubbers, not NER:
+    * names/addresses need a model pass; the contract here is the
+    * deterministic, engine-replayable 99%.
+    *
+    * Output: (idCol, clean_text, n_emails, n_ips, n_phones). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val nEmail = regexp_count(t0, lit(EmailRe)).cast("long")
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val nIp = regexp_count(t1, lit(Ipv4Re)).cast("long")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val nPhone = regexp_count(t2, lit(PhoneRe)).cast("long")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    docs.select(col(idCol), t3.as("clean_text"), nEmail.as("n_emails"),
+      nIp.as("n_ips"), nPhone.as("n_phones"))
+  }
+
   /** TF-IDF scoring table: one row per (doc, term) with term frequency,
     * document frequency and tf·ln(N/df), over whitespace tokens of the
     * lower-cased text. This overload takes an EXPLICIT `nDocs` so

@@ -1950,6 +1950,27 @@ object LlmQueries {
             Seq("example.org").toDF("domain")),
           "url", "text")
         .orderBy("domain")
+    },
+
+    // ── q129: PII redaction — the pre-release privacy scrub (emails →
+    //    IPv4s → phone-shaped runs, each replaced by a typed token and
+    //    counted in that order). The fixture appends one of each to
+    //    every document; the oracle interpolates the SAME regex strings
+    //    the op compiles, so the two engines can never drift pattern-wise.
+    //    One map-only scan: three regexp_replace + three regexp_count,
+    //    no shuffle. ──
+    QueryDef("q129_pii_redact", PiiSql) { (s, d) =>
+      val t2 = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@Mail.Example.com,"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"), lit(","),
+        lit(" call 555 010 "),
+        (lit(1000) + col("doc_id") % 9000).cast("string"), lit("."))
+      graft.ops.Text.redactPii(
+          Tables.documents(s, d).select(col("doc_id"), t2.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -2043,6 +2064,37 @@ object LlmQueries {
       |        (CASE WHEN qn = '' THEN '' ELSE '?' || qn END)
       |      END AS norm_url
       |  FROM pc)""".stripMargin
+
+  /** q129's oracle: the fixture construction plus the redaction chain,
+    * interpolating the IDENTICAL regex constants the op compiles
+    * ([[graft.ops.Text.EmailRe]]/[[graft.ops.Text.Ipv4Re]]/
+    * [[graft.ops.Text.PhoneRe]] are RE2-safe by contract). DuckDB
+    * regexp_replace needs the explicit 'g' flag (Spark replaces all by
+    * default). */
+  private lazy val PiiSql: String = {
+    val e = graft.ops.Text.EmailRe
+    val i = graft.ops.Text.Ipv4Re
+    val p = graft.ops.Text.PhoneRe
+    s"""WITH d2 AS (SELECT doc_id,
+       |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@Mail.Example.com,' ||
+       |    ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |    CAST(doc_id % 100 AS VARCHAR) || ',' ||
+       |    ' call 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '.'
+       |      AS t
+       |  FROM documents),
+       |s1 AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+       |    regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1 FROM d2),
+       |s2 AS (SELECT doc_id, n_emails,
+       |    CAST(len(regexp_extract_all(t1, '$i')) AS BIGINT) AS n_ips,
+       |    regexp_replace(t1, '$i', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT doc_id, n_emails, n_ips,
+       |    CAST(len(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones,
+       |    regexp_replace(t2, '$p', '<PHONE>', 'g') AS clean_text FROM s2)
+       |SELECT doc_id, clean_text, n_emails, n_ips, n_phones
+       |FROM s3 ORDER BY doc_id""".stripMargin
+  }
 
   /** q127's oracle: the parse/normalize replay, one row per document. */
   private lazy val UrlPartsSql: String =

@@ -329,6 +329,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(linked._4 && linked._3 > 0L && linked._3 <= 300000L)
   }
 
+  test("redactPii: typed tokens, ordered counts, negatives survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Mail a.b+c@Sub.Example.org or x9@y.co today"),
+      (2L, "Server 10.0.255.3, backup 192.168.1.1."),
+      (3L, "Call +1 (555) 010-4477 or 555 010 9999 now"),
+      // negatives: version, decimal, year, short number — none redact
+      (4L, "v2.3.1 costs 3.14 in 2026, see page 42"),
+      // interaction: email digits never count as phone; dotted quad is
+      // an IP, not a phone (dots excluded from the phone class)
+      (5L, "user12345678@host.com 10.1.2.3"),
+      (6L, "")).toDF("id", "text")
+    val out = graft.ops.Text.redactPii(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out(0) == ((1L, "Mail <EMAIL> or <EMAIL> today", 2L, 0L, 0L)))
+    assert(out(1) == ((2L, "Server <IP>, backup <IP>.", 0L, 2L, 0L)))
+    assert(out(2) == ((3L, "Call <PHONE> or <PHONE> now", 0L, 0L, 2L)))
+    assert(out(3) == ((4L, "v2.3.1 costs 3.14 in 2026, see page 42",
+      0L, 0L, 0L)))
+    assert(out(4) == ((5L, "<EMAIL> <IP>", 1L, 1L, 0L)))
+    assert(out(5) == ((6L, "", 0L, 0L, 0L)))
+  }
+
   test("dropRepeatedParagraphs plan: anti-join is hash-based, no NLJ/cartesian") {
     import spark.implicits._
     val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("id", "text")
