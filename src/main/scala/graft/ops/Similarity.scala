@@ -286,6 +286,61 @@ object Similarity {
       df.select(col("cid").cast("int"), col("cvec")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
 
+    /** Merge NEW vectors into a persisted [[ivfIndex]] directory WITHOUT a
+      * rebuild — the recurring-crawl contract for the ANN tier (the graph
+      * tier's [[Graph.graphIndexAppend]] story): a daily embedding batch
+      * must not re-assign (or worse, refit) the whole history. The
+      * quantizer stays FROZEN — `cents` must be the index's own stored
+      * centroids ([[ivfCentroidsFrom]]); the delta is assigned map-side
+      * against them, anti-joined on id against the stored index (re-seen
+      * ids drop — the index stays keyed by id; null ids drop per the ANN
+      * id contract), and appended under the same `partitionBy("_cell")`
+      * layout, so [[ivfTopKAgainstIndex]]'s cell-filter file pruning keeps
+      * working and serves results equal to a full rebuild over the union
+      * under the same centroids (SimilaritySpec pins the equality).
+      *
+      * Cost shape: one map-only assignment of the DELTA + one id-column
+      * scan of the stored index for the dedup anti-join — O(index ids)
+      * read, never the O(history) re-encode. The delta is localCheckpoint'd
+      * before the write so the append can't invalidate its own anti-join
+      * scan, which also makes re-appending a seen delta a no-op (idempotent
+      * crash repair). Each append adds one file set per touched cell;
+      * after many appends re-run the full write once as compaction (the
+      * lake-hygiene contract). */
+    def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       newCorpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+                       indexDir: String): Unit = {
+      val fresh = ivfIndex(newCorpus.where(col("id").isNotNull), cents)
+        .join(spark.read.parquet(indexDir).select(col("id")),
+          Seq("id"), "left_anti")
+        .localCheckpoint()
+      fresh.write.mode("append").partitionBy("_cell").parquet(indexDir)
+    }
+
+    /** [[ivfIndexAppend]] for the COMPRESSED ([[pqIndex]] /
+      * [[pqIndexResidual]]) layout: assign the delta against the frozen
+      * coarse centroids, encode with the frozen codebooks (residual
+      * encoding when `residualCents` is set — pass the index's own coarse
+      * centroids, as at build time), dedup by id against the stored index,
+      * append under `partitionBy("_cell")`. Same cost shape, idempotency,
+      * and serve-equality contract as the full-vector variant. */
+    def pqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                      newCorpus: DataFrame, dim: Int, m: Int,
+                      books: Seq[(Int, Int, Seq[Double])],
+                      cents: Seq[(Int, Seq[Double])],
+                      indexDir: String,
+                      residual: Boolean = false): Unit = {
+      val assigned = ivfIndex(newCorpus.where(col("id").isNotNull), cents)
+      val enc =
+        if (residual) pqIndexResidual(assigned, dim, m, books, cents)
+        else pqIndex(assigned, dim, m, books)
+      val fresh = enc
+        .join(spark.read.parquet(indexDir).select(col("id")),
+          Seq("id"), "left_anti")
+        .localCheckpoint()
+      fresh.write.mode("append").partitionBy("_cell").parquet(indexDir)
+    }
+
     // ── Product quantization (PQ) ──────────────────────────────────────────
     //
     // The compression tier for the persisted ANN index (Jégou et al.,

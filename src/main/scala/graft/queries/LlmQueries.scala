@@ -363,6 +363,32 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── q130: INCREMENTAL index append — the recurring-crawl contract
+    //    for the ANN tier (graphIndexAppend's story): build the stored
+    //    index on the corpus' first 60%, append the rest as a "crawl
+    //    delta" that re-sees 10% (the id anti-join drops the overlap),
+    //    serve the same probe batch. The oracle is q48/q73's: append vs
+    //    rebuild must be result-invisible under the frozen quantizer. ──
+    QueryDef("q130_ann_index_append", IvfSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val n = emb.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      Similarity.ivfIndex(emb.where(col("id") < lit(n * 6 / 10)), cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/assign")
+      Similarity.ivfIndexAppend(s,
+        emb.where(col("id") >= lit(n / 2)), // re-sees the 50-60% decile
+        cents, s"$dir/assign")
+      Similarity.ivfTopKAgainstIndex(emb.where(col("id") % 50 === 0),
+          s.read.parquet(s"$dir/assign"), cents, nprobe = 2, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // ── Gopher-style repetition quality signals: duplicate-line fraction
     //    (pure per-row expression) + top word-bigram fraction (explode +
     //    two-level aggregate — the distributed shape; the per-doc counts

@@ -171,6 +171,68 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains(new java.io.File(s"$dir/assign").getName), plan.take(400))
   }
 
+  test("ivfIndexAppend / pqIndexAppend: appended index serves equal to a " +
+      "full build; re-seen and null ids drop; re-append is a no-op") {
+    import spark.implicits._
+    val all = (0L until 60L)
+      .map(i => (i, Seq.tabulate(4)(j =>
+        math.sin(i * 0.7 + j) + (if (j == (i % 4).toInt) 2.0 else 0.0))))
+    val corpus = all.toDF("id", "vec")
+    val cents = Similarity.fitCentroids(corpus, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annapp").toString
+    try {
+      // full-vector IVF: build on the first half, append the rest plus
+      // 10 RE-SEEN rows and a null id — only the genuinely new ids land
+      Similarity.ivfIndex(corpus.where(col("id") < 30), cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/ivf")
+      val delta = (all.drop(30) ++ all.take(10))
+        .map { case (i, v) => (java.lang.Long.valueOf(i), v) }
+        .:+((null.asInstanceOf[java.lang.Long], all.head._2))
+        .toDF("id", "vec")
+      Similarity.ivfIndexAppend(spark, delta, cents, s"$dir/ivf")
+      val stored = spark.read.parquet(s"$dir/ivf")
+      assert(stored.count() == 60 &&
+        stored.select("id").distinct().count() == 60)
+      val queries = corpus.where(col("id").isin(3L, 44L, 59L))
+      def serve(idx: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfTopKAgainstIndex(queries, idx, cents, nprobe = 2, k = 5)
+          .collect().map(_.toString).sorted.toSeq
+      assert(serve(stored) ==
+        serve(Similarity.ivfIndex(corpus, cents)))
+      // idempotent: re-appending the same delta changes nothing
+      Similarity.ivfIndexAppend(spark, delta, cents, s"$dir/ivf")
+      assert(spark.read.parquet(s"$dir/ivf").count() == 60)
+
+      // PQ layout: same contract through the compressed encoder
+      val emb = fixtureEmb
+      val books = Similarity.pqFitCodebooks(emb, dim = 64, m = 8, ksub = 16,
+        iters = 2, maxSample = 200)
+      val pcents = Similarity.fitCentroids(emb, k = 8, iters = 2,
+        maxSample = 200)
+      Similarity.pqIndex(
+          Similarity.ivfIndex(emb.where(col("id") < 250), pcents),
+          64, 8, books)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/pq")
+      Similarity.pqIndexAppend(spark,
+        emb.where(col("id") >= 200), // 50-row overlap with the stored half
+        dim = 64, m = 8, books = books, cents = pcents,
+        indexDir = s"$dir/pq")
+      val pqStored = spark.read.parquet(s"$dir/pq")
+      val full = Similarity.pqIndex(Similarity.ivfIndex(emb, pcents),
+        64, 8, books)
+      assert(pqStored.count() == full.count() &&
+        pqStored.select("id").distinct().count() == full.count())
+      val pq = emb.where(col("id") % 50 === 0)
+      def servePq(idx: org.apache.spark.sql.DataFrame) =
+        Similarity.pqTopKAgainstIndex(pq, idx, emb, pcents,
+          books = books, dim = 64, m = 8, nprobe = 4, rerank = 40, k = 10)
+          .collect().map(_.toString).sorted.toSeq
+      assert(servePq(pqStored) == servePq(full))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   /** The q92 fixture view: 500 × 64-dim embeddings as array<double>. */
   private def fixtureEmb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
