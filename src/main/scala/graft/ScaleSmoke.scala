@@ -86,7 +86,7 @@ object ScaleSmoke {
     // Paragraph-level dedup (round 12): the 100k docs each get 4
     // paragraphs — own text, a corpus-wide banner (df=100k), a
     // per-decile footer (df=10k) and a unique tail. The df shuffle
-    // carries md5-60 hashes (8 bytes/paragraph); the hot list is 11
+    // carries md5-120 keys (16 bytes/paragraph); the hot list is 11
     // rows; per-doc reassembly dominates.
     val tpd = System.nanoTime()
     val pd = d.select(col("doc_id"), concat(col("text"),
@@ -98,6 +98,31 @@ object ScaleSmoke {
       .agg(sum(col("n_dropped"))).head().getLong(0)
     println(f"paragraph_dedup_100k: dropped=$npd " +
       f"time=${(System.nanoTime()-tpd)/1e9}%.1f s")
+    // URL + PII hygiene (round 13): both are map-only codegen scans — pure
+    // throughput rows (no shuffle to watch; rows/s must hold flat at any
+    // corpus size because nothing aggregates until the output-sized tail).
+    val tur = System.nanoTime()
+    val urls = spark.range(2000000L).select(
+      concat(lit("HTTPS://WWW.site"), (col("id") % 50000).cast("string"),
+        lit(".example"),
+        when(col("id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), col("id").cast("string"),
+        lit("?utm_source=x&b=2&a=1#f")).as("url"))
+    val nurl = graft.ops.Web.withUrlParts(urls, "url")
+      .where(col("norm_url").isNotNull)
+      .agg(countDistinct(col("domain"))).head().getLong(0)
+    println(f"url_normalize_2m: domains=$nurl " +
+      f"time=${(System.nanoTime()-tur)/1e9}%.1f s")
+    val tpi = System.nanoTime()
+    val npii = graft.ops.Text.redactPii(
+        d.select(col("doc_id"), concat(col("text"),
+          lit(" mail u"), col("doc_id").cast("string"),
+          lit("@x.org or 10.1.2.3, call 555 010 4477.")).as("text")),
+        "doc_id", "text")
+      .agg(sum(col("n_emails") + col("n_ips") + col("n_phones")))
+      .head().getLong(0)
+    println(f"pii_redact_100k: hits=$npii " +
+      f"time=${(System.nanoTime()-tpi)/1e9}%.1f s")
     graft.ops.Dedup.releaseCaches()
     // ── Adversarial boilerplate corpus (round 9): ONE viral block in 20%
     // of the 100k docs (df ≈ 20k — the license-header shape) plus 50
@@ -208,6 +233,20 @@ object ScaleSmoke {
       v.where(col("id") % 2000 === 0), spark.read.parquet("/tmp/scale_pq"),
       v, cents200, books, dim, 16, nprobe = 4, rerank = 100, k = 10).count()
     println(f"pq_search_200k: rows=$nq time=${(System.nanoTime()-tq)/1e9}%.1f s")
+    // Incremental ANN append (round 13): a 30k-vector "crawl delta"
+    // (1/3 re-seen — the id anti-join does real work) merges into a
+    // stored cell-partitioned PQ index at delta-encode + one id-column
+    // scan cost, never a re-encode of the stored 180k.
+    graft.ops.Similarity.pqIndex(
+        graft.ops.Similarity.ivfIndex(v.where(col("id") < 180000), cents200),
+        dim, 16, books)
+      .write.mode("overwrite").partitionBy("_cell").parquet("/tmp/scale_pq_app")
+    val tap = System.nanoTime()
+    graft.ops.Similarity.pqIndexAppend(spark, v.where(col("id") >= 170000),
+      dim, 16, books, cents200, "/tmp/scale_pq_app")
+    println(f"pq_index_append_30k_delta: " +
+      f"rows=${spark.read.parquet("/tmp/scale_pq_app").count()} " +
+      f"time=${(System.nanoTime()-tap)/1e9}%.1f s")
     // Residual (IVF-PQ) tier: real k-means coarse quantizer + codes over
     // vec − centroid(cell); build adds the fitCentroids rounds, serve
     // adds one ⟨q, c_cell⟩ dot per probe row — per-candidate cost
