@@ -18,12 +18,16 @@ object Text {
   private[graft] val Ipv4Re: String =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** Phone-shaped digit run: optional +, then 8-18 chars of digits /
-    * spaces / parens / dashes, digit-terminated. Dots excluded on purpose
-    * (decimals and dotted quads are not phones); run AFTER [[Ipv4Re]]
-    * redaction so IP digits are already gone. Long enough (>= 8 total)
-    * that years and small counts never match. */
-  private[graft] val PhoneRe: String = "\\+?[0-9][0-9 ()-]{6,16}[0-9]"
+  /** Phone-shaped digit run: optional +, then 9-18 DIGITS with at most two
+    * separator chars (space/paren/dash) between consecutive digits,
+    * digit-terminated. Dots excluded on purpose (decimals and dotted quads
+    * are not phones); run AFTER [[Ipv4Re]] redaction so IP digits are
+    * already gone. The >= 9-digit floor means single years and two-year
+    * ranges ('1914-1918', '2020 2021' — 8 digits) never match; longer
+    * joined numeric runs (ISBNs, 9+-digit ids) still do, which is the safe
+    * direction under the redaction contract (a false <PHONE> loses a
+    * token; a missed phone leaks PII). */
+  private[graft] val PhoneRe: String = "\\+?[0-9](?:[ ()-]{0,2}[0-9]){8,17}"
 
   /** PII redaction — the privacy gate every released corpus runs (the
     * C4 / CCNet / Gopher pipelines all scrub before publishing): replace

@@ -56,10 +56,15 @@ object Web {
 
   /** Tracking query parameters stripped by [[normalizeUrl]]: the utm_*
     * family plus the major click-id / mail-merge params. Matched against
-    * the full `key=value` pair (anchored at the key). */
+    * the full `key=value` pair (anchored at the key). Bare `ref` is
+    * deliberately NOT in the list — on major sites it is a functional
+    * parameter (GitHub's `?ref=<branch>` selects a branch), so stripping
+    * it would merge genuinely distinct resources into one dedup/frontier
+    * key; only the unambiguous analytics variant `ref_src` is dropped.
+    * The list is a visible constant a deployment can extend. */
   private[graft] val TrackingParamRe: String =
     "^(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|twclid|mc_cid" +
-      "|mc_eid|ref|ref_src)="
+      "|mc_eid|ref_src)="
 
   /** Lower-cased scheme, '' when the value is not an absolute URL. */
   def urlScheme(u: Column): Column = lower(regexp_extract(u, SchemeRe, 1))
@@ -85,8 +90,13 @@ object Web {
     * `/`; the raw parser reports what is there). */
   def urlPath(u: Column): Column = regexp_extract(u, PathRe, 1)
 
-  /** Raw query string (between `?` and `#`/end), '' when absent. */
-  def urlQuery(u: Column): Column = regexp_extract(u, "\\?([^#]*)", 1)
+  /** Raw query string (between `?` and `#`/end), '' when absent. The
+    * pattern is anchored through the authority and path so a `?` that
+    * first appears inside the FRAGMENT (SPA hash routes like
+    * `/p#/view?id=3`) is never mistaken for a query — two URLs differing
+    * only in fragment content must canonicalize identically. */
+  def urlQuery(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1)
 
   /** Fragment (after `#`), '' when absent. */
   def urlFragment(u: Column): Column = regexp_extract(u, "#(.*)$", 1)

@@ -1992,7 +1992,10 @@ object LlmQueries {
         lit(" ip 10."), (col("doc_id") % 256).cast("string"),
         lit(".0."), (col("doc_id") % 100).cast("string"), lit(","),
         lit(" call 555 010 "),
-        (lit(1000) + col("doc_id") % 9000).cast("string"), lit("."))
+        (lit(1000) + col("doc_id") % 9000).cast("string"),
+        lit(", or +1 (555) 010-"),
+        (lit(1000) + col("doc_id") % 9000).cast("string"),
+        lit(", era 1914-1918."))
       graft.ops.Text.redactPii(
           Tables.documents(s, d).select(col("doc_id"), t2.as("text")),
           "doc_id", "text")
@@ -2021,9 +2024,11 @@ object LlmQueries {
     when(col("doc_id") % 4 === 0,
       concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
         lit("&utm_campaign=q&lang="), col("lang")))
-      .when(col("doc_id") % 4 === 1, lit("?b=2&a=1&fbclid=xyz"))
+      .when(col("doc_id") % 4 === 1, lit("?b=2&a=1&fbclid=xyz&ref=main"))
       .otherwise(lit("")),
-    when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit("")))
+    when(col("doc_id") % 6 === 0, lit("#section-2"))
+      .when(col("doc_id") % 6 === 3, lit("#/view?sec=2"))
+      .otherwise(lit("")))
 
   /** CTE chain (no WITH prefix) replaying the fixture-URL construction
     * and the full Web.scala parse/normalize grammar in DuckDB —
@@ -2044,9 +2049,11 @@ object LlmQueries {
       |    '/Articles/' || CAST(doc_id AS VARCHAR) ||
       |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' ||
       |          CAST(doc_id AS VARCHAR) || '&utm_campaign=q&lang=' || lang
-      |             WHEN doc_id % 4 = 1 THEN '?b=2&a=1&fbclid=xyz'
+      |             WHEN doc_id % 4 = 1 THEN '?b=2&a=1&fbclid=xyz&ref=main'
       |             ELSE '' END) ||
-      |    (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#section-2'
+      |             WHEN doc_id % 6 = 3 THEN '#/view?sec=2'
+      |             ELSE '' END) AS url
       |  FROM documents),
       |pa AS (SELECT doc_id, lang, text, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -2060,7 +2067,8 @@ object LlmQueries {
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
       |    regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS q
       |  FROM pa),
       |pc AS (SELECT *,
       |    CASE WHEN regexp_extract(host,
@@ -2075,7 +2083,7 @@ object LlmQueries {
       |    coalesce(array_to_string(list_sort(list_filter(
       |      string_split(q, '&'),
       |      p -> p <> '' AND NOT regexp_matches(p,
-      |        '^(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|twclid|mc_cid|mc_eid|ref|ref_src)='))),
+      |        '^(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|twclid|mc_cid|mc_eid|ref_src)='))),
       |      '&'), '') AS qn
       |  FROM pb),
       |normed AS (SELECT doc_id, lang, text, url, scheme, host, port, path,
@@ -2106,7 +2114,9 @@ object LlmQueries {
        |    '@Mail.Example.com,' ||
        |    ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
        |    CAST(doc_id % 100 AS VARCHAR) || ',' ||
-       |    ' call 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '.'
+       |    ' call 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+       |    ', or +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+       |    ', era 1914-1918.'
        |      AS t
        |  FROM documents),
        |s1 AS (SELECT doc_id,

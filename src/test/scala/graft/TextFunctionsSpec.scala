@@ -340,7 +340,11 @@ class TextFunctionsSpec extends SparkSpec {
       // interaction: email digits never count as phone; dotted quad is
       // an IP, not a phone (dots excluded from the phone class)
       (5L, "user12345678@host.com 10.1.2.3"),
-      (6L, "")).toDF("id", "text")
+      (6L, ""),
+      // 8-digit joined ranges (years, counts) are BELOW the 9-digit
+      // floor; a 9-digit dashed run is the boundary positive
+      (7L, "era 1914-1918 and 2020 2021 runs"),
+      (8L, "ssn-like 123-456-789 here")).toDF("id", "text")
     val out = graft.ops.Text.redactPii(docs, "id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).sortBy(_._1)
@@ -351,6 +355,8 @@ class TextFunctionsSpec extends SparkSpec {
       0L, 0L, 0L)))
     assert(out(4) == ((5L, "<EMAIL> <IP>", 1L, 1L, 0L)))
     assert(out(5) == ((6L, "", 0L, 0L, 0L)))
+    assert(out(6) == ((7L, "era 1914-1918 and 2020 2021 runs", 0L, 0L, 0L)))
+    assert(out(7) == ((8L, "ssn-like <PHONE> here", 0L, 0L, 1L)))
   }
 
   test("dropRepeatedParagraphs plan: anti-join is hash-based, no NLJ/cartesian") {

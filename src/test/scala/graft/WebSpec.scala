@@ -46,14 +46,27 @@ class WebSpec extends SparkSpec {
     // tracking params drop even when they are the whole query
     assert(norm("http://e.com/p?utm_source=a&utm_medium=b")
       .contains("http://e.com/p"))
-    assert(norm("http://e.com/p?gclid=1&id=7&fbclid=2&ref=rss")
-      .contains("http://e.com/p?id=7"))
+    // bare ref is functional (GitHub ?ref=<branch>) and KEPT; ref_src drops
+    assert(norm("http://e.com/p?gclid=1&id=7&fbclid=2&ref=rss&ref_src=tw")
+      .contains("http://e.com/p?id=7&ref=rss"))
     // empty path canonicalizes to /; userinfo dropped
     assert(norm("http://u:p@E.com").contains("http://e.com/"))
     // path case preserved (paths are case-sensitive)
     assert(norm("http://e.com/CaseSensitive").contains("http://e.com/CaseSensitive"))
     assert(norm("not a url").isEmpty)
     assert(norm("").isEmpty)
+  }
+
+  test("urlQuery is anchored: '?' inside the fragment is NOT a query") {
+    // SPA hash route: the only '?' sits in the fragment — query must be ''
+    assert(one("http://e.com/p#/view?id=3")._5 == "")
+    // and the canonical form equals the fragment-free URL's canonical form
+    assert(norm("http://e.com/p#/view?id=3") == norm("http://e.com/p"))
+    assert(norm("http://e.com/p#/view?id=3").contains("http://e.com/p"))
+    // a real query followed by a '?'-bearing fragment still ends at '#'
+    assert(one("http://e.com/p?a=1#/view?id=3")._5 == "a=1")
+    assert(norm("http://e.com/p?a=1#/view?id=3")
+      .contains("http://e.com/p?a=1"))
   }
 
   test("registrableDomain: two labels, second-level registries, single label") {
