@@ -245,4 +245,69 @@ object Scoring {
         when(col("n_toks") > 0, round(col("_s").cast("double"), 6))
           .as("dsir_logw"))
   }
+
+  /** Value-based per-key quantile bucketing — the CCNet split (Wenzek et
+    * al. 2020 §4.3: per language, order by LM perplexity and cut into
+    * head/middle/tail thirds; training recipes then sample the buckets at
+    * different rates). Adds an INT `bucket` column (0 = best/lowest score
+    * … `b`−1 = worst); rows with a NULL score get a NULL bucket (no
+    * evidence, no verdict — the [[langIdScore]] convention).
+    *
+    * Semantics are VALUE-based, not rank-based, so they are a pure
+    * function of the per-key score multiset (independent of row order and
+    * of how the cumulative counts are computed): threshold
+    * `t_j` = smallest score whose cumulative count `cum` satisfies
+    * `cum·b ≥ j·n` (integer arithmetic — no ceil, no floats), and
+    * `bucket = #{j : score > t_j}`. Equal scores always land in the same
+    * bucket — a tie can never straddle a cut, which is what a sampling
+    * policy keyed on the bucket needs for determinism.
+    *
+    * Scale shape: a naive `cum` would be ONE window task holding every
+    * distinct score of a key — corpus-sized for 6-dp mean scores, the
+    * exact single-task tail this library bans. Instead the cumulative
+    * count is TWO-LEVEL: a coarse-bin histogram (`floor(score·coarseBins)`
+    * — range·coarseBins rows per key) carries the running total BETWEEN
+    * bins, and the within-bin window is partitioned by (key, bin) so no
+    * task ever holds more than one bin's distinct scores (pick
+    * `coarseBins` so corpus/(range·coarseBins) fits a task). Both
+    * histogram aggregates combine map-side; the (key × (b−1)) threshold
+    * table is broadcast back, so the labeling pass is map-only. The
+    * DuckDB oracle (q131) replays the value-based DEFINITION with a plain
+    * one-level window — the two-level structure is result-invisible by
+    * construction. */
+  def quantileBuckets(scored: DataFrame, keyCol: String, scoreCol: String,
+                      b: Int = 3, coarseBins: Double = 100.0): DataFrame = {
+    require(b >= 2, "quantileBuckets: need at least 2 buckets")
+    require(coarseBins > 0, "quantileBuckets: coarseBins must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol)
+    val fine = scored.where(s.isNotNull)
+      .select(col(keyCol), s.as("_s"),
+        floor(s * coarseBins).cast("long").as("_g"))
+      .groupBy(col(keyCol), col("_g"), col("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val coarse = fine.groupBy(col(keyCol), col("_g"))
+      .agg(sum(col("_c")).as("_cg"))
+    val wBefore = Window.partitionBy(col(keyCol)).orderBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coarseCum = coarse
+      .withColumn("_before", coalesce(sum(col("_cg")).over(wBefore), lit(0L)))
+      .withColumn("_n", sum(col("_cg")).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col("_g"), col("_before"), col("_n"))
+    val wIn = Window.partitionBy(col(keyCol), col("_g")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = fine.withColumn("_in", sum(col("_c")).over(wIn))
+      .join(coarseCum, Seq(keyCol, "_g"))
+      .withColumn("_cum", col("_before") + col("_in"))
+    val thAggs = (1 until b).map(j =>
+      min(when(col("_cum") * b >= col("_n") * j, col("_s"))).as(s"_t$j"))
+    val th = cum.groupBy(col(keyCol)).agg(thAggs.head, thAggs.tail: _*)
+    val bucket = (1 until b)
+      .map(j => when(s > col(s"_t$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    scored.join(broadcast(th), Seq(keyCol), "left")
+      .withColumn("bucket",
+        when(s.isNotNull, bucket).otherwise(lit(null).cast("int")))
+      .drop((1 until b).map(j => s"_t$j"): _*)
+  }
 }

@@ -2000,6 +2000,25 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), t2.as("text")),
           "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // ── q131: CCNet perplexity buckets — per language, cut the corpus
+    //    into head/middle/tail thirds by bigram-LM cross-entropy (Wenzek
+    //    et al. §4.3; training recipes sample the buckets at different
+    //    rates). Thresholds are VALUE-based (t_j = smallest score with
+    //    cum·3 ≥ j·n, ties never straddle a cut) so the oracle replays
+    //    the definition with a plain window while the engine computes the
+    //    same cum two-level (no single-task per-language sort). ──
+    QueryDef("q131_ppl_buckets", PplBucketsSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Scoring.bigramLmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Scoring.quantileBuckets(scored, "lang", "cross_entropy", b = 3)
+        .select(col("doc_id"), col("lang"), col("cross_entropy"),
+          when(col("bucket") === 0, lit("head"))
+            .when(col("bucket") === 1, lit("middle"))
+            .when(col("bucket") === 2, lit("tail")).as("ppl_bucket"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2131,6 +2150,52 @@ object LlmQueries {
        |SELECT doc_id, clean_text, n_emails, n_ips, n_phones
        |FROM s3 ORDER BY doc_id""".stripMargin
   }
+
+  /** q131's oracle: q81's bigram-LM chain (same CTEs, proven green there)
+    * joined with each document's language, then the value-based tercile
+    * definition replayed with a PLAIN one-level cumulative window — the
+    * engine's two-level cum is result-invisible because the thresholds
+    * are a pure function of the per-language score multiset. */
+  private lazy val PplBucketsSql: String =
+    """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+      |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+      |             AS toks
+      |           FROM documents),
+      |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+      |         FOR i IN generate_series(1, len(toks)-1)]) AS g FROM t),
+      |c12 AS (SELECT g, count(*) AS c12 FROM bg GROUP BY 1),
+      |ctx AS (SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+      |        FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(toks) AS tok FROM t)),
+      |lp AS (SELECT doc_id,
+      |         CAST(round(-ln((c12 + 1.0) / (c1 + 1.0 * v)), 6)
+      |              AS DECIMAL(18,6)) AS lp
+      |       FROM bg JOIN c12 USING (g)
+      |       JOIN ctx ON ctx.w1 = split_part(g, ' ', 1) CROSS JOIN v),
+      |dd AS (SELECT doc_id,
+      |         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+      |       FROM lp GROUP BY 1),
+      |sc AS (SELECT d.doc_id, d.lang, dd.cross_entropy
+      |       FROM documents d LEFT JOIN dd USING (doc_id)),
+      |hist AS (SELECT lang, cross_entropy AS s, count(*) AS c FROM sc
+      |         WHERE cross_entropy IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT lang, s,
+      |          sum(c) OVER (PARTITION BY lang ORDER BY s
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          sum(c) OVER (PARTITION BY lang) AS n
+      |        FROM hist),
+      |th AS (SELECT lang,
+      |         min(CASE WHEN cum * 3 >= n * 1 THEN s END) AS t1,
+      |         min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS t2
+      |       FROM cum GROUP BY 1)
+      |SELECT sc.doc_id, sc.lang, sc.cross_entropy,
+      |  CASE WHEN sc.cross_entropy IS NULL THEN NULL
+      |       ELSE CASE WHEN sc.cross_entropy > t2 THEN 'tail'
+      |                 WHEN sc.cross_entropy > t1 THEN 'middle'
+      |                 ELSE 'head' END END AS ppl_bucket
+      |FROM sc LEFT JOIN th USING (lang)
+      |ORDER BY doc_id""".stripMargin
 
   /** q127's oracle: the parse/normalize replay, one row per document. */
   private lazy val UrlPartsSql: String =

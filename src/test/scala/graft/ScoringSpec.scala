@@ -195,4 +195,58 @@ class ScoringSpec extends SparkSpec {
       scrambled.where(col("doc_id") % 3 === 0), "text", buckets = 32)
     assert(ta.exceptAll(tb).isEmpty && tb.exceptAll(ta).isEmpty)
   }
+
+  test("quantileBuckets: value-based terciles, ties never straddle a cut, " +
+      "NULL scores -> NULL bucket") {
+    import spark.implicits._
+    // key A: scores 1,1,1,2,3,3 (n=6). t1 = min s with cum*3 >= 6 -> 1
+    // (cum(1)=3, 9>=6); t2 = min s with cum*3 >= 12 -> 2 (cum(2)=4,
+    // 12>=12). buckets: 1->0, 2->1, 3->2.
+    // key B: all scores equal -> t1=t2=5.0 -> everything bucket 0.
+    // key C: only NULL scores -> NULL buckets, no threshold row.
+    val rows = Seq(
+      ("A", 1L, Some(1.0)), ("A", 2L, Some(1.0)), ("A", 3L, Some(1.0)),
+      ("A", 4L, Some(2.0)), ("A", 5L, Some(3.0)), ("A", 6L, Some(3.0)),
+      ("A", 7L, None),
+      ("B", 8L, Some(5.0)), ("B", 9L, Some(5.0)),
+      ("C", 10L, None)
+    ).toDF("k", "id", "s")
+    val got = Scoring.quantileBuckets(rows, "k", "s", b = 3)
+      .select(col("id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 2, 6L -> 2,
+      7L -> -1, 8L -> 0, 9L -> 0, 10L -> -1))
+  }
+
+  test("quantileBuckets: two-level cum == naive one-level window (and " +
+      "coarse-bin resolution is result-invisible)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random scores across 3 keys, incl. duplicates
+    val rows = (0L until 240L).map { i =>
+      val k = s"k${i % 3}"
+      val s = ((i * 7919) % 101).toDouble / 10.0 // dupes guaranteed
+      (k, i, s)
+    }.toDF("k", "id", "s")
+    for (b <- Seq(2, 3, 4); bins <- Seq(1.0, 100.0)) {
+      val got = Scoring.quantileBuckets(rows, "k", "s", b, coarseBins = bins)
+        .select(col("id"), col("bucket"))
+      // naive reference: one-level cumulative count over distinct scores
+      val hist = rows.groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("k")).orderBy(col("s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("k"))))
+      val aggs = (1 until b).map(j =>
+        min(when(col("cum") * b >= col("n") * j, col("s"))).as(s"t$j"))
+      val th = hist.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+      val want = rows.join(th, Seq("k"))
+        .select(col("id"),
+          (1 until b).map(j => when(col("s") > col(s"t$j"), 1).otherwise(0))
+            .reduce(_ + _).as("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"mismatch at b=$b bins=$bins")
+    }
+  }
 }
