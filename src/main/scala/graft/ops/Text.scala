@@ -58,6 +58,56 @@ object Text {
       nIp.as("n_ips"), nPhone.as("n_phones"))
   }
 
+  /** Token-window document chunking — the sequence-prep step every
+    * retrieval index and fixed-context training pipeline runs: split each
+    * document into `chunkSize`-token windows advancing by
+    * `chunkSize − overlap` tokens, so consecutive chunks share `overlap`
+    * tokens of context (the RAG convention; overlap 0 gives a clean
+    * partition for pretraining-style slicing — cf. [[graft.ops.Export]]'s
+    * whole-doc packing, which this op feeds when documents exceed the
+    * sequence length). Tokens are whitespace runs of the trimmed text —
+    * the library-wide `\s+` convention (q15).
+    *
+    * Chunk identity is POSITIONAL and deterministic: `chunk_idx` =
+    * start/stride, so (doc, chunk_idx) is a stable key under retry and
+    * re-layout — downstream dedup/embedding joins can key on it. A final
+    * window whose tokens are all contained in the previous chunk is NOT
+    * emitted (kept starts satisfy `start = 0 ∨ start + overlap < n`), so
+    * every emitted chunk contributes at least one new token and coverage
+    * is still total. Empty/whitespace-only documents yield ZERO chunks
+    * (nothing to index — the corpus-filter contract). The last chunk of a
+    * document may be short (`n_toks < chunkSize`); it is never padded.
+    *
+    * Scale shape: ONE map-only pass — token array, in-array start
+    * filtering, `posexplode`, `slice` are all codegen'd expressions; no
+    * shuffle, no join, no state at any corpus size. Output:
+    * (idCol, chunk_idx, start_tok, n_toks, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkTokens: chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "chunkTokens: need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = when(trim(col(textCol)) === "",
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val base = docs.select(col(idCol), toks.as("_toks"))
+      .withColumn("_nt", F.size(col("_toks")))
+    val starts = filter(
+      sequence(lit(0), greatest(col("_nt") - 1, lit(0)), lit(stride)),
+      st => st < col("_nt") &&
+        (st === 0 || st + lit(overlap) < col("_nt")))
+    base
+      .select(col(idCol), col("_toks"),
+        posexplode(starts).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_start").cast("long").as("start_tok"),
+        slice(col("_toks"), col("_start") + 1, lit(chunkSize)).as("_ct"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        F.size(col("_ct")).as("n_toks"),
+        array_join(col("_ct"), " ").as("chunk_text"))
+  }
+
   /** TF-IDF scoring table: one row per (doc, term) with term frequency,
     * document frequency and tf·ln(N/df), over whitespace tokens of the
     * lower-cased text. This overload takes an EXPLICIT `nDocs` so

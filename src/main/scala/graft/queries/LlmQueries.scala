@@ -2019,6 +2019,33 @@ object LlmQueries {
             .when(col("bucket") === 1, lit("middle"))
             .when(col("bucket") === 2, lit("tail")).as("ppl_bucket"))
         .orderBy("doc_id")
+    },
+
+    // ── q132: token-window chunking — the retrieval-index / fixed-context
+    //    sequence-prep step: 64-token windows advancing by 48 (16-token
+    //    overlap), positional chunk ids, zero chunks for empty docs, no
+    //    all-overlap tail windows. One map-only pass (no shuffle at any
+    //    corpus size); the oracle replays the start arithmetic and list
+    //    slicing in DuckDB. ──
+    QueryDef("q132_chunk_tokens",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(trim(text), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |         unnest([s FOR s IN
+        |                 generate_series(0, greatest(len(toks)-1, 0), 48)
+        |                 IF s < len(toks)
+        |                    AND (s = 0 OR s + 16 < len(toks))]) AS s
+        |       FROM t)
+        |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(len(toks[s+1:s+64]) AS INT) AS n_toks,
+        |  array_to_string(toks[s+1:s+64], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Text.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 

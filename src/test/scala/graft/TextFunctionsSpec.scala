@@ -359,6 +359,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(7) == ((8L, "ssn-like <PHONE> here", 0L, 0L, 1L)))
   }
 
+  test("chunkTokens: overlap windows, no all-overlap tail, short tail kept, " +
+      "empty doc -> zero chunks, overlap 0 partitions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4"), // n=5, size=3, overlap=1 -> [0..2], [2..4]
+      (2L, "a"),              // single token -> one 1-token chunk
+      (3L, ""), (4L, "   "),  // empty/blank -> zero chunks
+      (5L, "x0 x1 x2 x3")     // n=4: starts 0, 2; 4 would be all-overlap
+    ).toDF("id", "text")
+    val got = graft.ops.Text.chunkTokens(docs, "id", "text",
+        chunkSize = 3, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 0, 0L, 3, "t0 t1 t2"), (1L, 1, 2L, 3, "t2 t3 t4"),
+      (2L, 0, 0L, 1, "a"),
+      (5L, 0, 0L, 3, "x0 x1 x2"), (5L, 1, 2L, 2, "x2 x3")))
+    // overlap 0: clean partition, every token exactly once
+    val part = graft.ops.Text.chunkTokens(docs, "id", "text",
+        chunkSize = 2, overlap = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+    assert(part.toSet == Set(
+      (1L, 0, "t0 t1"), (1L, 1, "t2 t3"), (1L, 2, "t4"),
+      (2L, 0, "a"),
+      (5L, 0, "x0 x1"), (5L, 1, "x2 x3")))
+    // map-only contract: no exchange anywhere in the plan
+    val plan = graft.ops.Text.chunkTokens(docs, "id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("dropRepeatedParagraphs plan: anti-join is hash-based, no NLJ/cartesian") {
     import spark.implicits._
     val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("id", "text")
