@@ -690,6 +690,39 @@ object Similarity {
     topKByQuery(scored, "neighbor_id", k)
   }
 
+  /** Recall@k of an approximate top-k result against an exact ground
+    * truth — the standing eval every deployed ANN index needs: recall is
+    * THE quality dial that nprobe / band / codebook choices trade
+    * against, and at 100 TB it must be measured on a query sample
+    * continuously, not assumed from the paper. Both inputs are
+    * (query_id, neighbor_id, …) top-k frames (e.g.
+    * [[ivfTopKAgainstIndex]] vs [[bruteForceTopK]] over a sampled query
+    * batch). Per TRUTH query: n_hits = |approx ∩ truth|, with n_truth as
+    * the denominator so queries whose exact result has fewer than k
+    * neighbors (tiny corpora, filters) score against what exists, and
+    * queries the approximate path missed ENTIRELY still appear with
+    * recall 0 — an index that silently drops queries must not be able to
+    * hide them from its own eval.
+    *
+    * Scale shape: both sides are k-bounded per query (batch·k rows, not
+    * corpus-sized); one hash join on (query, neighbor) and two map-side-
+    * combined aggregates — no windows, no skew (every key appears ≤ k
+    * times by construction). Output: (query_id, n_hits, n_truth,
+    * recall). */
+  def topKRecall(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val nT = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+    val hits = a.join(t, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    nT.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_truth"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth"), 6).as("recall"))
+  }
+
   /** Contrastive hard-negative mining — the training-pair generator for
     * embedding/retrieval models: for each query, the k most-similar
     * corpus items EXCLUDING the query itself and everything in the

@@ -389,6 +389,75 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── q133: ANN recall@k — the standing index-quality eval: the
+    //    persisted-IVF serving path (q73's exact pipeline) measured
+    //    against brute-force ground truth on the same query batch.
+    //    Recall is the dial nprobe trades against; at scale it is
+    //    measured continuously on a sampled batch, never assumed. The
+    //    oracle replays BOTH paths (q48's and q23's proven CTEs) and the
+    //    per-query intersection. ──
+    QueryDef("q133_ann_recall",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t) WHERE rk = 1),
+        |probes AS (
+        |  SELECT id AS query_id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t WHERE c.id % 50 = 0) WHERE rk <= 2),
+        |ascored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    round(list_inner_product(q.vec, x.vec) / (q.n * x.n), 6) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.id <> p.query_id
+        |  JOIN w q ON q.id = p.query_id
+        |  JOIN w x ON x.id = a.id),
+        |appr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM ascored)
+        |  WHERE rank <= 10),
+        |bscored AS (
+        |  SELECT q.id AS query_id, x.id AS neighbor_id,
+        |    round(list_inner_product(q.vec, x.vec) / (q.n * x.n), 6) AS sim
+        |  FROM w q JOIN w x ON x.id <> q.id WHERE q.id % 50 = 0),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM bscored)
+        |  WHERE rank <= 10),
+        |nt AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1),
+        |h AS (SELECT a.query_id, count(*) AS n_hits
+        |      FROM appr a JOIN tr USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT nt.query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, nt.n_truth,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / nt.n_truth, 6)
+        |    AS recall
+        |FROM nt LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-recall").toString
+      Similarity.ivfIndex(emb, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/assign")
+      val queries = emb.where(col("id") % 50 === 0)
+      val approx = Similarity.ivfTopKAgainstIndex(queries,
+        s.read.parquet(s"$dir/assign"), cents, nprobe = 2, k = 10)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+      Similarity.topKRecall(approx, truth).orderBy("query_id")
+    },
+
     // ── Gopher-style repetition quality signals: duplicate-line fraction
     //    (pure per-row expression) + top word-bigram fraction (explode +
     //    two-level aggregate — the distributed shape; the per-doc counts

@@ -572,4 +572,25 @@ class SimilaritySpec extends SparkSpec {
       ("b", 0L) -> ((10.0, 1L)), ("b", 1L) -> ((-2.5, 1L))))
     assert(run(1) == got, "layout must not change centroids")
   }
+
+  test("topKRecall: per-truth-query hits, missing queries score 0, " +
+      "short truth lists use their own denominator") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),  // k=4 ground truth
+      (2L, 20L), (2L, 21L),                         // only 2 exact rows
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L)
+    ).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L), (1L, 98L),  // 2/4 hit
+      (2L, 20L), (2L, 21L), (2L, 97L), (2L, 96L),  // 2/2 despite junk
+      (4L, 40L)                                     // not in truth: ignored
+      // query 3 entirely missing from approx -> recall 0
+    ).toDF("query_id", "neighbor_id")
+    val got = Similarity.topKRecall(approx, truth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 4L, 0.0)))
+  }
 }
