@@ -831,6 +831,30 @@ object Dedup {
       .where(col("keep") === 1)
       .drop("cluster_id", "keep")
 
+  /** Per-new-doc admission verdict for a batch ingest: given the
+    * (new_id, corpus_id, …) pair frame a bipartite dedup pass produced
+    * ([[minHashLshPairsAgainstSignatures]] against the persisted corpus
+    * signature table — the recurring-crawl shape), emit one row per NEW
+    * doc with its corpus-duplicate count and `keep` = 1 iff none matched.
+    * This is the decision table the ingest actually acts on (admit /
+    * reject / route-to-review), kept separate from the pair frame so the
+    * evidence stays auditable. New-batch-internal duplicates are out of
+    * scope by design — run the self-join dedup on the admitted remainder
+    * (batch-sized, cheap) if the ingest wants it.
+    *
+    * Scale shape: one left join of the batch against a pair-aggregate
+    * that is at most batch-sized (map-side-combined count per new id) —
+    * nothing corpus-sized appears after the pair generator. */
+  def batchAdmission(newDocs: DataFrame, idCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val agg = pairs.groupBy(col("new_id")).agg(count(lit(1)).as("n_dups"))
+    newDocs.select(col(idCol))
+      .join(agg, newDocs(idCol) === col("new_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).cast("int").as("keep"))
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 60-bit token hash both engines can replay: the first 15 hex chars of

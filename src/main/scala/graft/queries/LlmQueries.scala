@@ -458,6 +458,38 @@ object LlmQueries {
       Similarity.topKRecall(approx, truth).orderBy("query_id")
     },
 
+    // ── q134: batch crawl admission against the PERSISTED signature
+    //    index — q130's recurring-crawl contract for the dedup tier: the
+    //    90% corpus's MinHash signatures make a parquet round trip, the
+    //    10% "crawl batch" is matched against the stored table (corpus
+    //    text never rescanned — plan-proven in DedupSpec), and each new
+    //    doc gets its admission verdict (n_dups, keep). The oracle
+    //    aggregates the exact cross-side Jaccard pairs (q55's set — LSH
+    //    recall is 1.0 on the fixture, proven there). ──
+    QueryDef("q134_crawl_admission",
+      s"""WITH pairs AS ($JaccardPairsSql),
+         |cp AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+         |         AS new_id
+         |       FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+         |ag AS (SELECT new_id, count(*) AS n_dups FROM cp GROUP BY 1)
+         |SELECT doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+         |  CAST(coalesce(n_dups, 0) = 0 AS INT) AS keep
+         |FROM documents LEFT JOIN ag ON doc_id = new_id
+         |WHERE doc_id % 10 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val newB = docs.where(col("doc_id") % 10 === 0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sig-index").toString
+      Dedup.minHashSignatures(docs.where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 8, k = 64)
+        .write.mode("overwrite").parquet(dir)
+      val pairs = Dedup.minHashLshPairsAgainstSignatures(newB,
+        s.read.parquet(dir), "doc_id", "text", shingleN = 8, k = 64,
+        bands = 16, rows = 4, threshold = 0.8)
+      Dedup.batchAdmission(newB, "doc_id", pairs).orderBy("doc_id")
+    },
+
     // ── Gopher-style repetition quality signals: duplicate-line fraction
     //    (pure per-row expression) + top word-bigram fraction (explode +
     //    two-level aggregate — the distributed shape; the per-doc counts

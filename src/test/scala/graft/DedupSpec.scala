@@ -246,6 +246,22 @@ class DedupSpec extends SparkSpec {
     assert(fromSigs.nonEmpty) // the fixture carries planted near-dups
   }
 
+  test("batchAdmission: per-new-doc verdict, zero-match docs keep, " +
+      "multi-match counts exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = Seq(10L, 20L, 30L).toDF("doc_id")
+    val pairs = Seq(
+      (10L, 101L, 0.9), (10L, 102L, 0.85),  // two corpus dups
+      (30L, 103L, 1.0)                       // one
+      // 20 matched nothing -> keep
+    ).toDF("new_id", "corpus_id", "jaccard")
+    val got = graft.ops.Dedup.batchAdmission(batch, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((10L, 2L, 0), (20L, 0L, 1), (30L, 1L, 0)))
+  }
+
   test("identical docs have jaccard 1.0 through the LSH path") {
     import spark.implicits._
     val dup = Seq((10L, "same text body here"), (11L, "same text body here"))
