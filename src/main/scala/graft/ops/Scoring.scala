@@ -246,6 +246,51 @@ object Scoring {
           .as("dsir_logw"))
   }
 
+  /** Per-bucket distribution drift between a BATCH and a REFERENCE corpus
+    * — the data-quality monitor a recurring-crawl pipeline runs before
+    * admitting a batch: hashed-unigram token distributions (the
+    * [[dsirWeights]] feature space), add-1 smoothed, compared bucket by
+    * bucket. Output one row per bucket observed in EITHER stream:
+    * (bucket, n_batch, n_ref, llr, kl_term) where
+    * `llr = ln p̂_b − ln p̂_r` (6 dp) and `kl_term = p̂_b · llr` (6 dp) —
+    * summing kl_term approximates KL(batch ‖ reference); sorting by |llr|
+    * surfaces WHICH features moved (the actionable part: a spam wave or a
+    * parser regression shows up as specific buckets, not just a scalar).
+    *
+    * Same determinism contract as the rest of the tier: counts are exact
+    * integers, each ln/product is rounded to 6 dp at the bucket level
+    * (never aggregated as floats), so the table is bit-identical across
+    * runs, layouts, and engines. Scale shape: one pass per stream into
+    * `buckets`-bounded map-side-combined count tables; totals are one-row
+    * aggregates DERIVED from those tables (no extra scan); the final
+    * full-outer join touches ≤ 2·`buckets` rows. */
+  def distributionDrift(batch: DataFrame, batchTextCol: String,
+                        reference: DataFrame, refTextCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketStream(df: DataFrame, text: String): DataFrame =
+      df.select(explode(split(lower(trim(col(text))), "\\s+")).as("_tok"))
+        .where(col("_tok") =!= "")
+        .select(pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)).as("bucket"))
+    val cb = bucketStream(batch, batchTextCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_batch"))
+    val cr = bucketStream(reference, refTextCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+    val nb = cb.agg(coalesce(sum(col("n_batch")), lit(0L)).cast("double").as("_nb"))
+    val nr = cr.agg(coalesce(sum(col("n_ref")), lit(0L)).cast("double").as("_nr"))
+    val b = lit(buckets.toDouble)
+    val pb = (coalesce(col("n_batch"), lit(0L)) + lit(1.0)) / (col("_nb") + b)
+    val pr = (coalesce(col("n_ref"), lit(0L)) + lit(1.0)) / (col("_nr") + b)
+    val llr = round(log(pb) - log(pr), 6)
+    cb.join(cr, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        llr.as("llr"),
+        round(pb * llr, 6).as("kl_term"))
+  }
+
   /** Value-based per-key quantile bucketing — the CCNet split (Wenzek et
     * al. 2020 §4.3: per language, order by LM perplexity and cut into
     * head/middle/tail thirds; training recipes then sample the buckets at

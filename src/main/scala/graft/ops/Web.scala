@@ -159,6 +159,25 @@ object Web {
       .withColumn("path", urlPath(col(urlCol)))
       .withColumn("norm_url", normalizeUrl(col(urlCol)))
 
+  /** URL-level dedup table — the crawl-frontier fold (RefinedWeb §3.1,
+    * CCNet: URL dedup runs before any text processing because it is the
+    * only dedup that costs no content bytes at all): one row per canonical
+    * URL with the kept representative (smallest id — deterministic) and
+    * the number of crawl variants that folded into it. Rows whose URL has
+    * no canonical form ([[normalizeUrl]] NULL — junk) are excluded: they
+    * have no fold identity; count them upstream if the drop rate matters.
+    *
+    * Scale shape: one map-only canonicalization pass and ONE hash
+    * aggregate keyed on `norm_url` (map-side partials absorb the
+    * hot-URL skew of repeatedly-crawled pages); output is
+    * distinct-URL-sized. Output: (norm_url, kept_id, n_variants). */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("_uid"), normalizeUrl(col(urlCol)).as("norm_url"))
+      .where(col("norm_url").isNotNull)
+      .groupBy(col("norm_url"))
+      .agg(min(col("_uid")).as("kept_id"), count(lit(1)).as("n_variants"))
+
   /** Per-registrable-domain corpus stats: `(domain, n_docs, n_hosts,
     * n_chars)` — the table crawl policy and quality priors key on.
     * ONE hash aggregation whose output is domain-count-sized (map-side

@@ -490,6 +490,114 @@ object LlmQueries {
       Dedup.batchAdmission(newB, "doc_id", pairs).orderBy("doc_id")
     },
 
+    // ── q135: corpus drift monitor — per-bucket hashed-unigram
+    //    distribution comparison between a crawl batch (doc_id%10=0) and
+    //    the reference corpus: add-1-smoothed log-likelihood ratio and
+    //    KL contribution per bucket, exact integer counts, each ln/product
+    //    rounded at the bucket level (the DSIR determinism contract).
+    //    Sorting by |llr| names WHICH features moved — the actionable
+    //    form of a drift alarm. ──
+    QueryDef("q135_corpus_drift",
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS bucket
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |      WHERE tok <> ''),
+        |cb AS (SELECT bucket, count(*) AS n_batch FROM s
+        |       WHERE doc_id % 10 = 0 GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS n_ref FROM s
+        |       WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |nb AS (SELECT coalesce(sum(n_batch), 0) AS nb FROM cb),
+        |nr AS (SELECT coalesce(sum(n_ref), 0) AS nr FROM cr),
+        |j AS (SELECT coalesce(cb.bucket, cr.bucket) AS bucket,
+        |        coalesce(n_batch, 0) AS n_batch, coalesce(n_ref, 0) AS n_ref
+        |      FROM cb FULL OUTER JOIN cr ON cb.bucket = cr.bucket),
+        |k AS (SELECT bucket, n_batch, n_ref,
+        |        round(ln((n_batch + 1.0) / (nb + 4096.0)) -
+        |              ln((n_ref + 1.0) / (nr + 4096.0)), 6) AS llr,
+        |        (n_batch + 1.0) / (nb + 4096.0) AS pb
+        |      FROM j CROSS JOIN nb CROSS JOIN nr)
+        |SELECT bucket, CAST(n_batch AS BIGINT) AS n_batch,
+        |  CAST(n_ref AS BIGINT) AS n_ref, llr,
+        |  round(pb * llr, 6) AS kl_term
+        |FROM k ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Scoring.distributionDrift(docs.where(col("doc_id") % 10 === 0), "text",
+          docs.where(col("doc_id") % 10 =!= 0), "text", buckets = 4096)
+        .orderBy("bucket")
+    },
+
+    // ── q136: URL-level dedup — the zero-content-cost first gate of a
+    //    crawl pipeline: three crawl variants per page (clean, tracking
+    //    params + fragment, userinfo + default port + case noise) fold to
+    //    one canonical row with the kept representative and the variant
+    //    count. The oracle replays the variant construction and the full
+    //    normalize grammar. ──
+    QueryDef("q136_url_dedup",
+      """WITH c AS (SELECT doc_id * 10 + j AS crawl_id,
+        |    CASE j
+        |      WHEN 0 THEN 'http://News.Example.com/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?x=1'
+        |      WHEN 1 THEN 'http://News.Example.com/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) ||
+        |        '?x=1&utm_source=feed&fbclid=z#frag'
+        |      ELSE 'HTTP://crawler:pw@news.example.COM:80/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?x=1&utm_campaign=c'
+        |    END AS url
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |pa AS (SELECT crawl_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_extract(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '(?:.*@)?([^@]*)$', 1) AS hostport
+        |  FROM c),
+        |pb AS (SELECT *,
+        |    lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS q
+        |  FROM pa),
+        |pc AS (SELECT *,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|igshid|twclid|mc_cid|mc_eid|ref_src)='))),
+        |      '&'), '') AS qn
+        |  FROM pb),
+        |normed AS (SELECT crawl_id,
+        |    CASE WHEN scheme = '' THEN NULL
+        |      ELSE scheme || '://' || host ||
+        |        (CASE WHEN port <> ''
+        |                  AND NOT (scheme = 'http' AND port = '80')
+        |                  AND NOT (scheme = 'https' AND port = '443')
+        |            THEN ':' || port ELSE '' END) ||
+        |        (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |        (CASE WHEN qn = '' THEN '' ELSE '?' || qn END)
+        |      END AS norm_url
+        |  FROM pc)
+        |SELECT norm_url, min(crawl_id) AS kept_id,
+        |  CAST(count(*) AS BIGINT) AS n_variants
+        |FROM normed WHERE norm_url IS NOT NULL
+        |GROUP BY 1 ORDER BY norm_url""".stripMargin) { (s, d) =>
+      val base = concat(lit("http://News.Example.com/p/"),
+        (col("doc_id") % 50).cast("string"))
+      val variants = array(
+        concat(base, lit("?x=1")),
+        concat(base, lit("?x=1&utm_source=feed&fbclid=z#frag")),
+        concat(lit("HTTP://crawler:pw@news.example.COM:80/p/"),
+          (col("doc_id") % 50).cast("string"), lit("?x=1&utm_campaign=c")))
+      val crawl = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(variants).as(Seq("j", "url")))
+        .select((col("doc_id") * 10 + col("j")).as("crawl_id"), col("url"))
+      graft.ops.Web.urlDedup(crawl, "crawl_id", "url").orderBy("norm_url")
+    },
+
     // ── Gopher-style repetition quality signals: duplicate-line fraction
     //    (pure per-row expression) + top word-bigram fraction (explode +
     //    two-level aggregate — the distributed shape; the per-doc counts

@@ -196,6 +196,31 @@ class ScoringSpec extends SparkSpec {
     assert(ta.exceptAll(tb).isEmpty && tb.exceptAll(ta).isEmpty)
   }
 
+  test("distributionDrift: driver-replayed llr/kl per bucket, zero-count " +
+      "sides smoothed, bucket set = union of both streams") {
+    import spark.implicits._
+    val B = 8
+    val batch = Seq((1L, "a a b")).toDF("id", "text")
+    val ref = Seq((2L, "a c c c"), (3L, "")).toDF("id", "text")
+    val got = Scoring.distributionDrift(batch, "text", ref, "text", buckets = B)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // driver replay with the same md5-60 bucket hash
+    val bkt = (t: String) => md5h60(t) % B
+    val cb = Seq("a", "a", "b").groupBy(bkt).map { case (k, v) => k -> v.size.toLong }
+    val cr = Seq("a", "c", "c", "c").groupBy(bkt).map { case (k, v) => k -> v.size.toLong }
+    val (nb, nr) = (3.0, 4.0)
+    val want = (cb.keySet ++ cr.keySet).map { k =>
+      val (x, y) = (cb.getOrElse(k, 0L), cr.getOrElse(k, 0L))
+      val pb = (x + 1.0) / (nb + B)
+      val pr = (y + 1.0) / (nr + B)
+      val llr = r6(math.log(pb) - math.log(pr))
+      k -> ((x, y, llr, r6(pb * llr)))
+    }.toMap
+    assert(got == want)
+  }
+
   test("quantileBuckets: value-based terciles, ties never straddle a cut, " +
       "NULL scores -> NULL bucket") {
     import spark.implicits._

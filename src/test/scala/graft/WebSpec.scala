@@ -90,6 +90,22 @@ class WebSpec extends SparkSpec {
       ("", 1L, 1L, 2L)))
   }
 
+  test("urlDedup: variants fold to one canonical row, junk excluded, " +
+      "kept id deterministic") {
+    import spark.implicits._
+    val crawl = Seq(
+      (1L, "http://A.com/x?utm_source=1"),  // tracking-only query drops
+      (2L, "HTTP://a.com:80/x"),            // default port + case noise
+      (3L, "http://a.com/x#frag"),          // fragment drops
+      (4L, "junk"),                          // no canonical form -> excluded
+      (5L, "http://b.org/")).toDF("id", "url")
+    val got = Web.urlDedup(crawl, "id", "url").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "http://a.com/x" -> ((1L, 3L)),
+      "http://b.org/" -> ((5L, 1L))))
+  }
+
   test("filterBlockedDomains: domain-level anti-join, broadcast plan") {
     import spark.implicits._
     val docs = Seq("http://www.bad.com/x", "http://sub.bad.com/y",
