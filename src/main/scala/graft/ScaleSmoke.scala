@@ -45,6 +45,31 @@ object ScaleSmoke {
       val nd = graft.ops.Scoring.dsirWeights(d, "doc_id", "text",
         d.where(col("doc_id") % 10 === 0), "text", buckets = 65536).count()
       println(f"dsir_100k: rows=$nd time=${(System.nanoTime()-td)/1e9}%.1f s")
+      // quantileBuckets at 2M rows / 5 keys with ~400k DISTINCT scores per
+      // key — the shape where a naive per-key cumulative window is one
+      // 400k-row task; the two-level cum must stay flat.
+      val tq = System.nanoTime()
+      val scores = spark.range(2000000).select(
+        concat(lit("k"), col("id") % 5).as("k"), col("id").as("id"),
+        (((col("id") * 7919) % 1000003).cast("double") / 1000.0).as("s"))
+      val nq2 = graft.ops.Scoring.quantileBuckets(scores, "k", "s", b = 3,
+        coarseBins = 1.0).groupBy(col("bucket")).count().count()
+      println(f"quantile_buckets_2m: buckets=$nq2 " +
+        f"time=${(System.nanoTime()-tq)/1e9}%.1f s")
+      // drift monitor at the same 100k-doc corpus: two bounded count
+      // tables + a 65536-row join — must cost ~one dsir fit pass.
+      val tdr = System.nanoTime()
+      val ndr = graft.ops.Scoring.distributionDrift(
+        d.where(col("doc_id") % 10 === 0), "text",
+        d.where(col("doc_id") % 10 =!= 0), "text", buckets = 65536).count()
+      println(f"drift_100k: buckets=$ndr time=${(System.nanoTime()-tdr)/1e9}%.1f s")
+      // chunking is map-only: 100k docs -> ~400k chunks with zero shuffle;
+      // the number to watch is throughput only.
+      val tch = System.nanoTime()
+      val nch = graft.ops.Text.chunkTokens(d, "doc_id", "text",
+        chunkSize = 16, overlap = 4).count()
+      println(f"chunk_tokens_100k: chunks=$nch " +
+        f"time=${(System.nanoTime()-tch)/1e9}%.1f s")
     }
 
     if (sections("dedup")) {
