@@ -487,6 +487,19 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
       // Spine build/serve split on the 1M-edge graph: graphIndex pays the
       // canonicalization + bucketed write once; AgainstIndex serves skip it.
+      // Clear any STALE warehouse location first: the smoke session's
+      // catalog is in-memory, so a crashed previous run leaves the
+      // table's directory behind with no catalog entry — saveAsTable then
+      // takes the CTAS path and fails LOCATION_ALREADY_EXISTS (a
+      // persistent-metastore deployment never hits this).
+      val wh = new java.io.File(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq("smoke_spine_edges", "smoke_spine_adj").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(wh, t)
+        if (loc.exists)
+          org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
       val tsb = System.nanoTime()
       graft.ops.Graph.graphIndex(ug, "a", "b", "smoke_spine", buckets = 32)
       println(f"graph_spine_build_1m_edges: " +
@@ -499,9 +512,12 @@ object ScaleSmoke {
       // Incremental append: a 1%-sized crawl delta (half re-seen pairs —
       // the dedup anti-join does real work) merges into the spine at
       // delta-canonicalize + one spine-scan cost, NOT a full rebuild.
+      // ids shifted past the 200k node space = genuinely-new pairs (same
+      // BIGINT type as the spine — an id-type change would be a different
+      // graph, not a delta)
       val delta = ug.limit(5000).unionAll(ug.limit(5000)
-        .select(concat(col("a"), lit("_x")).as("a"),
-          concat(col("b"), lit("_x")).as("b")))
+        .select((col("a") + 1000000L).as("a"),
+          (col("b") + 1000000L).as("b")))
       val tsa = System.nanoTime()
       graft.ops.Graph.graphIndexAppend(spark, delta, "a", "b", "smoke_spine")
       val nApp = spark.table("smoke_spine_edges").count()
