@@ -58,6 +58,45 @@ object Text {
       nIp.as("n_ips"), nPhone.as("n_phones"))
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — the ruleset behind
+    * the C4 corpus, still the canonical first-pass web cleaner): keep only
+    * lines that END IN TERMINAL PUNCTUATION (`.` `!` `?` `"`) and carry at
+    * least `minLineWords` whitespace words; then gate the PAGE — keep iff
+    * at least `minKeptLines` lines survive (C4's "at least 3 sentences",
+    * counted on retained lines), the page contains no `{` (the code/JSON
+    * tell), and no 'lorem ipsum' (placeholder boilerplate). The published
+    * bad-words list is deliberately out of scope (policy, not mechanics —
+    * a deployment composes its own list via [[dropRepeatedParagraphs]]'s
+    * anti-join shape or a filter).
+    *
+    * Output: (idCol, clean_text — the kept lines rejoined with newlines,
+    * n_lines, n_kept, keep INT). Dropped pages keep their row (keep = 0)
+    * so the caller can audit drop rates per source before filtering —
+    * same contract as [[redactPii]]'s counts.
+    *
+    * Scale shape: ONE map-only expression pass (split / filter /
+    * array_join / contains are all codegen'd) — no shuffle, no state, no
+    * joins at any corpus size; the DuckDB oracle (q137) replays every
+    * rule byte-for-byte. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1, "c4Clean: minLineWords must be >= 1")
+    require(minKeptLines >= 1, "c4Clean: minKeptLines must be >= 1")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        F.size(split(trim(l), "\\s+")) >= minLineWords)
+    val nKept = F.size(kept)
+    val keep = (nKept >= minKeptLines) &&
+      !col(textCol).contains("{") &&
+      !lower(col(textCol)).contains("lorem ipsum")
+    docs.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      F.size(lines).as("n_lines"),
+      nKept.as("n_kept"),
+      keep.cast("int").as("keep"))
+  }
+
   /** Token-window document chunking — the sequence-prep step every
     * retrieval index and fixed-context training pipeline runs: split each
     * document into `chunkSize`-token windows advancing by

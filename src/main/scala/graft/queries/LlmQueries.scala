@@ -598,6 +598,51 @@ object LlmQueries {
       graft.ops.Web.urlDedup(crawl, "crawl_id", "url").orderBy("norm_url")
     },
 
+    // ── q137: C4 line-level cleaning (Raffel et al. §2.2) — keep lines
+    //    ending in terminal punctuation with ≥5 words, gate pages on ≥3
+    //    kept lines / no '{' / no 'lorem ipsum'. The fixture wraps every
+    //    document in a nav line, a short line, proper sentences, and
+    //    per-residue code/boilerplate markers so every rule fires. One
+    //    map-only pass; dropped pages keep their row (keep=0) for drop-
+    //    rate audits. ──
+    QueryDef("q137_c4_clean",
+      """WITH p AS (SELECT doc_id,
+        |    'Home | About | Contact' || chr(10) || text || chr(10) ||
+        |    'This line has enough words to satisfy the filter.' || chr(10) ||
+        |    'Short one.' || chr(10) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'if (x) { return; }'
+        |          ELSE 'Plain closing sentence with sufficient word count here.'
+        |     END) || chr(10) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$') AND
+        |      len(regexp_split_to_array(trim(l), '\s+')) >= 5) AS kept,
+        |    len(string_split(t, chr(10))) AS n_lines
+        |  FROM p)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+        |  CAST((len(kept) >= 3 AND NOT contains(t, '{')
+        |        AND NOT contains(lower(t), 'lorem ipsum')) AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val page = concat_ws("\n",
+        lit("Home | About | Contact"),
+        col("text"),
+        lit("This line has enough words to satisfy the filter."),
+        lit("Short one."),
+        when(col("doc_id") % 7 === 0, lit("if (x) { return; }"))
+          .otherwise(
+            lit("Plain closing sentence with sufficient word count here.")),
+        when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sit amet."))
+          .otherwise(lit("")))
+      Text.c4Clean(
+          Tables.documents(s, d).select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ── Gopher-style repetition quality signals: duplicate-line fraction
     //    (pure per-row expression) + top word-bigram fraction (explode +
     //    two-level aggregate — the distributed shape; the per-doc counts

@@ -359,6 +359,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(7) == ((8L, "ssn-like <PHONE> here", 0L, 0L, 1L)))
   }
 
+  test("c4Clean: line rules (terminal punct + min words), page gates " +
+      "(kept-line floor, brace, lorem ipsum), audit rows survive") {
+    import spark.implicits._
+    val good = "Here is a first proper sentence for the page.\n" +
+      "And here is clearly a second good one!\n" +
+      "Is this a third sentence with enough words?"
+    val docs = Seq(
+      (1L, good),                                  // 3 kept -> keep
+      (2L, good + "\nNav | Bar\nshort one.\nno punct here at all"),
+      (3L, good + "\nvar x = { a: 1 };"),          // brace -> drop page
+      (4L, good + "\nLOREM IPSUM dolor sit."),     // case-folded -> drop
+      (5L, "Only two good sentences are here today.\n" +
+        "And the second one is also fine."),       // 2 kept < 3 -> drop
+      (6L, "")                                      // empty -> drop, audit
+    ).toDF("id", "text")
+    val got = graft.ops.Text.c4Clean(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).sortBy(_._1)
+    assert(got(0) == ((1L, good, 3, 3, 1)))
+    // extra junk lines counted but not kept; page still passes
+    assert(got(1)._3 == 6 && got(1)._4 == 3 && got(1)._5 == 1 &&
+      got(1)._2 == good)
+    assert(got(2)._5 == 0 && got(2)._4 == 3) // lines fine, brace kills page
+    assert(got(3)._5 == 0)
+    assert(got(4) == ((5L,
+      "Only two good sentences are here today.\n" +
+        "And the second one is also fine.", 2, 2, 0)))
+    assert(got(5) == ((6L, "", 1, 0, 0)))
+  }
+
   test("chunkTokens: overlap windows, no all-overlap tail, short tail kept, " +
       "empty doc -> zero chunks, overlap 0 partitions") {
     import spark.implicits._
