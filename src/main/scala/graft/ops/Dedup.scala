@@ -831,6 +831,33 @@ object Dedup {
       .where(col("keep") === 1)
       .drop("cluster_id", "keep")
 
+  /** Append a new batch's MinHash signatures into the STORED signature
+    * table — the write half of the recurring-crawl loop
+    * ([[minHashLshPairsAgainstSignatures]] is the read half): after a
+    * batch is admitted, its signatures join the corpus table so the NEXT
+    * batch dedups against it, without ever re-shingling corpus text. Ids
+    * already present in the store are dropped (an id re-crawl must not
+    * duplicate signature rows — duplicated rows would double-band and
+    * double-verify every future candidate), which also makes the append
+    * IDEMPOTENT: a crashed-and-retried append adds exactly the missing
+    * rows. The delta is materialized (localCheckpoint) BEFORE the write —
+    * appending to a directory a lazy plan still reads is the classic
+    * self-overwrite hazard (the [[graft.ops.Graph.graphIndexAppend]]
+    * discipline).
+    *
+    * Cost shape: batch-sized shingle/sign work + ONE id-projected scan of
+    * the stored table for the anti-join — never a corpus text rescan. */
+  def signatureIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                           newDocs: DataFrame, idCol: String, textCol: String,
+                           sigDir: String, shingleN: Int = 8,
+                           k: Int = 64): Unit = {
+    val existing = spark.read.parquet(sigDir).select(col("_id"))
+    val delta = minHashSignatures(newDocs, idCol, textCol, shingleN, k)
+      .join(existing, Seq("_id"), "left_anti")
+      .localCheckpoint()
+    delta.write.mode("append").parquet(sigDir)
+  }
+
   /** Per-new-doc admission verdict for a batch ingest: given the
     * (new_id, corpus_id, …) pair frame a bipartite dedup pass produced
     * ([[minHashLshPairsAgainstSignatures]] against the persisted corpus

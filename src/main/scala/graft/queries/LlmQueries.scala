@@ -68,6 +68,22 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared oracle for q134 (signature table built whole) and q138 (built
+    * 60% then APPENDED with a 10%-overlap delta): per-new-doc admission
+    * verdict over the exact cross-side Jaccard pairs. Shared on purpose —
+    * how the signature store was produced must be result-invisible. */
+  private lazy val CrawlAdmissionSql: String =
+    s"""WITH pairs AS ($JaccardPairsSql),
+       |cp AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+       |         AS new_id
+       |       FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+       |ag AS (SELECT new_id, count(*) AS n_dups FROM cp GROUP BY 1)
+       |SELECT doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(coalesce(n_dups, 0) = 0 AS INT) AS keep
+       |FROM documents LEFT JOIN ag ON doc_id = new_id
+       |WHERE doc_id % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+
   private val JaccardPairsSql =
     """WITH g AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -466,17 +482,7 @@ object LlmQueries {
     //    doc gets its admission verdict (n_dups, keep). The oracle
     //    aggregates the exact cross-side Jaccard pairs (q55's set — LSH
     //    recall is 1.0 on the fixture, proven there). ──
-    QueryDef("q134_crawl_admission",
-      s"""WITH pairs AS ($JaccardPairsSql),
-         |cp AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
-         |         AS new_id
-         |       FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
-         |ag AS (SELECT new_id, count(*) AS n_dups FROM cp GROUP BY 1)
-         |SELECT doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
-         |  CAST(coalesce(n_dups, 0) = 0 AS INT) AS keep
-         |FROM documents LEFT JOIN ag ON doc_id = new_id
-         |WHERE doc_id % 10 = 0
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef("q134_crawl_admission", CrawlAdmissionSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val newB = docs.where(col("doc_id") % 10 === 0)
       val dir = java.nio.file.Files
@@ -641,6 +647,32 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), page.as("text")),
           "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // ── q138: signature-index APPEND — the write half of the crawl loop
+    //    (q134 is the read half): the stored table is built on the
+    //    corpus's first 60%, the rest arrives as a delta that re-sees the
+    //    50-60% decile (the id anti-join drops the overlap, and makes a
+    //    retried append idempotent), then the same admission batch is
+    //    served. Oracle is q134's: how the store was produced must be
+    //    result-invisible. ──
+    QueryDef("q138_signature_index_append", CrawlAdmissionSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val newB = docs.where(col("doc_id") % 10 === 0)
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sig-append").toString
+      Dedup.minHashSignatures(corpus.where(col("doc_id") < lit(n * 6 / 10)),
+          "doc_id", "text", shingleN = 8, k = 64)
+        .write.mode("overwrite").parquet(dir)
+      Dedup.signatureIndexAppend(s,
+        corpus.where(col("doc_id") >= lit(n / 2)), // re-sees 50-60% decile
+        "doc_id", "text", dir, shingleN = 8, k = 64)
+      val pairs = Dedup.minHashLshPairsAgainstSignatures(newB,
+        s.read.parquet(dir), "doc_id", "text", shingleN = 8, k = 64,
+        bands = 16, rows = 4, threshold = 0.8)
+      Dedup.batchAdmission(newB, "doc_id", pairs).orderBy("doc_id")
     },
 
     // ── Gopher-style repetition quality signals: duplicate-line fraction

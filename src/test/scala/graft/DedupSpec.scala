@@ -246,6 +246,46 @@ class DedupSpec extends SparkSpec {
     assert(fromSigs.nonEmpty) // the fixture carries planted near-dups
   }
 
+  test("signatureIndexAppend: append == rebuild for serving, overlap " +
+      "dropped, re-append idempotent") {
+    import org.apache.spark.sql.functions._
+    val fixture = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(fixture).select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // full rebuild reference
+    val fullDir = java.nio.file.Files.createTempDirectory("sig-full").toString
+    Dedup.minHashSignatures(corpus, "doc_id", "text", shingleN = 8)
+      .write.mode("overwrite").parquet(fullDir)
+    // 60% build + overlapping append
+    val incDir = java.nio.file.Files.createTempDirectory("sig-inc").toString
+    Dedup.minHashSignatures(corpus.where(col("doc_id") < 300),
+        "doc_id", "text", shingleN = 8)
+      .write.mode("overwrite").parquet(incDir)
+    Dedup.signatureIndexAppend(spark,
+      corpus.where(col("doc_id") >= 250), "doc_id", "text", incDir,
+      shingleN = 8)
+    // no duplicate ids despite the 250-299 overlap
+    val ids = spark.read.parquet(incDir).select(col("_id"))
+    assert(ids.count() == ids.distinct().count())
+    assert(ids.count() == corpus.count())
+    // serving parity: same pairs from both stores
+    def pairs(dir: String) = Dedup.minHashLshPairsAgainstSignatures(
+        batch, spark.read.parquet(dir), "doc_id", "text",
+        shingleN = 8, threshold = 0.5)
+      .orderBy("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inc = pairs(incDir)
+    assert(inc == pairs(fullDir) && inc.nonEmpty)
+    // idempotent: re-appending the same delta adds nothing
+    val before = spark.read.parquet(incDir).count()
+    Dedup.signatureIndexAppend(spark,
+      corpus.where(col("doc_id") >= 250), "doc_id", "text", incDir,
+      shingleN = 8)
+    assert(spark.read.parquet(incDir).count() == before)
+  }
+
   test("batchAdmission: per-new-doc verdict, zero-match docs keep, " +
       "multi-match counts exact") {
     import spark.implicits._
