@@ -840,21 +840,65 @@ object Dedup {
     * duplicate signature rows — duplicated rows would double-band and
     * double-verify every future candidate), which also makes the append
     * IDEMPOTENT: a crashed-and-retried append adds exactly the missing
-    * rows. The delta is materialized (localCheckpoint) BEFORE the write —
+    * rows.
+    *
+    * Content-change guard: an id re-crawl whose TEXT changed would leave
+    * the store silently stale under a bare id anti-join (the store would
+    * diverge from corpus content), so overlapping ids have their stored
+    * signature compared against the freshly computed one — the k-minhash
+    * signature is itself a content fingerprint (identical text always
+    * matches; changed text collides with probability ~2⁻⁶⁴ᵏ... in
+    * practice never). A mismatch FAILS LOUDLY by default
+    * (`onConflict = "error"`): an append-only parquet store cannot
+    * update in place — delete the stale rows (rewrite/compact the store
+    * without those ids) and re-append, or pass `onConflict = "ignore"`
+    * to knowingly keep the old signature (pre-round-15 behavior).
+    *
+    * Bootstrap: a missing or empty `sigDir` is the FIRST crawl — the
+    * batch's signatures are written as the initial store (no read of a
+    * nonexistent directory), so one entry point serves the whole loop.
+    *
+    * The delta is materialized (localCheckpoint) BEFORE the write —
     * appending to a directory a lazy plan still reads is the classic
     * self-overwrite hazard (the [[graft.ops.Graph.graphIndexAppend]]
-    * discipline).
+    * discipline); the same checkpoint also feeds the conflict probe, so
+    * the store is scanned ONCE (ids + signatures projected), never text.
     *
-    * Cost shape: batch-sized shingle/sign work + ONE id-projected scan of
-    * the stored table for the anti-join — never a corpus text rescan. */
+    * Cost shape: batch-sized shingle/sign work + ONE (_id, _sig)-projected
+    * scan of the stored table for the join — never a corpus text rescan. */
   def signatureIndexAppend(spark: org.apache.spark.sql.SparkSession,
                            newDocs: DataFrame, idCol: String, textCol: String,
                            sigDir: String, shingleN: Int = 8,
-                           k: Int = 64): Unit = {
-    val existing = spark.read.parquet(sigDir).select(col("_id"))
-    val delta = minHashSignatures(newDocs, idCol, textCol, shingleN, k)
-      .join(existing, Seq("_id"), "left_anti")
-      .localCheckpoint()
+                           k: Int = 64, onConflict: String = "error"): Unit = {
+    require(onConflict == "error" || onConflict == "ignore",
+      s"signatureIndexAppend: onConflict must be 'error' or 'ignore', got '$onConflict'")
+    val sigs = minHashSignatures(newDocs, idCol, textCol, shingleN, k)
+    val path = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrapped = fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!bootstrapped) {
+      sigs.write.mode("overwrite").parquet(sigDir)
+      return
+    }
+    val existing = spark.read.parquet(sigDir)
+      .select(col("_id"), col("_sig").as("_stored_sig"))
+    // batch-sized after the join; checkpointed once, probed twice
+    val joined = sigs.join(existing, Seq("_id"), "left").localCheckpoint()
+    if (onConflict == "error") {
+      val clash = joined
+        .where(col("_stored_sig").isNotNull && col("_stored_sig") =!= col("_sig"))
+        .select(col("_id")).take(5)
+      if (clash.nonEmpty) throw new IllegalStateException(
+        "signatureIndexAppend: re-crawled id(s) arrived with CHANGED content " +
+          s"(stored signature differs): ${clash.map(_.get(0)).mkString(", ")}" +
+          " ... — an append-only store cannot update in place; compact the " +
+          "store without these ids and re-append, or pass onConflict=\"ignore\"" +
+          " to keep the stale signatures knowingly.")
+    }
+    val delta = joined.where(col("_stored_sig").isNull).drop("_stored_sig")
     delta.write.mode("append").parquet(sigDir)
   }
 

@@ -316,7 +316,11 @@ object Scoring {
     * task ever holds more than one bin's distinct scores (pick
     * `coarseBins` so corpus/(range·coarseBins) fits a task). Both
     * histogram aggregates combine map-side; the (key × (b−1)) threshold
-    * table is broadcast back, so the labeling pass is map-only. The
+    * table is broadcast back, so the labeling pass is map-only — which
+    * BOUNDS the key cardinality: the thresholds must fit a broadcast
+    * (key-cardinality × (b−1) rows; fine for the per-language design
+    * center at ~10²–10³ keys, NOT for per-domain/per-URL keys at 10⁷+ —
+    * for those, drop to a plain shuffled join by removing the hint). The
     * DuckDB oracle (q131) replays the value-based DEFINITION with a plain
     * one-level window — the two-level structure is result-invisible by
     * construction. */

@@ -18,16 +18,25 @@ object Text {
   private[graft] val Ipv4Re: String =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** Phone-shaped digit run: optional +, then 9-18 DIGITS with at most two
-    * separator chars (space/paren/dash) between consecutive digits,
-    * digit-terminated. Dots excluded on purpose (decimals and dotted quads
-    * are not phones); run AFTER [[Ipv4Re]] redaction so IP digits are
-    * already gone. The >= 9-digit floor means single years and two-year
-    * ranges ('1914-1918', '2020 2021' — 8 digits) never match; longer
-    * joined numeric runs (ISBNs, 9+-digit ids) still do, which is the safe
-    * direction under the redaction contract (a false <PHONE> loses a
-    * token; a missed phone leaks PII). */
-  private[graft] val PhoneRe: String = "\\+?[0-9](?:[ ()-]{0,2}[0-9]){8,17}"
+  /** Phone-shaped digit run — three alternatives, tried in order (Java
+    * regex and RE2 both use leftmost-FIRST alternation, so the engines
+    * agree): (1) '+'-prefixed runs need only 8 digits ('+45 12345678' is a
+    * full Danish number); (2) bare or singly-separated runs keep the
+    * 9-digit floor, so single years and two-year ranges ('1914-1918',
+    * '2020 2021' — 8 digits, one separator) never match while ISBNs and
+    * 9+-digit ids still do; (3) PAIR-GROUPED 8+-digit runs ('12 34 56 78'
+    * — >= 3 separators) match, covering the Denmark/Norway national
+    * format. Separators are space/paren/dash, at most two between
+    * consecutive digits; dots excluded on purpose (decimals and dotted
+    * quads are not phones); run AFTER [[Ipv4Re]] redaction so IP digits
+    * are already gone. Known residual leak, documented in [[redactPii]]:
+    * an UNPREFIXED 8-digit number with a single separator ('6123 4567',
+    * Singapore/Hong Kong style) is shape-identical to a two-year range
+    * and is NOT redacted. */
+  private[graft] val PhoneRe: String =
+    "\\+[0-9](?:[ ()-]{0,2}[0-9]){7,17}" +
+      "|[0-9](?:[ ()-]{0,2}[0-9]){8,17}" +
+      "|[0-9]{2}(?:[ ()-]{1,2}[0-9]{2}){3,8}"
 
   /** PII redaction — the privacy gate every released corpus runs (the
     * C4 / CCNet / Gopher pipelines all scrub before publishing): replace
@@ -44,6 +53,13 @@ object Text {
     * (q129). These are the published pragmatic REGEX scrubbers, not NER:
     * names/addresses need a model pass; the contract here is the
     * deterministic, engine-replayable 99%.
+    *
+    * Contract limitation (phones): an unprefixed 8-digit number written
+    * with a SINGLE separator ('6123 4567' — Singapore/Hong Kong national
+    * format) is shape-identical to a two-year range ('1914-1918') and is
+    * deliberately NOT redacted; '+'-prefixed and pair-grouped 8-digit
+    * forms are (see [[PhoneRe]]). Deployments targeting those locales
+    * should compose an explicit local pattern.
     *
     * Output: (idCol, clean_text, n_emails, n_ips, n_phones). */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

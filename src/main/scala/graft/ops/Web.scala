@@ -94,7 +94,10 @@ object Web {
     * pattern is anchored through the authority and path so a `?` that
     * first appears inside the FRAGMENT (SPA hash routes like
     * `/p#/view?id=3`) is never mistaken for a query — two URLs differing
-    * only in fragment content must canonicalize identically. */
+    * only in fragment content must canonicalize identically. Like the
+    * rest of the raw-parser family (urlHost/urlPath/...), this applies
+    * to ABSOLUTE URLs only: a scheme-less/relative input ('/search?q=x')
+    * returns '' even when it carries a real query. */
   def urlQuery(u: Column): Column =
     regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1)
 

@@ -286,6 +286,43 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(incDir).count() == before)
   }
 
+  test("signatureIndexAppend: bootstrap on missing dir, changed-content " +
+      "conflict fails loudly, onConflict=ignore keeps the stored row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sig-boot").toString +
+      "/store" // nonexistent subdir: the true first-crawl shape
+    val v1 = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "an entirely different second document body goes here"))
+      .toDF("doc_id", "text")
+    // bootstrap: no prior store, no read of the missing dir
+    Dedup.signatureIndexAppend(spark, v1, "doc_id", "text", dir, shingleN = 4)
+    assert(spark.read.parquet(dir).count() == 2)
+    // unchanged re-crawl of id 1 plus a new id 3: idempotent, no conflict
+    val v2 = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "a third document that the crawl just discovered today"))
+      .toDF("doc_id", "text")
+    Dedup.signatureIndexAppend(spark, v2, "doc_id", "text", dir, shingleN = 4)
+    assert(spark.read.parquet(dir).count() == 3)
+    // id 1 re-crawled with CHANGED text: default errors and names the id
+    val changed = Seq((1L, "completely rewritten page content after an edit"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.signatureIndexAppend(spark, changed, "doc_id", "text", dir,
+        shingleN = 4)
+    }
+    assert(ex.getMessage.contains("CHANGED content") &&
+      ex.getMessage.contains("1"))
+    // explicit opt-out keeps the stored signature (store unchanged)
+    val keep = spark.read.parquet(dir).where(col("_id") === 1L)
+      .select(col("_sig")).head().getSeq[Long](0)
+    Dedup.signatureIndexAppend(spark, changed, "doc_id", "text", dir,
+      shingleN = 4, onConflict = "ignore")
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(spark.read.parquet(dir).where(col("_id") === 1L)
+      .select(col("_sig")).head().getSeq[Long](0) == keep)
+  }
+
   test("batchAdmission: per-new-doc verdict, zero-match docs keep, " +
       "multi-match counts exact") {
     import spark.implicits._

@@ -344,7 +344,12 @@ class TextFunctionsSpec extends SparkSpec {
       // 8-digit joined ranges (years, counts) are BELOW the 9-digit
       // floor; a 9-digit dashed run is the boundary positive
       (7L, "era 1914-1918 and 2020 2021 runs"),
-      (8L, "ssn-like 123-456-789 here")).toDF("id", "text")
+      (8L, "ssn-like 123-456-789 here"),
+      // 8-digit locales (round-14 ADVICE): '+'-prefixed and pair-grouped
+      // forms redact; the unprefixed single-separator 4+4 form is the
+      // documented residual (shape-identical to a year range)
+      (9L, "DK +45 12345678 or 12 34 56 78 ok"),
+      (10L, "SG 6123 4567 stays (documented limitation)")).toDF("id", "text")
     val out = graft.ops.Text.redactPii(docs, "id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).sortBy(_._1)
@@ -357,6 +362,9 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(5) == ((6L, "", 0L, 0L, 0L)))
     assert(out(6) == ((7L, "era 1914-1918 and 2020 2021 runs", 0L, 0L, 0L)))
     assert(out(7) == ((8L, "ssn-like <PHONE> here", 0L, 0L, 1L)))
+    assert(out(8) == ((9L, "DK <PHONE> or <PHONE> ok", 0L, 0L, 2L)))
+    assert(out(9) == ((10L, "SG 6123 4567 stays (documented limitation)",
+      0L, 0L, 0L)))
   }
 
   test("c4Clean: line rules (terminal punct + min words), page gates " +
