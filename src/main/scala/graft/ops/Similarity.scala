@@ -860,4 +860,47 @@ object Similarity {
       .select(col(keyCol), col("d"),
         round(col("_s").cast("double") / col("n"), 6).as("c"), col("n"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
+    * the EMBEDDING level: coarse-cluster the corpus, then compare vectors
+    * only WITHIN a cluster, dropping every vector that has a lower-id
+    * cluster-mate at cosine ≥ `threshold`. This is the published
+    * algorithm's shape exactly: the cluster bound turns the quadratic
+    * all-pairs scan into k independent |cell|²-sized blocks (the paper
+    * sizes k so cells stay ~10³–10⁴ rows), and the keep rule is
+    * pair-ORIENTED — one representative (the lowest id) survives per
+    * dup neighborhood, cross-cluster near-dups are missed BY DESIGN.
+    * For orientation-invariant, chain-correct keeping, feed exact pairs
+    * to [[graft.ops.Dedup.dedupFilter]] instead; SemDeDup is the scale
+    * path that never materializes a global pair frame.
+    *
+    * `cents` is the frozen coarse quantizer ([[fitCentroids]] output, or
+    * any deterministic centroid set) planted as plan literals — the
+    * assignment pass is map-only, and the only shuffle is the
+    * cell-keyed self-join. Sims are rounded to 6 dp BEFORE the threshold
+    * compare so an oracle replays the boundary decision bit-for-bit.
+    *
+    * Output: one row per input vector — (idCol, cell INT, n_dups =
+    * count of lower-id cell-mates at ≥ threshold, keep INT = 1 iff
+    * n_dups = 0). Audit-friendly like [[graft.ops.Dedup.batchAdmission]]:
+    * dropped rows stay visible with their evidence count. */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               cents: Seq[(Int, Seq[Double])],
+               threshold: Double): DataFrame = {
+    require(cents.nonEmpty, "semDedup: need at least one centroid")
+    val withCell = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .select(col("_id"), col("_v"), ivfCell(col("_v"), cents).as("_cell"),
+        norm(col("_v")).as("_n"))
+    val lo = withCell.select(col("_cell").as("_bcell"), col("_id").as("_bid"),
+      col("_v").as("_bv"), col("_n").as("_bn"))
+    val dupCounts = withCell.join(lo,
+        col("_cell") === col("_bcell") && col("_bid") < col("_id"))
+      .where(round(dot(col("_v"), col("_bv")) / (col("_n") * col("_bn")), 6)
+        >= threshold)
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_dups"))
+    withCell.join(dupCounts, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("_cell").as("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("n_dups").isNull.cast("int").as("keep"))
+  }
 }

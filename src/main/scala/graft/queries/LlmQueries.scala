@@ -474,6 +474,48 @@ object LlmQueries {
       Similarity.topKRecall(approx, truth).orderBy("query_id")
     },
 
+    // ── q139: SemDeDup — semantic (embedding-level) dedup, cluster-
+    //    bounded: assign every vector to its nearest coarse centroid
+    //    (q48's frozen 16-lowest-id quantizer), compare only within a
+    //    cell, drop any vector with a lower-id cell-mate at cosine ≥
+    //    0.35. The cell bound is the whole point at 100 TB: k independent
+    //    |cell|²-blocks instead of a global pair frame; cross-cell dups
+    //    are missed BY DESIGN (the exact/CC path is q57/q58). The oracle
+    //    replays assignment (q48's proven CTE) + the within-cell pair
+    //    count. ──
+    QueryDef("q139_semdedup",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t) WHERE rk = 1),
+        |d AS (
+        |  SELECT a.id, count(*) AS n_dups
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.id < a.id
+        |  JOIN w x ON x.id = a.id JOIN w y ON y.id = b.id
+        |  WHERE round(list_inner_product(x.vec, y.vec) / (x.n * y.n), 6) >= 0.35
+        |  GROUP BY 1)
+        |SELECT a.id AS vec_id, CAST(a.cell AS INT) AS cell,
+        |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+        |  CAST(d.n_dups IS NULL AS INT) AS keep
+        |FROM assign a LEFT JOIN d ON a.id = d.id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      Similarity.semDedup(emb, "id", "vec", cents, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cell"), col("n_dups"),
+          col("keep"))
+        .orderBy("vec_id")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the

@@ -593,4 +593,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 4L, 0.0)))
   }
+
+  test("semDedup: lowest-id survivor per within-cell neighborhood, " +
+      "cross-cell near-dups missed by contract, audit counts exact") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val df = Seq(
+      // cell 0 neighborhood: 10 survives, 11 and 12 drop (n_dups 1 and 2)
+      (10L, Seq(1.0, 0.0)),
+      (11L, Seq(0.99, 0.01)),
+      (12L, Seq(0.98, 0.02)),
+      // cell 1 singleton: no mate, keeps
+      (20L, Seq(0.01, 1.0)),
+      // cross-cell near-dup pair: cos(30,31) ≈ 0.9997 but they straddle
+      // the cell boundary — BOTH keep (the documented SemDeDup miss)
+      (30L, Seq(0.72, 0.69)),
+      (31L, Seq(0.69, 0.72))
+    ).toDF("id", "vec")
+    val got = Similarity.semDedup(df, "id", "vec", cents, threshold = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (10L, 0, 0L, 1), (11L, 0, 1L, 0), (12L, 0, 2L, 0),
+      (20L, 1, 0L, 1), (30L, 0, 0L, 1), (31L, 1, 0L, 1)))
+  }
 }
