@@ -289,4 +289,54 @@ object Sampling {
       .where(col("rank") <= col("_cut"))
       .drop("_cut")
   }
+
+  /** Data-mixture epoch plan — the per-source allocation table every
+    * large pretraining run publishes (LLaMA tbl. 1 / GPT-3 tbl. 2.2
+    * shape: CommonCrawl 0.67 epochs, Wikipedia 2.4, ...): given per-row
+    * token counts, a target mixture weight per source (ppm), a total
+    * token budget and an epoch cap, emit one audit row per source with
+    * the budget-implied target, the cap-clipped planned tokens, the
+    * implied epoch count and the shortfall the run must re-weight or
+    * accept. Single-pass cap (no water-fill redistribution) — the
+    * shortfall column IS the redistribution input, and keeping the pass
+    * closed-form keeps it engine-replayable.
+    *
+    * Integer-ppm exact, the [[stratifiedSample]] convention: every
+    * derived quantity is a floor of a decimal(38)·ppm product — no
+    * doubles, so a 10¹⁴-token budget times a 10⁶ ppm weight can never
+    * overflow or round differently across engines (DuckDB replays with
+    * HUGEINT `//`).
+    *
+    * Scale shape: ONE map-side-combined groupBy on source (the aggregate
+    * is source-cardinality-sized) + a broadcast join of the weight table
+    * (weights are a config table — human-curated, always tiny).
+    *
+    * Output: (sourceCol, available_tokens, weight_ppm, target_tokens,
+    * planned_tokens, epochs_ppm, shortfall_tokens), all BIGINT. */
+  def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+                weights: DataFrame, budget: Long,
+                maxEpochsPpm: Long = 1000000L): DataFrame = {
+    require(budget > 0, "epochPlan: budget must be positive")
+    require(maxEpochsPpm > 0, "epochPlan: maxEpochsPpm must be positive")
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("available_tokens"))
+    val w = weights.select(col(sourceCol),
+      col("weight_ppm").cast("long").as("weight_ppm"))
+    val dec = "decimal(38,0)"
+    val target = floor(lit(budget).cast(dec) * col("weight_ppm")
+      / lit(1000000L)).cast("long")
+    val cap = floor(col("available_tokens").cast(dec) * lit(maxEpochsPpm)
+      / lit(1000000L)).cast("long")
+    val base = avail.join(broadcast(w), Seq(sourceCol))
+      .select(col(sourceCol), col("available_tokens"), col("weight_ppm"),
+        target.as("target_tokens"), cap.as("_cap"))
+    val planned = least(col("target_tokens"), col("_cap"))
+    val epochs = when(col("available_tokens") === 0L, lit(0L))
+      .otherwise(floor(planned.cast(dec) * lit(1000000L)
+        / col("available_tokens")).cast("long"))
+    base.select(col(sourceCol), col("available_tokens"), col("weight_ppm"),
+      col("target_tokens"), planned.as("planned_tokens"),
+      epochs.as("epochs_ppm"),
+      (col("target_tokens") - planned).as("shortfall_tokens"))
+  }
 }

@@ -1159,6 +1159,48 @@ object LlmQueries {
         .orderBy("doc_id", "copy_id")
     },
 
+    // ── q140: data-mixture EPOCH PLAN — the per-source allocation table
+    //    a pretraining run publishes (LLaMA tbl. 1 shape): whitespace
+    //    token counts (q15's proven expression) aggregated per source,
+    //    joined to a deterministic md5-derived weight table, then the
+    //    budget-implied target, epoch-capped plan, implied epochs and
+    //    shortfall — all integer-ppm floors, replayed in DuckDB with
+    //    HUGEINT //. ──
+    QueryDef("q140_epoch_plan",
+      """WITH tok AS (SELECT source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS available_tokens
+        |          FROM tok GROUP BY 1),
+        |w AS (SELECT DISTINCT source,
+        |    10000 + (CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 90000)
+        |      AS weight_ppm
+        |  FROM documents),
+        |p AS (SELECT avail.source, available_tokens, weight_ppm,
+        |    CAST(CAST(50000 AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
+        |      AS target_tokens,
+        |    CAST(CAST(available_tokens AS HUGEINT) * 2500000 // 1000000 AS BIGINT)
+        |      AS cap_tokens
+        |  FROM avail JOIN w USING (source))
+        |SELECT source, available_tokens, weight_ppm, target_tokens,
+        |  least(target_tokens, cap_tokens) AS planned_tokens,
+        |  CAST(CASE WHEN available_tokens = 0 THEN 0
+        |    ELSE CAST(least(target_tokens, cap_tokens) AS HUGEINT) * 1000000
+        |         // available_tokens END AS BIGINT) AS epochs_ppm,
+        |  target_tokens - least(target_tokens, cap_tokens) AS shortfall_tokens
+        |FROM p ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val weights = docs.select(col("source")).distinct()
+        .select(col("source"), (lit(10000L) +
+          pmod(Dedup.md5Hash60(col("source")), lit(90000L))).as("weight_ppm"))
+      Sampling.epochPlan(toks, "source", "n_tok", weights,
+          budget = 50000L, maxEpochsPpm = 2500000L)
+        .orderBy("source")
+    },
+
     // ── leakage-safe split: train/val/test assignment that keeps every
     //    near-dup CLUSTER in one split — per-doc hash splitting leaks a
     //    training doc's near-duplicate into eval. md5-ppm of the cluster

@@ -232,4 +232,29 @@ class SamplingSpec extends SparkSpec {
       .select("rate_ppm").distinct().collect()
     assert(tinyRate.forall(_.getLong(0) <= 1000000L))
   }
+
+  test("epochPlan: hand-computed targets, epoch cap + shortfall, " +
+      "zero-token guard, unweighted sources excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 60L), ("A", 40L),          // available 100
+      ("B", 1000L),                    // available 1000
+      ("C", 0L),                       // zero tokens: epochs guard
+      ("D", 50L)                       // no weight row -> not planned
+    ).toDF("source", "n_tok")
+    val weights = Seq(("A", 500000L), ("B", 10000L), ("C", 300000L))
+      .toDF("source", "weight_ppm")
+    val got = Sampling.epochPlan(rows, "source", "n_tok", weights,
+        budget = 1000L, maxEpochsPpm = 2000000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // A: target 500, cap 200 -> planned 200, exactly 2.0 epochs, short 300
+      ("A", 100L, 500000L, 500L, 200L, 2000000L, 300L),
+      // B: target 10 << cap 2000 -> planned 10 at 0.01 epochs
+      ("B", 1000L, 10000L, 10L, 10L, 10000L, 0L),
+      // C: nothing available -> epochs 0 by guard, all target is shortfall
+      ("C", 0L, 300000L, 300L, 0L, 0L, 300L)))
+  }
 }
