@@ -884,6 +884,36 @@ object Similarity {
     * count of lower-id cell-mates at ≥ threshold, keep INT = 1 iff
     * n_dups = 0). Audit-friendly like [[graft.ops.Dedup.batchAdmission]]:
     * dropped rows stay visible with their evidence count. */
+  /** Per-vector int8 SCALAR quantization — the embedding-store compression
+    * every serving stack applies before anything fancier (4 bytes → 1 byte
+    * per dimension, ~4× smaller inverted lists than float32; PQ (q92) is
+    * the next tier down): code_j = floor(v_j·127/absmax + 0.5), absmax the
+    * vector's own ‖·‖∞ so codes always land in [-127, 127] — no clamp
+    * branch to disagree over. `floor(x + 0.5)` instead of `round(x)` on
+    * purpose: both engines evaluate the identical IEEE-754 double
+    * expression tree (multiply, divide, add, floor — each bit-exact),
+    * where round()'s half-case handling is implementation-defined.
+    * Zero vectors quantize to all-zero codes (no 0/0).
+    *
+    * Output: (idCol, absmax DOUBLE, codes ARRAY<BIGINT>, max_abs_err
+    * DOUBLE — the worst per-dimension reconstruction error, ≤
+    * absmax/254 + ulp by construction, rounded 6 dp). Map-only
+    * expression pack: no shuffle, no UDF, at any corpus size. */
+  def scalarQuantizeInt8(vectors: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val am = array_max(transform(col(vecCol), x => abs(x)))
+    def code(x: Column) =
+      floor(x * lit(127.0) / col("_am") + lit(0.5))
+    vectors.select(col(idCol), col(vecCol).as("_v"), am.as("_am"))
+      .select(col(idCol), col("_am").as("absmax"),
+        when(col("_am") === 0.0, transform(col("_v"), _ => lit(0L)))
+          .otherwise(transform(col("_v"), x => code(x))).as("codes"),
+        round(when(col("_am") === 0.0, lit(0.0)).otherwise(
+          array_max(transform(col("_v"), x => abs(x -
+            code(x).cast("double") * col("_am") / lit(127.0))))), 6)
+          .as("max_abs_err"))
+  }
+
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                cents: Seq[(Int, Seq[Double])],
                threshold: Double): DataFrame = {

@@ -516,6 +516,29 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // ── q141: int8 scalar quantization of the embedding store — 4× on
+    //    the wire before PQ (q92) is even considered. floor(x·127/m+0.5)
+    //    rather than round(): the whole pack is IEEE-double bit-exact
+    //    across engines, so codes AND the reconstruction-error audit
+    //    column replay in DuckDB verbatim. Map-only, no shuffle. ──
+    QueryDef("q141_int8_quantize",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |m AS (SELECT vec_id, vec,
+        |        list_max([abs(x) FOR x IN vec]) AS am FROM v)
+        |SELECT vec_id, am AS absmax,
+        |  CASE WHEN am = 0 THEN [CAST(0 AS BIGINT) FOR x IN vec]
+        |       ELSE [CAST(floor(x * 127.0 / am + 0.5) AS BIGINT) FOR x IN vec]
+        |  END AS codes,
+        |  round(CASE WHEN am = 0 THEN 0.0
+        |    ELSE list_max([abs(x - floor(x * 127.0 / am + 0.5) * am / 127.0)
+        |                   FOR x IN vec]) END, 6) AS max_abs_err
+        |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.scalarQuantizeInt8(emb, "vec_id", "vec").orderBy("vec_id")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the

@@ -594,6 +594,27 @@ class SimilaritySpec extends SparkSpec {
       (1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 4L, 0.0)))
   }
 
+  test("scalarQuantizeInt8: hand-computed codes, range bound, zero-vector " +
+      "guard, reconstruction error exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0)),   // zero vector: no 0/0
+      (3L, Seq(-2.0, 1.0, 0.25))  // negative absmax carrier
+    ).toDF("id", "vec")
+    val got = Similarity.scalarQuantizeInt8(df, "id", "vec")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2),
+        r.getDouble(3)))
+    assert(got(0) == ((1L, 1.0, Seq(127L, -63L, 0L), 0.003937)))
+    assert(got(1) == ((2L, 0.0, Seq(0L, 0L, 0L), 0.0)))
+    assert(got(2)._2 == 2.0 && got(2)._3 == Seq(-127L, 64L, 16L))
+    // every code in [-127, 127] by construction (no clamp branch)
+    assert(got.flatMap(_._3).forall(c => c >= -127L && c <= 127L))
+    // worst error bounded by half a quantization step (+ rounding slack)
+    assert(got.forall(r => r._4 <= r._2 / 254.0 + 1e-6))
+  }
+
   test("semDedup: lowest-id survivor per within-cell neighborhood, " +
       "cross-cell near-dups missed by contract, audit counts exact") {
     import spark.implicits._
