@@ -359,4 +359,48 @@ object Scoring {
         when(s.isNotNull, bucket).otherwise(lit(null).cast("int")))
       .drop((1 until b).map(j => s"_t$j"): _*)
   }
+
+  /** Class-based TF-IDF top terms (c-TF-IDF — Grootendorst 2022,
+    * arXiv:2203.05794 eq. 1, the BERTopic labeling stage): treat each
+    * CLASS (a dedup/SemDeDup cluster id, a language, a source) as one
+    * meta-document and rank its most distinctive terms —
+    * score(t,c) = tf_{t,c} · ln(1 + A / f_t) with A the mean term count
+    * per class and f_t the corpus frequency of t. This is how a curation
+    * pipeline names what a cluster IS before deciding its sampling rate.
+    *
+    * Exactness: the idf enters as round(ln·, 6) (the [[bigramLmScore]]
+    * ln convention) and the score is ONE long·double product rounded to
+    * 6 dp — no summation-order dependence anywhere, so an oracle replays
+    * it verbatim. Ties rank by term ascending.
+    *
+    * Scale shape: one token explode into a (class, term) count frame
+    * (map-side combined); f_t and the one-row (total, #classes) frame
+    * DERIVE from it (exchange reuse — text never re-shuffled); the
+    * per-class top-n is [[Sampling.topKPerStratum]]'s salted two-phase
+    * window, so no task ever holds a class's whole vocabulary; the final
+    * rank window touches ≤ topN rows per class. Output: (cluster, term,
+    * tf, score, rank ≤ topN). */
+  def cTfIdfTopTerms(docs: DataFrame, clusterCol: String, textCol: String,
+                     topN: Int = 10): DataFrame = {
+    require(topN > 0, "cTfIdfTopTerms: topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(clusterCol).as("cluster"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("_ft"))
+    val tot = tf.agg(sum(col("tf")).as("_tot"),
+      countDistinct(col("cluster")).as("_nc"))
+    val idf6 = round(log(lit(1.0) +
+      (col("_tot").cast("double") / col("_nc")) / col("_ft")), 6)
+    val scored = tf.join(ft, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster"), col("term"), col("tf"),
+        round(col("tf") * idf6, 6).as("score"))
+    Sampling.topKPerStratum(scored, "cluster", "term", topN,
+        Seq(col("score").desc))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("term").asc)).cast("int"))
+  }
 }

@@ -539,6 +539,35 @@ object LlmQueries {
       Similarity.scalarQuantizeInt8(emb, "vec_id", "vec").orderBy("vec_id")
     },
 
+    // ── q142: c-TF-IDF cluster labels (BERTopic's labeling stage) —
+    //    each class ranked by its most DISTINCTIVE terms, here keyed on
+    //    language (any cluster id works — SemDeDup cells, CC components,
+    //    sources). round(ln,6) idf (q81's convention), one product per
+    //    score, salted two-phase per-class top-n. ──
+    QueryDef("q142_ctfidf_labels",
+      """WITH toks AS (SELECT lang AS cluster,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT cluster, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |ft AS (SELECT term, sum(tf) AS ft FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS tot, count(DISTINCT cluster) AS nc FROM tf),
+        |s AS (SELECT cluster, tf.term, tf,
+        |    round(tf * round(ln(1 + (CAST(tot AS DOUBLE) / nc) / ft), 6), 6)
+        |      AS score
+        |  FROM tf JOIN ft USING (term) CROSS JOIN tot),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |        ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT cluster, term, CAST(tf AS BIGINT) AS tf, score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10
+        |ORDER BY cluster, rank""".stripMargin) { (s, d) =>
+      Scoring.cTfIdfTopTerms(
+          Tables.documents(s, d).select(col("lang"), col("text")),
+          "lang", "text", topN = 10)
+        .orderBy("cluster", "rank")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the

@@ -274,4 +274,27 @@ class ScoringSpec extends SparkSpec {
         s"mismatch at b=$b bins=$bins")
     }
   }
+
+  test("cTfIdfTopTerms: hand-computed scores, rank ties by term, topN cut") {
+    import spark.implicits._
+    import graft.ops.Scoring
+    // tf: (c1 apple 2)(c1 banana 1)(c2 banana 1)(c2 cherry 1)
+    // tot 5, nc 2, A 2.5; f: apple 2, banana 2, cherry 1
+    // idf6(apple)=idf6(banana)=round(ln 2.25,6)=0.81093
+    // idf6(cherry)=round(ln 3.5,6)=1.252763
+    val docs = Seq(("c1", "Apple apple banana"), ("c2", "banana cherry"))
+      .toDF("cid", "text")
+    val got = Scoring.cTfIdfTopTerms(docs, "cid", "text", topN = 10)
+      .orderBy("cluster", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      ("c1", "apple", 2L, 1.62186, 1), ("c1", "banana", 1L, 0.81093, 2),
+      ("c2", "cherry", 1L, 1.252763, 1), ("c2", "banana", 1L, 0.81093, 2)))
+    // topN = 1 keeps exactly the head term per class
+    val one = Scoring.cTfIdfTopTerms(docs, "cid", "text", topN = 1)
+      .select("cluster", "term").orderBy("cluster").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(one.toSeq == Seq(("c1", "apple"), ("c2", "cherry")))
+  }
 }
