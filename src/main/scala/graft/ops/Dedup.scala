@@ -902,6 +902,76 @@ object Dedup {
     delta.write.mode("append").parquet(sigDir)
   }
 
+  /** Incremental CLUSTER maintenance — the third leg of the recurring
+    * crawl loop ([[signatureIndexAppend]] stores signatures,
+    * [[batchAdmission]] decides admits; this keeps the CLUSTER TABLE
+    * current): fold a new batch's near-dup pairs (cross pairs against the
+    * corpus + batch-internal pairs) into a STORED (id, cluster_id)
+    * assignment without re-running connected components over the corpus
+    * pair graph. Exactly the full-rebuild answer, including the hard
+    * case: a new doc BRIDGING two existing clusters merges them (both
+    * take the merged group's min id as the new cluster id).
+    *
+    * Why it's exact: each stored cluster is connected by construction and
+    * carries its MIN member id as its label, so contracting every touched
+    * cluster to one super-node labeled cluster_id preserves both
+    * connectivity and the min — CC over the contracted delta graph (new
+    * ids + touched cluster labels, batch-scaled) yields the same minimum
+    * per merged group as CC over the full graph.
+    *
+    * Preconditions: the store covers every corpus doc (singletons
+    * included — [[dedupAssign]]'s output shape), and new ids are disjoint
+    * from stored ids (the bipartite-dedup convention; a clash would make
+    * a cluster label collide with a new node).
+    *
+    * Scale shape: the store is only ever the STREAMED side of broadcast
+    * joins (touch lookup + remap rewrite — map-only passes over the big
+    * table, no corpus shuffle); everything else — endpoints, contracted
+    * edges, the CC itself, the remap — is batch-scaled.
+    * [[connectedComponents]]' driver fast path usually absorbs the
+    * contracted graph outright.
+    *
+    * Output: the UPDATED full assignment (idCol, cluster_id, keep) over
+    * stored ∪ new ids — same shape the full rebuild would emit. */
+  def clusterIndexAppend(clusters: DataFrame, newDocs: DataFrame,
+                         idCol: String, pairs: DataFrame,
+                         aCol: String = "doc_a", bCol: String = "doc_b",
+                         checkpointDir: Option[String] = None,
+                         ccLocalThreshold: Long = 1L << 20): DataFrame = {
+    val ends = pairs.select(col(aCol).as("_e"))
+      .unionAll(pairs.select(col(bCol).as("_e"))).distinct()
+    // stored rows touched by the delta (batch-sized; ONE streamed pass
+    // over the store), materialized so the two contraction joins below
+    // don't each rescan the store
+    val touched = clusters
+      .join(broadcast(ends), clusters(idCol) === col("_e"))
+      .select(col(idCol).as("_tid"), col("cluster_id").as("_tcl"))
+      .localCheckpoint()
+    def contractSide(df: DataFrame, side: String, out: String): DataFrame = {
+      val t = touched.select(col("_tid").as(s"_tid$out"),
+        col("_tcl").as(s"_tcl$out"))
+      df.join(broadcast(t), col(side) === col(s"_tid$out"), "left")
+        .withColumn(out, coalesce(col(s"_tcl$out"), col(side)))
+        .drop(side, s"_tid$out", s"_tcl$out")
+    }
+    val ce = contractSide(contractSide(pairs.select(col(aCol), col(bCol)),
+      aCol, "_ca"), bCol, "_cb")
+    val comp = connectedComponents(ce, "_ca", "_cb",
+      localThreshold = ccLocalThreshold, checkpointDir = checkpointDir)
+    val remap = comp.select(col("id").as("_old"), col("component").as("_new"))
+    // rewrite the store: map-only over the streamed big side (only
+    // cluster ids that participated in the delta CC change)
+    val updatedOld = clusters
+      .join(broadcast(remap), col("cluster_id") === col("_old"), "left")
+      .select(col(idCol),
+        coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+    val newAssign = newDocs.select(col(idCol))
+      .join(broadcast(remap), col(idCol) === col("_old"), "left")
+      .select(col(idCol), coalesce(col("_new"), col(idCol)).as("cluster_id"))
+    updatedOld.unionAll(newAssign)
+      .withColumn("keep", (col("cluster_id") === col(idCol)).cast("int"))
+  }
+
   /** Per-new-doc admission verdict for a batch ingest: given the
     * (new_id, corpus_id, …) pair frame a bipartite dedup pass produced
     * ([[minHashLshPairsAgainstSignatures]] against the persisted corpus

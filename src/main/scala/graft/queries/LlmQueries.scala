@@ -84,6 +84,28 @@ object LlmQueries {
        |WHERE doc_id % 10 = 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for q57 (cluster table built whole) and q143 (built on
+    * the 90% corpus then incrementally APPENDED with the 10% batch's
+    * pairs): full-corpus recursive-CTE closure over the exact Jaccard
+    * pair set. Shared on purpose — how the cluster table was produced
+    * must be result-invisible, including batch docs that bridge and
+    * merge pre-existing clusters. */
+  private lazy val ClusterAssignSql: String =
+    s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+       |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |         FROM reach GROUP BY u)
+       |SELECT d.doc_id,
+       |       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |       CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private val JaccardPairsSql =
     """WITH g AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -769,6 +791,37 @@ object LlmQueries {
       Dedup.batchAdmission(newB, "doc_id", pairs).orderBy("doc_id")
     },
 
+    // ── q143: incremental CLUSTER maintenance — the crawl loop's third
+    //    leg (q138 stores signatures, q134 admits; this keeps the cluster
+    //    TABLE current): the stored assignment is built on the 90% corpus
+    //    and round-trips parquet, then the 10% batch's cross + internal
+    //    pairs fold in WITHOUT re-running CC over the corpus graph —
+    //    batch docs that bridge two stored clusters merge them. Oracle is
+    //    q57's full-rebuild closure: how the table was produced must be
+    //    result-invisible. ──
+    QueryDef("q143_cluster_index_append", ClusterAssignSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val batch = docs.where(col("doc_id") % 10 === 0)
+      val corpusPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      val cdir = java.nio.file.Files
+        .createTempDirectory("graft-cluster-append").toString
+      Dedup.dedupAssign(corpus.select(col("doc_id")), "doc_id", corpusPairs)
+        .select(col("doc_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(cdir)
+      val cross = Dedup.minHashLshPairsAgainst(batch, corpus,
+          "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
+          threshold = 0.8)
+        .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      val internal = Dedup.minHashLshPairs(batch, "doc_id", "text",
+          shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.clusterIndexAppend(s.read.parquet(cdir),
+          batch.select(col("doc_id")), "doc_id", cross.unionAll(internal))
+        .orderBy("doc_id")
+    },
+
     // ── Gopher-style repetition quality signals: duplicate-line fraction
     //    (pure per-row expression) + top word-bigram fraction (explode +
     //    two-level aggregate — the distributed shape; the per-doc counts
@@ -912,21 +965,7 @@ object LlmQueries {
     //    exactly one canonical keeper per duplicate group. Pairs come from
     //    the exact (lossless) n-gram Jaccard join so the oracle can replay
     //    them brute-force; the closure is replayed with a recursive CTE. ──
-    QueryDef("q57_dedup_clusters",
-      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |      UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
-         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-         |         FROM reach GROUP BY u)
-         |SELECT d.doc_id,
-         |       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-         |       CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
-         |FROM documents d LEFT JOIN comp c USING (doc_id)
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef("q57_dedup_clusters", ClusterAssignSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 8, threshold = 0.8)

@@ -323,6 +323,35 @@ class DedupSpec extends SparkSpec {
       .select(col("_sig")).head().getSeq[Long](0) == keep)
   }
 
+  test("clusterIndexAppend: bridge merges two stored clusters, new-new " +
+      "chains, singletons, equals full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val newDocs = Seq(101L, 102L, 103L, 104L).toDF("doc_id")
+    val delta = Seq(
+      (101L, 2L), (101L, 6L),   // one new doc bridges clusters 1 and 5
+      (102L, 103L)              // batch-internal pair, no corpus contact
+      // 104 has no pairs at all
+    ).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.clusterIndexAppend(stored, newDocs,
+        "doc_id", delta)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1), (2L, 1L, 0), (5L, 1L, 0), (6L, 1L, 0), (9L, 9L, 1),
+      (101L, 1L, 0), (102L, 102L, 1), (103L, 102L, 0), (104L, 104L, 1)))
+    // full-rebuild equality: CC over the stored clusters' own pairs plus
+    // the delta must give the same table
+    val rebuilt = graft.ops.Dedup.dedupAssign(
+        stored.select("doc_id").unionAll(newDocs), "doc_id",
+        Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b").unionAll(delta))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rebuilt.toSeq == got.toSeq)
+  }
+
   test("batchAdmission: per-new-doc verdict, zero-match docs keep, " +
       "multi-match counts exact") {
     import spark.implicits._
