@@ -360,6 +360,54 @@ object Scoring {
       .drop((1 until b).map(j => s"_t$j"): _*)
   }
 
+  /** Classifier calibration table (reliability diagram + ECE, Guo et al.
+    * 2017 arXiv:1706.04599 §2) — the standing eval for every learned
+    * quality/LID/toxicity gate in a curation pipeline: scores in
+    * integer ppm are cut into `bins` equal-width confidence bins; each
+    * bin reports its count, positives, exact confidence and accuracy
+    * (floored ppm), and its Expected-Calibration-Error contribution
+    * (n_b/N)·|acc_b − conf_b| as `ece_contrib_ppm` — summing the column
+    * IS the ECE in ppm. A well-calibrated gate has conf ≈ acc per bin;
+    * a miscalibrated one tells you which score REGION to re-threshold.
+    *
+    * Everything is integer arithmetic over decimal(38) products (the
+    * [[graft.ops.Sampling.epochPlan]] convention): no doubles anywhere,
+    * so a 10¹²-row eval set replays bit-exactly in any engine. Scores
+    * outside [0, 1e6] are rejected up front (a silent clamp would fold
+    * junk into the boundary bins and skew ECE where it matters most).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the bin (output is
+    * `bins` rows) + a broadcast one-row total. Output: (bin INT, n,
+    * n_pos, sum_score_ppm, conf_ppm, acc_ppm, ece_contrib_ppm). */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "calibrationBins: need at least 2 bins")
+    val dec = "decimal(38,0)"
+    val s = col(scoreCol).cast("long")
+    val checked = df.select(s.as("_s"), col(labelCol).cast("long").as("_y"))
+      .withColumn("_s", when(col("_s").between(0L, 1000000L), col("_s"))
+        .otherwise(raise_error(concat(lit(
+          "calibrationBins: score_ppm out of [0, 1e6]: "),
+          col("_s").cast("string")))))
+    val binned = checked.select(
+      least(floor(col("_s").cast(dec) * lit(bins) / lit(1000000L))
+        .cast("int"), lit(bins - 1)).as("bin"),
+      col("_s"), col("_y"))
+    val agg = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+      sum(col("_s")).as("sum_score_ppm"))
+    val total = agg.agg(sum(col("n")).as("_nt"))
+    agg.crossJoin(broadcast(total)).select(
+      col("bin"), col("n"), col("n_pos"), col("sum_score_ppm"),
+      floor(col("sum_score_ppm").cast(dec) / col("n")).cast("long")
+        .as("conf_ppm"),
+      floor(col("n_pos").cast(dec) * lit(1000000L) / col("n")).cast("long")
+        .as("acc_ppm"),
+      floor(abs(col("n_pos").cast(dec) * lit(1000000L)
+        - col("sum_score_ppm")) / col("_nt")).cast("long")
+        .as("ece_contrib_ppm"))
+  }
+
   /** Class-based TF-IDF top terms (c-TF-IDF — Grootendorst 2022,
     * arXiv:2203.05794 eq. 1, the BERTopic labeling stage): treat each
     * CLASS (a dedup/SemDeDup cluster id, a language, a source) as one

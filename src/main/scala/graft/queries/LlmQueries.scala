@@ -590,6 +590,34 @@ object LlmQueries {
         .orderBy("cluster", "rank")
     },
 
+    // ── q144: calibration table (reliability diagram + ECE) for a score
+    //    gate — here a length-based 'is English' toy gate (score =
+    //    clamped n_chars·2000 ppm, label = lang='en'), which is exactly
+    //    the audit a real learned gate gets before its threshold is
+    //    trusted. Pure integer/HUGEINT arithmetic both sides; summing
+    //    ece_contrib_ppm is the ECE. ──
+    QueryDef("q144_calibration",
+      """WITH s AS (SELECT least(1000000, n_chars * 2000) AS sc,
+        |    CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+        |b AS (SELECT CAST(least(CAST(sc AS HUGEINT) * 10 // 1000000, 9) AS INT)
+        |        AS bin, sc, y FROM s),
+        |a AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(sum(sc) AS BIGINT) AS sum_score_ppm FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM a)
+        |SELECT bin, n, n_pos, sum_score_ppm,
+        |  CAST(CAST(sum_score_ppm AS HUGEINT) // n AS BIGINT) AS conf_ppm,
+        |  CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT) AS acc_ppm,
+        |  CAST(abs(CAST(n_pos AS HUGEINT) * 1000000 - sum_score_ppm) // nt
+        |    AS BIGINT) AS ece_contrib_ppm
+        |FROM a CROSS JOIN t ORDER BY bin""".stripMargin) { (s, d) =>
+      Scoring.calibrationBins(
+          Tables.documents(s, d).select(
+            least(lit(1000000L), col("n_chars") * 2000).as("score_ppm"),
+            (col("lang") === "en").cast("int").as("label")),
+          "score_ppm", "label", bins = 10)
+        .orderBy("bin")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the

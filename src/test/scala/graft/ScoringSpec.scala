@@ -275,6 +275,31 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("calibrationBins: hand-computed reliability rows, boundary score " +
+      "folds into the top bin, out-of-range scores fail loudly") {
+    import spark.implicits._
+    import graft.ops.Scoring
+    val df = Seq((200000L, 1), (300000L, 0), (900000L, 1), (1000000L, 1))
+      .toDF("score_ppm", "label")
+    val got = Scoring.calibrationBins(df, "score_ppm", "label", bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // bin 0: conf 0.25, acc 0.5 -> contributes (2/4)*0.25 = 125000 ppm
+      (0, 2L, 1L, 500000L, 250000L, 500000L, 125000L),
+      // bin 1 (score exactly 1e6 folds in): conf 0.95, acc 1.0 -> 25000
+      (1, 2L, 2L, 1900000L, 950000L, 1000000L, 25000L)))
+    // ECE = sum of contributions = 0.15
+    assert(got.map(_._7).sum == 150000L)
+    val bad = Seq((1000001L, 1)).toDF("score_ppm", "label")
+    val ex = intercept[Exception] {
+      Scoring.calibrationBins(bad, "score_ppm", "label").collect()
+    }
+    assert(ex.getMessage.contains("out of [0, 1e6]") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of [0, 1e6]")))
+  }
+
   test("cTfIdfTopTerms: hand-computed scores, rank ties by term, topN cut") {
     import spark.implicits._
     import graft.ops.Scoring
