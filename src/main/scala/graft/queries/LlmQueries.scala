@@ -618,6 +618,64 @@ object LlmQueries {
         .orderBy("bin")
     },
 
+    // ── q145: SemDeDup → c-TF-IDF composition — dedupe the corpus
+    //    semantically (q139), then NAME each embedding cell by its
+    //    survivors' most distinctive terms (q142): the two round-15
+    //    stages chained the way a curation run uses them, proving they
+    //    compose without hidden coupling (the q85/q126 discipline). The
+    //    oracle replays the full chain: assignment, within-cell dedup,
+    //    survivor token table, c-TF-IDF ranking. ──
+    QueryDef("q145_semdedup_labels",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t) WHERE rk = 1),
+        |dups AS (
+        |  SELECT DISTINCT a.id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.id < a.id
+        |  JOIN w x ON x.id = a.id JOIN w y ON y.id = b.id
+        |  WHERE round(list_inner_product(x.vec, y.vec) / (x.n * y.n), 6) >= 0.35),
+        |keepd AS (SELECT a.id, a.cell FROM assign a
+        |          LEFT JOIN dups USING (id) WHERE dups.id IS NULL),
+        |toks AS (SELECT CAST(k.cell AS INT) AS cluster,
+        |    unnest(regexp_split_to_array(lower(trim(t.text)), '\s+')) AS term
+        |  FROM keepd k JOIN documents t ON t.doc_id = k.id
+        |  WHERE trim(t.text) <> ''),
+        |tf AS (SELECT cluster, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |ft AS (SELECT term, sum(tf) AS ft FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS tot, count(DISTINCT cluster) AS nc FROM tf),
+        |s2 AS (SELECT cluster, tf.term, tf,
+        |    round(tf * round(ln(1 + (CAST(tot AS DOUBLE) / nc) / ft), 6), 6)
+        |      AS score
+        |  FROM tf JOIN ft USING (term) CROSS JOIN tot),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |        ORDER BY score DESC, term) AS rank FROM s2)
+        |SELECT cluster, term, CAST(tf AS BIGINT) AS tf, score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY cluster, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val kept = Similarity.semDedup(emb, "id", "vec", cents,
+          threshold = 0.35)
+        .where(col("keep") === 1).select(col("id"), col("cell"))
+      val joined = kept.join(Tables.documents(s, d),
+          kept("id") === col("doc_id"))
+        .select(col("cell"), col("text"))
+      Scoring.cTfIdfTopTerms(joined, "cell", "text", topN = 5)
+        .orderBy("cluster", "rank")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the
