@@ -70,6 +70,16 @@ object ScaleSmoke {
         chunkSize = 16, overlap = 4).count()
       println(f"chunk_tokens_100k: chunks=$nch " +
         f"time=${(System.nanoTime()-tch)/1e9}%.1f s")
+      // c-TF-IDF labels (round 15) over 100k docs / 50 classes: cost must
+      // track the tfidf_100k explode (same ~4M instance volume); the
+      // per-class top-n runs salted two-phase so no task holds a class's
+      // whole vocabulary.
+      val tcf = System.nanoTime()
+      val ncf = graft.ops.Scoring.cTfIdfTopTerms(
+        d.select((col("doc_id") % 50).as("cl"), col("text")), "cl", "text",
+        topN = 10).count()
+      println(f"ctfidf_100k_50cls: rows=$ncf " +
+        f"time=${(System.nanoTime()-tcf)/1e9}%.1f s")
     }
 
     if (sections("dedup")) {
@@ -189,6 +199,37 @@ object ScaleSmoke {
     println(f"containment_boiler_100k_unguarded: pairs=$nu time=${(System.nanoTime()-tu)/1e9}%.1f s")
     assert(ng == nu, s"salt guard changed the pair count: $ng vs $nu")
     graft.ops.Dedup.releaseCaches()
+    // Incremental cluster maintenance (round 15): the 90k corpus's
+    // assignment round-trips parquet (build cost outside the timer —
+    // it's the one-time full dedup), then a 10k crawl batch's cross +
+    // internal pairs fold in. Append cost = batch-scaled contracted CC
+    // plus streamed map-only passes over the store — never a
+    // corpus-graph CC rerun. Each 10-variant template cluster spans the
+    // batch/corpus split, so the delta carries ~10k real bridge joins.
+    val corpus90 = d.where(col("doc_id") % 10 =!= 0)
+    val batch10 = d.where(col("doc_id") % 10 === 0)
+    graft.ops.Dedup.dedupAssign(corpus90.select(col("doc_id")), "doc_id",
+        graft.ops.Dedup.minHashLshPairs(corpus90, "doc_id", "text",
+          shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8))
+      .select(col("doc_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet("/tmp/scale_clusters")
+    graft.ops.Dedup.releaseCaches()
+    val tca = System.nanoTime()
+    val crossP = graft.ops.Dedup.minHashLshPairsAgainst(batch10, corpus90,
+        "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
+        threshold = 0.8)
+      .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"))
+    val internalP = graft.ops.Dedup.minHashLshPairs(batch10, "doc_id",
+        "text", shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val nca = graft.ops.Dedup.clusterIndexAppend(
+        spark.read.parquet("/tmp/scale_clusters"),
+        batch10.select(col("doc_id")), "doc_id",
+        crossP.unionAll(internalP))
+      .where(col("keep") === 0).count()
+    println(f"cluster_index_append_10k_delta: dropped=$nca " +
+      f"time=${(System.nanoTime()-tca)/1e9}%.1f s")
+    graft.ops.Dedup.releaseCaches()
     }
 
     if (sections("vectors")) {
@@ -239,6 +280,26 @@ object ScaleSmoke {
       k = 10).count()
     println(f"hard_negatives_200k: rows=$nhn " +
       f"time=${(System.nanoTime()-thn)/1e9}%.1f s")
+    // SemDeDup (round 15): 50k vectors in 64 cells (~780 rows/cell) —
+    // the contract's BOUNDED quadratic: 64·|cell|² ≈ 39M candidate dots
+    // instead of a 1.25G-pair global frame; at production scale k grows
+    // with the corpus to hold |cell| flat, so the per-cell cost is the
+    // number to watch. The jitter clusters make the drops real.
+    val tsd = System.nanoTime()
+    val vv = v.where(col("id") < 50000)
+    val sdCents = vv.where(col("id") < 64).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val nsd = graft.ops.Similarity.semDedup(vv, "id", "vec", sdCents,
+      threshold = 0.99).where(col("keep") === 0).count()
+    println(f"semdedup_50k_64cells: dropped=$nsd " +
+      f"time=${(System.nanoTime()-tsd)/1e9}%.1f s")
+    // int8 quantization (round 15): map-only codegen pack — pure
+    // throughput row, nothing aggregates until the one-row error max.
+    val tqz = System.nanoTime()
+    val nqz = graft.ops.Similarity.scalarQuantizeInt8(v, "id", "vec")
+      .agg(max(col("max_abs_err"))).head().getDouble(0)
+    println(f"int8_quantize_200k: max_err=$nqz%.6f " +
+      f"time=${(System.nanoTime()-tqz)/1e9}%.1f s")
     // PQ tier over the same 200k vectors: codebook fit is bounded by the
     // m·ksub·dsub collect, encoding is one map-only pass (the codegen'd
     // loop kernel), ADC search cost scales with probed lists — per-row

@@ -408,6 +408,73 @@ object Scoring {
         .as("ece_contrib_ppm"))
   }
 
+  /** Operating-point sweep for a score gate — [[calibrationBins]]' audit
+    * tells you WHETHER the gate is trustworthy; this tells you WHERE to
+    * cut: for every candidate threshold t_j = j·1e6/bins (predict
+    * positive iff score_ppm ≥ t_j), the confusion counts and floored-ppm
+    * precision / recall / F1. The suffix-sum trick makes the whole sweep
+    * ONE aggregation pass: per-bin (n, n_pos) first (bins rows), then tp
+    * and predicted-positive counts as running sums from the top bin down
+    * — never one scan per threshold.
+    *
+    * Same exactness contract as [[calibrationBins]]: integer arithmetic
+    * over decimal(38) products, scores validated into [0, 1e6], F1 as
+    * floor(2·tp·1e6 / (pp + pos)) (the precision/recall harmonic mean
+    * without intermediate rounding). Degenerate thresholds (no predicted
+    * positives) report precision/f1 = 0 rather than dividing by zero.
+    *
+    * Scale shape: one map-side-combined groupBy to `bins` rows, then
+    * windows over those bins rows only. Output: (thr_ppm, tp, fp, fn,
+    * precision_ppm, recall_ppm, f1_ppm), one row per threshold,
+    * ascending. */
+  def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String,
+                     bins: Int = 10): DataFrame = {
+    require(bins >= 2, "thresholdSweep: need at least 2 bins")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val s = col(scoreCol).cast("long")
+    val checked = df.select(s.as("_s"), col(labelCol).cast("long").as("_y"))
+      .withColumn("_s", when(col("_s").between(0L, 1000000L), col("_s"))
+        .otherwise(raise_error(concat(lit(
+          "thresholdSweep: score_ppm out of [0, 1e6]: "),
+          col("_s").cast("string")))))
+    // bin j holds scores in [j·1e6/bins, (j+1)·1e6/bins); score 1e6 folds
+    // into the top bin, matching calibrationBins
+    val binned = checked.select(
+      least(floor(col("_s").cast(dec) * lit(bins) / lit(1000000L))
+        .cast("int"), lit(bins - 1)).as("bin"), col("_y"))
+    val agg = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("_n"), sum(col("_y")).as("_npos"))
+    // missing bins would break the suffix sums: densify to all `bins` rows
+    val allBins = df.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val dense = allBins.join(agg, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_n"), lit(0L)).as("_n"),
+        coalesce(col("_npos"), lit(0L)).as("_npos"))
+    val wSuf = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    dense
+      .withColumn("tp", sum(col("_npos")).over(wSuf))
+      .withColumn("_pp", sum(col("_n")).over(wSuf))
+      .withColumn("_pos", sum(col("_npos")).over(wAll))
+      .select(
+        floor(col("bin").cast(dec) * lit(1000000L) / lit(bins)).cast("long")
+          .as("thr_ppm"),
+        col("tp"), (col("_pp") - col("tp")).as("fp"),
+        (col("_pos") - col("tp")).as("fn"),
+        when(col("_pp") === 0L, lit(0L)).otherwise(
+          floor(col("tp").cast(dec) * lit(1000000L) / col("_pp"))
+            .cast("long")).as("precision_ppm"),
+        when(col("_pos") === 0L, lit(0L)).otherwise(
+          floor(col("tp").cast(dec) * lit(1000000L) / col("_pos"))
+            .cast("long")).as("recall_ppm"),
+        when(col("_pp") + col("_pos") === 0L, lit(0L)).otherwise(
+          floor(col("tp").cast(dec) * lit(2000000L)
+            / (col("_pp") + col("_pos"))).cast("long")).as("f1_ppm"))
+  }
+
   /** Class-based TF-IDF top terms (c-TF-IDF — Grootendorst 2022,
     * arXiv:2203.05794 eq. 1, the BERTopic labeling stage): treat each
     * CLASS (a dedup/SemDeDup cluster id, a language, a source) as one

@@ -618,6 +618,48 @@ object LlmQueries {
         .orderBy("bin")
     },
 
+    // ── q146: threshold sweep — q144's companion: WHERE to cut the gate.
+    //    One aggregation pass to bins rows, then suffix sums from the top
+    //    bin give tp/fp/fn + floored-ppm precision/recall/F1 per candidate
+    //    threshold. Same toy gate as q144 so the two audits line up. ──
+    QueryDef("q146_threshold_sweep",
+      """WITH s AS (SELECT least(1000000, n_chars * 2000) AS sc,
+        |    CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+        |b AS (SELECT CAST(least(CAST(sc AS HUGEINT) * 10 // 1000000, 9) AS INT)
+        |        AS bin, y FROM s),
+        |a AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+        |      FROM b GROUP BY 1),
+        |dn AS (SELECT g.bin, coalesce(a.n, 0) AS n, coalesce(a.npos, 0) AS npos
+        |       FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin) g
+        |       LEFT JOIN a USING (bin)),
+        |sf AS (SELECT bin, n, npos,
+        |    sum(npos) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(n) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        |    sum(npos) OVER () AS pos
+        |  FROM dn)
+        |SELECT CAST(CAST(bin AS HUGEINT) * 1000000 // 10 AS BIGINT) AS thr_ppm,
+        |  CAST(tp AS BIGINT) AS tp, CAST(pp - tp AS BIGINT) AS fp,
+        |  CAST(pos - tp AS BIGINT) AS fn,
+        |  CASE WHEN pp = 0 THEN 0
+        |    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // pp AS BIGINT)
+        |  END AS precision_ppm,
+        |  CASE WHEN pos = 0 THEN 0
+        |    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // pos AS BIGINT)
+        |  END AS recall_ppm,
+        |  CASE WHEN pp + pos = 0 THEN 0
+        |    ELSE CAST(CAST(tp AS HUGEINT) * 2000000 // (pp + pos) AS BIGINT)
+        |  END AS f1_ppm
+        |FROM sf ORDER BY thr_ppm""".stripMargin) { (s, d) =>
+      Scoring.thresholdSweep(
+          Tables.documents(s, d).select(
+            least(lit(1000000L), col("n_chars") * 2000).as("score_ppm"),
+            (col("lang") === "en").cast("int").as("label")),
+          "score_ppm", "label", bins = 10)
+        .orderBy("thr_ppm")
+    },
+
     // ── q145: SemDeDup → c-TF-IDF composition — dedupe the corpus
     //    semantically (q139), then NAME each embedding cell by its
     //    survivors' most distinctive terms (q142): the two round-15

@@ -300,6 +300,34 @@ class ScoringSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("out of [0, 1e6]")))
   }
 
+  test("thresholdSweep: hand-computed confusion rows, empty bins densified, " +
+      "degenerate thresholds report zeros") {
+    import spark.implicits._
+    import graft.ops.Scoring
+    val df = Seq((200000L, 1), (300000L, 0), (900000L, 1), (1000000L, 1))
+      .toDF("score_ppm", "label")
+    val got = Scoring.thresholdSweep(df, "score_ppm", "label", bins = 2)
+      .orderBy("thr_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // thr 0: everything predicted positive
+      (0L, 3L, 1L, 0L, 750000L, 1000000L, 857142L),
+      // thr 0.5: top bin only
+      (500000L, 2L, 0L, 1L, 1000000L, 666666L, 800000L)))
+    // all 4 thresholds present even when 3 bins are empty; no 0/0
+    val sparse = Seq((100000L, 1)).toDF("score_ppm", "label")
+    val g2 = Scoring.thresholdSweep(sparse, "score_ppm", "label", bins = 4)
+      .orderBy("thr_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    assert(g2.toSeq == Seq(
+      (0L, 1L, 1000000L, 1000000L, 1000000L),
+      (250000L, 0L, 0L, 0L, 0L),
+      (500000L, 0L, 0L, 0L, 0L),
+      (750000L, 0L, 0L, 0L, 0L)))
+  }
+
   test("cTfIdfTopTerms: hand-computed scores, rank ties by term, topN cut") {
     import spark.implicits._
     import graft.ops.Scoring
