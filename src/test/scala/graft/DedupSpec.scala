@@ -350,6 +350,13 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rebuilt.toSeq == got.toSeq)
+    // plan proof of the 100 TB contract: the store side is only ever the
+    // STREAMED input of broadcast joins — no shuffle of the big table
+    val plan = graft.ops.Dedup.clusterIndexAppend(stored, newDocs,
+      "doc_id", delta).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "store must not shuffle:\n" + plan.take(800))
   }
 
   test("batchAdmission: per-new-doc verdict, zero-match docs keep, " +

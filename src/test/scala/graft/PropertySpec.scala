@@ -372,4 +372,90 @@ class PropertySpec extends SparkSpec {
       assert(g2 == want, s"want=[$want] got=[$g2]")
     }
   }
+
+  test("epochPlan == BigInt floor model on random (available, weight) tables") {
+    import spark.implicits._
+    val g = for {
+      a <- Gen.chooseNum(0L, 5000000L)
+      w <- Gen.chooseNum(0L, 1000000L)
+    } yield (a, w)
+    val rows = samples(g, 60).zipWithIndex
+      .map { case ((a, w), i) => (f"s$i%03d", a, w) }
+    val budget = 1234567L
+    val maxE = 2500000L
+    val got = graft.ops.Sampling.epochPlan(
+        rows.map(r => (r._1, r._2)).toDF("source", "n_tok"), "source",
+        "n_tok", rows.map(r => (r._1, r._3)).toDF("source", "weight_ppm"),
+        budget = budget, maxEpochsPpm = maxE)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val model = rows.sortBy(_._1).map { case (sr, a, w) =>
+      val target = (BigInt(budget) * w / 1000000).toLong
+      val cap = (BigInt(a) * maxE / 1000000).toLong
+      val planned = math.min(target, cap)
+      val epochs = if (a == 0) 0L else (BigInt(planned) * 1000000 / a).toLong
+      (sr, a, w, target, planned, epochs, target - planned)
+    }
+    assert(got.toSeq == model)
+  }
+
+  test("thresholdSweep == suffix-sum scan model on random labeled scores") {
+    import spark.implicits._
+    val g = for {
+      s <- Gen.chooseNum(0L, 1000000L)
+      y <- Gen.oneOf(0, 1)
+    } yield (s, y)
+    for (bins <- Seq(2, 3, 10)) {
+      val rows = samples(g, 300)
+      val got = graft.ops.Scoring.thresholdSweep(
+          rows.toDF("score_ppm", "label"), "score_ppm", "label", bins)
+        .orderBy("thr_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      val bin = (s: Long) => math.min(s * bins / 1000000, bins - 1L).toInt
+      val n = Array.fill(bins)(0L); val np = Array.fill(bins)(0L)
+      rows.foreach { case (s, y) => n(bin(s)) += 1; np(bin(s)) += y }
+      val pos = np.sum
+      val model = (0 until bins).map { j =>
+        val tp = (j until bins).map(np).sum
+        val pp = (j until bins).map(n).sum
+        ((BigInt(j) * 1000000 / bins).toLong, tp, pp - tp, pos - tp,
+          if (pp == 0) 0L else tp * 1000000L / pp,
+          if (pos == 0) 0L else tp * 1000000L / pos,
+          if (pp + pos == 0) 0L else tp * 2000000L / (pp + pos))
+      }
+      assert(got.toSeq == model, s"bins=$bins")
+      // operational sanity: tp never increases as the threshold rises
+      assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    }
+  }
+
+  test("semDedup == brute-force model on random vector sets") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toDouble / 5.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val vs = samples(vecGen, 80).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val cents = vs.take(4).map { case (i, v) => (i.toInt, v: Seq[Double]) }
+    val thr = 0.8
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val cell = (v: Seq[Double]) =>
+      cents.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1
+    val model = vs.map { case (id, v) =>
+      val nd = vs.count { case (j, u) =>
+        j < id && cell(u) == cell(v) && cos(u, v) >= thr }
+      (id, cell(v), nd.toLong, if (nd == 0) 1 else 0)
+    }
+    val got = graft.ops.Similarity.semDedup(
+        vs.toDF("id", "vec"), "id", "vec", cents, thr)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == model)
+  }
 }

@@ -637,5 +637,12 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (10L, 0, 0L, 1), (11L, 0, 1L, 0), (12L, 0, 2L, 0),
       (20L, 1, 0L, 1), (30L, 0, 0L, 1), (31L, 1, 0L, 1)))
+    // plan proof: the within-cell comparison is a real equi-join on the
+    // cell key — never a nested-loop/cartesian pair frame
+    val plan = Similarity.semDedup(df, "id", "vec", cents, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "semDedup must stay cell-bounded:\n" + plan.take(800))
   }
 }
