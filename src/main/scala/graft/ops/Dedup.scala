@@ -831,6 +831,38 @@ object Dedup {
       .where(col("keep") === 1)
       .drop("cluster_id", "keep")
 
+  /** SoftDeDup weights — DOWNWEIGHT duplicates instead of dropping them
+    * (the soft alternative to [[dedupFilter]]): every document keeps a
+    * sampling/loss weight of 1/|its near-dup cluster| so each duplicate
+    * NEIGHBORHOOD contributes one document's worth of mass in expectation,
+    * while no individual copy (with its distinct metadata, source, or
+    * context) is lost. This is the published SoftDeDup idea (He et al.
+    * 2024, arXiv:2401.04578 — reweight commonness instead of deleting)
+    * applied at cluster granularity, and the natural input to
+    * [[graft.ops.Sampling.prioritySample]] / loss-weighting downstream.
+    *
+    * Weights are exact integer ppm — `1000000 div size` — so they are
+    * deterministic, engine-replayable, and sum-stable (float division
+    * would publish last-ulp noise into every downstream sampler). The
+    * deliberate floor bias is ≤ 1 ppm per doc.
+    *
+    * `assign`: (idCol, clusterCol) — [[dedupAssign]] /
+    * [[clusterIndexAppend]] output, one row per doc. Scale shape: one
+    * groupBy(cluster) count (map-side combined) + one shuffle join back
+    * on cluster id — no windows, so a viral 10⁸-copy cluster never lands
+    * in a single task. Output: (idCol, clusterCol, cluster_size BIGINT,
+    * weight_ppm BIGINT). */
+  def softDedupWeights(assign: DataFrame, idCol: String,
+                       clusterCol: String = "cluster_id"): DataFrame = {
+    val sizes = assign.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+    assign.select(col(idCol), col(clusterCol))
+      .join(sizes, Seq(clusterCol))
+      .select(col(idCol), col(clusterCol),
+        col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"))
+  }
+
   /** Append a new batch's MinHash signatures into the STORED signature
     * table — the write half of the recurring-crawl loop
     * ([[minHashLshPairsAgainstSignatures]] is the read half): after a

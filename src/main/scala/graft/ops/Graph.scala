@@ -731,11 +731,11 @@ object Graph {
     * a unique id. Distinct JVMs sharing one directory still need distinct
     * dirs (the counter is per-process); the tests and ScaleSmoke pass
     * per-invocation subdirs anyway. */
-  private object RoundStore {
+  private[ops] object RoundStore {
     private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
-  private final class RoundStore(dir: Option[String], tag: String,
+  private[ops] final class RoundStore(dir: Option[String], tag: String,
                                  keepHistory: Boolean = false) {
     private val inst = RoundStore.ids.getAndIncrement()
     private var round = 0

@@ -115,6 +115,51 @@ object Sampling {
       .drop("_lrk", "_rk")
   }
 
+  /** Diversity-capped global top-k: the best `k` rows overall under
+    * `ord`, subject to AT MOST `perStratum` rows from any one stratum —
+    * the standard diversity guard on score-ranked selection (pure top-k
+    * from a quality score concentrates on one domain/cluster/source; the
+    * per-stratum cap forces coverage, which is also how SemDeDup-style
+    * curation caps each semantic cluster's contribution). Selection is
+    * greedy-by-rank and deterministic: a stratum's rows enter in
+    * (ord, id) order, rows past the cap are ineligible, and the global
+    * k best ELIGIBLE rows win — ties broken by `idCol` ascending.
+    *
+    * Scale shape: phase 1 is [[topKPerStratum]]'s salted per-stratum cap
+    * (no task sorts a mega-stratum); phase 2 ranks the ≤ perStratum
+    * survivors per stratum globally — salted sub-windows again, then one
+    * final window over ≤ k·fanout rows (provably bounded, the
+    * [[graft.ops.Scoring.thresholdSweep]] contract for an unpartitioned
+    * window). Output: input columns + `stratum_rank` (1..perStratum
+    * within the stratum) + `rank` (1..k global). */
+  def diverseTopK(df: DataFrame, stratumCol: String, idCol: String,
+                  k: Int, perStratum: Int, ord: Seq[Column],
+                  fanout: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(perStratum > 0, "perStratum must be positive")
+    require(fanout > 0, "fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val fullOrd = ord :+ col(idCol).asc
+    val salt = pmod(xxhash64(col(idCol)), lit(fanout))
+    val localS = Window.partitionBy(col(stratumCol), salt).orderBy(fullOrd: _*)
+    val globalS = Window.partitionBy(col(stratumCol)).orderBy(fullOrd: _*)
+    val capped = df
+      .withColumn("_lrk", row_number().over(localS))
+      .where(col("_lrk") <= perStratum)
+      .withColumn("_srk", row_number().over(globalS))
+      .where(col("_srk") <= perStratum)
+    val localG = Window.partitionBy(salt).orderBy(fullOrd: _*)
+    val globalG = Window.orderBy(fullOrd: _*)
+    capped
+      .withColumn("_grk", row_number().over(localG))
+      .where(col("_grk") <= k)
+      .withColumn("_rk", row_number().over(globalG))
+      .where(col("_rk") <= k)
+      .withColumn("stratum_rank", col("_srk").cast("int"))
+      .withColumn("rank", col("_rk").cast("int"))
+      .drop("_lrk", "_srk", "_grk", "_rk")
+  }
+
   /** Leakage-safe train/val/test split: every member of a near-dup
     * cluster lands in the SAME split — the eval-leakage guard that
     * per-doc hash splitting misses (a near-duplicate of a training doc

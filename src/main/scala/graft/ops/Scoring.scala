@@ -518,4 +518,84 @@ object Scoring {
       .withColumn("rank", row_number().over(Window.partitionBy(col("cluster"))
         .orderBy(col("score").desc, col("term").asc)).cast("int"))
   }
+
+  /** Bradley–Terry preference-strength estimation (Bradley & Terry 1952;
+    * MM updates per Hunter 2004, "MM algorithms for generalized
+    * Bradley-Terry models") — the aggregation step of preference-data
+    * curation: pairwise outcomes (A beat B) over items (model responses,
+    * prompts, annotators) reduce to one strength per item, P(i beats j) =
+    * sᵢ/(sᵢ+sⱼ). Exactly `iters` MM rounds:
+    * {{{
+    *   sᵢ' = (Wᵢ + 1) / ( Σⱼ round(nᵢⱼ/(sᵢ+sⱼ), 6)  +  round(2/(sᵢ+1), 6) )
+    *   then normalized: sᵢ ← round(sᵢ'/Σ s', 6)
+    * }}}
+    * where Wᵢ = wins, nᵢⱼ = games between i and j. The `+1 win` /
+    * `+2/(sᵢ+1)` pair is one VIRTUAL win and loss against a fixed
+    * strength-1 dummy — the standard regularizer that keeps an all-win
+    * or all-loss item finite (without it the MLE diverges; Hunter §6).
+    *
+    * Determinism contract (file header): the per-opponent terms round to
+    * 6 dp and sum AS DECIMAL(18,6) — exact, order-free — then one double
+    * add + divide + round(·,6) per item, so `iters` rounds are a pure
+    * function of the outcome multiset, bit-identical across engines.
+    *
+    * Scale shape: items/games tables are persisted once; each round is
+    * ONE join of games against the strength vector on both endpoints +
+    * one map-side-combined groupBy + a one-row normalization aggregate
+    * broadcast back — the PageRank 2-shuffle round shape over the
+    * comparison graph. Each round's strength vector is referenced THREE
+    * times by the next (both join endpoints + the update), so lineage is
+    * truncated EVERY round (the [[graft.ops.Graph.RoundStore]] contract:
+    * default `localCheckpoint`, `checkpointDir` for reliable storage on a
+    * real cluster) — without truncation the logical plan grows 3^iters
+    * and analysis time dwarfs the data work. `iters` is small by nature
+    * (MM converges geometrically; 3–10 rounds rank-stabilizes real
+    * tournaments).
+    *
+    * `outcomes`: one row per game, `winnerCol` beat `loserCol` (any
+    * key type; cast to string). Null-keyed or self-play rows dropped.
+    * Output: (item STRING, games BIGINT, wins BIGINT, strength DOUBLE
+    * — normalized to sum ≈ 1, 6 dp). */
+  def bradleyTerry(outcomes: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 3,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(iters > 0, "bradleyTerry: iters must be positive")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val po = outcomes.select(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .where(col("_w").isNotNull && col("_l").isNotNull &&
+        col("_w") =!= col("_l"))
+    val e = po.select(col("_w").as("_i"), col("_l").as("_j"))
+      .unionAll(po.select(col("_l").as("_i"), col("_w").as("_j")))
+    val store = new Graph.RoundStore(checkpointDir, "bt")
+    val games = e.groupBy(col("_i"), col("_j")).agg(count(lit(1)).as("_n"))
+      .persist(MEMORY_AND_DISK)
+    val wins = po.groupBy(col("_w").as("_i")).agg(count(lit(1)).as("_wins"))
+    val base = games.groupBy(col("_i")).agg(sum(col("_n")).as("_games"))
+      .join(wins, Seq("_i"), "left")
+      .select(col("_i"), col("_games"),
+        coalesce(col("_wins"), lit(0L)).as("_wins"))
+      .persist(MEMORY_AND_DISK)
+    var cur = base.withColumn("_s", lit(1.0))
+    for (_ <- 1 to iters) {
+      val sj = cur.select(col("_i").as("_j"), col("_s").as("_sj"))
+      val den = games
+        .join(cur.select(col("_i"), col("_s")), Seq("_i"))
+        .join(sj, Seq("_j"))
+        .groupBy(col("_i"))
+        .agg(sum(round(col("_n") / (col("_s") + col("_sj")), 6)
+          .cast("decimal(18,6)")).as("_den"))
+      val upd = cur.join(den, Seq("_i"))
+        .select(col("_i"), col("_games"), col("_wins"),
+          round((col("_wins") + lit(1L)).cast("double") /
+            (col("_den").cast("double") +
+              round(lit(2.0) / (col("_s") + lit(1.0)), 6)), 6).as("_s"))
+      val tot = upd.agg(sum(col("_s").cast("decimal(18,6)")).as("_tot"))
+      cur = store.truncate(upd.crossJoin(broadcast(tot))
+        .select(col("_i"), col("_games"), col("_wins"),
+          round(col("_s") / col("_tot").cast("double"), 6).as("_s")))
+    }
+    cur.select(col("_i").as("item"), col("_games").as("games"),
+      col("_wins").as("wins"), col("_s").as("strength"))
+  }
 }

@@ -914,6 +914,83 @@ object Similarity {
           .as("max_abs_err"))
   }
 
+  /** Embedding-level DECONTAMINATION of a training corpus against a
+    * reference set (eval benchmarks, held-out suites): every corpus
+    * vector with a reference vector at cosine ≥ `threshold` in its
+    * coarse cell is flagged. Same geometry as [[semDedup]] — one frozen
+    * quantizer, comparisons bounded to a cell — but the compare side is
+    * a SECOND table, which is exactly the semantic train/test-overlap
+    * check large-corpus pipelines run before training (the n-gram
+    * lexical tier is [[graft.ops.Text.matchingSpans]]; this catches the
+    * paraphrase-level leaks token matching misses).
+    *
+    * Scale shape: `refs` is the eval side — 10³–10⁶ rows against a
+    * 100 TB corpus — so it is assigned, normed, and BROADCAST; the
+    * corpus pass is then map-only (assignment is plan-literal centroid
+    * math, the cell-equality predicate bounds the per-row compare count
+    * to the ref cell's size, and the per-id evidence count is a
+    * map-side-combined groupBy over corpus-id keys). Cross-cell leaks
+    * are missed BY DESIGN, same contract as [[semDedup]] — widen by
+    * assigning refs to multiple probe cells upstream if that matters.
+    * Sims round to 6 dp BEFORE the threshold compare (engine-replayable
+    * boundary).
+    *
+    * Output: one row per corpus vector — (idCol, cell INT, n_contam =
+    * count of refs at ≥ threshold in the cell, keep INT = 1 iff 0). */
+  def crossSemDedup(corpus: DataFrame, refs: DataFrame, idCol: String,
+                    vecCol: String, cents: Seq[(Int, Seq[Double])],
+                    threshold: Double): DataFrame = {
+    require(cents.nonEmpty, "crossSemDedup: need at least one centroid")
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .select(col("_id"), col("_v"), ivfCell(col("_v"), cents).as("_cell"),
+        norm(col("_v")).as("_n"))
+    val r = refs.select(col(idCol).as("_rid"), col(vecCol).as("_rv"))
+      .select(col("_rid"), col("_rv"),
+        ivfCell(col("_rv"), cents).as("_rcell"), norm(col("_rv")).as("_rn"))
+    val contam = c.join(broadcast(r), col("_cell") === col("_rcell"))
+      .where(round(dot(col("_v"), col("_rv")) / (col("_n") * col("_rn")), 6)
+        >= threshold)
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_contam"))
+    c.join(contam, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("_cell").as("cell"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        col("n_contam").isNull.cast("int").as("keep"))
+  }
+
+  /** Brute-force top-k cosine over int8-QUANTIZED vectors — the serving
+    * path that pairs with [[scalarQuantizeInt8]] (q141): score the codes
+    * directly, never reconstructing floats. The per-vector absmax scale
+    * CANCELS in cosine, so cosine(reconstructed q, reconstructed c) =
+    * intdot(qcodes, ccodes) / (‖qcodes‖·‖ccodes‖) exactly — the score is
+    * a pure function of the integer codes. Every intermediate is an
+    * exact integer in double (codes ≤ 127, so a dot over dims ≤ 5×10⁸
+    * stays under 2⁵³): the sum is order-independent, making this the
+    * rare brute-force scorer that is bit-identical across engines with
+    * NO rounding needed before the final 6-dp publish. Memory traffic is
+    * the point at scale: 1 byte/dim streamed instead of 4 — the same
+    * plan shape as [[bruteForceTopK]] (queries broadcast, corpus scan
+    * map-only, salted two-phase top-k) at a quarter of the scan bytes.
+    * All-zero vectors (absmax 0 → all-zero codes) publish sim 0.
+    *
+    * `qCodes` / `corpusCodes`: [[scalarQuantizeInt8]] output (idCol,
+    * absmax, codes). Output: (query_id, neighbor_id, sim, rank 1..k by
+    * (sim desc, id asc)); self-matches excluded. */
+  def int8TopK(qCodes: DataFrame, corpusCodes: DataFrame, idCol: String,
+               k: Int): DataFrame = {
+    def prep(df: DataFrame, out: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(out),
+          transform(col("codes"), _.cast("double")).as(vec))
+        .withColumn(nrm, norm(col(vec)))
+    val q = prep(qCodes, "query_id", "_qc", "_qn")
+    val c = prep(corpusCodes, "neighbor_id", "_cc", "_cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("_qn") * col("_cn") === 0.0, lit(0.0))
+          .otherwise(round(dot(col("_qc"), col("_cc")) /
+            (col("_qn") * col("_cn")), 6)).as("sim"))
+    topKByQuery(scored, "neighbor_id", k)
+  }
+
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                cents: Seq[(Int, Seq[Double])],
                threshold: Double): DataFrame = {

@@ -875,6 +875,93 @@ object AnalyticsQueries {
         .orderBy("user_id", "session_seq")
     },
 
+    // ── q152: Bradley–Terry preference strengths — pairwise outcomes
+    //    (here: consecutive same-user events duel, higher `value` wins)
+    //    reduced to one strength per item by 3 exact MM rounds — the
+    //    aggregation step of preference-data curation. The oracle unrolls
+    //    the 3 rounds verbatim: every per-opponent term rounds to 6 dp
+    //    and sums AS DECIMAL (order-free), so both engines walk the
+    //    identical arithmetic. Timestamps floor to µs first (q121's
+    //    precision contract). ──
+    QueryDef("q152_bradley_terry",
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |              event_type AS t, value AS v FROM events),
+        |nx AS (SELECT user_id, t, v, lead(t) OVER w AS t2,
+        |         lead(v) OVER w AS v2
+        |       FROM ev WINDOW w AS (PARTITION BY user_id
+        |                            ORDER BY us, event_id)),
+        |pr AS (SELECT CASE WHEN v > v2 THEN t ELSE t2 END AS w,
+        |              CASE WHEN v > v2 THEN t2 ELSE t END AS l
+        |       FROM nx WHERE t2 IS NOT NULL AND t <> t2 AND v <> v2),
+        |e2 AS (SELECT w AS i, l AS j FROM pr
+        |       UNION ALL SELECT l, w FROM pr),
+        |g AS (SELECT i, j, count(*) AS n FROM e2 GROUP BY 1, 2),
+        |wi AS (SELECT w AS i, count(*) AS wins FROM pr GROUP BY 1),
+        |b AS (SELECT gg.i, gg.games, coalesce(wi.wins, 0) AS wins
+        |      FROM (SELECT i, sum(n) AS games FROM g GROUP BY 1) gg
+        |      LEFT JOIN wi USING (i)),
+        |s0 AS (SELECT i, games, wins, CAST(1.0 AS DOUBLE) AS s FROM b),
+        |d1 AS (SELECT g.i,
+        |         sum(CAST(round(g.n / (si.s + sj.s), 6) AS DECIMAL(18,6)))
+        |           AS den
+        |       FROM g JOIN s0 si ON si.i = g.i JOIN s0 sj ON sj.i = g.j
+        |       GROUP BY 1),
+        |u1 AS (SELECT s.i, s.games, s.wins,
+        |         round(CAST(s.wins + 1 AS DOUBLE) /
+        |           (CAST(d.den AS DOUBLE) + round(2.0 / (s.s + 1.0), 6)), 6)
+        |           AS s
+        |       FROM s0 s JOIN d1 d ON d.i = s.i),
+        |t1 AS (SELECT sum(CAST(s AS DECIMAL(18,6))) AS tot FROM u1),
+        |s1 AS (SELECT i, games, wins, round(s / CAST(tot AS DOUBLE), 6) AS s
+        |       FROM u1 CROSS JOIN t1),
+        |d2 AS (SELECT g.i,
+        |         sum(CAST(round(g.n / (si.s + sj.s), 6) AS DECIMAL(18,6)))
+        |           AS den
+        |       FROM g JOIN s1 si ON si.i = g.i JOIN s1 sj ON sj.i = g.j
+        |       GROUP BY 1),
+        |u2 AS (SELECT s.i, s.games, s.wins,
+        |         round(CAST(s.wins + 1 AS DOUBLE) /
+        |           (CAST(d.den AS DOUBLE) + round(2.0 / (s.s + 1.0), 6)), 6)
+        |           AS s
+        |       FROM s1 s JOIN d2 d ON d.i = s.i),
+        |t2 AS (SELECT sum(CAST(s AS DECIMAL(18,6))) AS tot FROM u2),
+        |s2 AS (SELECT i, games, wins, round(s / CAST(tot AS DOUBLE), 6) AS s
+        |       FROM u2 CROSS JOIN t2),
+        |d3 AS (SELECT g.i,
+        |         sum(CAST(round(g.n / (si.s + sj.s), 6) AS DECIMAL(18,6)))
+        |           AS den
+        |       FROM g JOIN s2 si ON si.i = g.i JOIN s2 sj ON sj.i = g.j
+        |       GROUP BY 1),
+        |u3 AS (SELECT s.i, s.games, s.wins,
+        |         round(CAST(s.wins + 1 AS DOUBLE) /
+        |           (CAST(d.den AS DOUBLE) + round(2.0 / (s.s + 1.0), 6)), 6)
+        |           AS s
+        |       FROM s2 s JOIN d3 d ON d.i = s.i),
+        |t3 AS (SELECT sum(CAST(s AS DECIMAL(18,6))) AS tot FROM u3),
+        |s3 AS (SELECT i, games, wins, round(s / CAST(tot AS DOUBLE), 6) AS s
+        |       FROM u3 CROSS JOIN t3)
+        |SELECT i AS item, CAST(games AS BIGINT) AS games,
+        |  CAST(wins AS BIGINT) AS wins, s AS strength
+        |FROM s3 ORDER BY item""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), Tables.floorDiv("ts", 1000L).as("us"),
+          col("event_id"), col("event_type").as("t"), col("value").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pr = ev
+        .select(col("t"), col("v"), lead(col("t"), 1).over(w).as("t2"),
+          lead(col("v"), 1).over(w).as("v2"))
+        .where(col("t2").isNotNull && col("t") =!= col("t2") &&
+          col("v") =!= col("v2"))
+        .select(when(col("v") > col("v2"), col("t")).otherwise(col("t2"))
+            .as("winner"),
+          when(col("v") > col("v2"), col("t2")).otherwise(col("t"))
+            .as("loser"))
+      graft.ops.Scoring.bradleyTerry(pr, "winner", "loser", iters = 3)
+        .orderBy("item")
+    },
+
     // ── q113: time-series resampling with forward fill — regularize each
     //    user's irregular event stream onto a daily grid, carrying the
     //    last observation forward (the gap-filling step before any

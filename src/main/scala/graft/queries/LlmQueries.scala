@@ -718,6 +718,203 @@ object LlmQueries {
         .orderBy("cluster", "rank")
     },
 
+    // ── q147: embedding-level DECONTAMINATION — the train corpus
+    //    (vec_id%10≠0) checked against a reference/eval set (vec_id%10=0)
+    //    with q139's geometry: same frozen quantizer, comparisons bounded
+    //    to a cell, but the compare side is the (small, broadcast) eval
+    //    table — the paraphrase-level train/test-overlap audit that the
+    //    lexical tier (q70/q74 span matching) misses. Cross-cell leaks
+    //    missed BY DESIGN (same contract as q139). ──
+    QueryDef("q147_cross_semdedup",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t) WHERE rk = 1),
+        |c AS (SELECT * FROM assign WHERE id % 10 <> 0),
+        |r AS (SELECT * FROM assign WHERE id % 10 = 0),
+        |d AS (
+        |  SELECT c.id, count(*) AS n_contam
+        |  FROM c JOIN r ON c.cell = r.cell
+        |  JOIN w x ON x.id = c.id JOIN w y ON y.id = r.id
+        |  WHERE round(list_inner_product(x.vec, y.vec) / (x.n * y.n), 6) >= 0.35
+        |  GROUP BY 1)
+        |SELECT c.id AS vec_id, CAST(c.cell AS INT) AS cell,
+        |  CAST(coalesce(d.n_contam, 0) AS BIGINT) AS n_contam,
+        |  CAST(d.n_contam IS NULL AS INT) AS keep
+        |FROM c LEFT JOIN d ON c.id = d.id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      Similarity.crossSemDedup(emb.where(col("id") % 10 =!= 0),
+          emb.where(col("id") % 10 === 0), "id", "vec", cents,
+          threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cell"), col("n_contam"),
+          col("keep"))
+        .orderBy("vec_id")
+    },
+
+    // ── q148: int8-quantized ANN serving — top-k cosine scored DIRECTLY
+    //    on q141's codes (absmax cancels in cosine, so the score is a
+    //    pure function of the integer codes; every intermediate is an
+    //    exact integer in double — the rare brute-force scorer with NO
+    //    rounding dependence before the 6-dp publish). A quarter of the
+    //    scan bytes of q23 at the same plan shape. ──
+    QueryDef("q148_int8_topk",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |m AS (SELECT vec_id, vec,
+        |        list_max([abs(x) FOR x IN vec]) AS am FROM v),
+        |q8 AS (SELECT vec_id,
+        |        CASE WHEN am = 0 THEN [0.0 FOR x IN vec]
+        |             ELSE [floor(x * 127.0 / am + 0.5) FOR x IN vec]
+        |        END AS c FROM m),
+        |n8 AS (SELECT vec_id, c, sqrt(list_inner_product(c, c)) AS n FROM q8),
+        |q AS (SELECT * FROM n8 WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN q.n * c.n = 0 THEN 0.0
+        |         ELSE round(list_inner_product(q.c, c.c) / (q.n * c.n), 6)
+        |    END AS sim
+        |  FROM q, n8 c WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val codes = Similarity.scalarQuantizeInt8(emb, "vec_id", "vec")
+      Similarity.int8TopK(codes.where(col("vec_id") % 50 === 0), codes,
+          "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // ── q149: int8 serving recall audit — q148's quantized ranks scored
+    //    against q23's float brute-force truth (the q133 discipline for
+    //    the int8 tier): the compression is only trustworthy WITH its
+    //    measured recall, and the measurement is itself a declared,
+    //    oracle-checked query. ──
+    QueryDef("q149_int8_recall",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |tq AS (SELECT * FROM w WHERE vec_id % 50 = 0),
+        |tsc AS (
+        |  SELECT tq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(tq.vec, c.vec) / (tq.n * c.n), 6) AS sim
+        |  FROM tq, w c WHERE c.vec_id <> tq.vec_id),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM tsc)
+        |  WHERE rank <= 10),
+        |m AS (SELECT vec_id, vec, list_max([abs(x) FOR x IN vec]) AS am FROM v),
+        |q8 AS (SELECT vec_id,
+        |        CASE WHEN am = 0 THEN [0.0 FOR x IN vec]
+        |             ELSE [floor(x * 127.0 / am + 0.5) FOR x IN vec]
+        |        END AS c FROM m),
+        |n8 AS (SELECT vec_id, c, sqrt(list_inner_product(c, c)) AS n FROM q8),
+        |aq AS (SELECT * FROM n8 WHERE vec_id % 50 = 0),
+        |asc0 AS (
+        |  SELECT aq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN aq.n * c.n = 0 THEN 0.0
+        |         ELSE round(list_inner_product(aq.c, c.c) / (aq.n * c.n), 6)
+        |    END AS sim
+        |  FROM aq, n8 c WHERE c.vec_id <> aq.vec_id),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM asc0)
+        |  WHERE rank <= 10),
+        |nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+        |h AS (SELECT a.query_id, count(*) AS n_hits
+        |      FROM approx a JOIN truth t
+        |        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |      GROUP BY 1)
+        |SELECT nt.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(nt.n_truth AS BIGINT) AS n_truth,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / nt.n_truth, 6) AS recall
+        |FROM nt LEFT JOIN h ON h.query_id = nt.query_id
+        |ORDER BY nt.query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val queries = emb.where(col("id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+      val codes = Similarity.scalarQuantizeInt8(
+        emb.withColumnRenamed("id", "vec_id"), "vec_id", "vec")
+      val approx = Similarity.int8TopK(
+        codes.where(col("vec_id") % 50 === 0), codes, "vec_id", k = 10)
+      Similarity.topKRecall(approx, truth).orderBy("query_id")
+    },
+
+    // ── q150: diversity-capped global top-k — the best 30 documents by
+    //    length, at most 3 from any one source: the anti-domination form
+    //    of score-ranked selection (q86 keeps a fraction, q80 caps a
+    //    stratum; this is the GLOBAL budget with a per-stratum ceiling).
+    //    Both phases are salted two-phase windows; the final window sees
+    //    a provably bounded row set. ──
+    QueryDef("q150_diverse_topk",
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS srk
+        |  FROM documents),
+        |c AS (SELECT * FROM r WHERE srk <= 3),
+        |g AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+        |        AS rk FROM c)
+        |SELECT doc_id, source, n_chars, CAST(srk AS INT) AS stratum_rank,
+        |  CAST(rk AS INT) AS rank
+        |FROM g WHERE rk <= 30
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      Sampling.diverseTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "doc_id", k = 30, perStratum = 3,
+          ord = Seq(col("n_chars").desc))
+        .orderBy("rank")
+    },
+
+    // ── q151: SoftDeDup weights — q57's cluster table turned into
+    //    per-doc sampling weights (1000000 div cluster_size, exact ppm)
+    //    instead of drops: each duplicate neighborhood contributes one
+    //    doc's worth of mass in expectation, no copy is lost. Same pair
+    //    graph + closure as q57. ──
+    QueryDef("q151_soft_dedup",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id,
+         |          COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM asg GROUP BY 1)
+         |SELECT a.doc_id, a.cluster_id,
+         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+         |FROM asg a JOIN sz USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      val assign = Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id",
+        pairs)
+      Dedup.softDedupWeights(assign, "doc_id", "cluster_id")
+        .orderBy("doc_id")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the

@@ -565,4 +565,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == "red gadget" || p._2 == "red gadget"))
     assert(got.forall(_._3 <= 3) && got.forall(p => p._1 < p._2))
   }
+
+  test("softDedupWeights: exact ppm weights, singletons at 1000000, " +
+      "no window in the plan") {
+    import spark.implicits._
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),
+      (6L, 5L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.softDedupWeights(assign, "doc_id")
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 1L, 1000000L), (5L, 5L, 2L, 500000L), (6L, 5L, 2L, 500000L)))
+    // Mega-cluster safety: sizes come from a groupBy + join back, never a
+    // count() window that lands a viral cluster in one task.
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "softDedupWeights must not use a window")
+  }
 }

@@ -257,4 +257,50 @@ class SamplingSpec extends SparkSpec {
       // C: nothing available -> epochs 0 by guard, all target is shortfall
       ("C", 0L, 300000L, 300L, 0L, 0L, 300L)))
   }
+
+  test("diverseTopK: per-stratum cap + global budget, capped-out rows " +
+      "ineligible, deterministic ranks") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 100L), ("A", 2L, 99L), ("A", 3L, 98L), ("A", 4L, 97L),
+      ("B", 11L, 50L), ("B", 12L, 49L),
+      ("C", 21L, 10L)).toDF("src", "id", "score")
+    val got = Sampling.diverseTopK(df, "src", "id", k = 4, perStratum = 2,
+        ord = Seq(col("score").desc))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    // A's 98/97 are capped out even though they beat everything in B;
+    // C's 10 loses the global budget.
+    assert(got.toSeq == Seq(
+      ("A", 1L, 100L, 1, 1), ("A", 2L, 99L, 2, 2),
+      ("B", 11L, 50L, 1, 3), ("B", 12L, 49L, 2, 4)))
+  }
+
+  test("diverseTopK: equals the naive two-window reference on seeded " +
+      "random data, any fanout") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val big = (1L to 500L)
+      .map(i => (s"s${rnd.nextInt(8)}", i, rnd.nextInt(40).toLong))
+      .toDF("src", "id", "score")
+    val ws = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("id").asc)
+    val naive = big
+      .withColumn("stratum_rank", row_number().over(ws).cast("int"))
+      .where(col("stratum_rank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)).cast("int"))
+      .where(col("rank") <= 37)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    for (fanout <- Seq(1, 3, 64)) {
+      val got = Sampling.diverseTopK(big, "src", "id", k = 37,
+          perStratum = 5, ord = Seq(col("score").desc), fanout = fanout)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).toSet
+      assert(got == naive, s"fanout=$fanout diverged")
+    }
+  }
 }

@@ -350,4 +350,59 @@ class ScoringSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(one.toSeq == Seq(("c1", "apple"), ("c2", "cherry")))
   }
+
+  test("bradleyTerry: driver-replayed MM rounds, more wins ranks higher, " +
+      "self-play and null-keyed rows dropped") {
+    import spark.implicits._
+    // A beats B twice, A beats C once, B beats C once — plus junk rows
+    // (self-play, null keys) that the op must drop before counting.
+    val outcomes = Seq(
+      (Option("A"), Option("B")), (Option("A"), Option("B")),
+      (Option("A"), Option("C")), (Option("B"), Option("C")),
+      (Option("A"), Option("A")),
+      (Option.empty[String], Option("B")), (Option("C"), Option.empty[String]))
+      .toDF("winner", "loser")
+    val got = Scoring.bradleyTerry(outcomes, "winner", "loser", iters = 3)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Driver replay of the exact published arithmetic: per-opponent terms
+    // rounded to 6 dp, summed as decimal, one double add for the virtual
+    // win/loss regularizer, round-6 update, round-6 normalize.
+    val games = Map(("A", "B") -> 2L, ("B", "A") -> 2L, ("A", "C") -> 1L,
+      ("C", "A") -> 1L, ("B", "C") -> 1L, ("C", "B") -> 1L)
+    val wins = Map("A" -> 3L, "B" -> 1L, "C" -> 0L)
+    val items = Seq("A", "B", "C")
+    var s = items.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val upd = items.map { i =>
+        val den = decSum(items.collect { case j if games.contains((i, j)) =>
+          r6(games((i, j)).toDouble / (s(i) + s(j))) }) +
+          r6(2.0 / (s(i) + 1.0))
+        i -> r6((wins(i) + 1).toDouble / den)
+      }.toMap
+      val tot = decSum(items.map(upd))
+      s = items.map(i => i -> r6(upd(i) / tot)).toMap
+    }
+    assert(got.toSeq == Seq(
+      ("A", 3L, 3L, s("A")), ("B", 3L, 1L, s("B")), ("C", 2L, 0L, s("C"))))
+    assert(s("A") > s("B") && s("B") > s("C"))
+  }
+
+  test("bradleyTerry: layout-invariant (decimal-sum contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val items = (0 until 12).map(i => s"m$i")
+    val outcomes = (1 to 400).map { _ =>
+      val a = items(rnd.nextInt(items.size))
+      var b = items(rnd.nextInt(items.size))
+      while (b == a) b = items(rnd.nextInt(items.size))
+      (a, b)
+    }.toDF("winner", "loser")
+    val base = Scoring.bradleyTerry(outcomes, "winner", "loser", iters = 3)
+      .orderBy("item").collect().map(r => (r.getString(0), r.getDouble(3)))
+    val shuffled = Scoring.bradleyTerry(outcomes.repartition(13),
+        "winner", "loser", iters = 3)
+      .orderBy("item").collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(base.toSeq == shuffled.toSeq)
+  }
 }

@@ -645,4 +645,55 @@ class SimilaritySpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       "semDedup must stay cell-bounded:\n" + plan.take(800))
   }
+
+  test("crossSemDedup: refs flag within-cell contamination, cross-cell " +
+      "leaks missed by contract, refs side broadcast") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0)),    // cell 0: hits refs 100 AND 101
+      (11L, Seq(0.0, 0.97)),   // cell 1: hits ref 102 only
+      (12L, Seq(-1.0, 0.0)),   // cell 1 (cos -1 vs 0): hits nothing
+      (13L, Seq(0.72, 0.69)))  // cell 0; its near-dup ref 103 sits in
+                               // cell 1 — the documented cross-cell miss
+      .toDF("id", "vec")
+    val refs = Seq(
+      (100L, Seq(0.99, 0.01)), (101L, Seq(0.98, 0.02)), // cell 0
+      (102L, Seq(0.0, 1.0)), (103L, Seq(0.69, 0.72)))   // cell 1
+      .toDF("id", "vec")
+    val out = Similarity.crossSemDedup(corpus, refs, "id", "vec", cents,
+      threshold = 0.9)
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (10L, 0, 2L, 0), (11L, 1, 1L, 0), (12L, 1, 0L, 1), (13L, 0, 0L, 1)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "refs must broadcast (map-only corpus pass):\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("int8TopK: integer-code cosine matches driver replay, zero vector " +
+      "publishes 0, ties by id") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.0, 0.0))) // zero vector → all-zero codes → sim 0
+      .toDF("id", "vec")
+    val codes = Similarity.scalarQuantizeInt8(df, "id", "vec")
+    val got = Similarity.int8TopK(codes.where(col("id") === 1), codes,
+        "id", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // codes: 1→(127,0), 2→(127,14) [0.1·127/0.9+0.5 floors to 14],
+    // 3→(0,127), 4→(0,0); cosine of codes = cosine of the reconstructed
+    // vectors (absmax cancels).
+    val sim12 = r6(127.0 * 127.0 /
+      (127.0 * math.sqrt(127.0 * 127.0 + 14.0 * 14.0)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, sim12, 1), (1L, 3L, 0.0, 2), (1L, 4L, 0.0, 3)))
+  }
 }
