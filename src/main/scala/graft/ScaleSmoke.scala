@@ -80,6 +80,29 @@ object ScaleSmoke {
         topN = 10).count()
       println(f"ctfidf_100k_50cls: rows=$ncf " +
         f"time=${(System.nanoTime()-tcf)/1e9}%.1f s")
+      // Bradley–Terry (round 15) at tournament scale: 1M outcomes over
+      // ~10k items, 3 MM rounds — per-round cost is one games⋈strengths
+      // join + a map-side-combined groupBy; the number to watch is that
+      // rounds stay flat (lineage truncation keeps analysis time out).
+      val tbt = System.nanoTime()
+      val oc = spark.range(1000000).select(
+        concat(lit("p"), col("id") % 10007).as("winner"),
+        concat(lit("p"), (col("id") * 7919 + 13) % 10007).as("loser"))
+      val nbt = graft.ops.Scoring.bradleyTerry(oc, "winner", "loser",
+        iters = 3).count()
+      println(f"bradley_terry_1m_10k: items=$nbt " +
+        f"time=${(System.nanoTime()-tbt)/1e9}%.1f s")
+      // diverseTopK (round 15) at 2M rows / ~10k strata: both phases are
+      // salted windows, so no task sorts a stratum or the global
+      // candidate set — cost must track a plain 2M-row shuffle.
+      val tdv = System.nanoTime()
+      val rows2 = spark.range(2000000).select(
+        concat(lit("s"), col("id") % 10007).as("src"), col("id").as("id"),
+        ((col("id") * 2654435761L) % 1000000).as("score"))
+      val ndv = graft.ops.Sampling.diverseTopK(rows2, "src", "id",
+        k = 1000, perStratum = 3, ord = Seq(col("score").desc)).count()
+      println(f"diverse_topk_2m_10kstrata: rows=$ndv " +
+        f"time=${(System.nanoTime()-tdv)/1e9}%.1f s")
     }
 
     if (sections("dedup")) {
@@ -229,6 +252,17 @@ object ScaleSmoke {
       .where(col("keep") === 0).count()
     println(f"cluster_index_append_10k_delta: dropped=$nca " +
       f"time=${(System.nanoTime()-tca)/1e9}%.1f s")
+    // SoftDeDup weights (round 15) over a synthetic 100k-doc assign with
+    // one viral 50k-member cluster: the groupBy+join shape must not put
+    // the viral cluster in one task (no windows — plan-proven in spec).
+    val tsw = System.nanoTime()
+    val asg = d.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit(0L))
+        .otherwise(expr("doc_id div 10")).as("cluster_id"))
+    val nsw = graft.ops.Dedup.softDedupWeights(asg, "doc_id")
+      .agg(min(col("weight_ppm"))).head().getLong(0)
+    println(f"soft_dedup_100k_viral: min_ppm=$nsw " +
+      f"time=${(System.nanoTime()-tsw)/1e9}%.1f s")
     graft.ops.Dedup.releaseCaches()
     }
 
@@ -300,6 +334,25 @@ object ScaleSmoke {
       .agg(max(col("max_abs_err"))).head().getDouble(0)
     println(f"int8_quantize_200k: max_err=$nqz%.6f " +
       f"time=${(System.nanoTime()-tqz)/1e9}%.1f s")
+    // Embedding decontamination (round 15): the 50k corpus checked
+    // against a 1k broadcast "eval set" in the same 64 cells — the
+    // map-only corpus-pass claim (refs ride the broadcast).
+    val txd = System.nanoTime()
+    val nxd = graft.ops.Similarity.crossSemDedup(
+      vv.where(col("id") % 50 =!= 0), vv.where(col("id") % 50 === 0),
+      "id", "vec", sdCents, threshold = 0.99)
+      .where(col("keep") === 0).count()
+    println(f"cross_semdedup_50k_1kref: contaminated=$nxd " +
+      f"time=${(System.nanoTime()-txd)/1e9}%.1f s")
+    // int8 serving (round 15): 100 queries × 200k corpus scored on
+    // CODES — must beat/track brute_200k (same plan shape, quarter the
+    // scan bytes; dots are integer-exact).
+    val ti8 = System.nanoTime()
+    val codes200 = graft.ops.Similarity.scalarQuantizeInt8(v, "id", "vec")
+    val ni8 = graft.ops.Similarity.int8TopK(
+      codes200.where(col("id") % 2000 === 0), codes200, "id", k = 10).count()
+    println(f"int8_topk_200k: rows=$ni8 " +
+      f"time=${(System.nanoTime()-ti8)/1e9}%.1f s")
     // PQ tier over the same 200k vectors: codebook fit is bounded by the
     // m·ksub·dsub collect, encoding is one map-only pass (the codegen'd
     // loop kernel), ADC search cost scales with probed lists — per-row
