@@ -103,6 +103,33 @@ object ScaleSmoke {
         k = 1000, perStratum = 3, ord = Seq(col("score").desc)).count()
       println(f"diverse_topk_2m_10kstrata: rows=$ndv " +
         f"time=${(System.nanoTime()-tdv)/1e9}%.1f s")
+      // robustZScores (round 15) at 2M rows / 5 keys with ~400k distinct
+      // scores per key: two valueThresholds passes — must track ~2×
+      // quantile_buckets_2m (same two-level-cum core, run twice).
+      val trz = System.nanoTime()
+      val scoresZ = spark.range(2000000).select(
+        concat(lit("k"), col("id") % 5).as("k"), col("id").as("id"),
+        (((col("id") * 7919) % 1000003).cast("double") / 1000.0).as("s"))
+      val nrz = graft.ops.Scoring.robustZScores(scoresZ, "k", "s")
+        .where(col("z6").isNotNull).count()
+      println(f"robust_z_2m: rows=$nrz " +
+        f"time=${(System.nanoTime()-trz)/1e9}%.1f s")
+      // Stupid-Backoff trigram (round 15): 100k docs scored under a
+      // 50k-doc reference fit — one doc-keyed trigram pass + three
+      // count-only ref aggregates; cost target ~1.5× lm_score_100k
+      // (one n-gram order up, reference half-sized).
+      val ttb = System.nanoTime()
+      val ntb = graft.ops.Scoring.trigramLmScore(d, "doc_id", "text",
+        d.where(col("doc_id") % 2 === 0), "text").count()
+      println(f"trigram_backoff_100k: rows=$ntb " +
+        f"time=${(System.nanoTime()-ttb)/1e9}%.1f s")
+      // vocabulary growth (round 15): one vocab-shaped min aggregate
+      // over the 100k-doc token stream.
+      val tvg = System.nanoTime()
+      val nvg = graft.ops.Profile.vocabularyGrowth(d, "doc_id", "text",
+        bucketSize = 10000L).count()
+      println(f"vocab_growth_100k: buckets=$nvg " +
+        f"time=${(System.nanoTime()-tvg)/1e9}%.1f s")
     }
 
     if (sections("dedup")) {
@@ -263,6 +290,14 @@ object ScaleSmoke {
       .agg(min(col("weight_ppm"))).head().getLong(0)
     println(f"soft_dedup_100k_viral: min_ppm=$nsw " +
       f"time=${(System.nanoTime()-tsw)/1e9}%.1f s")
+    // positivePairs (round 15) on the same viral assign: the 50k-member
+    // cluster contributes ≤ (maxCluster−1)·m pairs, not 1.25G — the cap
+    // + path-pairing claim.
+    val tpp = System.nanoTime()
+    val npp = graft.ops.Dedup.positivePairs(asg, "doc_id", "cluster_id",
+      m = 2, maxCluster = 4096).count()
+    println(f"positive_pairs_100k_viral: pairs=$npp " +
+      f"time=${(System.nanoTime()-tpp)/1e9}%.1f s")
     graft.ops.Dedup.releaseCaches()
     }
 
@@ -353,6 +388,29 @@ object ScaleSmoke {
       codes200.where(col("id") % 2000 === 0), codes200, "id", k = 10).count()
     println(f"int8_topk_200k: rows=$ni8 " +
       f"time=${(System.nanoTime()-ti8)/1e9}%.1f s")
+    // kNN graph (round 15): 50k vectors / 64 cells, k=4 — same bounded
+    // |cell|² geometry as semdedup_50k; the extra cost over it is only
+    // the salted two-phase ranking.
+    val tkg = System.nanoTime()
+    val nkg = graft.ops.Similarity.knnGraph(vv, "id", "vec", sdCents, k = 4)
+      .count()
+    println(f"knn_graph_50k_64cells: edges=$nkg " +
+      f"time=${(System.nanoTime()-tkg)/1e9}%.1f s")
+    // bitext margin mining (round 15): 100 broadcast src queries against
+    // the 200k tgt corpus — three map-only passes of the hard_negatives
+    // shape (sims for per-src means, per-tgt means, margins).
+    val tmp2 = System.nanoTime()
+    val nmp = graft.ops.Similarity.marginPairs(
+      v.where(col("id") % 2000 === 0), v.where(col("id") % 2000 =!= 0),
+      "id", "vec", k = 4).count()
+    println(f"margin_pairs_200k: rows=$nmp " +
+      f"time=${(System.nanoTime()-tmp2)/1e9}%.1f s")
+    // embedding stats (round 15): one posexplode pass over 200k×dim.
+    val tes = System.nanoTime()
+    val nes = graft.ops.Similarity.embeddingStats(v, "id", "vec", dim = dim)
+      .count()
+    println(f"embedding_stats_200k: dims=$nes " +
+      f"time=${(System.nanoTime()-tes)/1e9}%.1f s")
     // PQ tier over the same 200k vectors: codebook fit is bounded by the
     // m·ksub·dsub collect, encoding is one map-only pass (the codegen'd
     // loop kernel), ADC search cost scales with probed lists — per-row

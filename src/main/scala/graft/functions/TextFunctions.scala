@@ -65,6 +65,21 @@ object TextFunctions {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Adjacent lower-cased word trigrams as "w1 w2 w3" strings — the
+    * [[wordBigrams]] construction extended one order up (two nested
+    * zip_with folds, still one map-only expression). Docs with fewer
+    * than three tokens yield an empty array. */
+  def wordTrigrams(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = size(toks)
+    when(trim(text) === "" || n < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(toks, lit(3), n - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+  }
+
   /** PII scrub for training text: e-mail addresses, SSN-shaped ids, and
     * IPv4 literals replaced with typed placeholders. Deterministic regex
     * passes (no ML NER) — the auditable baseline layer every corpus

@@ -863,6 +863,51 @@ object Dedup {
         expr("1000000L div cluster_size").as("weight_ppm"))
   }
 
+  /** Contrastive POSITIVE pairs from the near-dup cluster table — the
+    * complement of [[graft.ops.Similarity.hardNegatives]]: members of one
+    * near-dup cluster are paraphrases/re-crawls of the same content, i.e.
+    * exactly the "semantically equal, surface different" pairs a
+    * contrastive embedding objective wants as positives (the supervised
+    * SimCSE / E5 recipe mined from the dedup tier's byproduct instead of
+    * human labels). Pairing is a PATH, not a clique: cluster members
+    * sorted by id, each paired with its next `m` successors — n·m pairs
+    * instead of n² (a 10⁴-copy boilerplate cluster must not emit 10⁸
+    * pairs), still connecting every member to the cluster.
+    *
+    * Scale shape: singleton clusters drop via one aggregate + semi-join;
+    * a viral cluster's CONTRIBUTION is capped first to `maxCluster`
+    * hash-deterministic members ([[graft.ops.Sampling.exactKPerStratum]]
+    * — salted two-phase, no mega-cluster task), so the member-order
+    * window then sees ≤ maxCluster rows per cluster; the successor pairing
+    * is one cluster-keyed equi-join with a rank-range predicate. All
+    * choices are pure functions of the assign table (retry/layout/
+    * engine-stable).
+    *
+    * `assign`: (idCol, clusterCol) — [[dedupAssign]] output. Output:
+    * (clusterCol, id_a, id_b) with id_a < id_b by construction. */
+  def positivePairs(assign: DataFrame, idCol: String, clusterCol: String,
+                    m: Int = 1, maxCluster: Int = 4096): DataFrame = {
+    require(m > 0, "positivePairs: m must be positive")
+    require(maxCluster > 1, "positivePairs: maxCluster must exceed 1")
+    import org.apache.spark.sql.expressions.Window
+    val multi = assign.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("_sz")).where(col("_sz") > 1)
+      .select(col(clusterCol))
+    val members = assign.select(col(idCol), col(clusterCol))
+      .join(multi, Seq(clusterCol), "left_semi")
+    val capped = Sampling.exactKPerStratum(members, clusterCol, idCol,
+      maxCluster)
+    val w = Window.partitionBy(col(clusterCol)).orderBy(col(idCol))
+    val mem = capped.withColumn("_rn", row_number().over(w))
+    val a = mem.select(col(clusterCol), col(idCol).as("id_a"),
+      col("_rn").as("_ra"))
+    val b = mem.select(col(clusterCol), col(idCol).as("id_b"),
+      col("_rn").as("_rb"))
+    a.join(b, Seq(clusterCol))
+      .where(col("_rb") > col("_ra") && col("_rb") <= col("_ra") + m)
+      .select(col(clusterCol), col("id_a"), col("id_b"))
+  }
+
   /** Append a new batch's MinHash signatures into the STORED signature
     * table — the write half of the recurring-crawl loop
     * ([[minHashLshPairsAgainstSignatures]] is the read half): after a

@@ -28,4 +28,40 @@ object Profile {
       }: _*)).as("p"))
       .select("p.*")
   }
+
+  /** Vocabulary-growth curve (the Heaps'-law audit): new distinct terms
+    * contributed by each id-ordered ingestion bucket, plus the running
+    * total — a corpus-health monitor with teeth: healthy natural-language
+    * crawl grows vocabulary ~n^β (β≈0.5); a FLAT new-terms tail means the
+    * crawl is re-ingesting what it already has (dedup upstream is
+    * failing), a LINEAR tail means unbounded junk tokens (spam,
+    * serialized ids, parser breakage) — both visible per bucket before
+    * any model is trained on it.
+    *
+    * A term's bucket is its FIRST occurrence (min doc id — a pure
+    * function of the corpus, retry/layout/engine-stable). Scale shape:
+    * one token-keyed min aggregate (vocabulary-shaped, map-side
+    * combined) + one map-side-combined per-bucket token count; the final
+    * join + running-total window touch only bucket-count rows (the
+    * bounded-unpartitioned-window contract). Output: (bucket, n_tokens,
+    * new_terms, cum_terms), one row per non-empty bucket. */
+  def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
+                       bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "vocabularyGrowth: bucketSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val perBucket = toks
+      .groupBy(expr(s"_id div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTerms = toks.groupBy(col("_tok")).agg(min(col("_id")).as("_first"))
+      .groupBy(expr(s"_first div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    perBucket.join(newTerms, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_terms", sum(col("new_terms")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

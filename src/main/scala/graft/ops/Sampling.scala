@@ -384,4 +384,36 @@ object Sampling {
       epochs.as("epochs_ppm"),
       (col("target_tokens") - planned).as("shortfall_tokens"))
   }
+
+  /** Temperature-softmax mixture weights over per-domain scores — the
+    * score→weight step of loss-aware data mixing (the DoReMi family, Xie
+    * et al. 2023 arXiv:2305.10429: domains with higher excess loss get
+    * exponentially more weight; τ controls how aggressive): weight_i ∝
+    * exp(score_i/τ), published as floored integer ppm so downstream
+    * samplers ([[mixtureResample]], [[epochPlan]] — both take ppm weight
+    * tables) consume them without float noise.
+    *
+    * Determinism: score/τ rounds to 6 dp, exp rounds to 6 dp (the
+    * round-6-ln convention of [[graft.ops.Scoring]] applied to exp — libm
+    * last-ulp differences collapse), the denominator sums AS
+    * DECIMAL(18,6) (exact, order-free), and the final ppm is one
+    * multiply/divide/floor chain of IEEE-exact doubles. Scores should be
+    * O(1–20) (log-loss scale): exp of a larger score overflows the
+    * decimal accumulator LOUDLY rather than skewing weights silently.
+    *
+    * `stats`: one row per domain (keyCol, scoreCol). Scale shape: the
+    * input is domain-cardinality-sized; one map pass + a one-row decimal
+    * total broadcast back. Output: (keyCol, scoreCol, boltzmann_6,
+    * weight_ppm) — weights sum to ≤ 1e6 (floor bias ≤ 1 ppm/domain). */
+  def mixtureWeights(stats: DataFrame, keyCol: String, scoreCol: String,
+                     tau: Double = 1.0): DataFrame = {
+    require(tau > 0, "mixtureWeights: tau must be positive")
+    val e6 = round(exp(round(col(scoreCol) / lit(tau), 6)), 6)
+    val scored = stats.select(col(keyCol), col(scoreCol), e6.as("_e"))
+    val tot = scored.agg(sum(col("_e").cast("decimal(18,6)")).as("_tot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col(keyCol), col(scoreCol), col("_e").as("boltzmann_6"),
+        floor(col("_e") * lit(1000000.0) / col("_tot").cast("double"))
+          .cast("long").as("weight_ppm"))
+  }
 }

@@ -107,6 +107,90 @@ object Scoring {
           .as("cross_entropy"))
   }
 
+  /** Per-doc cross-entropy under a Stupid-Backoff trigram LM fitted on a
+    * REFERENCE corpus (Brants et al. 2007, "Large Language Models in
+    * Machine Translation", §4 — the count-only backoff that replaced
+    * Kneser-Ney at web scale) — the CCNet scoring shape proper: CCNet
+    * ranks web text under a model fitted on a CLEAN reference (Wikipedia),
+    * and it is the reference/corpus split that makes backoff real (an
+    * in-corpus self-fit never backs off — every observed n-gram is in its
+    * own count table; that self-fit tier is [[bigramLmScore]]).
+    *
+    * Per trigram instance w₁w₂w₃:
+    * {{{
+    *   S = C(w₁w₂w₃)/C(w₁w₂)          if the ref saw the trigram
+    *     | α · C(w₂w₃)/C(w₂)          else if it saw the bigram w₂w₃
+    *     | α² · max(C(w₃),1)/N        else (unseen w₃ floors at count 1)
+    * }}}
+    * score = mean of round(−ln S, 6) over the doc's trigram instances
+    * (each branch is exact count division ± one α multiply — IEEE-exact;
+    * the ln rounds to 6 dp; terms sum AS DECIMAL). Docs with fewer than
+    * three tokens score NULL. `ref` must contain at least one token.
+    *
+    * Scale shape: ONE doc-keyed trigram pass (repartitioned by id,
+    * `explode_outer` keeps short docs in-stream, instances aggregate to
+    * (id, trigram, tf) in place); the reference count tables are three
+    * count-only map-side-combined aggregates of `ref` (vocabulary-shaped
+    * — unhinted joins, see class doc) plus a one-row token total
+    * broadcast. Nothing text-sized shuffles beyond the aggregated
+    * frames. Output: (idCol, n_trigrams, cross_entropy). */
+  def trigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     ref: DataFrame, refTextCol: String,
+                     alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, "trigramLmScore: alpha must be in (0,1)")
+    import graft.functions.TextFunctions.{wordBigrams, wordTrigrams}
+    val tfc = docs.repartition(col(idCol))
+      .select(col(idCol),
+        explode_outer(wordTrigrams(col(textCol))).as("_tg"))
+      .groupBy(col(idCol), col("_tg")).agg(count(col("_tg")).as("_tf"))
+    val c123 = ref.select(explode(wordTrigrams(col(refTextCol))).as("_tg"))
+      .groupBy(col("_tg")).agg(count(lit(1)).as("_c123"))
+    val cbg = ref.select(explode(wordBigrams(col(refTextCol))).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("_cbg"))
+    val un = ref
+      .select(explode(split(lower(trim(col(refTextCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val cun = un.groupBy(col("_tok")).agg(count(lit(1)).as("_cun"))
+    val n = un.agg(count(lit(1)).cast("double").as("_n"))
+    val parts = tfc
+      .withColumn("_els", split(col("_tg"), " "))
+      .withColumn("_w12", concat_ws(" ", col("_els").getItem(0),
+        col("_els").getItem(1)))
+      .withColumn("_w23", concat_ws(" ", col("_els").getItem(1),
+        col("_els").getItem(2)))
+      .withColumn("_w2", col("_els").getItem(1))
+      .withColumn("_w3", col("_els").getItem(2))
+    val joined = parts
+      .join(c123, Seq("_tg"), "left")
+      .join(cbg.select(col("_bg").as("_w12"), col("_cbg").as("_c12")),
+        Seq("_w12"), "left")
+      .join(cbg.select(col("_bg").as("_w23"), col("_cbg").as("_c23")),
+        Seq("_w23"), "left")
+      .join(cun.select(col("_tok").as("_w2"), col("_cun").as("_c2")),
+        Seq("_w2"), "left")
+      .join(cun.select(col("_tok").as("_w3"), col("_cun").as("_c3")),
+        Seq("_w3"), "left")
+      .crossJoin(broadcast(n))
+    val p = when(col("_c123").isNotNull,
+        col("_c123").cast("double") / col("_c12"))
+      .when(col("_c23").isNotNull,
+        lit(alpha) * (col("_c23").cast("double") / col("_c2")))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("_c3"), lit(1L)).cast("double") / col("_n")))
+    val lp = round(-log(p), 6)
+    joined
+      .select(col(idCol), col("_tf"),
+        when(col("_tg").isNotNull, col("_tf") * dec6(lp)).as("_lpw"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_lpw").isNotNull, col("_tf")).otherwise(lit(0L)))
+        .as("n_trigrams"),
+        sum(col("_lpw")).as("_s"))
+      .select(col(idCol), col("n_trigrams"),
+        when(col("n_trigrams") > 0,
+          round(col("_s").cast("double") / col("n_trigrams"), 6))
+          .as("cross_entropy"))
+  }
+
   /** Linear-classifier inference over hashed bag-of-tokens features — the
     * fastText-style quality gate: `weights` is a trained model as a
     * (bucket, weight) frame, each token contributes the weight of its
@@ -328,6 +412,27 @@ object Scoring {
                       b: Int = 3, coarseBins: Double = 100.0): DataFrame = {
     require(b >= 2, "quantileBuckets: need at least 2 buckets")
     require(coarseBins > 0, "quantileBuckets: coarseBins must be positive")
+    val s = col(scoreCol)
+    val th = valueThresholds(scored, keyCol, scoreCol, b, coarseBins)
+    val bucket = (1 until b)
+      .map(j => when(s > col(s"_t$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    scored.join(broadcast(th), Seq(keyCol), "left")
+      .withColumn("bucket",
+        when(s.isNotNull, bucket).otherwise(lit(null).cast("int")))
+      .drop((1 until b).map(j => s"_t$j"): _*)
+  }
+
+  /** Per-key VALUE-based quantile thresholds — the two-level-cumulative
+    * core of [[quantileBuckets]], exposed package-side so other ops
+    * ([[robustZScores]]) reuse the same definition: `_tj` is the smallest
+    * score value v with (#rows ≤ v)·b ≥ j·n. Two-level cum (coarse-bin
+    * running total + within-bin window) so no task holds a key's whole
+    * distinct-score set. Output: one row per key, columns `_t1.._t{b-1}`
+    * (key-cardinality-sized — the caller's broadcast contract). */
+  private[ops] def valueThresholds(scored: DataFrame, keyCol: String,
+                                   scoreCol: String, b: Int,
+                                   coarseBins: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = col(scoreCol)
     val fine = scored.where(s.isNotNull)
@@ -350,14 +455,47 @@ object Scoring {
       .withColumn("_cum", col("_before") + col("_in"))
     val thAggs = (1 until b).map(j =>
       min(when(col("_cum") * b >= col("_n") * j, col("_s"))).as(s"_t$j"))
-    val th = cum.groupBy(col(keyCol)).agg(thAggs.head, thAggs.tail: _*)
-    val bucket = (1 until b)
-      .map(j => when(s > col(s"_t$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    scored.join(broadcast(th), Seq(keyCol), "left")
-      .withColumn("bucket",
-        when(s.isNotNull, bucket).otherwise(lit(null).cast("int")))
-      .drop((1 until b).map(j => s"_t$j"): _*)
+    cum.groupBy(col(keyCol)).agg(thAggs.head, thAggs.tail: _*)
+  }
+
+  /** Per-key robust z-scores (median/MAD) — cross-population score
+    * normalization: a learned quality gate scores different languages /
+    * sources on different scales, and a single global threshold then
+    * over-prunes whole populations; normalizing by the key's own median
+    * and median-absolute-deviation (the outlier-robust location/scale
+    * pair — Iglewicz & Hoaglin 1993) makes one cut comparable across
+    * keys. Median is the VALUE-based lower median (smallest v with
+    * 2·(#rows ≤ v) ≥ n — [[valueThresholds]] at b = 2, so the result is
+    * a pure function of the per-key score multiset, never interpolated);
+    * MAD is the same statistic over |score − median|.
+    *
+    * z6 = round((score − median)/mad, 6); NULL when the score is NULL or
+    * the MAD is 0 (≥ half the key's scores equal its median — a
+    * degenerate population where no robust scale exists; publishing ±∞
+    * or 0 would silently pass/kill those rows at any threshold).
+    *
+    * Scale shape: two [[valueThresholds]] passes (each two bounded
+    * windows + a key-sized aggregate) + two broadcast joins back onto the
+    * corpus — the threshold tables are key-cardinality-sized and must fit
+    * a broadcast (the [[quantileBuckets]] contract). Output: input
+    * columns + median, mad, z6. */
+  def robustZScores(scored: DataFrame, keyCol: String, scoreCol: String,
+                    coarseBins: Double = 100.0): DataFrame = {
+    require(coarseBins > 0, "robustZScores: coarseBins must be positive")
+    val med = valueThresholds(scored, keyCol, scoreCol, 2, coarseBins)
+      .select(col(keyCol), col("_t1").as("median"))
+    val dev = scored.where(col(scoreCol).isNotNull)
+      .join(broadcast(med), Seq(keyCol))
+      .select(col(keyCol),
+        abs(col(scoreCol) - col("median")).as("_dev"))
+    val mad = valueThresholds(dev, keyCol, "_dev", 2, coarseBins)
+      .select(col(keyCol), col("_t1").as("mad"))
+    scored.join(broadcast(med), Seq(keyCol), "left")
+      .join(broadcast(mad), Seq(keyCol), "left")
+      .withColumn("z6",
+        when(col(scoreCol).isNotNull && col("mad") =!= 0,
+          round((col(scoreCol) - col("median")).cast("double") /
+            col("mad").cast("double"), 6)))
   }
 
   /** Classifier calibration table (reliability diagram + ECE, Guo et al.

@@ -991,6 +991,234 @@ object Similarity {
     topKByQuery(scored, "neighbor_id", k)
   }
 
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010, "A
+    * Similarity Measure for Indefinite Rankings", eq. 5 truncated) between
+    * two per-query rankings — the rank-SENSITIVE companion of
+    * [[topKRecall]]: recall says WHETHER the approximate index returns
+    * the right set, RBO says whether it returns it in the right ORDER,
+    * weighting agreement at depth d by p^(d−1) (top-weighted: p=0.9
+    * puts ~⅔ of the mass in the top 10). Per query:
+    * {{{
+    *   RBO_k = Σ_{d=1..k} round(w_d · round(1/d, 6), 6) · |A_d ∩ B_d|
+    *   w_d   = round(p^(d−1) · (1−p) / (1−p^k), 6)   (normalized to Σ≈1)
+    * }}}
+    * where A_d/B_d are each run's top-d sets. Since |A_d ∩ B_d| counts
+    * the matches whose max(rankA, rankB) ≤ d, the sum regroups as one
+    * exact-decimal TAIL lookup per matched item ([[rboTail]] — k plan
+    * literals, shared with the SQL oracle), summed AS DECIMAL. Queries
+    * present in `runA` but absent from `runB` score 0 (same contract as
+    * [[topKRecall]]'s dropped-query rule).
+    *
+    * Scale shape: the (query, item) equi-join touches only k-bounded
+    * rows per query on each side; the depth profile is one k-wide
+    * map-side explode of the MATCHED rows (≤ k per query) + a
+    * map-side-combined groupBy — no windows, no per-query task holding
+    * anything unbounded.
+    *
+    * `runA`/`runB`: (query_id, neighbor_id, rank) with rank 1..k (the
+    * shape every top-k op here publishes). Output: (query_id, rbo). */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k > 0, "rankBiasedOverlap: k must be positive")
+    require(p > 0 && p < 1, "rankBiasedOverlap: p must be in (0,1)")
+    val tail = rboTail(k, p)
+    val a = runA.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("_ra"))
+    val b = runB.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("_rb"))
+    val matched = a.join(b, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        greatest(col("_ra"), col("_rb")).cast("int").as("_md"))
+    val contrib = (2 to k).foldLeft(
+      when(col("_md") === 1, lit(tail(0).toDouble))) { (acc, md) =>
+      acc.when(col("_md") === md, lit(tail(md - 1).toDouble))
+    }
+    val scores = matched
+      .select(col("query_id"), contrib.cast("decimal(18,6)").as("_c"))
+      .groupBy(col("query_id"))
+      .agg(round(sum(col("_c")).cast("double"), 6).as("rbo"))
+    a.select(col("query_id")).distinct()
+      .join(scores, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
+  /** The per-match-depth contribution table behind [[rankBiasedOverlap]]:
+    * a match first counted at depth md contributes w_d/d for every
+    * d ≥ md, so RBO_k = Σ_matches tail(md). Each w_d and each 1/d is
+    * 6-dp-rounded before the product, and the tail sum is an exact
+    * decimal — exposed so an external SQL oracle interpolates the
+    * IDENTICAL literals (the shared-constant lockstep convention). */
+  private[graft] def rboTail(k: Int, p: Double): Seq[BigDecimal] = {
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val wd = (1 to k).map(d =>
+      r6(math.pow(p, d - 1) * (1 - p) / (1 - math.pow(p, k))).toDouble)
+    (1 to k).map(md =>
+      (md to k).map(d => r6(wd(d - 1) * r6(1.0 / d).toDouble)).sum)
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings", §3.2
+    * ratio margin) — the parallel-pair miner of multilingual training
+    * data: a raw cosine threshold can't separate translations from
+    * hubness artifacts (some vectors are close to EVERYTHING), so each
+    * pair's sim is normalized by the mean of both endpoints' k-NN
+    * neighborhoods: margin(x,y) = cos(x,y) / ((μₖ(x)+μₖ(y))/2). Published
+    * per source item: its best-margin target, with `mutual` = 1 when the
+    * target's best-margin source is this item back (mutual argmax — the
+    * paper's highest-precision retrieval mode).
+    *
+    * Determinism: sims round to 6 dp then enter ALL further arithmetic
+    * as exact integer micro-units (floor(sim·10⁶ + 0.5) — the q141
+    * convention), so each neighborhood is an exact integer (sum, count)
+    * pair and the margin is ONE integer-ratio division + round:
+    * margin = round(su·2·nx·ny / (sx·ny + sy·nx), 6). This is
+    * deliberate: rounding a mean-of-6-dp-values (÷2, ÷k) concentrates
+    * on exact decimal halves, where engines legitimately disagree on
+    * round()'s direction (Spark rounds the shortest decimal repr of the
+    * double; DuckDB rounds its binary value) — integer micro-units never
+    * reach round() at a concentration point. Pairs whose denominator is
+    * ≤ 0 (anticorrelated neighborhoods — no meaningful ratio) are
+    * excluded rather than published with a flipped sign. Zero-norm
+    * vectors are dropped on both sides.
+    *
+    * Scale shape: the src side is the bounded query batch —
+    * broadcast, so every tgt-side pass is map-only ([[bruteForceTopK]]'s
+    * plan shape); per-side μₖ and the argmaxes are salted two-phase
+    * top-k (no per-key task ever holds a full candidate set); the
+    * per-tgt mean joins back by key WITHOUT a broadcast hint (the tgt
+    * side is corpus-sized — AQE decides). The |src|×|tgt| score frame is
+    * never materialized — each consumer branch recomputes the map-only
+    * scan. For corpora where even that is too hot, bound candidates
+    * first with [[knnGraph]]'s cell geometry and run the margin on its
+    * edges.
+    *
+    * Output: (src_id, tgt_id, sim, margin, mutual INT) — one row per
+    * src vector with at least one positive-margin candidate. */
+  def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "marginPairs: k must be positive")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"),
+        norm(col(vecCol)).as("_sn"))
+      .where(col("_sn") =!= 0.0)
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"),
+        norm(col(vecCol)).as("_tn"))
+      .where(col("_tn") =!= 0.0)
+    def scored = t.crossJoin(broadcast(s))
+      .select(col("src_id"), col("tgt_id"),
+        round(dot(col("_sv"), col("_tv")) / (col("_sn") * col("_tn")), 6)
+          .as("sim"))
+      .withColumn("_su", floor(col("sim") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    def sumTopK(keyCol: String, otherCol: String,
+                sOut: String, nOut: String): DataFrame =
+      boundedTopK(scored.withColumnRenamed(keyCol, "query_id"), otherCol,
+          col("sim"), k)
+        .groupBy(col("query_id"))
+        .agg(sum(col("_su")).as(sOut), count(lit(1)).as(nOut))
+        .select(col("query_id").as(keyCol), col(sOut), col(nOut))
+    val mx = sumTopK("src_id", "tgt_id", "_sx", "_nx")
+    val my = sumTopK("tgt_id", "src_id", "_sy", "_ny")
+    val margins = scored
+      .join(broadcast(mx), Seq("src_id"))
+      .join(my, Seq("tgt_id"))
+      .withColumn("_den",
+        col("_sx") * col("_ny") + col("_sy") * col("_nx"))
+      .withColumn("margin",
+        when(col("_den") > 0,
+          round((col("_su") * lit(2L) * col("_nx") * col("_ny"))
+            .cast("double") / col("_den").cast("double"), 6)))
+      .where(col("margin").isNotNull)
+    val fwd = boundedTopK(margins.withColumnRenamed("src_id", "query_id"),
+        "tgt_id", col("margin"), 1)
+      .select(col("query_id").as("src_id"), col("tgt_id"), col("sim"),
+        col("margin"))
+    val bwd = boundedTopK(margins.withColumnRenamed("tgt_id", "query_id"),
+        "src_id", col("margin"), 1)
+      .select(col("src_id"), col("query_id").as("tgt_id"), lit(1).as("_mut"))
+    fwd.join(bwd, Seq("src_id", "tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"),
+        coalesce(col("_mut"), lit(0)).as("mutual"))
+  }
+
+  /** Per-dimension embedding-store statistics — the health monitor every
+    * vector corpus needs BEFORE index builds and similarity math trust
+    * it: a collapsed dimension (variance ≈ 0 — a dead unit or a
+    * defaulted field), a runaway dimension (extreme min/max — an
+    * unnormalized ingest batch), or a shifted mean (mixed encoder
+    * versions) silently poisons every cosine downstream; per-dimension
+    * moments catch all three in one pass. Vectors shorter than `dim`
+    * fail loudly (the PQ-tier `vecChecked` contract).
+    *
+    * Determinism: sums of x and x² accumulate AS DECIMAL(38,12) (the
+    * [[groupCentroids]] convention — exact, order-free); mean and
+    * population variance publish at 6 dp from one IEEE divide/multiply
+    * chain; min/max are exact doubles.
+    *
+    * Scale shape: one posexplode pass with map-side partial aggregation
+    * — the shuffle carries dim × partial-aggregate rows, never vectors;
+    * output is dim rows. Output: (d INT, n, mean_6, var_6, min_x,
+    * max_x). */
+  def embeddingStats(vectors: DataFrame, idCol: String, vecCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0, "embeddingStats: dim must be positive")
+    val dec = "decimal(38,12)"
+    val ex = vectors.select(posexplode(
+      vecChecked(col(vecCol), dim, "embeddingStats")).as(Seq("d", "_x")))
+    ex.groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_s"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_ss"),
+        min(col("_x")).as("min_x"),
+        max(col("_x")).as("max_x"))
+      .select(col("d"), col("n"),
+        round(col("_s").cast("double") / col("n"), 6).as("mean_6"),
+        round(col("_ss").cast("double") / col("n") -
+          (col("_s").cast("double") / col("n")) *
+          (col("_s").cast("double") / col("n")), 6).as("var_6"),
+        col("min_x"), col("max_x"))
+  }
+
+  /** Cell-bounded k-nearest-neighbor GRAPH over the embedding corpus —
+    * the bridge from the vector tier to the graph tier: kNN edges feed
+    * [[graft.ops.Dedup.connectedComponents]] (semantic clusters),
+    * [[graft.ops.Graph.labelPropagation]] (communities), or
+    * [[graft.ops.Graph.pageRankFixedPoint]] (centrality in embedding
+    * space) — the NN-graph clustering recipe used for corpus topic
+    * discovery. Same geometry as [[semDedup]]: a frozen coarse quantizer
+    * assigns cells map-only, neighbors are ranked only WITHIN a cell
+    * (k independent |cell|² blocks, never a global pair frame), so
+    * cross-cell edges are missed BY DESIGN — size the quantizer so cells
+    * hold ~10³–10⁴ rows. Zero-norm vectors are excluded from both sides
+    * (cosine undefined; a NaN would outrank real sims in a desc sort).
+    *
+    * Output: directed kNN edges (idCol, neighbor_id, sim, rank 1..k by
+    * (sim desc, id asc)); per-query ranking is the salted two-phase
+    * top-k, so no task holds a cell's full candidate set. */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+               cents: Seq[(Int, Seq[Double])], k: Int): DataFrame = {
+    require(cents.nonEmpty, "knnGraph: need at least one centroid")
+    require(k > 0, "knnGraph: k must be positive")
+    // Zero-norm rows drop BEFORE the cell assignment: ivfCell divides by
+    // the row norm, and under ANSI mode 0/0 throws in the same projection
+    // regardless of a later filter.
+    val base = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        norm(col(vecCol)).as("_n"))
+      .where(col("_n") =!= 0.0)
+      .select(col("_id"), col("_v"), col("_n"),
+        ivfCell(col("_v"), cents).as("_cell"))
+    val o = base.select(col("_cell").as("_bcell"), col("_id").as("_bid"),
+      col("_v").as("_bv"), col("_n").as("_bn"))
+    val scored = base.join(o,
+        col("_cell") === col("_bcell") && col("_id") =!= col("_bid"))
+      .select(col("_id").as("query_id"), col("_bid").as("neighbor_id"),
+        round(dot(col("_v"), col("_bv")) / (col("_n") * col("_bn")), 6)
+          .as("sim"))
+    topKByQuery(scored, "neighbor_id", k)
+      .select(col("query_id").as(idCol), col("neighbor_id"), col("sim"),
+        col("rank"))
+  }
+
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                cents: Seq[(Int, Seq[Double])],
                threshold: Double): DataFrame = {

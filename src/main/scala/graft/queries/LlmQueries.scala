@@ -123,6 +123,15 @@ object LlmQueries {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
 
+  /** q160's per-match-depth RBO contribution table, interpolated from the
+    * op's own constants ([[graft.ops.Similarity.rboTail]]) so both
+    * engines walk identical literals — the shared-constant lockstep
+    * convention (same as the PII regexes). */
+  private lazy val RboTailCaseSql: String =
+    (1 to 10).map(md =>
+      s"WHEN $md THEN CAST(${Similarity.rboTail(10, 0.9)(md - 1)} " +
+        "AS DECIMAL(18,6))").mkString(" ")
+
   val all: Seq[QueryDef] = Seq(
 
     // ── token counting (whitespace + BPE-ish regex) ──
@@ -913,6 +922,458 @@ object LlmQueries {
         pairs)
       Dedup.softDedupWeights(assign, "doc_id", "cluster_id")
         .orderBy("doc_id")
+    },
+
+    // ── q153: temperature-softmax mixture weights (the DoReMi-family
+    //    score→weight step): per-source score = round(ln(1+Σn_chars),6)
+    //    (a stand-in for per-domain excess loss — any score column
+    //    works; division-free on purpose, a mean-of-6dp-values lands
+    //    round() on exact decimal halves where engines disagree) →
+    //    weight ∝ exp(score/τ) at τ=0.5, published as floored ppm for
+    //    the samplers (q78/q140 consume ppm weight tables). ──
+    QueryDef("q153_mixture_weights",
+      """WITH a AS (SELECT source,
+        |        round(ln(1 + sum(n_chars)), 6) AS score
+        |      FROM documents GROUP BY 1),
+        |e AS (SELECT source, score,
+        |        round(exp(round(score / 0.5, 6)), 6) AS b FROM a),
+        |t AS (SELECT sum(CAST(b AS DECIMAL(18,6))) AS tot FROM e)
+        |SELECT source, score, b AS boltzmann_6,
+        |  CAST(floor(b * 1000000.0 / CAST(tot AS DOUBLE)) AS BIGINT)
+        |    AS weight_ppm
+        |FROM e CROSS JOIN t
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val stats = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(round(log(lit(1) + sum(col("n_chars"))), 6).as("score"))
+      Sampling.mixtureWeights(stats, "source", "score", tau = 0.5)
+        .orderBy("source")
+    },
+
+    // ── q154: semantic components — the vector tier feeding the graph
+    //    tier: cell-bounded kNN graph (q48's frozen quantizer, k=3
+    //    neighbors within a cell) → connected components → one semantic
+    //    cluster id per vector (the NN-graph corpus-clustering recipe).
+    //    The oracle replays assignment, within-cell ranking, edge
+    //    symmetrization, and the recursive closure. ──
+    QueryDef("q154_semantic_components",
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t WHERE c.n <> 0) WHERE rk = 1),
+        |sc AS (
+        |  SELECT a.id AS qid, b.id AS nid,
+        |    round(list_inner_product(x.vec, y.vec) / (x.n * y.n), 6) AS sim
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id
+        |  JOIN w x ON x.id = a.id JOIN w y ON y.id = b.id
+        |  WHERE y.n <> 0),
+        |knn AS (SELECT qid, nid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, nid) AS rk FROM sc) WHERE rk <= 3),
+        |e AS (SELECT qid AS u, nid AS v FROM knn
+        |      UNION SELECT nid, qid FROM knn),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
+        |         FROM reach GROUP BY u)
+        |SELECT w.id AS vec_id, COALESCE(c.cluster_id, w.id) AS cluster_id,
+        |  CAST(COALESCE(c.cluster_id, w.id) = w.id AS INT) AS keep
+        |FROM w LEFT JOIN comp c ON c.id = w.id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val edges = Similarity.knnGraph(emb, "id", "vec", cents, k = 3)
+        .select(col("id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      Dedup.dedupAssign(emb.select(col("id")), "id", edges)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("keep"))
+        .orderBy("vec_id")
+    },
+
+    // ── q155: contrastive positive pairs from the near-dup cluster table
+    //    (q57's graph) — path pairing with m=2 successors in id order:
+    //    n·m pairs per cluster instead of n², every member connected.
+    //    The complement of q123's hard negatives: the dedup tier's
+    //    byproduct IS the supervised contrastive training set. ──
+    QueryDef("q155_positive_pairs",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id,
+         |          COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |mult AS (SELECT cluster_id FROM asg GROUP BY 1
+         |         HAVING count(*) > 1),
+         |mem AS (SELECT a.cluster_id, a.doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+         |            ORDER BY a.doc_id) AS rn
+         |        FROM asg a JOIN mult USING (cluster_id))
+         |SELECT a.cluster_id, a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id
+         |  AND b.rn > a.rn AND b.rn <= a.rn + 2
+         |ORDER BY a.cluster_id, id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      val assign = Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id",
+        pairs)
+      Dedup.positivePairs(assign, "doc_id", "cluster_id", m = 2)
+        .orderBy("cluster_id", "id_a", "id_b")
+    },
+
+    // ── q156: per-language robust z-scores (median/MAD) over a quality
+    //    signal — cross-population score normalization so ONE global
+    //    threshold compares fairly across languages; value-based lower
+    //    medians (never interpolated), MAD over |x−med|, z rounded 6.
+    //    The oracle replays both medians with plain cumulative windows
+    //    (the q131 two-level ≡ one-level equivalence is spec-pinned). ──
+    QueryDef("q156_robust_z",
+      """WITH s AS (SELECT doc_id, lang, n_chars FROM documents),
+        |c AS (SELECT lang, n_chars AS v, count(*) AS c FROM s GROUP BY 1, 2),
+        |cum AS (SELECT lang, v,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM c),
+        |med AS (SELECT lang, min(v) AS median FROM cum
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |dv AS (SELECT s.lang, abs(s.n_chars - m.median) AS v
+        |       FROM s JOIN med m USING (lang)),
+        |dc AS (SELECT lang, v, count(*) AS c FROM dv GROUP BY 1, 2),
+        |dcum AS (SELECT lang, v,
+        |           sum(c) OVER (PARTITION BY lang ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |           sum(c) OVER (PARTITION BY lang) AS n
+        |         FROM dc),
+        |mad AS (SELECT lang, min(v) AS mad FROM dcum
+        |        WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.n_chars, m.median, a.mad,
+        |  CASE WHEN a.mad <> 0
+        |       THEN round(CAST(s.n_chars - m.median AS DOUBLE)
+        |              / CAST(a.mad AS DOUBLE), 6)
+        |  END AS z6
+        |FROM s JOIN med m USING (lang) JOIN mad a USING (lang)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scoring.robustZScores(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("median"),
+          col("mad"), col("z6"))
+        .orderBy("doc_id")
+    },
+
+    // ── q157: Stupid-Backoff trigram LM (Brants et al. 2007) fitted on
+    //    the 'en' reference slice, scoring ALL docs — the CCNet shape
+    //    proper (clean-reference model over raw corpus; q81 is the
+    //    self-fit bigram tier, which never backs off). Non-en docs
+    //    exercise every backoff branch incl. the OOV floor. ──
+    QueryDef("q157_trigram_backoff",
+      """WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN []
+        |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |             AS toks
+        |           FROM documents),
+        |tg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |         FOR i IN generate_series(1, len(toks)-2)]) AS g FROM t),
+        |rt AS (SELECT toks FROM t WHERE lang = 'en'),
+        |c123 AS (SELECT g, count(*) AS c123 FROM (
+        |    SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      FOR i IN generate_series(1, len(toks)-2)]) AS g FROM rt)
+        |  GROUP BY 1),
+        |cbg AS (SELECT g, count(*) AS cbg FROM (
+        |    SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |      FOR i IN generate_series(1, len(toks)-1)]) AS g FROM rt)
+        |  GROUP BY 1),
+        |cun AS (SELECT tok, count(*) AS cun FROM (
+        |    SELECT unnest(toks) AS tok FROM rt) WHERE tok <> '' GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM (
+        |    SELECT unnest(toks) AS tok FROM rt) WHERE tok <> ''),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(-ln(
+        |      CASE WHEN t3.c123 IS NOT NULL
+        |             THEN t3.c123 / CAST(b12.cbg AS DOUBLE)
+        |           WHEN b23.cbg IS NOT NULL
+        |             THEN 0.4 * (b23.cbg / CAST(u2.cun AS DOUBLE))
+        |           ELSE 0.4 * 0.4 * (coalesce(u3.cun, 1) / nn.n) END), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM tg
+        |  LEFT JOIN c123 t3 ON t3.g = tg.g
+        |  LEFT JOIN cbg b12
+        |    ON b12.g = split_part(tg.g, ' ', 1) || ' ' || split_part(tg.g, ' ', 2)
+        |  LEFT JOIN cbg b23
+        |    ON b23.g = split_part(tg.g, ' ', 2) || ' ' || split_part(tg.g, ' ', 3)
+        |  LEFT JOIN cun u2 ON u2.tok = split_part(tg.g, ' ', 2)
+        |  LEFT JOIN cun u3 ON u3.tok = split_part(tg.g, ' ', 3)
+        |  CROSS JOIN nn),
+        |d AS (SELECT doc_id, count(*) AS n_trigrams,
+        |        round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+        |      FROM lp GROUP BY 1)
+        |SELECT doc_id, coalesce(n_trigrams, 0) AS n_trigrams, cross_entropy
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Scoring.trigramLmScore(docs, "doc_id", "text",
+          docs.where(col("lang") === "en"), "text")
+        .orderBy("doc_id")
+    },
+
+    // ── q158: margin-based bitext mining (Artetxe & Schwenk 2019 ratio
+    //    margin): src batch (vec_id%10=0) against the tgt corpus — each
+    //    pair's cosine normalized by both endpoints' k-NN neighborhood
+    //    means (the hubness correction), best-margin target per src,
+    //    mutual-argmax flag. Full chain replayed: sims, per-side top-4
+    //    decimal means, margins, both argmaxes. ──
+    QueryDef("q158_bitext_margin",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |s AS (SELECT id AS sid, vec, n FROM w WHERE id % 10 = 0 AND n <> 0),
+        |t2 AS (SELECT id AS tid, vec, n FROM w WHERE id % 10 <> 0 AND n <> 0),
+        |sc AS (SELECT sid, tid,
+        |         round(list_inner_product(s.vec, t2.vec) / (s.n * t2.n), 6)
+        |           AS sim
+        |       FROM s, t2),
+        |sc2 AS (SELECT sid, tid, sim,
+        |          CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS su
+        |        FROM sc),
+        |fr AS (SELECT sid, tid, su, ROW_NUMBER() OVER (PARTITION BY sid
+        |         ORDER BY sim DESC, tid) AS rk FROM sc2),
+        |mx AS (SELECT sid, CAST(sum(su) AS BIGINT) AS sx, count(*) AS nx
+        |       FROM fr WHERE rk <= 4 GROUP BY 1),
+        |br AS (SELECT sid, tid, su, ROW_NUMBER() OVER (PARTITION BY tid
+        |         ORDER BY sim DESC, sid) AS rk FROM sc2),
+        |my AS (SELECT tid, CAST(sum(su) AS BIGINT) AS sy, count(*) AS ny
+        |       FROM br WHERE rk <= 4 GROUP BY 1),
+        |mg AS (SELECT sc2.sid, sc2.tid, sim,
+        |         round(CAST(su * 2 * nx * ny AS DOUBLE)
+        |           / CAST(sx * ny + sy * nx AS DOUBLE), 6) AS margin
+        |       FROM sc2 JOIN mx USING (sid) JOIN my USING (tid)
+        |       WHERE sx * ny + sy * nx > 0),
+        |fwd AS (SELECT sid, tid, sim, margin FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+        |      ORDER BY margin DESC, tid) AS rk FROM mg) WHERE rk = 1),
+        |bwd AS (SELECT sid, tid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+        |      ORDER BY margin DESC, sid) AS rk FROM mg) WHERE rk = 1)
+        |SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim, f.margin,
+        |  CAST(b.sid IS NOT NULL AS INT) AS mutual
+        |FROM fwd f LEFT JOIN bwd b ON b.sid = f.sid AND b.tid = f.tid
+        |ORDER BY src_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.marginPairs(emb.where(col("id") % 10 === 0),
+          emb.where(col("id") % 10 =!= 0), "id", "vec", k = 4)
+        .orderBy("src_id")
+    },
+
+    // ── q159: vocabulary-growth curve (Heaps'-law audit) — new distinct
+    //    terms per 50-doc ingestion bucket + running total: a flat tail
+    //    means the crawl re-ingests what it has (failed dedup), a linear
+    //    tail means unbounded junk tokens. First-occurrence bucketing is
+    //    a pure function of the corpus. ──
+    QueryDef("q159_vocab_growth",
+      """WITH toks AS (SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |pb AS (SELECT doc_id // 50 AS bucket, count(*) AS n_tokens
+        |       FROM tk GROUP BY 1),
+        |ft AS (SELECT tok, min(doc_id) AS f FROM tk GROUP BY 1),
+        |nt AS (SELECT f // 50 AS bucket, count(*) AS new_terms
+        |       FROM ft GROUP BY 1)
+        |SELECT pb.bucket, CAST(pb.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+        |  CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_terms
+        |FROM pb LEFT JOIN nt USING (bucket)
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.ops.Profile.vocabularyGrowth(Tables.documents(s, d), "doc_id",
+          "text", bucketSize = 50L)
+        .orderBy("bucket")
+    },
+
+    // ── q160: rank-biased overlap between the int8 serving run (q148)
+    //    and the float brute-force truth (q23's chain) — the
+    //    rank-SENSITIVE index audit (q149's recall says the right SET
+    //    comes back; RBO says in the right ORDER, top-weighted at
+    //    p=0.9). The per-depth contribution table is interpolated into
+    //    the oracle from the op's own constants (shared-literal
+    //    lockstep). ──
+    QueryDef("q160_rbo_int8",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |w AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS n
+         |      FROM v),
+         |tq AS (SELECT * FROM w WHERE vec_id % 50 = 0),
+         |tsc AS (
+         |  SELECT tq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_inner_product(tq.vec, c.vec) / (tq.n * c.n), 6) AS sim
+         |  FROM tq, w c WHERE c.vec_id <> tq.vec_id),
+         |ra AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM tsc)
+         |  WHERE rank <= 10),
+         |m AS (SELECT vec_id, vec, list_max([abs(x) FOR x IN vec]) AS am
+         |      FROM v),
+         |q8 AS (SELECT vec_id,
+         |        CASE WHEN am = 0 THEN [0.0 FOR x IN vec]
+         |             ELSE [floor(x * 127.0 / am + 0.5) FOR x IN vec]
+         |        END AS c FROM m),
+         |n8 AS (SELECT vec_id, c, sqrt(list_inner_product(c, c)) AS n FROM q8),
+         |aq AS (SELECT * FROM n8 WHERE vec_id % 50 = 0),
+         |asc0 AS (
+         |  SELECT aq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN aq.n * c.n = 0 THEN 0.0
+         |         ELSE round(list_inner_product(aq.c, c.c) / (aq.n * c.n), 6)
+         |    END AS sim
+         |  FROM aq, n8 c WHERE c.vec_id <> aq.vec_id),
+         |rb AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM asc0)
+         |  WHERE rank <= 10),
+         |mt AS (SELECT ra.query_id,
+         |         greatest(ra.rank, rb.rank) AS md
+         |       FROM ra JOIN rb ON rb.query_id = ra.query_id
+         |         AND rb.neighbor_id = ra.neighbor_id),
+         |sc2 AS (SELECT query_id,
+         |          round(CAST(sum(CASE md ${RboTailCaseSql} END) AS DOUBLE), 6)
+         |            AS rbo
+         |        FROM mt GROUP BY 1)
+         |SELECT q.query_id, coalesce(sc2.rbo, 0.0) AS rbo
+         |FROM (SELECT DISTINCT query_id FROM ra) q
+         |LEFT JOIN sc2 USING (query_id)
+         |ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val queries = emb.where(col("id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+      val codes = Similarity.scalarQuantizeInt8(
+        emb.withColumnRenamed("id", "vec_id"), "vec_id", "vec")
+      val approx = Similarity.int8TopK(
+        codes.where(col("vec_id") % 50 === 0), codes, "vec_id", k = 10)
+      Similarity.rankBiasedOverlap(truth, approx, k = 10, p = 0.9)
+        .orderBy("query_id")
+    },
+
+    // ── q161: per-dimension embedding-store statistics — the vector-
+    //    corpus health monitor (collapsed dims, runaway dims, shifted
+    //    means) run before any index build trusts the store; decimal-
+    //    exact moment sums (the q122 convention). ──
+    QueryDef("q161_embedding_stats",
+      """WITH v AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
+        |ex AS (SELECT unnest(generate_series(1, len(vec))) - 1 AS d,
+        |         unnest(vec) AS x FROM v)
+        |SELECT CAST(d AS INT) AS d, count(*) AS n,
+        |  round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+        |    AS mean_6,
+        |  round(CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+        |    - (CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+        |      * (CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)), 6)
+        |    AS var_6,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM ex GROUP BY d
+        |ORDER BY d""".stripMargin) { (s, d) =>
+      Similarity.embeddingStats(
+          Tables.embeddings(s, d).select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("vec")),
+          "vec_id", "vec", dim = 64)
+        .orderBy("d")
+    },
+
+    // ── q162: curated epoch plan — three round-15 stages chained the
+    //    way a recipe uses them (the q85/q126/q145 composition
+    //    discipline): per-language robust-z length gate (|z| ≤ 2 keeps
+    //    length-sane docs) → per-source available tokens → softmax
+    //    mixture weights over round(ln(1+avail),6) → budget epoch plan.
+    //    mixtureWeights' ppm output feeds epochPlan's weight contract
+    //    directly — no glue. ──
+    QueryDef("q162_curated_epoch_plan",
+      """WITH s AS (SELECT doc_id, lang, source, text, n_chars FROM documents),
+        |c AS (SELECT lang, n_chars AS v, count(*) AS c FROM s GROUP BY 1, 2),
+        |cum AS (SELECT lang, v,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM c),
+        |med AS (SELECT lang, min(v) AS median FROM cum
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |dv AS (SELECT s.lang, abs(s.n_chars - m.median) AS v
+        |       FROM s JOIN med m USING (lang)),
+        |dc AS (SELECT lang, v, count(*) AS c FROM dv GROUP BY 1, 2),
+        |dcum AS (SELECT lang, v,
+        |           sum(c) OVER (PARTITION BY lang ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |           sum(c) OVER (PARTITION BY lang) AS n
+        |         FROM dc),
+        |mad AS (SELECT lang, min(v) AS mad FROM dcum
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |kept AS (SELECT s.* FROM s JOIN med m USING (lang)
+        |         JOIN mad a USING (lang)
+        |         WHERE a.mad <> 0
+        |           AND abs(round(CAST(s.n_chars - m.median AS DOUBLE)
+        |                 / CAST(a.mad AS DOUBLE), 6)) <= 2.0),
+        |tok AS (SELECT source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM kept),
+        |avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS available_tokens
+        |          FROM tok GROUP BY 1),
+        |sc3 AS (SELECT source, available_tokens,
+        |          round(ln(1 + available_tokens), 6) AS score FROM avail),
+        |e AS (SELECT source, available_tokens, score,
+        |        round(exp(round(score / 1.0, 6)), 6) AS b FROM sc3),
+        |t AS (SELECT sum(CAST(b AS DECIMAL(18,6))) AS tot FROM e),
+        |wt AS (SELECT source, available_tokens,
+        |         CAST(floor(b * 1000000.0 / CAST(tot AS DOUBLE)) AS BIGINT)
+        |           AS weight_ppm
+        |       FROM e CROSS JOIN t),
+        |p AS (SELECT source, available_tokens, weight_ppm,
+        |    CAST(CAST(50000 AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
+        |      AS target_tokens,
+        |    CAST(CAST(available_tokens AS HUGEINT) * 1000000 // 1000000
+        |      AS BIGINT) AS cap
+        |  FROM wt)
+        |SELECT source, available_tokens, weight_ppm, target_tokens,
+        |  least(target_tokens, cap) AS planned_tokens,
+        |  CASE WHEN available_tokens = 0 THEN 0
+        |    ELSE CAST(CAST(least(target_tokens, cap) AS HUGEINT) * 1000000
+        |      // available_tokens AS BIGINT) END AS epochs_ppm,
+        |  target_tokens - least(target_tokens, cap) AS shortfall_tokens
+        |FROM p
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val kept = Scoring.robustZScores(docs, "lang", "n_chars")
+        .where(col("z6").isNotNull && abs(col("z6")) <= 2.0)
+      val avail = kept.select(col("source"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")).as("n_tok"))
+      val stats = avail.groupBy(col("source"))
+        .agg(sum(col("n_tok").cast("long")).as("available_tokens"))
+        .select(col("source"),
+          round(log(lit(1) + col("available_tokens")), 6).as("score"))
+      val weights = Sampling.mixtureWeights(stats, "source", "score",
+          tau = 1.0)
+        .select(col("source"), col("weight_ppm"))
+      Sampling.epochPlan(avail, "source", "n_tok", weights, budget = 50000L,
+          maxEpochsPpm = 1000000L)
+        .orderBy("source")
     },
 
     // ── q134: batch crawl admission against the PERSISTED signature

@@ -566,6 +566,35 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3 <= 3) && got.forall(p => p._1 < p._2))
   }
 
+  test("positivePairs: path pairing with m successors, singletons " +
+      "excluded, viral clusters capped deterministically") {
+    import spark.implicits._
+    val assign = Seq((1L, 1L), (3L, 1L), (7L, 1L), (9L, 1L), // 4-cluster
+      (20L, 20L),                                            // singleton
+      (30L, 30L), (31L, 30L))                                // 2-cluster
+      .toDF("doc_id", "cluster_id")
+    val m1 = Dedup.positivePairs(assign, "doc_id", "cluster_id", m = 1)
+      .orderBy("cluster_id", "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m1.toSeq == Seq((1L, 1L, 3L), (1L, 3L, 7L), (1L, 7L, 9L),
+      (30L, 30L, 31L)))
+    val m2 = Dedup.positivePairs(assign, "doc_id", "cluster_id", m = 2)
+      .orderBy("cluster_id", "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m2.toSeq == Seq((1L, 1L, 3L), (1L, 1L, 7L), (1L, 3L, 7L),
+      (1L, 3L, 9L), (1L, 7L, 9L), (30L, 30L, 31L)))
+    assert(m2.forall(p => p._2 < p._3))
+    // viral cluster: contribution bounded at maxCluster members →
+    // ≤ (maxCluster−1)·m pairs, and the kept subset is deterministic
+    val viral = (1L to 500L).map(i => (i, 0L)).toDF("doc_id", "cluster_id")
+    val a = Dedup.positivePairs(viral, "doc_id", "cluster_id", m = 2,
+      maxCluster = 50).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.positivePairs(viral.repartition(7), "doc_id", "cluster_id",
+      m = 2, maxCluster = 50).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.size <= 49 * 2 && a.size >= 49)
+  }
+
   test("softDedupWeights: exact ppm weights, singletons at 1000000, " +
       "no window in the plan") {
     import spark.implicits._

@@ -20,4 +20,19 @@ class ProfileSpec extends SparkSpec {
     val plan = Profile.profile(df, Seq("x", "s")).queryExecution.executedPlan
     assert(plan.collectLeaves().size == 1, plan.toString.take(300))
   }
+
+  test("vocabularyGrowth: first-occurrence bucketing, running total, " +
+      "empty docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"),      // bucket 0: 4 tokens, new {a,b,c}
+      (60L, "c d e"),                // bucket 1: 3 tokens, new {d,e}
+      (130L, "   "))                 // whitespace only: no tokens at all
+      .toDF("doc_id", "text")
+    val got = Profile.vocabularyGrowth(docs, "doc_id", "text",
+        bucketSize = 50L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 4L, 3L, 3L), (1L, 3L, 2L, 5L)))
+  }
 }

@@ -458,4 +458,151 @@ class PropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
     assert(got.toSeq == model)
   }
+
+  test("crossSemDedup == brute-force cross model on random vector sets") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toDouble / 5.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val vs = samples(vecGen, 80).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val cents = vs.take(4).map { case (i, v) => (i.toInt, v: Seq[Double]) }
+    val (refs, corpus) = vs.partition(_._1 % 5 == 0)
+    val thr = 0.8
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val cell = (v: Seq[Double]) =>
+      cents.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1
+    val model = corpus.map { case (id, v) =>
+      val nc = refs.count { case (_, u) =>
+        cell(u) == cell(v) && cos(u, v) >= thr }
+      (id, cell(v), nc.toLong, if (nc == 0) 1 else 0)
+    }
+    val got = graft.ops.Similarity.crossSemDedup(
+        corpus.toDF("id", "vec"), refs.toDF("id", "vec"), "id", "vec",
+        cents, thr)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == model)
+  }
+
+  test("int8TopK == bruteForceTopK over the code vectors (absmax cancels)") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(6, Gen.chooseNum(-100, 100).map(_.toDouble / 7.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val vs = samples(vecGen, 60).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vs.toDF("id", "vec")
+    val codes = graft.ops.Similarity.scalarQuantizeInt8(df, "id", "vec")
+    val got = graft.ops.Similarity.int8TopK(
+        codes.where(col("id") % 7 === 0), codes, "id", k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // reference: brute-force cosine over the SAME codes as double vectors
+    val codeVecs = codes.select(col("id"),
+      transform(col("codes"), _.cast("double")).as("vec"))
+    val exp = graft.ops.Similarity.bruteForceTopK(
+        codeVecs.where(col("id") % 7 === 0), codeVecs, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("softDedupWeights: per-cluster weight mass within floor bias of 1e6") {
+    import spark.implicits._
+    val g = Gen.listOfN(120, Gen.chooseNum(0L, 20L))
+    val assign = samples(g, 1).head.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("doc_id", "cluster_id")
+    val rows = graft.ops.Dedup.softDedupWeights(assign, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, members) =>
+      val size = members.head._2
+      assert(members.forall(_._2 == size))
+      val mass = members.map(_._3).sum
+      assert(mass <= 1000000L && mass > 1000000L - size,
+        s"cluster mass $mass size $size")
+    }
+  }
+
+  test("positivePairs == successor-path model on random assigns") {
+    import spark.implicits._
+    val g = Gen.listOfN(80, Gen.chooseNum(0L, 12L))
+    val data = samples(g, 1).head.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }
+    val m = 3
+    val model = data.groupBy(_._2).toSeq.flatMap { case (c, mem) =>
+      val ids = mem.map(_._1).sorted
+      if (ids.size < 2) Seq.empty
+      else for {
+        i <- ids.indices
+        j <- (i + 1) to math.min(i + m, ids.size - 1)
+      } yield (c, ids(i), ids(j))
+    }.sorted
+    val got = graft.ops.Dedup.positivePairs(
+        data.toDF("doc_id", "cluster_id"), "doc_id", "cluster_id", m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got == model)
+  }
+
+  test("rankBiasedOverlap == tail-sum model on random rankings") {
+    import spark.implicits._
+    val k = 6
+    val tail = graft.ops.Similarity.rboTail(k, 0.9)
+    val permGen = Gen.pick(k, 0 until 20).map(_.toList)
+    val queries = (1L to 30L).map(q =>
+      (q, samples(permGen, 1).head, samples(permGen, 1).head))
+    val runA = queries.flatMap { case (q, a, _) =>
+      a.zipWithIndex.map { case (n, i) => (q, n.toLong, i + 1) } }
+      .toDF("query_id", "neighbor_id", "rank")
+    val runB = queries.flatMap { case (q, _, b) =>
+      b.zipWithIndex.map { case (n, i) => (q, n.toLong, i + 1) } }
+      .toDF("query_id", "neighbor_id", "rank")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val model = queries.map { case (q, a, b) =>
+      val mds = a.zipWithIndex.flatMap { case (n, i) =>
+        val j = b.indexOf(n)
+        if (j < 0) None else Some(math.max(i + 1, j + 1))
+      }
+      (q, r6(mds.map(md => tail(md - 1)).sum.toDouble))
+    }
+    val got = graft.ops.Similarity.rankBiasedOverlap(runA, runB, k, 0.9)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == model)
+  }
+
+  test("robustZScores == sort-based median/MAD model on random keyed data") {
+    import spark.implicits._
+    val g = for {
+      key <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (key, v)
+    val data = samples(g, 300).zipWithIndex
+      .map { case ((key, v), i) => (key, i.toLong, v) }
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.size + 1) / 2 - 1)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byKey = data.groupBy(_._1)
+    val model = data.map { case (key, id, v) =>
+      val vals = byKey(key).map(_._3)
+      val med = lowerMedian(vals)
+      val mad = lowerMedian(vals.map(x => math.abs(x - med)))
+      val z = if (mad == 0) None else Some(r6((v - med).toDouble / mad))
+      (id, med, mad, z)
+    }.sortBy(_._1)
+    val got = graft.ops.Scoring.robustZScores(
+        data.toDF("k", "id", "v"), "k", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == model)
+  }
 }

@@ -258,6 +258,32 @@ class SamplingSpec extends SparkSpec {
       ("C", 0L, 300000L, 300L, 0L, 0L, 300L)))
   }
 
+  test("mixtureWeights: driver-replayed softmax, tau flattens, ppm sums " +
+      "within floor bias") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stats = Seq(("web", 2.0), ("code", 1.0), ("books", 0.5))
+      .toDF("src", "score")
+    val got = Sampling.mixtureWeights(stats, "src", "score", tau = 1.0)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
+    val e = Map("web" -> r6(math.exp(2.0)), "code" -> r6(math.exp(1.0)),
+      "books" -> r6(math.exp(0.5)))
+    val tot = e.values.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    def ppm(k: String) = math.floor(e(k) * 1000000.0 / tot).toLong
+    assert(got.toSeq == Seq(
+      ("books", e("books"), ppm("books")), ("code", e("code"), ppm("code")),
+      ("web", e("web"), ppm("web"))))
+    val sum = got.map(_._3).sum
+    assert(sum <= 1000000L && sum >= 1000000L - 3)
+    // higher tau → flatter mixture (the DoReMi aggressiveness knob)
+    val flat = Sampling.mixtureWeights(stats, "src", "score", tau = 100.0)
+      .collect().map(_.getLong(3))
+    assert(flat.max - flat.min < got.map(_._3).max - got.map(_._3).min)
+  }
+
   test("diverseTopK: per-stratum cap + global budget, capped-out rows " +
       "ineligible, deterministic ranks") {
     import spark.implicits._

@@ -351,6 +351,57 @@ class ScoringSpec extends SparkSpec {
     assert(one.toSeq == Seq(("c1", "apple"), ("c2", "cherry")))
   }
 
+  test("trigramLmScore: every Stupid-Backoff branch hand-computed " +
+      "(seen trigram, bigram backoff, OOV floor), short docs NULL") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    // ref counts: tri {abc,bca,cab,abd}=1; bi {"a b"->2,"b c","c a","b d"->1};
+    // uni {a->2,b->2,c->1,d->1}; N=6
+    val docs = Seq(
+      (1L, "a b c"),  // seen trigram: p = C(abc)/C(ab) = 1/2
+      (2L, "b c d"),  // tri unseen, bigram "c d" unseen, d in vocab:
+                      //   p = 0.16 * C(d)/N = 0.16 * 1/6
+      (3L, "x a b"),  // tri unseen, bigram "a b" seen: p = 0.4 * C(ab)/C(a)
+                      //   = 0.4 * 2/2
+      (4L, "q q z"),  // tri/bigram unseen, z OOV: p = 0.16 * 1/N (floor)
+      (5L, "a b"))    // too short: NULL
+      .toDF("doc_id", "text")
+    val got = Scoring.trigramLmScore(docs, "doc_id", "text", ref, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, 1L, Some(r6(-math.log(1.0 / 2.0)))),
+      (2L, 1L, Some(r6(-math.log(0.4 * 0.4 * (1.0 / 6.0))))),
+      (3L, 1L, Some(r6(-math.log(0.4 * (2.0 / 2.0))))),
+      (4L, 1L, Some(r6(-math.log(0.4 * 0.4 * (1.0 / 6.0))))),
+      (5L, 0L, None)))
+  }
+
+  test("robustZScores: hand-computed median/MAD, degenerate MAD and null " +
+      "scores publish NULL z") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, Some(1L)), ("en", 2L, Some(2L)), ("en", 3L, Some(3L)),
+      ("en", 4L, Some(4L)), ("en", 5L, Some(100L)),
+      ("en", 6L, None), // null score: carries thresholds, z NULL
+      ("fr", 11L, Some(5L)), ("fr", 12L, Some(5L)), ("fr", 13L, Some(5L)),
+      ("fr", 14L, Some(9L))) // MAD 0: no robust scale, z NULL
+      .toDF("lang", "id", "v")
+    val got = Scoring.robustZScores(df, "lang", "v").orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    // en: median = 3 (lower median of 5), MAD = median of [2,1,0,1,97] = 1
+    assert(got.take(6).toSeq == Seq(
+      (1L, 3L, 1L, Some(-2.0)), (2L, 3L, 1L, Some(-1.0)),
+      (3L, 3L, 1L, Some(0.0)), (4L, 3L, 1L, Some(1.0)),
+      (5L, 3L, 1L, Some(97.0)), (6L, 3L, 1L, None)))
+    // fr: median = 5, deviations [0,0,0,4] → MAD 0 → z NULL everywhere
+    assert(got.drop(6).toSeq == Seq(
+      (11L, 5L, 0L, None), (12L, 5L, 0L, None), (13L, 5L, 0L, None),
+      (14L, 5L, 0L, None)))
+  }
+
   test("bradleyTerry: driver-replayed MM rounds, more wins ranks higher, " +
       "self-play and null-keyed rows dropped") {
     import spark.implicits._

@@ -674,6 +674,132 @@ class SimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("rankBiasedOverlap: identical runs ≈ 1, disjoint 0, dropped query " +
+      "0, driver-replayed partial overlap") {
+    import spark.implicits._
+    val runA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2), (2L, 12L, 3),
+      (3L, 10L, 1), (3L, 11L, 2), (3L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    // q1: identical; q2: same set, 11/12 swapped; q3: absent from B
+    val runB = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 12L, 2), (2L, 11L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rankBiasedOverlap(runA, runB, k = 3, p = 0.9)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val tail = Similarity.rboTail(3, 0.9)
+    def r6bd(xs: Seq[BigDecimal]): Double = BigDecimal(xs.sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1 match depths: 1,2,3; q2: 10 at 1, 11 at max(2,3)=3, 12 at 3
+    val exp1 = r6bd(Seq(tail(0), tail(1), tail(2)))
+    val exp2 = r6bd(Seq(tail(0), tail(2), tail(2)))
+    assert(got.toSeq == Seq((1L, exp1), (2L, exp2), (3L, 0.0)))
+    assert(math.abs(exp1 - 1.0) < 0.001) // weights normalized to ~1
+    assert(exp2 < exp1)                  // order sensitivity: swap costs
+  }
+
+  test("embeddingStats: hand-computed moments, short vector fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id", "vec")
+    val got = Similarity.embeddingStats(df, "id", "vec", dim = 2)
+      .orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 2.0, 1.0, 1.0, 3.0),   // mean 2, E[x²]−μ² = 5−4 = 1
+      (1, 2L, 3.0, 1.0, 2.0, 4.0)))
+    val short = Seq((1L, Seq(1.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Similarity.embeddingStats(short, "id", "vec", dim = 2).collect()
+    }
+    assert(e.getMessage.contains("embeddingStats"))
+  }
+
+  test("marginPairs: driver-replayed margins, mutual argmax flag, " +
+      "zero-norm rows dropped") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcV = Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      9L -> Seq(0.0, 0.0))
+    val tgtV = Seq(11L -> Seq(1.0, 0.05), 12L -> Seq(0.05, 1.0),
+      13L -> Seq(0.7, 0.7))
+    val src = srcV.toDF("id", "vec")
+    val tgt = tgtV.toDF("id", "vec")
+    // driver replay of the exact op arithmetic (k = 2)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val sv = srcV.filter(_._2.exists(_ != 0.0))
+    val sims = for { (si, s) <- sv; (ti, t) <- tgtV }
+      yield ((si, ti), cos(s, t))
+    val simMap = sims.toMap
+    def su(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    def topSum(xs: Seq[Double]): (Long, Long) = {
+      val top = xs.sorted(Ordering[Double].reverse).take(2)
+      (top.map(su).sum, top.size.toLong)
+    }
+    val mx = sv.map { case (si, _) =>
+      si -> topSum(sims.filter(_._1._1 == si).map(_._2)) }.toMap
+    val my = tgtV.map { case (ti, _) =>
+      ti -> topSum(sims.filter(_._1._2 == ti).map(_._2)) }.toMap
+    def margin(si: Long, ti: Long): Option[Double] = {
+      val (sx, nx) = mx(si); val (sy, ny) = my(ti)
+      val den = sx * ny + sy * nx
+      if (den > 0)
+        Some(r6((su(simMap((si, ti))) * 2 * nx * ny).toDouble / den.toDouble))
+      else None
+    }
+    val expFwd = sv.map { case (si, _) =>
+      val best = tgtV.flatMap { case (ti, _) =>
+        margin(si, ti).map(m => (ti, m)) }
+        .sortBy { case (ti, m) => (-m, ti) }.head
+      (si, best._1, simMap((si, best._1)), best._2)
+    }
+    val expBwd = tgtV.flatMap { case (ti, _) =>
+      val cands = sv.flatMap { case (si, _) =>
+        margin(si, ti).map(m => (si, m)) }
+      if (cands.isEmpty) None
+      else Some((cands.sortBy { case (si, m) => (-m, si) }.head._1, ti))
+    }.toSet
+    val exp = expFwd.map { case (si, ti, sim, m) =>
+      (si, ti, sim, m, if (expBwd((si, ti))) 1 else 0) }
+    val got = Similarity.marginPairs(src, tgt, "id", "vec", k = 2)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(got.toSeq == exp)
+    assert(!got.exists(_._1 == 9L)) // zero-norm src dropped
+  }
+
+  test("knnGraph: cell-bounded directed edges, zero vectors excluded, " +
+      "rank order deterministic") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.8, 0.2)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.1, 0.9)),
+      (20L, Seq(0.0, 0.0))) // zero vector: excluded entirely
+      .toDF("id", "vec")
+    val got = Similarity.knnGraph(df, "id", "vec", cents, k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // cell 0 = {1,2,3}, cell 1 = {10,11}; no cross-cell edges, no id 20.
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1), (1L, 3L, 2), (2L, 1L, 1), (2L, 3L, 2),
+      (3L, 2L, 1), (3L, 1L, 2),
+      (10L, 11L, 1), (11L, 10L, 1)))
+    assert(!got.exists(e => e._1 == 20L || e._2 == 20L))
+    val plan = Similarity.knnGraph(df, "id", "vec", cents, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "knnGraph must stay cell-bounded:\n" + plan.take(800))
+  }
+
   test("int8TopK: integer-code cosine matches driver replay, zero vector " +
       "publishes 0, ties by id") {
     import spark.implicits._

@@ -271,6 +271,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bg("  spaced   out  ") == Seq("spaced out"))
   }
 
+  test("wordTrigrams: adjacent lowercase triples; short/empty -> empty") {
+    import spark.implicits._
+    def tg(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(TextFunctions.wordTrigrams($"t")).head.getSeq[String](0)
+    assert(tg("The cat sat down") == Seq("the cat sat", "cat sat down"))
+    assert(tg("a b c") == Seq("a b c"))
+    assert(tg("a b") == Seq.empty)
+    assert(tg("") == Seq.empty)
+    assert(tg("  x   y  z ") == Seq("x y z"))
+  }
+
   // ── HTML main-content extraction ───────────────────────────────────────
 
   private def html2text(s: String): String = {
