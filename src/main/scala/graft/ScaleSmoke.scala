@@ -389,8 +389,10 @@ object ScaleSmoke {
     println(f"int8_topk_200k: rows=$ni8 " +
       f"time=${(System.nanoTime()-ti8)/1e9}%.1f s")
     // kNN graph (round 15): 50k vectors / 64 cells, k=4 — same bounded
-    // |cell|² geometry as semdedup_50k; the extra cost over it is only
-    // the salted two-phase ranking.
+    // |cell|² geometry as semdedup_50k, PLUS the two-phase ranking of
+    // the full ~39M-candidate frame (two bounded window exchanges):
+    // expect ~2-3× semdedup_50k wall time, scaling with candidates,
+    // never with a global pair frame.
     val tkg = System.nanoTime()
     val nkg = graft.ops.Similarity.knnGraph(vv, "id", "vec", sdCents, k = 4)
       .count()

@@ -657,6 +657,73 @@ object Scoring {
         .orderBy(col("score").desc, col("term").asc)).cast("int"))
   }
 
+  /** Clustering-agreement metrics — Adjusted Rand Index (Hubert & Arabie
+    * 1985) and Normalized Mutual Information between two cluster
+    * assignments over the same ids: the standing eval when the engine
+    * has SEVERAL clustering tiers (lexical CC clusters, SemDeDup cells,
+    * kNN components, label-prop communities) and a pipeline needs to
+    * know how much they agree before trusting one as a proxy for
+    * another.
+    *
+    * Exactness: ARI reduces to a single integer ratio with NO division
+    * until the end — with S_X = Σ x(x−1) over the contingency counts /
+    * marginals, ARI = 2·(S_ij·S_n − S_a·S_b) / ((S_a+S_b)·S_n −
+    * 2·S_a·S_b); every product accumulates as DECIMAL(38,0) (exact up
+    * to ~10⁹ rows — beyond that the products exceed 38 digits; shard
+    * first), then ONE double division + round-6. NMI uses
+    * integer-WEIGHTED entropies (n·H = Σ aᵢ·round(ln(n/aᵢ), 6), summed
+    * as DECIMAL) so no per-term fraction ever reaches round() at a
+    * concentration point; nmi = round(2·MIₙ/(Hₐₙ + H_bₙ), 6). Both
+    * publish NULL when degenerate (single cluster on both sides).
+    *
+    * Scale shape: one inner join on the id + one map-side-combined
+    * contingency groupBy (sized by distinct co-cluster PAIRS, ≤ the
+    * smaller assignment's row count); marginals derive from it; output
+    * is ONE row. Output: (n BIGINT, ari DOUBLE, nmi DOUBLE). */
+  def clusterAgreement(a: DataFrame, b: DataFrame, idCol: String,
+                       aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val joined = a.select(col(idCol), col(aCol).as("_a"))
+      .join(b.select(col(idCol), col(bCol).as("_b")), Seq(idCol))
+    val cont = joined.groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ai = cont.groupBy(col("_a")).agg(sum(col("_nij")).as("_ai"))
+    val bj = cont.groupBy(col("_b")).agg(sum(col("_nij")).as("_bj"))
+    def s2(c: Column) = sum((c.cast(dec) * (c - 1)).cast(dec))
+    val sij = cont.agg(s2(col("_nij")).as("_sij"),
+      sum(col("_nij")).as("_n"))
+    val sa = ai.agg(s2(col("_ai")).as("_sa"))
+    val sb = bj.agg(s2(col("_bj")).as("_sb"))
+    // integer-weighted entropies / MI (all ln args are exact-integer
+    // ratios computed in one IEEE chain; terms rounded 6 then decimal)
+    val n1 = sij.select(col("_n"))
+    val miN = cont.crossJoin(broadcast(n1))
+      .join(broadcast(ai), Seq("_a")).join(broadcast(bj), Seq("_b"))
+      .agg(sum((col("_nij") * round(log(
+        (col("_n").cast("double") * col("_nij")) /
+          (col("_ai").cast("double") * col("_bj"))), 6)
+        ).cast("decimal(38,6)")).as("_min"))
+    def entN(m: DataFrame, c: String) = m.crossJoin(broadcast(n1))
+      .agg(sum((col(c) * round(log(col("_n").cast("double") / col(c)), 6))
+        .cast("decimal(38,6)")).as(s"_h$c"))
+    val haN = entN(ai, "_ai")
+    val hbN = entN(bj, "_bj")
+    val num = (col("_sij").cast(dec) * col("_n").cast(dec) *
+      (col("_n") - 1).cast(dec) - col("_sa") * col("_sb")) * 2
+    val den = (col("_sa") + col("_sb")) * col("_n").cast(dec) *
+      (col("_n") - 1).cast(dec) - col("_sa") * col("_sb") * 2
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(miN)).crossJoin(broadcast(haN))
+      .crossJoin(broadcast(hbN))
+      .select(col("_n").as("n"),
+        when(den =!= 0,
+          round(num.cast("double") / den.cast("double"), 6)).as("ari"),
+        when((col("_h_ai") + col("_h_bj")).cast("double") =!= 0.0,
+          round(lit(2.0) * col("_min").cast("double") /
+            (col("_h_ai") + col("_h_bj")).cast("double"), 6)).as("nmi"))
+  }
+
   /** Bradley–Terry preference-strength estimation (Bradley & Terry 1952;
     * MM updates per Hunter 2004, "MM algorithms for generalized
     * Bradley-Terry models") — the aggregation step of preference-data

@@ -113,6 +113,40 @@ object Text {
       keep.cast("int").as("keep"))
   }
 
+  /** WARC record splitter — the crawl-ingestion front door: a WARC file
+    * (the CommonCrawl / web-archive container) is a concatenation of
+    * records, each a `WARC/1.0` version line + header lines + blank line
+    * + payload. This splits the concatenated text form into one row per
+    * record with the two headers every pipeline keys on (`WARC-Type`,
+    * `WARC-Target-URI`) extracted and the payload isolated — all
+    * RE2-safe regex expressions, ONE map-only pass (split + posexplode +
+    * three regexps), no shuffle at any corpus size.
+    *
+    * Caveats stated rather than hidden: framing is by the `WARC/1.0`
+    * version line (a payload CONTAINING that line splits early — the
+    * text-form limitation; binary WARC framing uses Content-Length,
+    * which a text split cannot honor), header matching accepts both
+    * \n and \r\n, a record with no blank line yields payload ''. Text
+    * before the first version line is discarded as preamble.
+    *
+    * Output: (idCol, record_idx INT starting at 1, warc_type,
+    * target_uri, payload). */
+  def warcRecords(docs: DataFrame, idCol: String,
+                  warcCol: String): DataFrame = {
+    val pieces = docs.select(col(idCol),
+        F.posexplode(split(col(warcCol), "WARC/1\\.0\\r?\\n"))
+          .as(Seq("record_idx", "_rec")))
+      .where(col("record_idx") > 0)
+    pieces.select(col(idCol), col("record_idx").cast("int"),
+      regexp_extract(col("_rec"), "(?m)^WARC-Type: ([^\\r\\n]+)", 1)
+        .as("warc_type"),
+      regexp_extract(col("_rec"), "(?m)^WARC-Target-URI: ([^\\r\\n]+)", 1)
+        .as("target_uri"),
+      when(col("_rec").rlike("\\r?\\n\\r?\\n"),
+        regexp_replace(col("_rec"), "(?s)^.*?\\r?\\n\\r?\\n", ""))
+        .otherwise(lit("")).as("payload"))
+  }
+
   /** Token-window document chunking — the sequence-prep step every
     * retrieval index and fixed-context training pipeline runs: split each
     * document into `chunkSize`-token windows advancing by

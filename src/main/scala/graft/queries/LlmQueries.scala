@@ -1376,6 +1376,126 @@ object LlmQueries {
         .orderBy("source")
     },
 
+    // ── q163: cluster-agreement audit (ARI + NMI) between the LEXICAL
+    //    near-dup clusters (q57's closure over 8-gram Jaccard) and the
+    //    SEMANTIC coarse cells (q139's frozen quantizer) on the shared
+    //    id space — the eval that says how far one clustering tier can
+    //    proxy for another. ARI is one integer ratio (HUGEINT products,
+    //    no division until the end); NMI uses integer-weighted round-6
+    //    entropies summed as decimal. ──
+    QueryDef("q163_cluster_agreement",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id AS id,
+         |          COALESCE(c.cluster_id, d.doc_id) AS a
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+         |cents AS (SELECT id AS cid, vec AS cvec, n AS cn FROM w WHERE id < 16),
+         |assign AS (
+         |  SELECT id, cid AS b FROM (
+         |    SELECT c.id, t.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.id
+         |        ORDER BY round(list_inner_product(c.vec, t.cvec) / (c.n * t.cn), 6)
+         |                 DESC, t.cid) AS rk
+         |    FROM w c, cents t) WHERE rk = 1),
+         |j AS (SELECT asg.a, assign.b FROM asg JOIN assign USING (id)),
+         |cont AS (SELECT a, b, count(*) AS nij FROM j GROUP BY 1, 2),
+         |ai AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY 1),
+         |bj AS (SELECT b, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+         |          sum(CAST(nij AS HUGEINT) * (nij - 1)) AS sij FROM cont),
+         |sa AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS sa FROM ai),
+         |sb AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1)) AS sb FROM bj),
+         |mi AS (SELECT sum(CAST(nij * round(ln(
+         |           CAST(n AS DOUBLE) * nij
+         |             / (CAST(ai AS DOUBLE) * bj)), 6) AS DECIMAL(38,6)))
+         |         AS minv
+         |       FROM cont JOIN ai USING (a) JOIN bj USING (b) CROSS JOIN tot),
+         |ha AS (SELECT sum(CAST(ai * round(ln(CAST(n AS DOUBLE) / ai), 6)
+         |         AS DECIMAL(38,6))) AS han FROM ai CROSS JOIN tot),
+         |hb AS (SELECT sum(CAST(bj * round(ln(CAST(n AS DOUBLE) / bj), 6)
+         |         AS DECIMAL(38,6))) AS hbn FROM bj CROSS JOIN tot)
+         |SELECT tot.n,
+         |  CASE WHEN (sa + sb) * CAST(n AS HUGEINT) * (n - 1)
+         |            - 2 * sa * sb <> 0 THEN
+         |    round(CAST(2 * (sij * CAST(n AS HUGEINT) * (n - 1) - sa * sb)
+         |            AS DOUBLE)
+         |      / CAST((sa + sb) * CAST(n AS HUGEINT) * (n - 1) - 2 * sa * sb
+         |            AS DOUBLE), 6) END AS ari,
+         |  CASE WHEN CAST(han + hbn AS DOUBLE) <> 0 THEN
+         |    round(2.0 * CAST(minv AS DOUBLE) / CAST(han + hbn AS DOUBLE), 6)
+         |  END AS nmi
+         |FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi
+         |CROSS JOIN ha CROSS JOIN hb""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      val lex = Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id",
+        pairs).select(col("doc_id").as("id"), col("cluster_id"))
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val sem = Similarity.ivfIndex(emb, cents)
+        .select(col("id"), col("_cell"))
+      Scoring.clusterAgreement(lex, sem, "id", "cluster_id", "_cell")
+    },
+
+    // ── q164: WARC record parsing — the crawl-ingestion front door:
+    //    per-source WARC text (synthesized deterministically from the
+    //    docs, string_agg ordered by id) split back into records with
+    //    WARC-Type / WARC-Target-URI extracted and payloads isolated;
+    //    the whole round trip (construction AND parse) replays in the
+    //    oracle, so framing, header, and payload rules are pinned
+    //    byte-for-byte. ──
+    QueryDef("q164_warc_parse",
+      """WITH rec AS (SELECT source, doc_id,
+        |    'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
+        |    'WARC-Target-URI: https://ex.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    text || chr(10) AS r
+        |  FROM documents),
+        |wa AS (SELECT source, string_agg(r, '' ORDER BY doc_id) AS warc
+        |       FROM rec GROUP BY 1),
+        |sp AS (SELECT source,
+        |         unnest(generate_series(1, len(pieces))) - 1 AS record_idx,
+        |         unnest(pieces) AS piece
+        |       FROM (SELECT source,
+        |               regexp_split_to_array(warc, 'WARC/1\.0\r?\n')
+        |                 AS pieces
+        |             FROM wa))
+        |SELECT source, CAST(record_idx AS INT) AS record_idx,
+        |  regexp_extract(piece, '(?m)^WARC-Type: ([^\r\n]+)', 1)
+        |    AS warc_type,
+        |  regexp_extract(piece, '(?m)^WARC-Target-URI: ([^\r\n]+)', 1)
+        |    AS target_uri,
+        |  CASE WHEN regexp_matches(piece, '\r?\n\r?\n')
+        |       THEN regexp_replace(piece, '(?s)^.*?\r?\n\r?\n', '')
+        |       ELSE '' END AS payload
+        |FROM sp WHERE record_idx > 0
+        |ORDER BY source, record_idx""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val rec = concat(lit("WARC/1.0\n"), lit("WARC-Type: response\n"),
+        lit("WARC-Target-URI: https://ex.com/doc/"),
+        col("doc_id").cast("string"), lit("\n\n"), col("text"), lit("\n"))
+      val warc = docs
+        .select(col("source"), struct(col("doc_id"), rec.as("r")).as("sr"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(array_sort(collect_list(col("sr"))),
+          x => x.getField("r")), "").as("warc"))
+      Text.warcRecords(warc, "source", "warc")
+        .orderBy("source", "record_idx")
+    },
+
     // ── q134: batch crawl admission against the PERSISTED signature
     //    index — q130's recurring-crawl contract for the dedup tier: the
     //    90% corpus's MinHash signatures make a parquet round trip, the

@@ -402,6 +402,30 @@ class ScoringSpec extends SparkSpec {
       (14L, 5L, 0L, None)))
   }
 
+  test("clusterAgreement: identical = 1/1, degenerate NULL, driver-replayed " +
+      "mixed case") {
+    import spark.implicits._
+    def asg(xs: (Long, Long)*) = xs.toDF("id", "c")
+    // identical clusterings → ARI 1, NMI 1
+    val x = asg(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L)
+    val same = Scoring.clusterAgreement(x, x, "id", "c", "c").head()
+    assert(same.getLong(0) == 4L && same.getDouble(1) == 1.0 &&
+      same.getDouble(2) == 1.0)
+    // single cluster on both sides → both metrics NULL
+    val one = asg(1L -> 0L, 2L -> 0L, 3L -> 0L)
+    val deg = Scoring.clusterAgreement(one, one, "id", "c", "c").head()
+    assert(deg.isNullAt(1) && deg.isNullAt(2))
+    // mixed case, replayed by hand: A = {1,2|3,4}, B = {1,3|2,4}
+    // contingency all nij = 1 → S_ij = 0; Sa = Sb = 4; n = 4, Sn = 12
+    // ARI = 2(0·12 − 16)/(8·12 − 32) = −32/64 = −0.5
+    val a = asg(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L)
+    val b = asg(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
+    val got = Scoring.clusterAgreement(a, b, "id", "c", "c").head()
+    assert(got.getLong(0) == 4L && got.getDouble(1) == -0.5)
+    // NMI: every nij·ln(n·nij/(ai·bj)) = ln(4/4) = 0 → MI 0 → NMI 0
+    assert(got.getDouble(2) == 0.0)
+  }
+
   test("bradleyTerry: driver-replayed MM rounds, more wins ranks higher, " +
       "self-play and null-keyed rows dropped") {
     import spark.implicits._

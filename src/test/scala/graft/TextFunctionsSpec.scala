@@ -271,6 +271,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bg("  spaced   out  ") == Seq("spaced out"))
   }
 
+  test("warcRecords: record split, header extraction, CRLF and missing " +
+      "blank-line cases, preamble discarded") {
+    import spark.implicits._
+    val warc = "junk preamble\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.com/x\r\n\r\nhello body\n" +
+      "WARC/1.0\nWARC-Type: request\n\n\n" + // empty payload + newline
+      "WARC/1.0\nWARC-Type: metadata\nNo-Blank-Line-Here: yes"
+    val got = graft.ops.Text.warcRecords(
+        Seq((1L, warc)).toDF("id", "warc"), "id", "warc")
+      .orderBy("record_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1, "response", "https://a.com/x", "hello body\n"),
+      (2, "request", "", "\n"),
+      (3, "metadata", "", ""))) // no blank line → payload ''
+  }
+
   test("wordTrigrams: adjacent lowercase triples; short/empty -> empty") {
     import spark.implicits._
     def tg(s: String): Seq[String] = Seq(s).toDF("t")
