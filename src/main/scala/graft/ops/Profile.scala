@@ -29,6 +29,39 @@ object Profile {
       .select("p.*")
   }
 
+  /** Join-key skew profile — the pre-join audit a 100 TB pipeline runs
+    * BEFORE keying a shuffle on a column: the heaviest `topK` keys with
+    * their exact counts and integer-ppm share of all rows. A key holding
+    * >1–5% of a large table is the salting/AQE-skew-join trigger
+    * ([[graft.ops.Ops.saltedJoin]] is the repo's remedy; this op says
+    * WHEN to reach for it and for WHICH keys). NULL keys profile as a
+    * key like any other (they hash to one partition too — the classic
+    * silent skew).
+    *
+    * Scale shape: one map-side-combined count aggregate (distinct-key-
+    * sized) + the salted two-phase top-k ([[graft.ops.Sampling
+    * .topKPerStratum]], single stratum) + a one-row total broadcast —
+    * no window ever sees more than topK·fanout rows. Output:
+    * (key STRING, cnt BIGINT, share_ppm BIGINT, rank INT) ordered by
+    * rank. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, "keySkew: topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_tot"))
+    val top = graft.ops.Sampling.topKPerStratum(
+      counts.withColumn("_g", lit(0)), "_g", "key", topK,
+      Seq(col("cnt").desc)).drop("_g")
+    top.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        floor(col("cnt").cast("decimal(38,0)") * lit(1000000L) / col("_tot"))
+          .cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)).cast("int"))
+      .select(col("key"), col("cnt"), col("share_ppm"), col("rank"))
+  }
+
   /** Vocabulary-growth curve (the Heaps'-law audit): new distinct terms
     * contributed by each id-ordered ingestion bucket, plus the running
     * total — a corpus-health monitor with teeth: healthy natural-language

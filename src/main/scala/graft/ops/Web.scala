@@ -212,4 +212,86 @@ object Web {
       registrableDomain(urlHost(col(urlCol))) === col("_blocked_domain"),
       "left_anti")
   }
+
+  /** Parse per-domain robots.txt into the `User-agent: *` group's rule
+    * table — the crawl-compliance front door (RFC 9309, the subset a
+    * generic crawler honors): each (domain, robots text) row yields
+    * (domain, rule_path, is_allow) for every Allow/Disallow line whose
+    * governing user-agent GROUP (one or more consecutive `User-agent:`
+    * lines) names `*`. Stated simplifications, deterministic on purpose:
+    * path patterns are LITERAL prefixes (no `*`/`$` wildcards), empty
+    * `Disallow:` lines (the allow-all idiom) yield no rule, rules before
+    * any user-agent line are ignored (per the RFC), field names match
+    * case-insensitively, duplicate rules collapse.
+    *
+    * Group resolution is relational, not a stateful scan: agent-block
+    * ids are a running count of non-agent→agent transitions (one
+    * per-domain window over the LINE rows — bounded by the robots file's
+    * own line count, kilobytes by convention), and a rule line's block
+    * id IS its governing group's id (block ids only increment where
+    * agent runs begin). */
+  def robotsRules(robots: DataFrame, domainCol: String,
+                  txtCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_dom")).orderBy(col("_pos"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = robots.select(col(domainCol).as("_dom"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("_pos", "_line")))
+      .withColumn("_l", lower(trim(col("_line"))))
+      .withColumn("_isAgent", col("_l").startsWith("user-agent:"))
+      .withColumn("_isStar",
+        col("_isAgent") && trim(expr("substring(_l, 12)")) === "*")
+      .withColumn("_newBlock", (col("_isAgent") &&
+        !coalesce(lag(col("_isAgent"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("_blockId", sum(col("_newBlock")).over(cum))
+    val starBlocks = t.where(col("_isAgent"))
+      .groupBy(col("_dom"), col("_blockId"))
+      .agg(max(col("_isStar").cast("int")).as("_star"))
+      .where(col("_star") === 1)
+      .select(col("_dom"), col("_blockId"))
+    t.where(col("_l").rlike("^(allow|disallow):"))
+      .join(starBlocks, Seq("_dom", "_blockId"), "left_semi")
+      .select(col("_dom").as("domain"),
+        trim(regexp_replace(col("_line"), "(?i)^\\s*(allow|disallow):", ""))
+          .as("rule_path"),
+        col("_l").startsWith("allow:").cast("int").as("is_allow"))
+      .where(col("rule_path") =!= "")
+      .distinct()
+  }
+
+  /** Apply a [[robotsRules]] table to a URL corpus — per URL, the
+    * LONGEST-prefix matching rule decides (RFC 9309 §2.2.2; an
+    * Allow/Disallow tie at equal length resolves to Allow, the RFC's
+    * own tie-break), no matching rule means allowed. Path '' normalizes
+    * to '/' before matching (the robots convention). Rules join on the
+    * exact HOST (robots scope is per-authority, not per-registrable-
+    * domain). The per-URL decision window sees only that host's matching
+    * rules — bounded by one robots file's rule count.
+    *
+    * Output: the input's columns + (host, path, matched_rule — NULL when
+    * no rule matched, allowed INT). */
+  def robotsAllowed(urls: DataFrame, urlCol: String,
+                    rules: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = urls.withColumn("_host", urlHost(col(urlCol)))
+      .withColumn("_path",
+        when(urlPath(col(urlCol)) === "", lit("/"))
+          .otherwise(urlPath(col(urlCol))))
+    val cand = u.select(col(urlCol), col("_host"), col("_path")).distinct()
+      .join(rules.select(col("domain").as("_host"), col("rule_path"),
+        col("is_allow")), Seq("_host"))
+      .where(col("_path").startsWith(col("rule_path")))
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy(length(col("rule_path")).desc, col("is_allow").desc,
+        col("rule_path").asc)
+    val best = cand.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col(urlCol), col("rule_path").as("matched_rule"),
+        col("is_allow"))
+    u.join(best, Seq(urlCol), "left")
+      .withColumn("allowed", coalesce(col("is_allow"), lit(1)).cast("int"))
+      .withColumnRenamed("_host", "host")
+      .withColumnRenamed("_path", "path")
+      .drop("is_allow")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Sampling, Scoring, Similarity, Text}
+import graft.ops.{Dedup, Sampling, Scoring, Similarity, Text, Web}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as declared queries over `documents` / `embeddings`.
@@ -1494,6 +1494,242 @@ object LlmQueries {
           x => x.getField("r")), "").as("warc"))
       Text.warcRecords(warc, "source", "warc")
         .orderBy("source", "record_idx")
+    },
+
+    // ── q165: robots.txt compliance — per-domain robots parsed into the
+    //    `User-agent: *` group's rules (multi-agent blocks, ignored
+    //    leading groups, empty-Disallow idiom), then the longest-prefix
+    //    decision per URL (allow wins length ties, no match = allowed).
+    //    Odd-digit domains carry a second star group (Allow: /tmp/keep)
+    //    so group resolution is exercised, not assumed. ──
+    QueryDef("q165_robots",
+      """WITH doms AS (SELECT DISTINCT source FROM documents),
+        |rob AS (SELECT source || '.com' AS dom,
+        |    'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+        |    'Disallow:' ||
+        |    CASE WHEN regexp_matches(source, '[13579]$')
+        |         THEN chr(10) || 'User-agent: a' || chr(10) ||
+        |              'User-agent: *' || chr(10) || 'Allow: /tmp/keep'
+        |         ELSE '' END AS txt
+        |  FROM doms),
+        |ln AS (SELECT dom, unnest(generate_series(1, len(ls))) - 1 AS pos,
+        |         unnest(ls) AS line
+        |       FROM (SELECT dom, regexp_split_to_array(txt, '\r?\n') AS ls
+        |             FROM rob)),
+        |t AS (SELECT dom, pos, line, lower(trim(line)) AS l FROM ln),
+        |t2 AS (SELECT *, (l LIKE 'user-agent:%') AS isagent,
+        |         (l LIKE 'user-agent:%' AND trim(substr(l, 12)) = '*')
+        |           AS isstar
+        |       FROM t),
+        |t3 AS (SELECT *, CASE WHEN isagent AND NOT coalesce(
+        |         lag(isagent) OVER (PARTITION BY dom ORDER BY pos), false)
+        |         THEN 1 ELSE 0 END AS nb FROM t2),
+        |t4 AS (SELECT *, sum(nb) OVER (PARTITION BY dom ORDER BY pos
+        |         ROWS UNBOUNDED PRECEDING) AS bid FROM t3),
+        |star AS (SELECT dom, bid FROM t4 WHERE isagent GROUP BY 1, 2
+        |         HAVING max(CASE WHEN isstar THEN 1 ELSE 0 END) = 1),
+        |rules AS (SELECT DISTINCT t4.dom,
+        |    trim(regexp_replace(line, '(?i)^\s*(allow|disallow):', ''))
+        |      AS rule_path,
+        |    CAST(l LIKE 'allow:%' AS INT) AS is_allow
+        |  FROM t4 JOIN star USING (dom, bid)
+        |  WHERE regexp_matches(l, '^(allow|disallow):')),
+        |rules2 AS (SELECT * FROM rules WHERE rule_path <> ''),
+        |urls AS (SELECT
+        |    'https://' || source || '.com' ||
+        |    CASE doc_id % 5 WHEN 0 THEN '/private/x'
+        |         WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |         WHEN 3 THEN '/tmp/keep/w'
+        |         ELSE '/public/p' || CAST(doc_id AS VARCHAR) END AS url,
+        |    source || '.com' AS host,
+        |    CASE doc_id % 5 WHEN 0 THEN '/private/x'
+        |         WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |         WHEN 3 THEN '/tmp/keep/w'
+        |         ELSE '/public/p' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        |cand AS (SELECT u.url, r.rule_path, r.is_allow
+        |         FROM urls u JOIN rules2 r ON r.dom = u.host
+        |         WHERE substr(u.path, 1, len(r.rule_path)) = r.rule_path),
+        |best AS (SELECT url, rule_path AS matched_rule, is_allow FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+        |      ORDER BY len(rule_path) DESC, is_allow DESC, rule_path) AS rk
+        |    FROM cand) WHERE rk = 1)
+        |SELECT u.url, u.host, u.path, b.matched_rule,
+        |  CAST(coalesce(b.is_allow, 1) AS INT) AS allowed
+        |FROM urls u LEFT JOIN best b USING (url)
+        |ORDER BY url""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = "User-agent: bot\nDisallow: /\nUser-agent: *\n" +
+        "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp\nDisallow:"
+      val extra = "\nUser-agent: a\nUser-agent: *\nAllow: /tmp/keep"
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".com")).as("domain"),
+          when(col("source").rlike("[13579]$"),
+            concat(lit(base), lit(extra))).otherwise(lit(base)).as("txt"))
+      val path = col("doc_id") % 5
+      val pathCol = when(path === 0, lit("/private/x"))
+        .when(path === 1, lit("/private/ok/y"))
+        .when(path === 2, lit("/tmp/z"))
+        .when(path === 3, lit("/tmp/keep/w"))
+        .otherwise(concat(lit("/public/p"), col("doc_id").cast("string")))
+      val urls = docs.select(concat(lit("https://"), col("source"),
+        lit(".com"), pathCol).as("url"))
+      val rules = Web.robotsRules(robots, "domain", "txt")
+      Web.robotsAllowed(urls, "url", rules).orderBy("url")
+    },
+
+    // ── q166: join-key skew profile — the pre-shuffle audit: heaviest
+    //    keys with exact counts and floored-ppm share (the saltedJoin /
+    //    AQE-skew trigger, made measurable). ──
+    QueryDef("q166_key_skew",
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |             count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT key, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank FROM c)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(CAST(cnt AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm,
+        |  CAST(rank AS INT) AS rank
+        |FROM r CROSS JOIN t WHERE rank <= 3
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      graft.ops.Profile.keySkew(
+          graft.queries.RelationalQueries.eventsNs(s, d)
+            .select(col("event_type")),
+          "event_type", topK = 3)
+        .orderBy("rank")
+    },
+
+    // ── q167: crawl-admission funnel — the ingestion gates chained the
+    //    way a crawler runs them: per-doc URL → robots longest-prefix
+    //    decision (q165's rules) AND C4 content gate (q137's page) →
+    //    per-source fetched/robots-allowed/content-kept/admitted counts.
+    //    Composition discipline: both gates' full logic replays in ONE
+    //    oracle, proving no hidden coupling. ──
+    QueryDef("q167_crawl_funnel",
+      """WITH doms AS (SELECT DISTINCT source FROM documents),
+        |rob AS (SELECT source || '.com' AS dom,
+        |    'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+        |    'Disallow:' ||
+        |    CASE WHEN regexp_matches(source, '[13579]$')
+        |         THEN chr(10) || 'User-agent: a' || chr(10) ||
+        |              'User-agent: *' || chr(10) || 'Allow: /tmp/keep'
+        |         ELSE '' END AS txt
+        |  FROM doms),
+        |ln AS (SELECT dom, unnest(generate_series(1, len(ls))) - 1 AS pos,
+        |         unnest(ls) AS line
+        |       FROM (SELECT dom, regexp_split_to_array(txt, '\r?\n') AS ls
+        |             FROM rob)),
+        |t AS (SELECT dom, pos, line, lower(trim(line)) AS l FROM ln),
+        |t2 AS (SELECT *, (l LIKE 'user-agent:%') AS isagent,
+        |         (l LIKE 'user-agent:%' AND trim(substr(l, 12)) = '*')
+        |           AS isstar
+        |       FROM t),
+        |t3 AS (SELECT *, CASE WHEN isagent AND NOT coalesce(
+        |         lag(isagent) OVER (PARTITION BY dom ORDER BY pos), false)
+        |         THEN 1 ELSE 0 END AS nb FROM t2),
+        |t4 AS (SELECT *, sum(nb) OVER (PARTITION BY dom ORDER BY pos
+        |         ROWS UNBOUNDED PRECEDING) AS bid FROM t3),
+        |star AS (SELECT dom, bid FROM t4 WHERE isagent GROUP BY 1, 2
+        |         HAVING max(CASE WHEN isstar THEN 1 ELSE 0 END) = 1),
+        |rules AS (SELECT DISTINCT t4.dom,
+        |    trim(regexp_replace(line, '(?i)^\s*(allow|disallow):', ''))
+        |      AS rule_path,
+        |    CAST(l LIKE 'allow:%' AS INT) AS is_allow
+        |  FROM t4 JOIN star USING (dom, bid)
+        |  WHERE regexp_matches(l, '^(allow|disallow):')),
+        |rules2 AS (SELECT * FROM rules WHERE rule_path <> ''),
+        |urls AS (SELECT doc_id, source,
+        |    'https://' || source || '.com' ||
+        |    CASE (doc_id // 20) % 5 WHEN 0 THEN '/private/x'
+        |         WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |         WHEN 3 THEN '/tmp/keep/w'
+        |         ELSE '/public/p' || CAST(doc_id AS VARCHAR) END AS url,
+        |    source || '.com' AS host,
+        |    CASE (doc_id // 20) % 5 WHEN 0 THEN '/private/x'
+        |         WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |         WHEN 3 THEN '/tmp/keep/w'
+        |         ELSE '/public/p' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        |cand AS (SELECT u.doc_id, r.rule_path, r.is_allow
+        |         FROM urls u JOIN rules2 r ON r.dom = u.host
+        |         WHERE substr(u.path, 1, len(r.rule_path)) = r.rule_path),
+        |best AS (SELECT doc_id, is_allow FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY len(rule_path) DESC, is_allow DESC, rule_path) AS rk
+        |    FROM cand) WHERE rk = 1),
+        |rb AS (SELECT u.doc_id, u.source,
+        |         CAST(coalesce(b.is_allow, 1) AS INT) AS allowed
+        |       FROM urls u LEFT JOIN best b USING (doc_id)),
+        |p AS (SELECT doc_id,
+        |    'Home | About | Contact' || chr(10) || text || chr(10) ||
+        |    'This line has enough words to satisfy the filter.' || chr(10) ||
+        |    'Short one.' || chr(10) ||
+        |    'Another complete sentence that clearly satisfies the filter.' || chr(10) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'if (x) { return; }'
+        |          ELSE 'Plain closing sentence with sufficient word count here.'
+        |     END) || chr(10) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        |ck AS (SELECT doc_id,
+        |    CAST((len(list_filter(string_split(t, chr(10)), l ->
+        |            regexp_matches(trim(l), '[.!?"]$') AND
+        |            len(regexp_split_to_array(trim(l), '\s+')) >= 5)) >= 3
+        |          AND NOT contains(t, '{')
+        |          AND NOT contains(lower(t), 'lorem ipsum')) AS INT) AS keep
+        |  FROM p)
+        |SELECT rb.source, count(*) AS n_fetched,
+        |  CAST(sum(rb.allowed) AS BIGINT) AS n_robots_allowed,
+        |  CAST(sum(ck.keep) AS BIGINT) AS n_content_kept,
+        |  CAST(sum(rb.allowed * ck.keep) AS BIGINT) AS n_admitted
+        |FROM rb JOIN ck USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = "User-agent: bot\nDisallow: /\nUser-agent: *\n" +
+        "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp\nDisallow:"
+      val extra = "\nUser-agent: a\nUser-agent: *\nAllow: /tmp/keep"
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".com")).as("domain"),
+          when(col("source").rlike("[13579]$"),
+            concat(lit(base), lit(extra))).otherwise(lit(base)).as("txt"))
+      val path = expr("(doc_id div 20) % 5")
+      val pathCol = when(path === 0, lit("/private/x"))
+        .when(path === 1, lit("/private/ok/y"))
+        .when(path === 2, lit("/tmp/z"))
+        .when(path === 3, lit("/tmp/keep/w"))
+        .otherwise(concat(lit("/public/p"), col("doc_id").cast("string")))
+      val urls = docs.select(col("doc_id"), col("source"),
+        concat(lit("https://"), col("source"), lit(".com"), pathCol)
+          .as("url"))
+      val rules = Web.robotsRules(robots, "domain", "txt")
+      val rb = Web.robotsAllowed(urls, "url", rules)
+        .select(col("doc_id"), col("source"), col("allowed"))
+      val page = concat_ws("\n",
+        lit("Home | About | Contact"),
+        col("text"),
+        lit("This line has enough words to satisfy the filter."),
+        lit("Short one."),
+        lit("Another complete sentence that clearly satisfies the filter."),
+        when(col("doc_id") % 7 === 0, lit("if (x) { return; }"))
+          .otherwise(
+            lit("Plain closing sentence with sufficient word count here.")),
+        when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sit amet."))
+          .otherwise(lit("")))
+      val ck = Text.c4Clean(
+          docs.select(col("doc_id"), page.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      rb.join(ck, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(col("allowed")).as("n_robots_allowed"),
+          sum(col("keep")).as("n_content_kept"),
+          sum(col("allowed") * col("keep")).as("n_admitted"))
+        .orderBy("source")
     },
 
     // ── q134: batch crawl admission against the PERSISTED signature

@@ -119,4 +119,58 @@ class WebSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan.take(800))
   }
+
+  test("robotsRules: star-group resolution (multi-agent blocks, ignored " +
+      "non-star groups, orphan rules, empty Disallow)") {
+    import spark.implicits._
+    val txt =
+      "Disallow: /orphan\n" +            // before any group: ignored
+      "User-agent: bot\nDisallow: /\n" + // non-star group: ignored
+      "User-agent: a\nUser-agent: *\n" + // multi-agent block with star
+      "Disallow: /private\nAllow: /private/ok\nDisallow:\n" + // empty: none
+      "User-agent: c\nDisallow: /c-only\n" +
+      "user-agent: *\nDISALLOW: /shout"  // case-insensitive fields
+    val got = Web.robotsRules(Seq(("d.com", txt)).toDF("domain", "txt"),
+        "domain", "txt")
+      .orderBy("rule_path").collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("/private", 0), ("/private/ok", 1),
+      ("/shout", 0)))
+  }
+
+  test("robotsAllowed: longest match wins, allow wins length ties, no " +
+      "match allows, root path normalized") {
+    import spark.implicits._
+    val rules = Seq(
+      ("d.com", "/a", 0), ("d.com", "/a/b", 1),
+      ("d.com", "/t", 0), ("d.com", "/t", 1), // same length: allow wins
+      ("d.com", "/", 0)).toDF("domain", "rule_path", "is_allow")
+    val urls = Seq("https://d.com/a/x", "https://d.com/a/b/y",
+      "https://d.com/t", "https://d.com", "https://other.com/q")
+      .toDF("url")
+    val got = Web.robotsAllowed(urls, "url", rules)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(2),
+        Option(r.getString(3)), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      ("https://d.com", "/", Some("/"), 0),         // '' → '/' matches /
+      ("https://d.com/a/b/y", "/a/b/y", Some("/a/b"), 1),
+      ("https://d.com/a/x", "/a/x", Some("/a"), 0),
+      ("https://d.com/t", "/t", Some("/t"), 1),     // tie → allow
+      ("https://other.com/q", "/q", None, 1)))      // no rules: allowed
+  }
+
+  test("keySkew: exact ppm shares, null keys profiled, deterministic " +
+      "ranks") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "c", null, null, null, null)
+      .toDF("k")
+    val got = graft.ops.Profile.keySkew(df, "k", topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (None, 4L, 400000L, 1), (Some("a"), 3L, 300000L, 2),
+      (Some("b"), 2L, 200000L, 3)))
+  }
 }
