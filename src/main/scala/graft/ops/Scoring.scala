@@ -688,6 +688,12 @@ object Scoring {
     val cont = joined.groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("_nij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize NOW: six independent broadcast subtrees (marginals,
+    // S-sums, MI, entropies) all derive from `cont` and otherwise START
+    // concurrently against a still-lazy cache, each racing to recompute
+    // the full upstream (id join + whatever produced the assignments).
+    // The table is contingency-sized — the eager action is cheap.
+    cont.count()
     val ai = cont.groupBy(col("_a")).agg(sum(col("_nij")).as("_ai"))
     val bj = cont.groupBy(col("_b")).agg(sum(col("_nij")).as("_bj"))
     def s2(c: Column) = sum((c.cast(dec) * (c - 1)).cast(dec))
@@ -802,5 +808,104 @@ object Scoring {
     }
     cur.select(col("_i").as("item"), col("_games").as("games"),
       col("_wins").as("wins"), col("_s").as("strength"))
+  }
+
+  /** Pairwise Cohen's kappa (Cohen 1960) over an annotation table — the
+    * inter-annotator QC matrix of a labeling operation: which rater
+    * pairs agree beyond chance, which annotator drifts. One row per
+    * rater pair (a < b) over the items BOTH rated: `n` co-rated items,
+    * observed agreement, and kappa = (p_o − p_e)/(1 − p_e) with p_e the
+    * chance agreement from each rater's label marginals WITHIN the
+    * shared item set (the standard per-pair conditioning).
+    *
+    * Exactness (the [[clusterAgreement]] ARI discipline): kappa reduces
+    * to ONE integer ratio — (n·agree − Σ_c naᶜ·nbᶜ) / (n² − Σ_c naᶜ·nbᶜ)
+    * — accumulated as DECIMAL(38,0), one trailing double division +
+    * round-6. NULL when the denominator is 0 (both raters constant with
+    * identical marginals — chance agreement is 1, kappa undefined).
+    *
+    * Precondition: ≤ one rating per (item, rater) — dedupe upstream
+    * (e.g. [[graft.ops.Ops.firstPerGroup]] on rating time) or pairs
+    * double-count. Scale shape: one self-join shuffled on the item
+    * (per-item work bounded by raters-per-item², an annotation-design
+    * constant, never corpus-sized), then every aggregate is sized by
+    * rater-pairs × classes. Output: (rater_a, rater_b, n BIGINT,
+    * agree BIGINT, kappa DOUBLE). */
+  def cohenKappaPairs(ratings: DataFrame, itemCol: String, raterCol: String,
+                      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r = ratings.select(col(itemCol).as("_i"), col(raterCol).as("_r"),
+      col(labelCol).as("_l"))
+    val pairs = r.as("x").join(r.as("y"),
+        col("x._i") === col("y._i") && col("x._r") < col("y._r"))
+      .select(col("x._r").as("rater_a"), col("y._r").as("rater_b"),
+        col("x._l").as("_la"), col("y._l").as("_lb"))
+    val base = pairs.groupBy(col("rater_a"), col("rater_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_la") === col("_lb"), 1L).otherwise(0L)).as("agree"))
+    val ma = pairs.groupBy(col("rater_a"), col("rater_b"), col("_la").as("_c"))
+      .agg(count(lit(1)).as("_na"))
+    val mb = pairs.groupBy(col("rater_a"), col("rater_b"), col("_lb").as("_c"))
+      .agg(count(lit(1)).as("_nb"))
+    val pe = ma.join(mb, Seq("rater_a", "rater_b", "_c"))
+      .groupBy(col("rater_a"), col("rater_b"))
+      .agg(sum((col("_na").cast(dec) * col("_nb")).cast(dec)).as("_pen"))
+    val num = col("n").cast(dec) * col("agree").cast(dec) - col("_pen")
+    val den = col("n").cast(dec) * col("n").cast(dec) - col("_pen")
+    base.join(pe, Seq("rater_a", "rater_b"))
+      .select(col("rater_a"), col("rater_b"), col("n"), col("agree"),
+        when(den =!= 0,
+          round(num.cast("double") / den.cast("double"), 6)).as("kappa"))
+  }
+
+  /** nDCG@k (Järvelin & Kekäläinen 2002) per query — the graded-
+    * relevance retrieval eval that closes the ranking-eval tier
+    * ([[graft.ops.Similarity]] recall audit q149 = binary hit rate,
+    * rankBiasedOverlap q160 = ranking-vs-ranking; this is
+    * ranking-vs-labels): DCG@k = Σ_{i≤k} relᵢ/log₂(i+1) over the run's
+    * ranks, IDCG@k the same formula over the label set's best-possible
+    * ordering (rel desc, doc asc tie-break — trec_eval semantics:
+    * unlabeled run docs gain 0, IDCG from ALL labeled docs), ndcg =
+    * DCG/IDCG.
+    *
+    * Determinism (the NMI term discipline): each gain term is ONE IEEE
+    * chain round(rel·ln2 / ln(i+1), 6) — identical operand order in the
+    * oracle — summed as DECIMAL(18,6) (exact, order-free), then one
+    * double ratio + round-6. NULL when IDCG = 0 (no positive label).
+    *
+    * Scale shape: run rows filter to rank ≤ k before the label join
+    * (broadcast-eligible eval set); the ideal ranking windows over ONE
+    * QUERY'S labels (eval-design bounded, never corpus-sized) — salted
+    * two-phase ranking is deliberately NOT used because label sets are
+    * small by construction; output is queries × 1. Output: (queryCol,
+    * dcg DECIMAL(18,6), idcg DECIMAL(18,6), ndcg DOUBLE). */
+  def ndcgAtK(runs: DataFrame, queryCol: String, docCol: String,
+              rankCol: String, qrels: DataFrame, relCol: String,
+              k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def gain(rel: Column, pos: Column): Column =
+      round(rel.cast("double") * log(lit(2.0)) /
+        log((pos + 1).cast("double")), 6).cast("decimal(18,6)")
+    val labels = qrels.select(col(queryCol), col(docCol),
+      col(relCol).as("_rel"))
+    val dcg = runs.where(col(rankCol) <= k)
+      .join(labels, Seq(queryCol, docCol), "left")
+      .na.fill(0L, Seq("_rel"))
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("_rel"), col(rankCol))).cast("decimal(18,6)")
+        .as("dcg"))
+    val iw = Window.partitionBy(col(queryCol))
+      .orderBy(col("_rel").desc, col(docCol).asc)
+    val idcg = labels.withColumn("_ipos", row_number().over(iw))
+      .where(col("_ipos") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("_rel"), col("_ipos"))).cast("decimal(18,6)")
+        .as("idcg"))
+    dcg.join(idcg, Seq(queryCol))
+      .select(col(queryCol), col("dcg"), col("idcg"),
+        when(col("idcg") > 0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .as("ndcg"))
   }
 }

@@ -96,6 +96,33 @@ object Sketches {
                   p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, keyCols, valueCol, p), keyCols, p)
 
+  /** Distinct-INTERSECTION estimate over two HLL register tables by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), floored at
+    * 0 — the cross-corpus overlap triage ("how many users/urls/doc-hashes
+    * do these two crawls share") over sketches that are already built and
+    * mergeable, no re-scan of either side. Honest caveat in the contract:
+    * HLL unions are exact over sketches, but the subtraction AMPLIFIES
+    * relative error when the true intersection is small versus the union
+    * (the reason theta sketches exist) — treat small estimates as "below
+    * sketch resolution", not as counts; exact joins or minhash signatures
+    * are the precision tier. All three estimates reuse [[hllEstimate]]'s
+    * deterministic fixed-point arithmetic, so the output is engine- and
+    * layout-exact. Output: key cols + (est_a, est_b, est_union,
+    * est_intersect), all BIGINT. */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                           p: Int = 8): DataFrame = {
+    val ea = hllEstimate(a, keyCols, p).withColumnRenamed("est", "est_a")
+    val eb = hllEstimate(b, keyCols, p).withColumnRenamed("est", "est_b")
+    val eu = hllEstimate(hllMergeRegisters(a, b, keyCols), keyCols, p)
+      .withColumnRenamed("est", "est_union")
+    val joined =
+      if (keyCols.isEmpty)
+        ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+      else ea.join(eb, keyCols).join(eu, keyCols)
+    joined.withColumn("est_intersect",
+      greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
+
   /** alpha_m · m² · 2^(B+1) — the numerator of the raw HLL estimate over
     * the fixed-point harmonic sum. Public so oracle SQL can embed the
     * exact same double (format with %.17g). */
@@ -104,6 +131,125 @@ object Sketches {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     alpha * m * m * math.pow(2.0, 61 - p) // 2^(B+1) with B = 60 - p
   }
+
+  // ── KMV (k-minimum-values) ───────────────────────────────────────────
+  //
+  // The PRECISION tier for sketched set operations that
+  // [[hllIntersectEstimate]]'s contract points at: a KMV sketch (Beyer
+  // et al. 2007, "On synopses for distinct value estimation under
+  // multiset operations") keeps the k smallest distinct md5-60 hashes of
+  // a set. Union is "merge and re-take the k smallest" (EXACT over
+  // sketches — spec-pinned law), and the intersection estimate
+  // K∩/|L| · est(∪) has bounded relative error in the JACCARD, not in
+  // the tiny inclusion–exclusion residual HLL suffers on. Bonus law:
+  // any set with < k distinct values is captured WHOLE, so estimates
+  // (incl. the intersection) degrade to exact counts below sketch size.
+
+  /** KMV sketch per key: the `k` smallest DISTINCT md5-60 hashes of
+    * `valueCol`, `(keyCols*, h BIGINT)`, ≤ k rows per key. Build is one
+    * map-side-combined distinct on (key, hash) — the shuffle carries 8
+    * bytes per per-partition-distinct value — then the salted two-phase
+    * bottom-k (the [[Sampling.topKPerStratum]] pattern): no single task
+    * ever sorts a whole key's distinct-hash set, only its 1/`fanout`
+    * salt slice, and the final window ranks ≤ k·fanout survivors. */
+  def kmvSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                k: Int = 256, fanout: Int = 64): DataFrame = {
+    val h = Dedup.md5Hash60(col(valueCol).cast("string"))
+    val dis = df.where(col(valueCol).isNotNull)
+      .select(keyCols.map(col) :+ h.as("h"): _*)
+      .distinct()
+    kmvBottomK(dis, keyCols, k, fanout)
+  }
+
+  /** Merge two KMV sketches (same k): distinct-union of the hash rows,
+    * then the k smallest again — exactly the sketch of the UNION of the
+    * underlying sets (every union hash small enough to make the cut is
+    * present in one of the inputs). */
+  def kmvMergeSketches(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                       k: Int = 256, fanout: Int = 64): DataFrame =
+    kmvBottomK(a.unionByName(b).distinct(), keyCols, k, fanout)
+
+  private def kmvBottomK(dis: DataFrame, keyCols: Seq[String], k: Int,
+                         fanout: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(fanout > 0, "fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val local = Window
+      .partitionBy(keyCols.map(col) :+ pmod(col("h"), lit(fanout.toLong)): _*)
+      .orderBy(col("h").asc)
+    val global = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("h").asc)
+    dis.withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .withColumn("_rk", row_number().over(global))
+      .where(col("_rk") <= k)
+      .drop("_lrk", "_rk")
+  }
+
+  /** Cardinality estimate per key from a KMV sketch: `(keyCols*, est
+    * BIGINT)`. Sketch smaller than k ⇒ the set IS the sketch ⇒ exact
+    * count; else the Beyer et al. unbiased estimator (k−1)/h₍k₎ on hashes
+    * normalized to [0,1) — here (k−1)·2⁶⁰ / h₍k₎ with the numerator a
+    * single exactly-representable double ([[kmvNumerator]], %.17g-
+    * embeddable in oracle SQL), one IEEE division + round-to-integer
+    * (cross-engine-safe: .5-exact doubles round identically). */
+  def kmvEstimate(sketch: DataFrame, keyCols: Seq[String],
+                  k: Int = 256): DataFrame = {
+    val c = kmvNumerator(k)
+    val agg = sketch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), max(col("h")).as("_hk"))
+    agg.select(keyCols.map(col) :+
+      when(col("_n") < k || col("_hk") === 0, col("_n"))
+        .otherwise(round(lit(c) / col("_hk").cast("double")).cast("long"))
+        .as("est"): _*)
+  }
+
+  /** Distinct A / B / union / intersection estimates from two KMV
+    * sketches — the precision tier of cross-corpus overlap triage.
+    * Per the Beyer et al. multiset-operation scheme: L = the merged
+    * (union) sketch, K∩ = |{h ∈ L : h ∈ A ∧ h ∈ B}|, Jaccard ≈ K∩/|L|,
+    * and |A∩B| ≈ K∩/|L| · est(∪). Everything up to the final published
+    * ratios is exact integers (two left-semi joins against L + one
+    * count); `jaccard_ppm` is floored integer division (engine-exact)
+    * and `est_intersect` one IEEE ratio + round. Below sketch size all
+    * four estimates are EXACT counts (the sketches hold the full sets).
+    * Output: key cols + (est_a, est_b, est_union, k_inter, jaccard_ppm,
+    * est_intersect), all BIGINT. */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                           k: Int = 256, fanout: Int = 64): DataFrame = {
+    val ea = kmvEstimate(a, keyCols, k).withColumnRenamed("est", "est_a")
+    val eb = kmvEstimate(b, keyCols, k).withColumnRenamed("est", "est_b")
+    val lu = kmvMergeSketches(a, b, keyCols, k, fanout)
+    val eu = kmvEstimate(lu, keyCols, k).withColumnRenamed("est", "est_union")
+    val joinCols = keyCols :+ "h"
+    val inBoth = lu.join(a, joinCols, "left_semi").join(b, joinCols, "left_semi")
+    val stats = lu.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_nu"))
+      .join(inBoth.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("k_inter")),
+        keyCols, "left")
+      .na.fill(0L, Seq("k_inter"))
+    val joined =
+      if (keyCols.isEmpty)
+        ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+          .crossJoin(broadcast(stats))
+      else ea.join(eb, keyCols).join(eu, keyCols).join(stats, keyCols)
+    joined
+      .withColumn("jaccard_ppm",
+        when(col("_nu") > 0,
+          expr("CAST(k_inter * CAST(1000000 AS BIGINT) div _nu AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("est_intersect",
+        when(col("_nu") > 0,
+          round(col("k_inter").cast("double") * col("est_union").cast("double")
+            / col("_nu").cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("_nu")
+  }
+
+  /** (k−1)·2⁶⁰ — the KMV estimator numerator, a single exactly-
+    * representable double. Public so oracle SQL embeds the identical
+    * constant via %.17g. */
+  def kmvNumerator(k: Int): Double = (k - 1).toDouble * math.pow(2.0, 60)
 
   // ── Count-Min ────────────────────────────────────────────────────────
 

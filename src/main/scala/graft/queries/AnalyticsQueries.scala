@@ -475,6 +475,212 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // ── q168: HLL intersection estimate (inclusion–exclusion) — the
+    //    cross-corpus overlap triage over already-built mergeable
+    //    sketches: distinct clicking users ∩ distinct purchasing users,
+    //    |A∩B| ≈ est(A)+est(B)−est(A∪B) floored at 0. All three
+    //    estimates replay q100's deterministic fixed-point arithmetic;
+    //    the union is the per-bucket register max. ──
+    QueryDef("q168_hll_intersect",
+      s"""WITH ha AS (
+         |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |ba AS (SELECT h % 256 AS bucket,
+         |         CASE WHEN (h >> 8) = 0 THEN 53
+         |              ELSE 53 - length(bin(h >> 8)) END AS rho FROM ha),
+         |ra AS (SELECT bucket, MAX(rho) AS r FROM ba GROUP BY 1),
+         |hb AS (
+         |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |bb AS (SELECT h % 256 AS bucket,
+         |         CASE WHEN (h >> 8) = 0 THEN 53
+         |              ELSE 53 - length(bin(h >> 8)) END AS rho FROM hb),
+         |rb2 AS (SELECT bucket, MAX(rho) AS r FROM bb GROUP BY 1),
+         |ru AS (SELECT bucket, MAX(r) AS r FROM (
+         |         SELECT * FROM ra UNION ALL SELECT * FROM rb2) GROUP BY 1),
+         |fa AS (SELECT s_ne + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS s,
+         |         256 - nb AS v FROM (
+         |           SELECT SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_ne,
+         |             COUNT(*) AS nb FROM ra)),
+         |fb AS (SELECT s_ne + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS s,
+         |         256 - nb AS v FROM (
+         |           SELECT SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_ne,
+         |             COUNT(*) AS nb FROM rb2)),
+         |fu AS (SELECT s_ne + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS s,
+         |         256 - nb AS v FROM (
+         |           SELECT SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_ne,
+         |             COUNT(*) AS nb FROM ru)),
+         |ests AS (SELECT
+         |  (SELECT CAST(round(CASE
+         |     WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
+         |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |     ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) FROM fa)
+         |    AS est_a,
+         |  (SELECT CAST(round(CASE
+         |     WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
+         |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |     ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) FROM fb)
+         |    AS est_b,
+         |  (SELECT CAST(round(CASE
+         |     WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
+         |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+         |     ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) FROM fu)
+         |    AS est_union)
+         |SELECT est_a, est_b, est_union,
+         |  greatest(CAST(0 AS BIGINT), est_a + est_b - est_union)
+         |    AS est_intersect
+         |FROM ests""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      val ra = graft.ops.Sketches.hllRegisters(
+        ev.where(col("event_type") === "click"), Seq.empty, "user_id")
+      val rb = graft.ops.Sketches.hllRegisters(
+        ev.where(col("event_type") === "purchase"), Seq.empty, "user_id")
+      graft.ops.Sketches.hllIntersectEstimate(ra, rb, Seq.empty)
+    },
+
+    // ── q169: KMV intersection estimate — the PRECISION tier q168's
+    //    contract points at: same clicking-users ∩ purchasing-users
+    //    question, but over k-minimum-values sketches (k=64), where the
+    //    intersection is estimated through the Jaccard K∩/|L| instead of
+    //    inclusion–exclusion, and everything below sketch size is EXACT.
+    //    The oracle replays the whole scheme: distinct md5-60 hashes,
+    //    bottom-64 per side, merged bottom-64, two membership probes,
+    //    floored-ppm Jaccard, one IEEE ratio for the count. ──
+    QueryDef("q169_kmv_intersect",
+      s"""WITH ha AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |la AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         |hb AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |lb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         |lu AS (SELECT DISTINCT h FROM (
+         |         SELECT h FROM la UNION ALL SELECT h FROM lb)
+         |       ORDER BY h LIMIT 64),
+         |ea AS (SELECT count(*) AS n, max(h) AS hk FROM la),
+         |eb AS (SELECT count(*) AS n, max(h) AS hk FROM lb),
+         |eu AS (SELECT count(*) AS n, max(h) AS hk FROM lu),
+         |ki AS (SELECT count(*) AS c FROM lu
+         |       WHERE h IN (SELECT h FROM la) AND h IN (SELECT h FROM lb)),
+         |ests AS (SELECT
+         |  (SELECT CAST(round(CASE WHEN n < 64 OR hk = 0 THEN CAST(n AS DOUBLE)
+         |     ELSE $KmvC64 / CAST(hk AS DOUBLE) END) AS BIGINT) FROM ea) AS est_a,
+         |  (SELECT CAST(round(CASE WHEN n < 64 OR hk = 0 THEN CAST(n AS DOUBLE)
+         |     ELSE $KmvC64 / CAST(hk AS DOUBLE) END) AS BIGINT) FROM eb) AS est_b,
+         |  (SELECT CAST(round(CASE WHEN n < 64 OR hk = 0 THEN CAST(n AS DOUBLE)
+         |     ELSE $KmvC64 / CAST(hk AS DOUBLE) END) AS BIGINT) FROM eu) AS est_union,
+         |  (SELECT c FROM ki) AS k_inter,
+         |  (SELECT n FROM eu) AS nu)
+         |SELECT est_a, est_b, est_union, k_inter,
+         |  CAST(k_inter * CAST(1000000 AS BIGINT) // nu AS BIGINT) AS jaccard_ppm,
+         |  CAST(round(CAST(k_inter AS DOUBLE) * CAST(est_union AS DOUBLE)
+         |    / CAST(nu AS DOUBLE)) AS BIGINT) AS est_intersect
+         |FROM ests""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      val sa = graft.ops.Sketches.kmvSketch(
+        ev.where(col("event_type") === "click"), Seq.empty, "user_id", k = 64)
+      val sb = graft.ops.Sketches.kmvSketch(
+        ev.where(col("event_type") === "purchase"), Seq.empty, "user_id", k = 64)
+      graft.ops.Sketches.kmvIntersectEstimate(sa, sb, Seq.empty, k = 64)
+    },
+
+    // ── q170: pairwise Cohen's kappa — the inter-annotator QC matrix of
+    //    a labeling operation (which rater pairs agree beyond chance).
+    //    Fixture: each event is a rating — item = event_id div 8, rater =
+    //    event_id % 8 (≤ one rating per (item, rater) by construction),
+    //    label = event_type. Kappa is ONE integer ratio (n·agree −
+    //    Σ naᶜ·nbᶜ over n² − Σ naᶜ·nbᶜ), HUGEINT-replayed, round-6. ──
+    QueryDef("q170_annotator_kappa",
+      """WITH r AS (SELECT event_id // 8 AS i, event_id % 8 AS ra,
+        |             event_type AS l FROM events),
+        |p AS (SELECT x.ra AS a, y.ra AS b, x.l AS la, y.l AS lb
+        |      FROM r x JOIN r y ON x.i = y.i AND x.ra < y.ra),
+        |bse AS (SELECT a, b, count(*) AS n,
+        |         CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS agree
+        |       FROM p GROUP BY 1, 2),
+        |ma AS (SELECT a, b, la AS c, count(*) AS na FROM p GROUP BY 1, 2, 3),
+        |mb AS (SELECT a, b, lb AS c, count(*) AS nb FROM p GROUP BY 1, 2, 3),
+        |pe AS (SELECT ma.a, ma.b, sum(CAST(na AS HUGEINT) * nb) AS pen
+        |       FROM ma JOIN mb ON ma.a = mb.a AND ma.b = mb.b AND ma.c = mb.c
+        |       GROUP BY 1, 2)
+        |SELECT bse.a AS rater_a, bse.b AS rater_b, n, agree,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - pen <> 0
+        |    THEN round(CAST(CAST(n AS HUGEINT) * agree - pen AS DOUBLE) /
+        |               CAST(CAST(n AS HUGEINT) * n - pen AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM bse JOIN pe ON bse.a = pe.a AND bse.b = pe.b
+        |ORDER BY rater_a, rater_b""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      val ratings = ev.select(expr("event_id div 8").as("item"),
+        pmod(col("event_id"), lit(8L)).as("rater"),
+        col("event_type").as("lab"))
+      graft.ops.Scoring.cohenKappaPairs(ratings, "item", "rater", "lab")
+        .orderBy("rater_a", "rater_b")
+    },
+
+    // ── q171: nDCG@8 per query — graded-relevance retrieval eval
+    //    closing the ranking-eval tier (q149 recall = binary, q160 RBO =
+    //    ranking-vs-ranking, this = ranking-vs-labels). Fixture: each
+    //    user is a query, the run ranks their events by value desc
+    //    (event_id tie-break), labels grade event_type purchase=3 /
+    //    signup=2 / click=1 / else 0; IDCG from the full label set
+    //    (trec_eval semantics). Gain terms are one IEEE chain round-6,
+    //    summed as DECIMAL(18,6), one final ratio. ──
+    QueryDef("q171_ndcg",
+      """WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
+        |              event_type AS t FROM events WHERE value IS NOT NULL),
+        |runs AS (SELECT q, doc, row_number() OVER (
+        |           PARTITION BY q ORDER BY v DESC, doc) AS rnk FROM ev),
+        |r8 AS (SELECT q, doc, rnk FROM runs WHERE rnk <= 8),
+        |qrels AS (SELECT q, doc, CASE t WHEN 'purchase' THEN 3
+        |            WHEN 'signup' THEN 2 WHEN 'click' THEN 1
+        |            ELSE 0 END AS rel FROM ev),
+        |dg AS (SELECT r8.q, CAST(sum(CAST(round(
+        |           CAST(coalesce(rel, 0) AS DOUBLE) * ln(2.0) /
+        |             ln(CAST(rnk + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |         AS DECIMAL(18,6)) AS dcg
+        |       FROM r8 LEFT JOIN qrels ON r8.q = qrels.q
+        |         AND r8.doc = qrels.doc
+        |       GROUP BY 1),
+        |ideal AS (SELECT q, rel, row_number() OVER (
+        |            PARTITION BY q ORDER BY rel DESC, doc) AS ipos
+        |          FROM qrels),
+        |ig AS (SELECT q, CAST(sum(CAST(round(
+        |           CAST(rel AS DOUBLE) * ln(2.0) /
+        |             ln(CAST(ipos + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |         AS DECIMAL(18,6)) AS idcg
+        |       FROM ideal WHERE ipos <= 8 GROUP BY 1)
+        |SELECT dg.q AS query_id, dcg, idcg,
+        |  CASE WHEN idcg > 0
+        |    THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+        |  END AS ndcg
+        |FROM dg JOIN ig ON dg.q = ig.q
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id").as("query_id"), col("event_id").as("doc"),
+          col("value"), col("event_type"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("value").desc, col("doc").asc)
+      val runs = ev.withColumn("rnk", row_number().over(w))
+        .select(col("query_id"), col("doc"), col("rnk"))
+      val qrels = ev.select(col("query_id"), col("doc"),
+        when(col("event_type") === "purchase", 3L)
+          .when(col("event_type") === "signup", 2L)
+          .when(col("event_type") === "click", 1L)
+          .otherwise(0L).as("rel"))
+      graft.ops.Scoring.ndcgAtK(runs, "query_id", "doc", "rnk",
+          qrels, "rel", k = 8)
+        .orderBy("query_id")
+    },
+
     // ── q101: Count-Min frequency sketch, probed for a deterministic item
     //    subset. The sketch is d=4 rows of w=512 counters (md5-60 row
     //    hashes — oracle-replayable), built with ONE map-side-combined
@@ -1153,4 +1359,9 @@ object AnalyticsQueries {
     * exact same double the Spark plan uses. */
   private lazy val HllC8: String = String.format(java.util.Locale.ROOT,
     "%.17g", Double.box(graft.ops.Sketches.hllAlphaNumerator(8)))
+
+  /** q169's KMV estimator numerator (k=64), %.17g — same contract as
+    * [[HllC8]]. */
+  private lazy val KmvC64: String = String.format(java.util.Locale.ROOT,
+    "%.17g", Double.box(graft.ops.Sketches.kmvNumerator(64)))
 }

@@ -480,4 +480,79 @@ class ScoringSpec extends SparkSpec {
       .orderBy("item").collect().map(r => (r.getString(0), r.getDouble(3)))
     assert(base.toSeq == shuffled.toSeq)
   }
+
+  test("cohenKappaPairs: perfect / opposite / hand-checked / degenerate") {
+    import spark.implicits._
+    // raters 1,2 always agree; rater 3 labels the complement of rater 1;
+    // rater 4 is constant "x" (degenerate vs nothing here — see below)
+    val items = 0 until 20
+    val ratings =
+      items.flatMap { i =>
+        val l = if (i % 2 == 0) "x" else "y"
+        val opp = if (l == "x") "y" else "x"
+        Seq((i, 1L, l), (i, 2L, l), (i, 3L, opp))
+      }.toDF("item", "rater", "lab")
+    val got = Scoring.cohenKappaPairs(ratings, "item", "rater", "lab")
+      .orderBy("rater_a", "rater_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    // (1,2): perfect agreement, balanced marginals → kappa = 1
+    assert(got(0) == (1L, 2L, 20L, 20L, 1.0), got(0).toString)
+    // (1,3): systematic opposite with balanced marginals → kappa = −1
+    assert(got(1) == (1L, 3L, 20L, 0L, -1.0), got(1).toString)
+    assert(got(2) == (2L, 3L, 20L, 0L, -1.0), got(2).toString)
+    // hand-checked partial agreement: the classic 2×2 worked example —
+    // a=10 both-yes, b=5 a-yes/b-no, c=3 a-no/b-yes, d=2 both-no:
+    // po=12/20, pe=(15·13 + 5·7)/400 → kappa=(240−230)/(400−230)
+    val hand = Seq.tabulate(10)(i => (100 + i, 8L, "y")) ++
+      Seq.tabulate(10)(i => (100 + i, 9L, "y")) ++
+      Seq.tabulate(5)(i => (110 + i, 8L, "y")) ++
+      Seq.tabulate(5)(i => (110 + i, 9L, "n")) ++
+      Seq.tabulate(3)(i => (115 + i, 8L, "n")) ++
+      Seq.tabulate(3)(i => (115 + i, 9L, "y")) ++
+      Seq.tabulate(2)(i => (118 + i, 8L, "n")) ++
+      Seq.tabulate(2)(i => (118 + i, 9L, "n"))
+    val h = Scoring.cohenKappaPairs(hand.toDF("item", "rater", "lab"),
+      "item", "rater", "lab").head()
+    assert(h.getLong(2) == 20L && h.getLong(3) == 12L)
+    assert(h.getDouble(4) == math.rint(10.0 / 170.0 * 1e6) / 1e6, h.toString)
+    // degenerate: both raters constant with identical marginals → NULL
+    val const = (0 until 5).flatMap(i => Seq((i, 1L, "x"), (i, 2L, "x")))
+      .toDF("item", "rater", "lab")
+    val d = Scoring.cohenKappaPairs(const, "item", "rater", "lab").head()
+    assert(d.getLong(3) == 5L && d.isNullAt(4))
+  }
+
+  test("ndcgAtK: perfect run, hand-replayed partial, unlabeled docs, " +
+      "zero-label NULL") {
+    import spark.implicits._
+    def gain(rel: Long, pos: Int): Double =
+      r6(rel.toDouble * math.log(2.0) / math.log((pos + 1).toDouble))
+    val qrels = Seq(("q1", "d1", 3L), ("q1", "d2", 2L), ("q1", "d3", 1L),
+      ("q1", "d4", 0L), ("q2", "d1", 1L), ("q2", "d2", 0L),
+      ("q3", "d1", 0L), ("q3", "d2", 0L)).toDF("q", "doc", "rel")
+    // q1's run is the ideal order → ndcg exactly 1; q2 ranks an
+    // UNLABELED doc first (gain 0, trec semantics) then the rel-1 doc;
+    // q3 has no positive label → idcg 0 → NULL
+    val runs = Seq(("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+      ("q1", "d4", 4), ("q2", "dX", 1), ("q2", "d1", 2),
+      ("q3", "d1", 1)).toDF("q", "doc", "rnk")
+    val got = Scoring.ndcgAtK(runs, "q", "doc", "rnk", qrels, "rel", k = 4)
+      .orderBy("q").collect()
+    assert(got(0).getString(0) == "q1" && got(0).getDouble(3) == 1.0)
+    val dcg2 = decSum(Seq(gain(0L, 1), gain(1L, 2)))
+    val idcg2 = decSum(Seq(gain(1L, 1), gain(0L, 2)))
+    assert(got(1).getDouble(3) == r6(dcg2 / idcg2), got(1).toString)
+    assert(got(2).isNullAt(3), got(2).toString)
+    // reordered partial case replayed term-by-term: run d2,d1,d3,d4
+    val runs2 = Seq(("q1", "d2", 1), ("q1", "d1", 2), ("q1", "d3", 3),
+      ("q1", "d4", 4)).toDF("q", "doc", "rnk")
+    val h = Scoring.ndcgAtK(runs2, "q", "doc", "rnk",
+      qrels.where(col("q") === "q1"), "rel", k = 4).head()
+    val dcgH = decSum(Seq(gain(2L, 1), gain(3L, 2), gain(1L, 3), gain(0L, 4)))
+    val idcgH = decSum(Seq(gain(3L, 1), gain(2L, 2), gain(1L, 3), gain(0L, 4)))
+    assert(h.getDecimal(1).doubleValue() == dcgH &&
+      h.getDecimal(2).doubleValue() == idcgH, h.toString)
+    assert(h.getDouble(3) == r6(dcgH / idcgH), h.toString)
+  }
 }

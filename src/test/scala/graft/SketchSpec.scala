@@ -256,4 +256,78 @@ class SketchSpec extends SparkSpec {
     val rank = df.where(col("x") <= ap).count().toDouble / 100001
     assert(math.abs(rank - 0.5) < 0.01, s"ap=$ap rank=$rank exact=$ep")
   }
+
+  test("hllIntersectEstimate: identity, overlap accuracy, disjoint floor, " +
+      "keyed variant") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    def regs(lo: Int, hi: Int) = Sketches.hllRegisters(
+      (lo until hi).map(i => s"v$i").toDF("v"), Seq.empty, "v", p = 10)
+    val a = regs(0, 1000)
+    // identity: A ∩ A = A exactly (union of A with itself is A)
+    val self = Sketches.hllIntersectEstimate(a, regs(0, 1000), Seq.empty,
+      p = 10).head()
+    assert(self.getLong(3) == self.getLong(0) &&
+      self.getLong(0) == self.getLong(2))
+    // overlap: |A∩B| = 500 true; p=10 (~3.25% per estimate) → generous 20%
+    val mid = Sketches.hllIntersectEstimate(a, regs(500, 1500), Seq.empty,
+      p = 10).head()
+    assert(math.abs(mid.getLong(3) - 500L) < 100L, mid.toString)
+    // disjoint: floored at 0, small vs the union
+    val dis = Sketches.hllIntersectEstimate(a, regs(5000, 6000), Seq.empty,
+      p = 10).head()
+    assert(dis.getLong(3) >= 0L && dis.getLong(3) < 200L, dis.toString)
+    // keyed variant joins per key
+    def kregs(k: String, lo: Int, hi: Int) = Sketches.hllRegisters(
+      (lo until hi).map(i => (k, s"v$i")).toDF("k", "v"), Seq("k"), "v",
+      p = 10)
+    val ka = kregs("x", 0, 400).unionByName(kregs("y", 0, 100))
+    val kb = kregs("x", 200, 600).unionByName(kregs("y", 0, 100))
+    val keyed = Sketches.hllIntersectEstimate(ka, kb, Seq("k"), p = 10)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(math.abs(keyed(0)._2 - 200L) < 60L, keyed.mkString(","))
+    assert(math.abs(keyed(1)._2 - 100L) < 30L, keyed.mkString(","))
+  }
+
+  test("kmvSketch: merge law, below-k exactness, estimation accuracy, " +
+      "keyed intersection") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    def data(lo: Int, hi: Int) = (lo until hi).map(i => s"v$i").toDF("v")
+    // merge law: sketch(A ∪ B) == merge(sketch A, sketch B), exact set equality
+    val sa = Sketches.kmvSketch(data(0, 3000), Seq.empty, "v", k = 128)
+    val sb = Sketches.kmvSketch(data(2000, 5000), Seq.empty, "v", k = 128)
+    val direct = Sketches.kmvSketch(data(0, 5000), Seq.empty, "v", k = 128)
+    val merged = Sketches.kmvMergeSketches(sa, sb, Seq.empty, k = 128)
+    assert(direct.count() == 128 && merged.count() == 128)
+    assert(direct.except(merged).isEmpty && merged.except(direct).isEmpty)
+    // below sketch size: ALL FOUR estimates exact (sets captured whole)
+    val ea = Sketches.kmvSketch(data(0, 100), Seq.empty, "v", k = 256)
+    val eb = Sketches.kmvSketch(data(60, 160), Seq.empty, "v", k = 256)
+    val ex = Sketches.kmvIntersectEstimate(ea, eb, Seq.empty, k = 256).head()
+    assert(ex.getLong(0) == 100L && ex.getLong(1) == 100L &&
+      ex.getLong(2) == 160L && ex.getLong(3) == 40L, ex.toString)
+    assert(ex.getLong(4) == 40L * 1000000L / 160L &&
+      ex.getLong(5) == 40L, ex.toString)
+    // estimation regime: |A|=|B|=3000, |A∩B|=1000; k=128 (~9% per est) —
+    // generous 35% bands on counts, 50% on the Jaccard-derived intersect
+    val est = Sketches.kmvIntersectEstimate(
+      Sketches.kmvSketch(data(0, 3000), Seq.empty, "v", k = 128),
+      Sketches.kmvSketch(data(2000, 5000), Seq.empty, "v", k = 128),
+      Seq.empty, k = 128).head()
+    assert(math.abs(est.getLong(0) - 3000L) < 1050L, est.toString)
+    assert(math.abs(est.getLong(2) - 5000L) < 1750L, est.toString)
+    assert(math.abs(est.getLong(5) - 1000L) < 500L, est.toString)
+    // keyed variant: per-key join, disjoint key floors at 0
+    def kdata(k: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (k, s"v$i")).toDF("g", "v")
+    val ka = Sketches.kmvSketch(
+      kdata("x", 0, 100).unionByName(kdata("y", 0, 50)), Seq("g"), "v", k = 256)
+    val kb = Sketches.kmvSketch(
+      kdata("x", 50, 150).unionByName(kdata("y", 100, 150)), Seq("g"), "v", k = 256)
+    val keyed = Sketches.kmvIntersectEstimate(ka, kb, Seq("g"), k = 256)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(6)))
+    assert(keyed.toSeq == Seq(("x", 50L), ("y", 0L)), keyed.mkString(","))
+  }
 }
