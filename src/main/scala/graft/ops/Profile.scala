@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact data profiling — per-column non-null/null/distinct counts and
@@ -96,5 +96,74 @@ object Profile {
       .withColumn("cum_terms", sum(col("new_terms")).over(
         Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Zipf-slope vocabulary audit — least-squares fit of ln(freq) against
+    * ln(rank) over the `topV` most frequent tokens (natural text sits
+    * near slope −1; strong deviation flags templated/synthetic/spammy
+    * corpora — the standing distribution audit next to
+    * [[vocabularyGrowth]]'s Heaps-law curve). Fitting the HEAD is the
+    * standard practice (the tail bends away from the power law) and is
+    * also what makes the op scale: the full vocabulary is never ranked.
+    *
+    * Determinism: x = round(ln rank, 6), y = round(ln freq, 6); all five
+    * regression sums accumulate exact decimals (products of two 6-dp
+    * values are exact 12-dp), slope/intercept/r² are single IEEE ratios
+    * of exact-decimal casts, round-6. Scale shape: one map-side-combined
+    * token count, then the salted two-phase bottom-k ranking (no task
+    * sorts the whole vocabulary; the final window ranks ≤ topV·fanout
+    * survivors), then a one-row aggregate. Output one row:
+    * (n BIGINT, slope DOUBLE, intercept DOUBLE, r2 DOUBLE); slope/r²
+    * NULL when degenerate (n < 2 / zero variance). */
+  def zipfSlope(docs: DataFrame, textCol: String,
+                topV: Int = 1024, fanout: Int = 64): DataFrame = {
+    require(topV > 1, "zipfSlope: topV must be > 1")
+    // 65536·ln(65536) still fits the exact DECIMAL(12,6) cross terms —
+    // the head-fit bound that keeps every regression sum overflow-free
+    require(topV <= 65536, "zipfSlope: topV must be <= 65536")
+    require(fanout > 0, "zipfSlope: fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_f"))
+    val local = Window
+      .partitionBy(pmod(xxhash64(col("_tok")), lit(fanout)))
+      .orderBy(col("_f").desc, col("_tok").asc)
+    val global = Window.orderBy(col("_f").desc, col("_tok").asc)
+    val top = freq.withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= topV)
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= topV)
+    val d6 = "decimal(18,6)"
+    def sq(a: Column, b: Column): Column =
+      (a.cast(d6) * b.cast(d6)).cast("decimal(38,12)")
+    val pts = top.select(
+      round(log(col("rank").cast("double")), 6).as("_x"),
+      round(log(col("_f").cast("double")), 6).as("_y"))
+    val a = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("_x").cast(d6)).as("_sx"),
+      sum(col("_y").cast(d6)).as("_sy"),
+      sum(sq(col("_x"), col("_y"))).as("_sxy"),
+      sum(sq(col("_x"), col("_x"))).as("_sxx"),
+      sum(sq(col("_y"), col("_y"))).as("_syy"))
+    def nTimes(s: Column): Column =
+      col("n").cast("decimal(10,0)") * s.cast("decimal(26,12)")
+    def cross(u: Column, v: Column): Column =
+      u.cast("decimal(12,6)") * v.cast("decimal(12,6)")
+    val num = nTimes(col("_sxy")) - cross(col("_sx"), col("_sy"))
+    val den = nTimes(col("_sxx")) - cross(col("_sx"), col("_sx"))
+    val deny = nTimes(col("_syy")) - cross(col("_sy"), col("_sy"))
+    val slope = when(den =!= 0,
+      round(num.cast("double") / den.cast("double"), 6))
+    a.select(col("n").cast("long").as("n"),
+      slope.as("slope"),
+      when(den =!= 0, round(
+        (col("_sy").cast("double") - slope * col("_sx").cast("double")) /
+          col("n").cast("double"), 6)).as("intercept"),
+      when(den =!= 0 && deny =!= 0, round(
+        (num.cast("double") * num.cast("double")) /
+          (den.cast("double") * deny.cast("double")), 6)).as("r2"))
   }
 }

@@ -908,4 +908,53 @@ object Scoring {
           round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
           .as("ndcg"))
   }
+
+  /** MAP / MRR @k per query — the binary-relevance companions to
+    * [[ndcgAtK]] (the three standard ranking evals together: nDCG for
+    * graded labels, AP for ranked coverage, RR for first-hit latency).
+    * A run doc is a HIT when its label has `relCol` > 0 (graded labels
+    * binarize, trec_eval-style). Per query:
+    *  - `rr` = round(1/rank_of_first_hit, 6), 0.0 when no hit in the
+    *    top k;
+    *  - `ap` = round(Σ_{hit at rank i} round(hits≤i / i, 6) /
+    *    min(R, k), 6) with R = positives in the LABEL set (docs the run
+    *    missed count against it); precision terms are exact integer
+    *    ratios rounded 6 and summed as DECIMAL(18,6); NULL when R = 0
+    *    (no positive label — undefined, matching [[ndcgAtK]]'s NULL).
+    *
+    * Scale shape: run rows filter to rank ≤ k before the label join,
+    * the cumulative-hit window orders ONE QUERY'S ≤ k run rows (k is an
+    * eval constant), and R comes from one label-set aggregate. Output:
+    * (queryCol, n_rel BIGINT, hits BIGINT, rr DOUBLE, ap DOUBLE). */
+  def mapMrrAtK(runs: DataFrame, queryCol: String, docCol: String,
+                rankCol: String, qrels: DataFrame, relCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val labels = qrels.select(col(queryCol), col(docCol),
+      (col(relCol) > 0).cast("int").as("_pos"))
+    val nRel = labels.groupBy(col(queryCol))
+      .agg(sum(col("_pos")).cast("long").as("n_rel"))
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol).asc)
+    val scored = runs.where(col(rankCol) <= k)
+      .join(labels, Seq(queryCol, docCol), "left")
+      .na.fill(0, Seq("_pos"))
+      .withColumn("_cum", sum(col("_pos")).over(w))
+    val perQ = scored.groupBy(col(queryCol))
+      .agg(
+        sum(col("_pos")).cast("long").as("hits"),
+        min(when(col("_pos") === 1, col(rankCol))).as("_first"),
+        sum(when(col("_pos") === 1,
+          round(col("_cum").cast("double") / col(rankCol).cast("double"), 6)
+            .cast("decimal(18,6)"))).as("_psum"))
+    nRel.join(perQ, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(round(lit(1.0) / col("_first").cast("double"), 6),
+          lit(0.0)).as("rr"),
+        when(col("n_rel") > 0,
+          round(coalesce(col("_psum"), lit(BigDecimal(0))).cast("double") /
+            least(col("n_rel"), lit(k.toLong)).cast("double"), 6))
+          .as("ap"))
+  }
 }

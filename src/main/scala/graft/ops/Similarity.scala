@@ -861,6 +861,61 @@ object Similarity {
         round(col("_s").cast("double") / col("n"), 6).as("c"), col("n"))
   }
 
+  /** Simplified silhouette (Hruschka et al. 2004 — the centroid-based
+    * variant of Rousseeuw 1987) per cluster — the internal clustering-
+    * quality audit for the engine's cluster tiers (SemDeDup cells, kNN
+    * components, label groups): for each point, a = cosine DISTANCE to
+    * its own cluster's centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. Unlike the full
+    * silhouette's per-point pairwise scan (quadratic — unusable at
+    * corpus scale), the centroid form is one cosine per (point,
+    * centroid).
+    *
+    * Determinism: centroids are [[groupCentroids]]' decimal-exact means;
+    * each cosine is [[cosine6]]; s is one fixed IEEE chain published as
+    * floor(s·10⁶ + 0.5) micro-units (the q141 trick — half rounds
+    * toward +∞), so sums and means stay in exact integers; the
+    * per-cluster mean is integer division (both engines truncate toward
+    * zero). s is NULL (excluded, counted in `n` but not `n_scored`)
+    * when no other cluster exists.
+    *
+    * Scale shape: the centroid table is k·dim doubles and is BROADCAST
+    * — k is a coarse-cluster count (the [[quantileBuckets]] caveat:
+    * thresholds/centroids must fit a broadcast); scoring is a map-only
+    * k-cosines-per-point pass whose per-point aggregate combines
+    * map-side (the k rows of one point never leave their partition
+    * unreduced); output is k rows. Output: (clusterCol, n BIGINT,
+    * n_scored BIGINT, s_sum_ppm BIGINT, s_mean_ppm BIGINT). */
+  def silhouetteSimplified(df: DataFrame, idCol: String, clusterCol: String,
+                           vecCol: String, dim: Int): DataFrame = {
+    val valid = df.where(col(clusterCol).isNotNull && col(vecCol).isNotNull &&
+      size(col(vecCol)) === dim &&
+      !exists(col(vecCol), x => x.isNull || isnan(x) || abs(x) >= 1e9))
+    val centVec = groupCentroids(valid, clusterCol, vecCol, dim)
+      .groupBy(col(clusterCol))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("_cvec"))
+    val scored = valid.select(col(idCol), col(clusterCol), col(vecCol))
+      .crossJoin(broadcast(centVec
+        .select(col(clusterCol).as("_cc"), col("_cvec"))))
+      .withColumn("_sim", cosine6(col(vecCol), col("_cvec")))
+    val per = scored.groupBy(col(idCol), col(clusterCol))
+      .agg(max(when(col("_cc") === col(clusterCol), col("_sim"))).as("_sa"),
+        max(when(col("_cc") =!= col(clusterCol), col("_sim"))).as("_sb"))
+    val a = lit(1.0) - col("_sa")
+    val b = lit(1.0) - col("_sb")
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    per
+      .withColumn("_sppm", when(col("_sb").isNotNull,
+        floor(s * lit(1000000.0) + lit(0.5)).cast("long")))
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n"), count(col("_sppm")).as("n_scored"),
+        sum(col("_sppm")).as("s_sum_ppm"))
+      .withColumn("s_mean_ppm",
+        when(col("n_scored") > 0, expr("s_sum_ppm div n_scored")))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
     * the EMBEDDING level: coarse-cluster the corpus, then compare vectors
     * only WITHIN a cluster, dropping every vector that has a lower-id

@@ -681,6 +681,58 @@ object AnalyticsQueries {
         .orderBy("query_id")
     },
 
+    // ── q172: MAP/MRR@8 per query — the binary-relevance companions to
+    //    q171's nDCG over the same run (events ranked by value desc per
+    //    user); a doc is relevant when its type is purchase/signup/click.
+    //    Precision-at-hit terms are exact integer ratios round-6 summed
+    //    as DECIMAL(18,6); AP divides by min(R, k) with R from the FULL
+    //    label set (missed positives count against the run). ──
+    QueryDef("q172_map_mrr",
+      """WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
+        |              event_type AS t FROM events WHERE value IS NOT NULL),
+        |runs AS (SELECT q, doc, row_number() OVER (
+        |           PARTITION BY q ORDER BY v DESC, doc) AS rnk FROM ev),
+        |r8 AS (SELECT q, doc, rnk FROM runs WHERE rnk <= 8),
+        |qrels AS (SELECT q, doc, CASE WHEN t IN ('purchase', 'signup',
+        |            'click') THEN 1 ELSE 0 END AS pos FROM ev),
+        |nr AS (SELECT q, CAST(sum(pos) AS BIGINT) AS n_rel
+        |       FROM qrels GROUP BY 1),
+        |sc AS (SELECT r8.q, r8.rnk, coalesce(pos, 0) AS pos,
+        |         sum(coalesce(pos, 0)) OVER (
+        |           PARTITION BY r8.q ORDER BY r8.rnk) AS cum
+        |       FROM r8 LEFT JOIN qrels ON r8.q = qrels.q
+        |         AND r8.doc = qrels.doc),
+        |pq AS (SELECT q, CAST(sum(pos) AS BIGINT) AS hits,
+        |         min(CASE WHEN pos = 1 THEN rnk END) AS first_hit,
+        |         sum(CASE WHEN pos = 1 THEN CAST(round(
+        |           CAST(cum AS DOUBLE) / rnk, 6) AS DECIMAL(18,6)) END)
+        |           AS psum
+        |       FROM sc GROUP BY 1)
+        |SELECT nr.q AS query_id, n_rel,
+        |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        |  coalesce(round(CAST(1.0 AS DOUBLE) / first_hit, 6), 0.0) AS rr,
+        |  CASE WHEN n_rel > 0 THEN round(
+        |    CAST(coalesce(psum, 0) AS DOUBLE) /
+        |    CAST(least(n_rel, 8) AS DOUBLE), 6) END AS ap
+        |FROM nr LEFT JOIN pq ON nr.q = pq.q
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id").as("query_id"), col("event_id").as("doc"),
+          col("value"), col("event_type"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("value").desc, col("doc").asc)
+      val runs = ev.withColumn("rnk", row_number().over(w))
+        .select(col("query_id"), col("doc"), col("rnk"))
+      val qrels = ev.select(col("query_id"), col("doc"),
+        when(col("event_type").isin("purchase", "signup", "click"), 1L)
+          .otherwise(0L).as("rel"))
+      graft.ops.Scoring.mapMrrAtK(runs, "query_id", "doc", "rnk",
+          qrels, "rel", k = 8)
+        .orderBy("query_id")
+    },
+
     // ── q101: Count-Min frequency sketch, probed for a deterministic item
     //    subset. The sketch is d=4 rows of w=512 counters (md5-60 row
     //    hashes — oracle-replayable), built with ONE map-side-combined

@@ -3549,6 +3549,114 @@ object LlmQueries {
         .orderBy("label", "d")
     },
 
+    // ── q173: simplified silhouette per label cluster — the internal
+    //    clustering-quality audit (centroid-form silhouette: one cosine
+    //    per point×centroid instead of the quadratic pairwise scan).
+    //    Centroids replay q122's decimal-exact means, cosines are the
+    //    q23 list_inner_product chain, s lands as floor(s·1e6 + 0.5)
+    //    micro-units and the mean is integer division — no double ever
+    //    crosses an aggregation. ──
+    QueryDef("q173_silhouette",
+      """WITH e AS (SELECT vec_id AS id, label AS cl,
+        |    embedding::DOUBLE[] AS vec
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(embedding) = 64
+        |    AND len(list_filter(embedding::DOUBLE[],
+        |          x -> x IS NULL OR isnan(x) OR abs(x) >= 1e9)) = 0),
+        |vd AS (SELECT cl, unnest(generate_series(0, len(vec) - 1)) AS d,
+        |         unnest(vec) AS x FROM e),
+        |cd AS (SELECT cl, d,
+        |         round(CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12)))
+        |           AS DOUBLE) / count(*), 6) AS c
+        |       FROM vd GROUP BY 1, 2),
+        |cv AS (SELECT cl AS cc, list(c ORDER BY d) AS cvec FROM cd GROUP BY 1),
+        |sc AS (SELECT e.id, e.cl, cv.cc,
+        |         round(list_inner_product(e.vec, cv.cvec) /
+        |           (sqrt(list_inner_product(e.vec, e.vec)) *
+        |            sqrt(list_inner_product(cv.cvec, cv.cvec))), 6) AS sim
+        |       FROM e CROSS JOIN cv),
+        |pp AS (SELECT id, cl,
+        |         max(CASE WHEN cc = cl THEN sim END) AS sa,
+        |         max(CASE WHEN cc <> cl THEN sim END) AS sb
+        |       FROM sc GROUP BY 1, 2),
+        |sp AS (SELECT cl, CASE WHEN sb IS NOT NULL THEN CAST(floor(
+        |         (CASE WHEN greatest(CAST(1 AS DOUBLE) - sa,
+        |                             CAST(1 AS DOUBLE) - sb) > 0
+        |          THEN ((CAST(1 AS DOUBLE) - sb) - (CAST(1 AS DOUBLE) - sa))
+        |            / greatest(CAST(1 AS DOUBLE) - sa,
+        |                       CAST(1 AS DOUBLE) - sb)
+        |          ELSE CAST(0 AS DOUBLE) END)
+        |         * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         AS BIGINT) END AS sppm
+        |       FROM pp)
+        |SELECT cl AS label, count(*) AS n, count(sppm) AS n_scored,
+        |  CAST(sum(sppm) AS BIGINT) AS s_sum_ppm,
+        |  CASE WHEN count(sppm) > 0
+        |    THEN CAST(sum(sppm) AS BIGINT) // count(sppm) END AS s_mean_ppm
+        |FROM sp GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        col("label"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      graft.ops.Similarity.silhouetteSimplified(emb, "id", "label", "vec",
+          dim = 64)
+        .orderBy("label")
+    },
+
+    // ── q174: Zipf-slope vocabulary audit — least-squares ln(freq) vs
+    //    ln(rank) over the top-256 tokens (natural text ≈ −1; deviation
+    //    flags templated/synthetic corpora). q159's tokenizer, salted
+    //    two-phase head ranking, exact-decimal regression sums, three
+    //    IEEE ratios at the end. ──
+    QueryDef("q174_zipf_slope",
+      """WITH toks AS (SELECT unnest(CASE WHEN trim(text) = '' THEN []
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+        |  FROM documents),
+        |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS f FROM tk GROUP BY 1),
+        |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank
+        |        FROM f ORDER BY f DESC, tok LIMIT 256),
+        |p AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |             round(ln(CAST(f AS DOUBLE)), 6) AS y FROM top),
+        |ag AS (SELECT count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(18,6))) AS sx,
+        |        sum(CAST(y AS DECIMAL(18,6))) AS sy,
+        |        sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
+        |          AS DECIMAL(38,12))) AS sxy,
+        |        sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+        |          AS DECIMAL(38,12))) AS sxx,
+        |        sum(CAST(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
+        |          AS DECIMAL(38,12))) AS syy
+        |      FROM p),
+        |fin AS (SELECT n, sx, sy,
+        |        CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(26,12))
+        |          - CAST(sx AS DECIMAL(12,6)) * CAST(sy AS DECIMAL(12,6))
+        |          AS num,
+        |        CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(26,12))
+        |          - CAST(sx AS DECIMAL(12,6)) * CAST(sx AS DECIMAL(12,6))
+        |          AS den,
+        |        CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(26,12))
+        |          - CAST(sy AS DECIMAL(12,6)) * CAST(sy AS DECIMAL(12,6))
+        |          AS deny
+        |      FROM ag)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den <> 0
+        |    THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END AS slope,
+        |  CASE WHEN den <> 0 THEN round(
+        |    (CAST(sy AS DOUBLE) -
+        |      round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |  END AS intercept,
+        |  CASE WHEN den <> 0 AND deny <> 0 THEN round(
+        |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+        |    (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+        |  END AS r2
+        |FROM fin""".stripMargin) { (s, d) =>
+      graft.ops.Profile.zipfSlope(Tables.documents(s, d), "text",
+        topV = 256)
+    },
+
     // ── q127: URL parsing + canonicalization — the crawl-frontier /
     //    URL-dedup key (RefinedWeb's first gate). The fixture builds a
     //    deterministic absolute URL per document exercising every

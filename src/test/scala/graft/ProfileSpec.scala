@@ -35,4 +35,33 @@ class ProfileSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, 4L, 3L, 3L), (1L, 3L, 2L, 5L)))
   }
+
+  test("zipfSlope: exact power law fits slope -1, head cut, tie order, " +
+      "layout-invariant") {
+    import spark.implicits._
+    // freq = 12/rank exactly: t1×12, t2×6, t3×4, t4×3 → ln y = ln 12 − ln x
+    def rep(t: String, n: Int) = Seq.fill(n)(t).mkString(" ")
+    val docs = Seq(
+      (1L, rep("t1", 12) + " " + rep("t2", 6)),
+      (2L, rep("t3", 4) + " " + rep("t4", 3))).toDF("doc_id", "text")
+    val got = Profile.zipfSlope(docs, "text", topV = 4).head()
+    assert(got.getLong(0) == 4L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 1e-4, got.toString)
+    assert(math.abs(got.getDouble(2) - math.log(12.0)) < 1e-4, got.toString)
+    assert(got.getDouble(3) > 0.9999, got.toString)
+    // head cut: topV = 2 fits only t1/t2 — still slope −1 on the power law
+    val head2 = Profile.zipfSlope(docs, "text", topV = 2).head()
+    assert(head2.getLong(0) == 2L &&
+      math.abs(head2.getDouble(1) + 1.0) < 1e-4, head2.toString)
+    // frequency ties rank by token asc (deterministic): equal freqs →
+    // zero y-variance → slope 0, r² NULL
+    val ties = Seq((1L, "b a c a b c")).toDF("doc_id", "text")
+    val t = Profile.zipfSlope(ties, "text", topV = 3).head()
+    assert(t.getLong(0) == 3L && t.getDouble(1) == 0.0 && t.isNullAt(3),
+      t.toString)
+    // layout invariance (decimal-sum contract)
+    val shuffled = Profile.zipfSlope(docs.repartition(5), "text", topV = 4)
+      .head()
+    assert(shuffled.toSeq == got.toSeq)
+  }
 }

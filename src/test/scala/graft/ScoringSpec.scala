@@ -555,4 +555,37 @@ class ScoringSpec extends SparkSpec {
       h.getDecimal(2).doubleValue() == idcgH, h.toString)
     assert(h.getDouble(3) == r6(dcgH / idcgH), h.toString)
   }
+
+  test("mapMrrAtK: perfect, hand-replayed, no-hit, zero-label NULL, " +
+      "absent-run query") {
+    import spark.implicits._
+    val qrels = Seq(
+      ("q1", "d1", 1L), ("q1", "d2", 1L), ("q1", "d3", 0L),
+      ("q1", "d4", 1L), ("q1", "d5", 0L),
+      ("q2", "d1", 1L), ("q2", "d2", 1L), ("q2", "d4", 1L),
+      ("q3", "d1", 1L), ("q3", "d3", 0L),
+      ("q4", "d1", 0L), ("q4", "d2", 0L),
+      ("q5", "d1", 1L)).toDF("q", "doc", "rel")
+    val runs = Seq(
+      // q1: miss, hit(cum1)@2, hit(cum2)@3, unlabeled@4 →
+      //     psum = 1/2 + 2/3, ap = psum/min(3,4)
+      ("q1", "d3", 1), ("q1", "d1", 2), ("q1", "d2", 3), ("q1", "d9", 4),
+      // q2: all three positives ranked first → ap = 1, rr = 1
+      ("q2", "d1", 1), ("q2", "d2", 2), ("q2", "d4", 3),
+      // q3: only misses in the run → rr = 0, ap = 0 (R = 1 counts)
+      ("q3", "d3", 1),
+      // q4: no positive label at all → ap NULL
+      ("q4", "d1", 1)).toDF("q", "doc", "rnk")
+    // q5 has a positive label but NO run rows → hits 0, rr 0, ap 0
+    val got = Scoring.mapMrrAtK(runs, "q", "doc", "rnk", qrels, "rel", k = 4)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val ap1 = r6(decSum(Seq(r6(1.0 / 2), r6(2.0 / 3))) / 3.0)
+    assert(got(0) == ("q1", 3L, 2L, 0.5, ap1), got(0).toString)
+    assert(got(1) == ("q2", 3L, 3L, 1.0, 1.0), got(1).toString)
+    assert(got(2) == ("q3", 1L, 0L, 0.0, 0.0), got(2).toString)
+    assert(got(3)._1 == "q4" && got(3)._5.isNaN, got(3).toString)
+    assert(got(4) == ("q5", 1L, 0L, 0.0, 0.0), got(4).toString)
+  }
 }

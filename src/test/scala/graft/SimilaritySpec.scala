@@ -822,4 +822,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 2L, sim12, 1), (1L, 3L, 0.0, 2), (1L, 4L, 0.0, 3)))
   }
+
+  test("silhouetteSimplified: tight clusters positive, misplaced point " +
+      "negative, singleton-cluster NULLs, partition-invariant") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, "a", Seq(1.0, 0.0)), (2L, "a", Seq(0.95, 0.05)),
+      (3L, "a", Seq(0.9, 0.1)),
+      (4L, "b", Seq(0.0, 1.0)), (5L, "b", Seq(0.05, 0.95)),
+      // misplaced: labeled b but sits on cluster a's axis
+      (6L, "b", Seq(1.0, 0.02))).toDF("id", "cl", "vec")
+    val got = Similarity.silhouetteSimplified(pts, "id", "cl", "vec", dim = 2)
+      .orderBy("cl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // cluster a: tight, far from b's centroid → strongly positive mean
+    assert(got(0)._1 == "a" && got(0)._2 == 3L && got(0)._3 == 3L)
+    assert(got(0)._5 > 500000L, got(0).toString)
+    // cluster b: two true members positive, the misplaced point negative,
+    // so b's sum is less than a's despite similar tightness
+    assert(got(1)._2 == 3L && got(1)._4 < got(0)._4, got.mkString(","))
+    // the misplaced point alone: per-point s must be negative — check via
+    // a singleton recomputation where it forms its own evidence
+    val solo = Similarity.silhouetteSimplified(
+      pts.where(col("id") === 6L || col("id") < 4L)
+        .withColumn("cl", when(col("id") === 6L, "b").otherwise("a")),
+      "id", "cl", "vec", dim = 2).orderBy("cl").collect()
+    // b is a singleton cluster: its centroid IS the point, a = 0,
+    // b-dist > 0 → s = 1 (scored, since another cluster exists)
+    assert(solo(1).getLong(2) == 1L && solo(1).getLong(4) == 1000000L,
+      solo.mkString(","))
+    // single cluster overall → no other centroid → NULL sums, n_scored 0
+    val one = Similarity.silhouetteSimplified(
+      pts.withColumn("cl", lit("z")), "id", "cl", "vec", dim = 2).head()
+    assert(one.getLong(1) == 6L && one.getLong(2) == 0L &&
+      one.isNullAt(3) && one.isNullAt(4))
+    // layout invariance (decimal centroid + micro-unit contract)
+    val shuffled = Similarity.silhouetteSimplified(pts.repartition(7),
+      "id", "cl", "vec", dim = 2)
+      .orderBy("cl").collect().map(_.toSeq)
+    assert(shuffled.toSeq == got.map(t =>
+      Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
+  }
 }
