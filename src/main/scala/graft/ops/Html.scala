@@ -124,4 +124,52 @@ object Html {
         transform(
           array_sort(collect_list(struct(col("block_idx"), col("block_text")))),
           x => x.getField("block_text")), "\n").as("content"))
+
+  /** Double-quoted href + anchor body — groups 1/2. Only double-quoted
+    * hrefs are matched (the dominant form; a STATED simplification —
+    * single-quoted/unquoted attributes are skipped, and `[^>]` keeps the
+    * scan from crossing the tag boundary). */
+  private[graft] val HrefRe: String =
+    "(?is)<a\\b[^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Out-link extraction — the web-graph edge builder (what feeds
+    * PageRank / the graph spine / crawl frontiers) and the anchor-text
+    * miner: every `<a href="...">` in the page becomes one row with the
+    * href RESOLVED against the page's base URL and the anchor's visible
+    * text extracted ([[htmlToText]] — tags stripped, entities decoded,
+    * whitespace collapsed).
+    *
+    * Resolution is the deterministic RFC-3986 subset that covers crawl
+    * data (simplifications STATED): absolute hrefs (any `scheme:` —
+    * including mailto:, which downstream filters drop by scheme) pass
+    * through; `//host/...` takes the base scheme; `/path` takes the base
+    * origin; every other form (relative paths, pure fragments, empty,
+    * unquoted) is DROPPED — at corpus scale the root-relative +
+    * absolute forms carry the graph signal, and dot-segment resolution
+    * against arbitrary base paths is parser-grade work this regex tier
+    * deliberately avoids.
+    *
+    * Scale shape: one map-only pass (two `regexp_extract_all` over the
+    * page + a bounded posexplode of its anchors); no shuffle at all —
+    * the output feeds a groupBy/graph build downstream. Output:
+    * (idCol, pos INT — document order, link_url, anchor). */
+  def extractLinks(docs: DataFrame, idCol: String, htmlCol: String,
+                   baseCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1))
+    val texts = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(2))
+    val scheme = regexp_extract(col("_base"),
+      "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(col("_base"),
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    docs.select(col(idCol), col(baseCol).as("_base"),
+        posexplode(hrefs).as(Seq("pos", "_href")), texts.as("_t"))
+      .withColumn("link_url",
+        when(col("_href").rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), col("_href"))
+          .when(col("_href").startsWith("//"),
+            concat(scheme, lit(":"), col("_href")))
+          .when(col("_href").startsWith("/"), concat(origin, col("_href"))))
+      .where(col("link_url").isNotNull)
+      .select(col(idCol), col("pos"), col("link_url"),
+        htmlToText(element_at(col("_t"), col("pos") + 1)).as("anchor"))
+  }
 }

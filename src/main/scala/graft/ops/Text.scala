@@ -576,4 +576,81 @@ object Text {
       .select(col("_id").as(idCol), col("span_start"), col("span_end"),
         col("n_grams"))
   }
+
+  /** Flesch readability per doc — the classic quality signal the Gopher
+    * rules skip: reading-ease and grade-level from words/sentences/
+    * syllables. The linguistic parts are deterministic heuristics with
+    * the simplifications STATED: words = the engine's whitespace
+    * tokenizer; sentences = runs of `[.!?]` (floor 1, so fragments
+    * score); syllables = vowel-group runs `[aeiouy]+` per word (floor 1
+    * — silent-e and diphthong subtleties are out of scope; the signal
+    * ranks docs, it does not grade essays).
+    *
+    * Determinism: counts are exact integers; both scores are ONE IEEE
+    * chain each over integer ratios, published as floor(x·1000 + 0.5)
+    * milli-units (identical doubles floor identically — no decimal-grid
+    * round hazard; half rounds toward +∞):
+    * fre = 206.835 − 1.015·(W/S) − 84.6·(Syl/W),
+    * fk  = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    * Docs with no tokens (empty/whitespace text) are absent. Scale
+    * shape: one token explode + one map-side-combined groupBy(id) —
+    * sentence counts ride the group key, nothing else shuffles. Output:
+    * (idCol, words, sentences, syllables BIGINT, fre_milli, fk_milli
+    * BIGINT). */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val toks = docs
+      .select(col(idCol), sentences.as("sentences"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val syl = greatest(lit(1L),
+      size(regexp_extract_all(col("_tok"), lit("[aeiouy]+"), lit(0)))
+        .cast("long"))
+    val ws = col("words").cast("double") / col("sentences").cast("double")
+    val sw = col("syllables").cast("double") / col("words").cast("double")
+    def milli(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000.0) + lit(0.5)).cast("long")
+    toks.groupBy(col(idCol), col("sentences"))
+      .agg(count(lit(1)).as("words"), sum(syl).as("syllables"))
+      .select(col(idCol), col("words"), col("sentences"), col("syllables"),
+        milli(lit(206.835) - lit(1.015) * ws - lit(84.6) * sw)
+          .as("fre_milli"),
+        milli(lit(0.39) * ws + lit(11.8) * sw - lit(15.59))
+          .as("fk_milli"))
+  }
+
+  /** Character-n-gram novelty of each doc against a reference corpus —
+    * the memorization / contamination RATIO view of the span tier
+    * ([[matchingSpans]] says WHERE the overlap is; this says HOW MUCH
+    * of the doc is overlap): per doc, the fraction of its n-char
+    * windows absent from the reference's distinct window set, in
+    * floored ppm. The eval-vs-train direction measures leakage; the
+    * generated-vs-train direction measures verbatim memorization.
+    *
+    * Same machinery as [[matchingSpans]]: positional 64-bit window
+    * hashes ([[graft.plans.ShingleHashPos64]] — docs shorter than n
+    * contribute their single clamped window), reference reduced to a
+    * distinct 8-byte hash set, one hash join — text never shuffles. For
+    * a reference too large to build per-run, compose with the persisted
+    * bloom tier ([[matchingSpansBloom]]'s prefilter) upstream. Output:
+    * (idCol, ngrams, seen, novelty_ppm BIGINT). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   reference: DataFrame, refTextCol: String,
+                   n: Int = 50): DataFrame = {
+    val base = windowHashes(docs, idCol, textCol, n)
+    val refHashes = reference
+      .where(F.length(col(refTextCol)) >= 1)
+      .select(explode(graft.plans.ShingleHashPos64(col(refTextCol), n))
+        .as("_h"))
+      .distinct()
+      .withColumn("_seen", lit(1L))
+    base.join(refHashes, Seq("_h"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("ngrams"), count(col("_seen")).as("seen"))
+      .select(col("_id").as(idCol), col("ngrams"), col("seen"),
+        expr("(ngrams - seen) * CAST(1000000 AS BIGINT) div ngrams")
+          .as("novelty_ppm"))
+  }
 }

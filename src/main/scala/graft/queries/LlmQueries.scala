@@ -3657,6 +3657,156 @@ object LlmQueries {
         topV = 256)
     },
 
+    // ── q176: out-link + anchor-text extraction — the web-graph edge
+    //    builder (feeds PageRank / crawl frontiers). Fixture HTML per doc
+    //    exercises every resolution rule: absolute, root-relative,
+    //    scheme-relative, skipped relative/fragment, mailto passthrough,
+    //    inline markup + entities inside the anchor. The oracle replays
+    //    the identical RE2 href regex, the resolution CASE, and the full
+    //    htmlToText chain (strip3 → tag strip → entity decode → collapse
+    //    → trim). ──
+    QueryDef("q176_extract_links", {
+      val re = graft.ops.Html.HrefRe
+      def dec(x: String): String =
+        s"replace(replace(replace(replace(replace(replace($x," +
+          "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39))," +
+          "'&nbsp;',' '),'&amp;','&')"
+      def strip3(x: String): String =
+        s"regexp_replace(regexp_replace(regexp_replace($x," +
+          " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')," +
+          " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')," +
+          " '(?s)<!--.*?-->', ' ', 'g')"
+      def itext(x: String): String =
+        s"trim(regexp_replace(${dec(s"regexp_replace(${strip3(x)}, '<[^>]*>', ' ', 'g')")}," +
+          " '[ \\t\\r\\n]+', ' ', 'g'))"
+      s"""WITH h AS (SELECT doc_id,
+         |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+         |      '.org/a/b?x=1' AS base,
+         |    '<p>Intro <a href="https://cdn.ex.com/lib">CDN</a> ' ||
+         |    '<a href="/docs/' || CAST(doc_id AS VARCHAR) ||
+         |      '">Doc &amp; <b>notes</b></a> ' ||
+         |    '<a href="//mirror.org/m">Mirror</a> ' ||
+         |    '<a href="rel/path">relative skipped</a> ' ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN '<a href="#frag">frag skipped</a> ' ELSE '' END ||
+         |    '<a href="mailto:ops@ex.org">mail</a></p>' AS html
+         |  FROM documents),
+         |m AS (SELECT doc_id, base,
+         |    regexp_extract_all(html, '$re', 1) AS hs,
+         |    regexp_extract_all(html, '$re', 2) AS ts
+         |  FROM h),
+         |e AS (SELECT doc_id, base,
+         |    unnest(generate_series(0, len(hs) - 1)) AS pos,
+         |    unnest(hs) AS href, unnest(ts) AS t0
+         |  FROM m),
+         |r AS (SELECT doc_id, pos,
+         |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+         |           THEN href
+         |         WHEN href LIKE '//%' THEN regexp_extract(base,
+         |           '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || href
+         |         WHEN href LIKE '/%' THEN regexp_extract(base,
+         |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+         |    END AS link_url,
+         |    ${itext("t0")} AS anchor
+         |  FROM e)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, link_url, anchor
+         |FROM r WHERE link_url IS NOT NULL
+         |ORDER BY doc_id, pos""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+          lit(".org/a/b?x=1")).as("base"),
+        concat(
+          lit("<p>Intro <a href=\"https://cdn.ex.com/lib\">CDN</a> "),
+          lit("<a href=\"/docs/"), col("doc_id").cast("string"),
+          lit("\">Doc &amp; <b>notes</b></a> "),
+          lit("<a href=\"//mirror.org/m\">Mirror</a> "),
+          lit("<a href=\"rel/path\">relative skipped</a> "),
+          when(col("doc_id") % 3 === 0,
+            lit("<a href=\"#frag\">frag skipped</a> ")).otherwise(lit("")),
+          lit("<a href=\"mailto:ops@ex.org\">mail</a></p>")).as("html"))
+      graft.ops.Html.extractLinks(docs, "doc_id", "html", "base")
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ── q175: Flesch readability — reading-ease + grade level per doc
+    //    from exact word/sentence/syllable counts (heuristics stated in
+    //    the op contract); scores in floor(x·1000+0.5) milli-units so no
+    //    decimal-grid round ever crosses engines. ──
+    QueryDef("q175_readability",
+      """WITH s AS (SELECT doc_id, text,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS sentences
+        |  FROM documents),
+        |t AS (SELECT doc_id, sentences,
+        |    unnest(CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
+        |      AS tok
+        |  FROM s),
+        |tk AS (SELECT doc_id, sentences, tok FROM t WHERE tok <> ''),
+        |a AS (SELECT doc_id, sentences, count(*) AS words,
+        |    CAST(sum(greatest(1, len(regexp_extract_all(tok, '[aeiouy]+'))))
+        |      AS BIGINT) AS syllables
+        |  FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, words, CAST(sentences AS BIGINT) AS sentences,
+        |  syllables,
+        |  CAST(floor((CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) *
+        |      (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) *
+        |      (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+        |    * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS fre_milli,
+        |  CAST(floor((CAST(0.39 AS DOUBLE) *
+        |      (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    + CAST(11.8 AS DOUBLE) *
+        |      (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |    - CAST(15.59 AS DOUBLE))
+        |    * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS fk_milli
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Text.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ── q177: character-n-gram novelty vs a reference corpus — the
+    //    RATIO view of decontamination/memorization (q70 locates spans;
+    //    this scores fractions). Fixture: eval = even docs verbatim
+    //    (novelty 0) + odd docs reversed (novel); reference = the full
+    //    corpus. The oracle joins the literal 50-grams (hash ≡ gram at
+    //    fixture scale, the q70 convention). ──
+    QueryDef("q177_ngram_novelty",
+      """WITH tr AS (SELECT text, length(text) AS len FROM documents
+        |            WHERE length(text) >= 1),
+        |ev AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text
+        |         ELSE reverse(text) END AS text
+        |       FROM documents),
+        |e1 AS (SELECT doc_id, text, length(text) AS len FROM ev
+        |       WHERE length(text) >= 1),
+        |pos AS (SELECT doc_id, text, len,
+        |    unnest(generate_series(1, greatest(len - 49, 1))) AS p
+        |  FROM e1),
+        |g AS (SELECT doc_id, substr(text, p::INT, 50) AS gram FROM pos),
+        |bg AS (SELECT DISTINCT substr(text, p::INT, 50) AS gram FROM
+        |       (SELECT text, unnest(generate_series(1,
+        |          greatest(len - 49, 1))) AS p FROM tr)),
+        |j AS (SELECT g.doc_id,
+        |        CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END AS sn
+        |      FROM g LEFT JOIN bg ON g.gram = bg.gram)
+        |SELECT doc_id, count(*) AS ngrams, CAST(sum(sn) AS BIGINT) AS seen,
+        |  (count(*) - CAST(sum(sn) AS BIGINT)) * CAST(1000000 AS BIGINT)
+        |    // count(*) AS novelty_ppm
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs0 = Tables.documents(s, d)
+      val eval = docs0.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(reverse(col("text"))).as("text"))
+      graft.ops.Text.ngramNovelty(eval, "doc_id", "text",
+          docs0.select(col("text")), "text", n = 50)
+        .orderBy("doc_id")
+    },
+
     // ── q127: URL parsing + canonicalization — the crawl-frontier /
     //    URL-dedup key (RefinedWeb's first gate). The fixture builds a
     //    deterministic absolute URL per document exercising every

@@ -514,4 +514,76 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.keySet == Set(1L))
     assert(out(1L) == s"$para1\n$para2")
   }
+
+  test("extractLinks: resolution rules, anchor text cleanup, skip forms, " +
+      "document order") {
+    import spark.implicits._
+    val html =
+      "<p><a href=\"https://other.org/x?q=1\">Abs</a> " +
+        "<a href=\"/docs/1\">Doc &amp; <b>notes</b></a> " +
+        "<a href=\"//cdn.org/lib\">  CDN   asset </a> " +
+        "<a href=\"rel/skip\">rel</a> " +
+        "<a href=\"#frag\">frag</a> " +
+        "<a href=\"\">empty</a> " +
+        "<a name=\"no-href\">none</a> " +
+        "<a href='single'>sq</a> " +
+        "<a href=\"mailto:a@b.c\">mail me</a></p>"
+    val got = graft.ops.Html.extractLinks(
+        Seq((7L, html, "http://base.org/a/b/c?z=2")).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0, "https://other.org/x?q=1", "Abs"),
+      (1, "http://base.org/docs/1", "Doc & notes"),
+      (2, "http://cdn.org/lib", "CDN asset"),
+      // rel/frag/empty hrefs (pos 3-5) drop; pos keeps document order
+      (6, "mailto:a@b.c", "mail me")), got.mkString("\n"))
+    // a page with no anchors yields no rows
+    assert(graft.ops.Html.extractLinks(
+      Seq((1L, "<p>plain</p>", "http://b.org")).toDF("id", "html", "base"),
+      "id", "html", "base").isEmpty)
+  }
+
+  test("readability: hand-replayed counts and scores, fragment floor, " +
+      "vowel-less floor, empty doc absent") {
+    import spark.implicits._
+    def milli(x: Double): Long = math.floor(x * 1000.0 + 0.5).toLong
+    val docs = Seq(
+      (1L, "The cat sat. A dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "xyzzy 42"),                // fragment: 1 sentence; y counts, 42 floors
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = graft.ops.Text.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val fre1 = milli(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))
+    val fk1 = milli(0.39 * (6.0 / 2.0) + 11.8 * (6.0 / 6.0) - 15.59)
+    assert(got(0) == (1L, 6L, 2L, 6L, fre1, fk1), got(0).toString)
+    // xyzzy → one [aeiouy]+ run ("y" twice but runs: x-y-zz-y → 2 runs);
+    // 42 → zero runs, floored to 1 → syllables = 3
+    val fre2 = milli(206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (3.0 / 2.0))
+    val fk2 = milli(0.39 * (2.0 / 1.0) + 11.8 * (3.0 / 2.0) - 15.59)
+    assert(got(1) == (2L, 2L, 1L, 3L, fre2, fk2), got(1).toString)
+    assert(got.length == 2) // whitespace-only doc absent
+  }
+
+  test("ngramNovelty: verbatim 0, disjoint 1e6, partial ratio, " +
+      "short-doc clamped window") {
+    import spark.implicits._
+    val train = Seq("abcdefghij").toDF("text")
+    val eval = Seq(
+      (1L, "abcdefghij"), // every 5-gram in train → novelty 0
+      (2L, "zzzzzzz"),    // 3 windows, none seen → 1e6
+      (3L, "abcdeXYZYX"), // 6 windows, 1 seen → floor(5e6/6)
+      (4L, "abc"))        // len < n: ONE clamped window, unseen
+      .toDF("doc_id", "text")
+    val got = graft.ops.Text.ngramNovelty(eval, "doc_id", "text",
+        train, "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 6L, 6L, 0L), (2L, 3L, 0L, 1000000L),
+      (3L, 6L, 1L, 833333L), (4L, 1L, 0L, 1000000L)), got.mkString(","))
+  }
 }
