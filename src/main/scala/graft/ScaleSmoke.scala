@@ -7,10 +7,10 @@ object ScaleSmoke {
     import spark.implicits._
     // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
     // that section (sections: dedup, scoring, vectors, export, graph,
-    // sketches). Default: all.
+    // sketches, silhouette). Default: all.
     val sections = if (args.isEmpty)
                      Set("dedup", "scoring", "vectors", "export", "graph",
-                       "sketches")
+                       "sketches", "silhouette")
                    else args.toSet
     // 100k docs: 10k templates x 10 mutated near-dup variants each.
     val docs = spark.range(100000).select(
@@ -728,6 +728,46 @@ object ScaleSmoke {
         Seq(0.5, 0.9, 0.99), 0.0, 100.0, 1000).count()
       println(f"hist_quantiles_50m: qs=$nq " +
         f"time=${(System.nanoTime()-tq)/1e9}%.1f s")
+      // KMV intersection at 50M rows / 1M distinct per side, 500k shared:
+      // the salted two-phase bottom-k means no task ever sorts a side's
+      // 1M distinct hashes, and the whole estimate reads two 1024-row
+      // sketches. Accuracy asserted at the sketch's ~2σ (k=1024 → ~6%).
+      val tk2 = System.nanoTime()
+      val sideA = spark.range(25000000).select(
+        (col("id") % 1000000).cast("string").as("v"))
+      val sideB = spark.range(25000000).select(
+        ((col("id") % 1000000) + 500000).cast("string").as("v"))
+      val ka = graft.ops.Sketches.kmvSketch(sideA, Seq.empty, "v", k = 1024)
+      val kb = graft.ops.Sketches.kmvSketch(sideB, Seq.empty, "v", k = 1024)
+      val kr = graft.ops.Sketches.kmvIntersectEstimate(ka, kb, Seq.empty,
+        k = 1024).head()
+      val kest = kr.getLong(5)
+      println(f"kmv_intersect_50m: est_intersect=$kest " +
+        f"time=${(System.nanoTime()-tk2)/1e9}%.1f s")
+      assert(math.abs(kest - 500000L) < 70000L,
+        s"kmv intersect estimate off: $kest vs 500000")
+    }
+
+    if (sections("silhouette")) {
+      // Simplified silhouette at 2M vectors × 64 cells: the centroid
+      // table (64×16 doubles) broadcasts, scoring is one map-only pass of
+      // 64 cosines/point whose per-point aggregate combines map-side —
+      // wall time must track the scan, never a point×centroid shuffle.
+      val dim = 16
+      val vecs = spark.range(2000000).select(col("id"),
+        (col("id") % 64).cast("int").as("cell"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => (pmod(col("id") * 31 + j * 7, lit(97)).cast("double") -
+            lit(48.0)) / lit(48.0) +
+            when(j % 8 === col("id") % 8, lit(3.0)).otherwise(lit(0.0)))
+          .as("vec"))
+      val ts2 = System.nanoTime()
+      val sil = graft.ops.Similarity.silhouetteSimplified(
+        vecs, "id", "cell", "vec", dim)
+      val nSil = sil.count()
+      println(f"silhouette_2m_64cells: clusters=$nSil " +
+        f"time=${(System.nanoTime()-ts2)/1e9}%.1f s")
+      assert(nSil == 64L, s"expected 64 cluster rows, got $nSil")
     }
     spark.stop()
   }
