@@ -653,4 +653,43 @@ object Text {
         expr("(ngrams - seen) * CAST(1000000 AS BIGINT) div ngrams")
           .as("novelty_ppm"))
   }
+
+  /** Inverted index build — the SERVING artifact of the retrieval tier
+    * ([[tfIdf]]/[[bm25]] score; this materializes the term → postings
+    * table a lookup service reads): one row per term with its exact
+    * document frequency and a doc-id posting list sorted ascending.
+    *
+    * Hot-term bound (the maxDf/minDf discipline): postings are CAPPED at
+    * `maxPostings` ids per term — lowest ids first, deterministic — so no
+    * row and no task is ever sized by a stopword's full posting list;
+    * `df` stays exact over ALL documents, so a reader can both detect
+    * truncation (df > len(postings)) and apply idf correctly. The cap is
+    * enforced BEFORE any list materializes: the salted two-phase bottom-k
+    * (no task sorts a hot term's full doc set), then one
+    * maxPostings-bounded collect per term. Output: (term, df BIGINT,
+    * postings ARRAY<id>). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 1000, fanout: Int = 64): DataFrame = {
+    require(maxPostings > 0, "invertedIndex: maxPostings must be positive")
+    require(fanout > 0, "invertedIndex: fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+    val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val local = Window
+      .partitionBy(col("term"), pmod(xxhash64(col("_id")), lit(fanout)))
+      .orderBy(col("_id").asc)
+    val global = Window.partitionBy(col("term")).orderBy(col("_id").asc)
+    val capped = toks
+      .withColumn("_l", row_number().over(local))
+      .where(col("_l") <= maxPostings)
+      .withColumn("_r", row_number().over(global))
+      .where(col("_r") <= maxPostings)
+    val postings = capped.groupBy(col("term"))
+      .agg(array_sort(collect_list(col("_id"))).as("postings"))
+    dfreq.join(postings, Seq("term"))
+  }
 }

@@ -3665,69 +3665,64 @@ object LlmQueries {
     //    the identical RE2 href regex, the resolution CASE, and the full
     //    htmlToText chain (strip3 → tag strip → entity decode → collapse
     //    → trim). ──
-    QueryDef("q176_extract_links", {
-      val re = graft.ops.Html.HrefRe
-      def dec(x: String): String =
-        s"replace(replace(replace(replace(replace(replace($x," +
-          "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39))," +
-          "'&nbsp;',' '),'&amp;','&')"
-      def strip3(x: String): String =
-        s"regexp_replace(regexp_replace(regexp_replace($x," +
-          " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')," +
-          " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')," +
-          " '(?s)<!--.*?-->', ' ', 'g')"
-      def itext(x: String): String =
-        s"trim(regexp_replace(${dec(s"regexp_replace(${strip3(x)}, '<[^>]*>', ' ', 'g')")}," +
-          " '[ \\t\\r\\n]+', ' ', 'g'))"
-      s"""WITH h AS (SELECT doc_id,
-         |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
-         |      '.org/a/b?x=1' AS base,
-         |    '<p>Intro <a href="https://cdn.ex.com/lib">CDN</a> ' ||
-         |    '<a href="/docs/' || CAST(doc_id AS VARCHAR) ||
-         |      '">Doc &amp; <b>notes</b></a> ' ||
-         |    '<a href="//mirror.org/m">Mirror</a> ' ||
-         |    '<a href="rel/path">relative skipped</a> ' ||
-         |    CASE WHEN doc_id % 3 = 0
-         |      THEN '<a href="#frag">frag skipped</a> ' ELSE '' END ||
-         |    '<a href="mailto:ops@ex.org">mail</a></p>' AS html
-         |  FROM documents),
-         |m AS (SELECT doc_id, base,
-         |    regexp_extract_all(html, '$re', 1) AS hs,
-         |    regexp_extract_all(html, '$re', 2) AS ts
-         |  FROM h),
-         |e AS (SELECT doc_id, base,
-         |    unnest(generate_series(0, len(hs) - 1)) AS pos,
-         |    unnest(hs) AS href, unnest(ts) AS t0
-         |  FROM m),
-         |r AS (SELECT doc_id, pos,
-         |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
-         |           THEN href
-         |         WHEN href LIKE '//%' THEN regexp_extract(base,
-         |           '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || href
-         |         WHEN href LIKE '/%' THEN regexp_extract(base,
-         |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
-         |    END AS link_url,
-         |    ${itext("t0")} AS anchor
-         |  FROM e)
+    QueryDef("q176_extract_links",
+      s"""WITH $LinkRowsCtes
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, link_url, anchor
          |FROM r WHERE link_url IS NOT NULL
-         |ORDER BY doc_id, pos""".stripMargin
-    }) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-        concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
-          lit(".org/a/b?x=1")).as("base"),
-        concat(
-          lit("<p>Intro <a href=\"https://cdn.ex.com/lib\">CDN</a> "),
-          lit("<a href=\"/docs/"), col("doc_id").cast("string"),
-          lit("\">Doc &amp; <b>notes</b></a> "),
-          lit("<a href=\"//mirror.org/m\">Mirror</a> "),
-          lit("<a href=\"rel/path\">relative skipped</a> "),
-          when(col("doc_id") % 3 === 0,
-            lit("<a href=\"#frag\">frag skipped</a> ")).otherwise(lit("")),
-          lit("<a href=\"mailto:ops@ex.org\">mail</a></p>")).as("html"))
-      graft.ops.Html.extractLinks(docs, "doc_id", "html", "base")
+         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      graft.ops.Html.extractLinks(linkFixture(s, d), "doc_id", "html", "base")
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("doc_id", "pos")
+    },
+
+    // ── q178: domain-level link graph — the composition chain that
+    //    turns q176's raw anchors into web-graph edges (what PageRank /
+    //    the graph spine actually ingests): http(s)-only filter →
+    //    urlHost → registrableDomain on BOTH endpoints → per
+    //    (src_domain, dst_domain) link and distinct-page counts. The
+    //    whole chain (href regex, resolution, scheme gate, host parse,
+    //    second-level-registry domain fold) replays in ONE oracle — the
+    //    q85/q126/q167 no-hidden-coupling discipline. ──
+    QueryDef("q178_link_graph", {
+      val host = (x: String) =>
+        s"lower(regexp_replace(regexp_extract(regexp_extract($x," +
+          s" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)," +
+          s" '(?:.*@)?([^@]*)$$', 1), ':[0-9]*$$', ''))"
+      val dom = (h: String) =>
+        s"""CASE WHEN regexp_extract($h, '$SecondLevelSql', 1) <> ''
+           |      THEN regexp_extract($h, '$SecondLevelSql', 1)
+           |    WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) <> ''
+           |      THEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1)
+           |    ELSE $h END""".stripMargin
+      s"""WITH $LinkRowsCtes,
+         |k AS (SELECT doc_id, base, link_url FROM r
+         |      WHERE link_url IS NOT NULL
+         |        AND lower(regexp_extract(link_url,
+         |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |          IN ('http', 'https')),
+         |hh AS (SELECT doc_id, ${host("base")} AS sh,
+         |         ${host("link_url")} AS dh FROM k),
+         |dd AS (SELECT doc_id, ${dom("sh")} AS src_domain,
+         |         ${dom("dh")} AS dst_domain FROM hh)
+         |SELECT src_domain, dst_domain, count(*) AS links,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS pages
+         |FROM dd GROUP BY 1, 2
+         |ORDER BY src_domain, dst_domain""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Web
+      val docs = linkFixture(s, d)
+      val links = graft.ops.Html.extractLinks(docs, "doc_id", "html", "base")
+      val src = docs.select(col("doc_id"),
+        Web.registrableDomain(Web.urlHost(col("base"))).as("src_domain"))
+      links
+        .where(Web.urlScheme(col("link_url")).isin("http", "https"))
+        .join(src, "doc_id")
+        .groupBy(col("src_domain"),
+          Web.registrableDomain(Web.urlHost(col("link_url")))
+            .as("dst_domain"))
+        .agg(count(lit(1)).as("links"),
+          countDistinct(col("doc_id")).as("pages"))
+        .orderBy("src_domain", "dst_domain")
     },
 
     // ── q175: Flesch readability — reading-ease + grade level per doc
@@ -3805,6 +3800,30 @@ object LlmQueries {
       graft.ops.Text.ngramNovelty(eval, "doc_id", "text",
           docs0.select(col("text")), "text", n = 50)
         .orderBy("doc_id")
+    },
+
+    // ── q179: inverted index build — the retrieval-serving artifact
+    //    (term → sorted postings + exact df). maxPostings = 8 so the
+    //    synthetic vocabulary's hot terms exercise the truncation path
+    //    (df > len(postings)) while rare terms stay whole. ──
+    QueryDef("q179_inverted_index",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+        |df AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
+        |rk AS (SELECT term, doc_id, row_number() OVER (
+        |         PARTITION BY term ORDER BY doc_id) AS rn FROM tk),
+        |p AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings
+        |      FROM rk WHERE rn <= 8 GROUP BY 1)
+        |SELECT df.term, df, postings
+        |FROM df JOIN p USING (term)
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      graft.ops.Text.invertedIndex(Tables.documents(s, d), "doc_id",
+          "text", maxPostings = 8)
+        .orderBy("term")
     },
 
     // ── q127: URL parsing + canonicalization — the crawl-frontier /
@@ -4090,6 +4109,79 @@ object LlmQueries {
     s"""WITH $UrlCtes
        |SELECT doc_id, url, scheme, host, domain, path, norm_url
        |FROM normed ORDER BY doc_id""".stripMargin
+
+  /** q176/q178 shared fixture: every document wrapped in a page whose
+    * anchors exercise each href-resolution rule (absolute, root-relative,
+    * scheme-relative, skipped relative/fragment, mailto), plus the page's
+    * base URL. Shared so the extraction test and the graph-composition
+    * test can never drift. */
+  private def linkFixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+        lit(".org/a/b?x=1")).as("base"),
+      concat(
+        lit("<p>Intro <a href=\"https://cdn.ex.com/lib\">CDN</a> "),
+        lit("<a href=\"/docs/"), col("doc_id").cast("string"),
+        lit("\">Doc &amp; <b>notes</b></a> "),
+        lit("<a href=\"//mirror.org/m\">Mirror</a> "),
+        lit("<a href=\"rel/path\">relative skipped</a> "),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"#frag\">frag skipped</a> ")).otherwise(lit("")),
+        lit("<a href=\"mailto:ops@ex.org\">mail</a></p>")).as("html"))
+
+  /** [[graft.ops.Web.SecondLevelRe]] for oracle embedding. */
+  private lazy val SecondLevelSql: String = graft.ops.Web.SecondLevelRe
+
+  /** CTE chain (no WITH prefix) yielding
+    * `r(doc_id, base, pos, link_url, anchor)` — the q176 link-extraction
+    * replay (fixture build, href regex, resolution CASE, htmlToText
+    * anchor cleanup), shared with q178's graph-composition oracle. */
+  private lazy val LinkRowsCtes: String = {
+    val re = graft.ops.Html.HrefRe
+    def dec(x: String): String =
+      s"replace(replace(replace(replace(replace(replace($x," +
+        "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39))," +
+        "'&nbsp;',' '),'&amp;','&')"
+    def strip3(x: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace($x," +
+        " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')," +
+        " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')," +
+        " '(?s)<!--.*?-->', ' ', 'g')"
+    def itext(x: String): String =
+      s"trim(regexp_replace(${dec(s"regexp_replace(${strip3(x)}, '<[^>]*>', ' ', 'g')")}," +
+        " '[ \\t\\r\\n]+', ' ', 'g'))"
+    s"""h AS (SELECT doc_id,
+       |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.org/a/b?x=1' AS base,
+       |    '<p>Intro <a href="https://cdn.ex.com/lib">CDN</a> ' ||
+       |    '<a href="/docs/' || CAST(doc_id AS VARCHAR) ||
+       |      '">Doc &amp; <b>notes</b></a> ' ||
+       |    '<a href="//mirror.org/m">Mirror</a> ' ||
+       |    '<a href="rel/path">relative skipped</a> ' ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '<a href="#frag">frag skipped</a> ' ELSE '' END ||
+       |    '<a href="mailto:ops@ex.org">mail</a></p>' AS html
+       |  FROM documents),
+       |m AS (SELECT doc_id, base,
+       |    regexp_extract_all(html, '$re', 1) AS hs,
+       |    regexp_extract_all(html, '$re', 2) AS ts
+       |  FROM h),
+       |e AS (SELECT doc_id, base,
+       |    unnest(generate_series(0, len(hs) - 1)) AS pos,
+       |    unnest(hs) AS href, unnest(ts) AS t0
+       |  FROM m),
+       |r AS (SELECT doc_id, base, pos,
+       |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |           THEN href
+       |         WHEN href LIKE '//%' THEN regexp_extract(base,
+       |           '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || href
+       |         WHEN href LIKE '/%' THEN regexp_extract(base,
+       |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || href
+       |    END AS link_url,
+       |    ${itext("t0")} AS anchor
+       |  FROM e)""".stripMargin
+  }
 
   /** q128's oracle: per-domain stats over the non-blocklisted documents. */
   private lazy val DomainStatsSql: String =

@@ -586,4 +586,22 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, 6L, 6L, 0L), (2L, 3L, 0L, 1000000L),
       (3L, 6L, 1L, 833333L), (4L, 1L, 0L, 1000000L)), got.mkString(","))
   }
+
+  test("invertedIndex: exact df, hot-term cap keeps lowest ids, " +
+      "within-doc dedupe, sorted postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "alpha beta beta"), (3L, "alpha gamma"), (9L, "alpha beta"),
+      (1L, "alpha"), (7L, "alpha")).toDF("doc_id", "text")
+    val got = graft.ops.Text.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 3)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(got.toSeq == Seq(
+      // alpha: df 5 (exact), postings capped at the 3 LOWEST ids
+      ("alpha", 5L, Seq(1L, 3L, 5L)),
+      // beta appears twice in doc 5 → one posting (within-doc dedupe)
+      ("beta", 2L, Seq(5L, 9L)),
+      ("gamma", 1L, Seq(3L))), got.mkString(","))
+  }
 }
