@@ -413,4 +413,50 @@ object Ops {
       .withColumn("session_seq", sum(col("_new")).over(wRun))
       .drop("_prev", "_new")
   }
+
+  /** Ordered-step session funnel — the user-journey report over
+    * [[sessionize]]'s segments: for each session, how far along the
+    * step sequence (view → click → purchase, …) it gets, where step k
+    * counts only when its event occurs STRICTLY AFTER the event that
+    * satisfied step k−1 (ordered-subsequence semantics; the greedy
+    * earliest chain t_k = min ts of step k after t_{k−1} decides
+    * subsequence existence exactly). Simultaneous timestamps do not
+    * chain — strictness is the stated tie rule, and the result is a
+    * pure function of the event multiset (no window-order dependence).
+    *
+    * Scale shape: sessionization is one exchange on the key; each
+    * funnel step is one map-side-combined aggregate over the sessions
+    * (step count × session-sized frames, never event-crossed joins
+    * beyond the per-session co-group); the final funnel is a one-row
+    * aggregate exploded to `steps.size` rows. Output:
+    * (step_idx BIGINT 1-based, step, sessions BIGINT — sessions
+    * reaching the step in order, conversion_ppm BIGINT — floored ppm of
+    * ALL sessions). */
+  def sessionFunnel(events: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    gap: Long): DataFrame = {
+    require(steps.nonEmpty, "sessionFunnel: steps must be non-empty")
+    val sess = sessionize(events, keyCol, tsCol, gap)
+      .select(col(keyCol), col("session_seq"), col(tsCol), col(typeCol))
+    var cur: DataFrame = sess.groupBy(col(keyCol), col("session_seq"))
+      .agg(min(when(col(typeCol) === steps.head, col(tsCol))).as("_t1"))
+    for (i <- 1 until steps.size) {
+      val carried = (1 to i).map(j => col(s"_t$j"))
+      cur = sess.join(cur, Seq(keyCol, "session_seq"))
+        .groupBy(Seq(col(keyCol), col("session_seq")) ++ carried: _*)
+        .agg(min(when(col(typeCol) === steps(i) &&
+          col(tsCol) > col(s"_t$i"), col(tsCol))).as(s"_t${i + 1}"))
+    }
+    val wide = cur.agg(count(lit(1)).as("_total"),
+      steps.indices.map(i => count(col(s"_t${i + 1}")).as(s"_c${i + 1}")): _*)
+    val rows = steps.indices.map(i => struct(
+      lit((i + 1).toLong).as("step_idx"), lit(steps(i)).as("step"),
+      col(s"_c${i + 1}").as("sessions")))
+    wide.select(col("_total"), explode(array(rows: _*)).as("s"))
+      .select(col("s.step_idx").as("step_idx"), col("s.step").as("step"),
+        col("s.sessions").as("sessions"),
+        when(col("_total") > 0,
+          expr("s.sessions * CAST(1000000 AS BIGINT) div _total"))
+          .otherwise(lit(0L)).as("conversion_ppm"))
+  }
 }

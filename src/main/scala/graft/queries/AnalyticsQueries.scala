@@ -1133,6 +1133,56 @@ object AnalyticsQueries {
         .orderBy("user_id", "session_seq")
     },
 
+    // ── q180: ordered-step session funnel — over q121's sessions, how
+    //    many reach view → click → purchase IN ORDER (greedy earliest
+    //    chain, strict-after tie rule — a pure function of the event
+    //    multiset). One exchange for sessionization, one bounded
+    //    aggregate per step, one-row funnel exploded long. ──
+    QueryDef("q180_session_funnel",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |x AS (SELECT user_id, us, event_type,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 21600000000
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us, event_type,
+        |        CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |      FROM x),
+        |t1 AS (SELECT user_id, seq,
+        |         min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |       FROM s GROUP BY 1, 2),
+        |t2 AS (SELECT s.user_id, s.seq, t1.t1,
+        |         min(CASE WHEN event_type = 'click' AND us > t1
+        |             THEN us END) AS t2
+        |       FROM s JOIN t1 ON s.user_id = t1.user_id AND s.seq = t1.seq
+        |       GROUP BY 1, 2, 3),
+        |t3 AS (SELECT s.user_id, s.seq, t2.t1, t2.t2,
+        |         min(CASE WHEN event_type = 'purchase' AND us > t2
+        |             THEN us END) AS t3
+        |       FROM s JOIN t2 ON s.user_id = t2.user_id AND s.seq = t2.seq
+        |       GROUP BY 1, 2, 3, 4),
+        |w AS (SELECT count(*) AS total, count(t1) AS c1, count(t2) AS c2,
+        |        count(t3) AS c3 FROM t3)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  c1 AS sessions, c1 * CAST(1000000 AS BIGINT) // total
+        |    AS conversion_ppm FROM w
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', c2,
+        |  c2 * CAST(1000000 AS BIGINT) // total FROM w
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', c3,
+        |  c3 * CAST(1000000 AS BIGINT) // total FROM w
+        |ORDER BY step_idx""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), Tables.floorDiv("ts", 1000L).as("us"),
+          col("event_type"))
+      graft.ops.Ops.sessionFunnel(ev, "user_id", "us", "event_type",
+          Seq("view", "click", "purchase"), gap = 21600000000L)
+        .orderBy("step_idx")
+    },
+
     // ── q152: Bradley–Terry preference strengths — pairwise outcomes
     //    (here: consecutive same-user events duel, higher `value` wins)
     //    reduced to one strength per item by 3 exact MM rounds — the

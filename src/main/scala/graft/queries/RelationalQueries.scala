@@ -126,6 +126,50 @@ object RelationalQueries {
         .orderBy($"nation")
     },
 
+    // ── q181: ROLLUP revenue report — the OLAP subtotal surface
+    //    (region → nation → grand total in ONE aggregate; Catalyst plans
+    //    the grouping sets via Expand with partial aggregation, so the
+    //    subtotals cost one pass, not three). lvl = grouping bits;
+    //    NULLS LAST pinned explicitly on both engines (the standing
+    //    Spark-asc-nulls-first / DuckDB-nulls-last divergence). ──
+    QueryDef("q181_rollup_revenue",
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  CAST(grouping(r.r_name) AS BIGINT) * 2 +
+        |    CAST(grouping(n.n_name) AS BIGINT) AS lvl,
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+        |    AS DECIMAL(28,4)) AS VARCHAR) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY lvl, region NULLS LAST, nation NULLS LAST""".stripMargin) {
+      (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(
+          (grouping($"r_name").cast("long") * 2 +
+            grouping($"n_name").cast("long")).as("lvl"),
+          moneyStr(sum($"l_extendedprice".cast(D) *
+              (lit(1) - $"l_discount".cast(D)))
+            .cast("decimal(28,4)")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select($"r_name".as("region"), $"n_name".as("nation"),
+          $"lvl", $"revenue", $"n_rows")
+        .orderBy($"lvl", $"region".asc_nulls_last, $"nation".asc_nulls_last)
+    },
+
     // ── O1: numeric-aware sort (numeric strings by value, junk last) ──
     QueryDef("q05_numeric_sort",
       """WITH keyed AS (

@@ -394,4 +394,28 @@ class OpsSpec extends SparkSpec {
     assert(Ops.snapshotDiff(o2, n2, "id", Seq("f1"))
       .head().getString(1) == "changed")
   }
+
+  test("sessionFunnel: ordered-subsequence semantics, strict-after ties, " +
+      "gap split, ppm floors") {
+    import spark.implicits._
+    val ev = Seq(
+      // A: full chain in order
+      ("A", 1L, "view"), ("A", 2L, "click"), ("A", 3L, "purchase"),
+      // B: click before view doesn't count; view→click in order, no purchase
+      ("B", 1L, "click"), ("B", 2L, "view"), ("B", 3L, "click"),
+      // C: click at the SAME ts as view — strict-after → not chained
+      ("C", 1L, "view"), ("C", 1L, "click"),
+      // D: gap splits into two sessions; second has click only
+      ("D", 1L, "view"), ("D", 100L, "click"))
+      .toDF("k", "ts", "t")
+    val got = Ops.sessionFunnel(ev, "k", "ts", "t",
+        Seq("view", "click", "purchase"), gap = 10L)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // sessions: A, B, C, D-1, D-2 = 5 total
+    assert(got.toSeq == Seq(
+      (1L, "view", 4L, 800000L),
+      (2L, "click", 2L, 400000L),
+      (3L, "purchase", 1L, 200000L)), got.mkString(","))
+  }
 }
