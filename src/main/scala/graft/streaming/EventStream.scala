@@ -61,6 +61,22 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming distinct-cardinality registers —
+    * [[graft.ops.Sketches.hllRegisters]]' deterministic HLL carried as a
+    * STREAMING aggregation: per-(key, bucket) max(rho) is incremental,
+    * order-free and replay-idempotent, so Structured Streaming maintains
+    * it as BOUNDED state (≤ 2^p register rows per key — the sketch,
+    * never the values; the reason a streaming `count(DISTINCT)` is
+    * unbounded but this is not), and the registers after ANY prefix of
+    * micro-batches equal the batch build over the same rows
+    * (spec-pinned, including across multiple batches). Estimate in the
+    * sink ([[graft.ops.Sketches.hllEstimate]] over the register table /
+    * in foreachBatch) — estimation is a pure function of the registers,
+    * so the streaming estimate is bit-identical to the batch one. */
+  def streamingHllRegisters(events: DataFrame, keyCols: Seq[String],
+                            valueCol: String, p: Int = 8): DataFrame =
+    graft.ops.Sketches.hllRegisters(events, keyCols, valueCol, p)
+
   /** Streaming NEAR-dedup ingestion — the streaming face of the persisted-
     * signature contract ([[graft.ops.Dedup.minHashSignatures]]): every
     * micro-batch of (id, text) documents is LSH-joined against the

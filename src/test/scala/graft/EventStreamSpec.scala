@@ -321,4 +321,36 @@ class EventStreamSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(ids == Seq(1L, 1001L), s"signature table: $ids")
   }
+
+  test("streamingHllRegisters: streaming registers across micro-batches " +
+      "equal the batch build; estimate bit-identical") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val events = mem.toDF().toDF("g", "v")
+    val q = EventStream.streamingHllRegisters(events, Seq("g"), "v", p = 6)
+      .writeStream.format("memory").queryName("shll")
+      .outputMode("complete").start()
+    val b1 = (0 until 300).map(i => ("x", s"u$i")) ++
+      (0 until 40).map(i => ("y", s"w$i"))
+    val b2 = (150 until 450).map(i => ("x", s"u$i")) // overlaps b1
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("shll").orderBy("g", "bucket")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    val batch = graft.ops.Sketches.hllRegisters(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), "v", p = 6)
+      .orderBy("g", "bucket")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(streamed == batch)
+    // estimation is a pure function of the registers → bit-identical
+    val se = graft.ops.Sketches.hllEstimate(spark.table("shll"),
+      Seq("g"), p = 6).orderBy("g").collect().map(_.getLong(1)).toSeq
+    val be = graft.ops.Sketches.hllDistinct((b1 ++ b2).toDF("g", "v"),
+      Seq("g"), "v", p = 6).orderBy("g").collect().map(_.getLong(1)).toSeq
+    assert(se == be && math.abs(se.head - 450L) < 120L, s"$se vs $be")
+  }
 }
