@@ -459,4 +459,43 @@ object Ops {
           expr("s.sessions * CAST(1000000 AS BIGINT) div _total"))
           .otherwise(lit(0L)).as("conversion_ppm"))
   }
+
+  /** SCD-2 history build — collapse a change log into slowly-changing-
+    * dimension validity intervals: per key, consecutive rows with equal
+    * `valueCols` merge into one VERSION with `valid_from` = its first
+    * timestamp and `valid_to` = the next version's `valid_from` (NULL
+    * for the current version — the half-open [from, to) convention).
+    * Value comparison is null-safe (NULL is a value, not a wildcard).
+    * Rows are ordered by (ts, valueCols) — the value tie-break makes the
+    * versioning a pure function of the row multiset even when one key
+    * carries equal timestamps.
+    *
+    * Scale shape: one exchange on the key; both window passes and the
+    * run-length groupBy share the per-key sort, and the version table
+    * (≤ one row per value change) is what shuffles to the final lead()
+    * pass — bounded by changes, not by log rows. Output: (keyCol,
+    * version BIGINT 1-based, valueCols*, valid_from, valid_to,
+    * n_rows BIGINT). */
+  def scd2History(log: DataFrame, keyCol: String, tsCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2History: valueCols must be non-empty")
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = col(tsCol) +: valueCols.map(col)
+    val w = W.partitionBy(col(keyCol)).orderBy(ord.map(_.asc): _*)
+    val changed = valueCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val versioned = log
+      .withColumn("_new",
+        when(lag(col(tsCol), 1).over(w).isNull || changed, 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("_new")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val runs = versioned
+      .groupBy(col(keyCol) +: col("version") +: valueCols.map(col): _*)
+      .agg(min(col(tsCol)).as("valid_from"), count(lit(1)).as("n_rows"))
+    runs.withColumn("valid_to",
+      lead(col("valid_from"), 1).over(
+        W.partitionBy(col(keyCol)).orderBy(col("version").asc)))
+  }
 }

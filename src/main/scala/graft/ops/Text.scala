@@ -692,4 +692,28 @@ object Text {
       .agg(array_sort(collect_list(col("_id"))).as("postings"))
     dfreq.join(postings, Seq("term"))
   }
+
+  /** Conjunctive (AND) retrieval served from an [[invertedIndex]] table —
+    * the lookup path of the serving artifact: documents containing EVERY
+    * query term. Reads only the queried terms' rows (term-pruned scan of
+    * a term-partitioned/bucketed index at scale), explodes their
+    * postings, and keeps docs hit by all terms — candidate volume is
+    * Σ len(postings) of the query terms, never the corpus.
+    *
+    * EXACT precisely when no queried term is truncated (df ==
+    * len(postings) — the flag [[invertedIndex]] publishes); a truncated
+    * stopword's postings under-report, which is the standard serving
+    * trade (rank-and-prune) and is the caller's check. Output:
+    * (doc_id rows — one per matching doc, named after the exploded
+    * posting element). */
+  def searchConjunctive(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchConjunctive: terms must be non-empty")
+    val t = terms.distinct
+    index.where(col("term").isin(t: _*))
+      .select(col("term"), explode(col("postings")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("_nt"))
+      .where(col("_nt") === t.size)
+      .select(col("doc_id"))
+  }
 }

@@ -3826,6 +3826,60 @@ object LlmQueries {
         .orderBy("term")
     },
 
+    // ── q182: conjunctive retrieval served FROM the q179 index — the
+    //    lookup path of the serving artifact: docs containing both
+    //    'query' AND 'window'. maxPostings = 500 ≥ every df at this
+    //    corpus, so serving is exact and the oracle states ground truth
+    //    directly from the documents (the contract's exactness
+    //    condition, df == len(postings), holds). ──
+    QueryDef("q182_index_search",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+        |SELECT doc_id FROM tk WHERE term IN ('query', 'window')
+        |GROUP BY 1 HAVING count(DISTINCT term) = 2
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val idx = graft.ops.Text.invertedIndex(Tables.documents(s, d),
+        "doc_id", "text", maxPostings = 500)
+      graft.ops.Text.searchConjunctive(idx, Seq("query", "window"))
+        .orderBy("doc_id")
+    },
+
+    // ── q183: SCD-2 history build — the change log of each user's
+    //    event_type collapsed into validity intervals (half-open
+    //    [from, to), NULL valid_to = current). (ts, value) ordering
+    //    makes versioning a pure function of the row multiset. ──
+    QueryDef("q183_scd2_history",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS v
+        |           FROM events),
+        |x AS (SELECT user_id, us, v,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR lag(v) OVER w IS DISTINCT FROM v
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, v)),
+        |s AS (SELECT user_id, us, v,
+        |        CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, v
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |      FROM x),
+        |g AS (SELECT user_id, version, v AS event_type,
+        |        min(us) AS valid_from, count(*) AS n_rows
+        |      FROM s GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to, n_rows
+        |FROM g ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), Tables.floorDiv("ts", 1000L).as("us"),
+          col("event_type"))
+      graft.ops.Ops.scd2History(ev, "user_id", "us", Seq("event_type"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_rows"))
+        .orderBy("user_id", "version")
+    },
+
     // ── q127: URL parsing + canonicalization — the crawl-frontier /
     //    URL-dedup key (RefinedWeb's first gate). The fixture builds a
     //    deterministic absolute URL per document exercising every

@@ -418,4 +418,33 @@ class OpsSpec extends SparkSpec {
       (2L, "click", 2L, 400000L),
       (3L, "purchase", 1L, 200000L)), got.mkString(","))
   }
+
+  test("scd2History: run-length versions, half-open intervals, null-safe " +
+      "values, tie determinism") {
+    import spark.implicits._
+    val log = Seq(
+      ("k1", 1L, Option("a")), ("k1", 2L, Option("a")),  // v1: a [1, 4)
+      ("k1", 4L, Option("b")),                           // v2: b [4, 7)
+      ("k1", 7L, Option.empty[String]),                  // v3: null [7, 9)
+      ("k1", 9L, Option("a")),                           // v4: a [9, null)
+      ("k2", 5L, Option("x"))).toDF("k", "ts", "v")
+    val got = Ops.scd2History(log, "k", "ts", Seq("v"))
+      .orderBy("k", "version").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"), r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("k1", 1L, "a", 1L, 4L, 2L), ("k1", 2L, "b", 4L, 7L, 1L),
+      ("k1", 3L, "-", 7L, 9L, 1L), ("k1", 4L, "a", 9L, -1L, 1L),
+      ("k2", 1L, "x", 5L, -1L, 1L)), got.mkString(","))
+    // equal timestamps: (ts, value) ordering → layout-invariant versions
+    val tied = Seq(("k", 1L, "b"), ("k", 1L, "a"), ("k", 2L, "a"))
+      .toDF("k", "ts", "v")
+    val a1 = Ops.scd2History(tied, "k", "ts", Seq("v"))
+      .orderBy("version").collect().map(r => (r.getLong(1), r.getString(2)))
+    val a2 = Ops.scd2History(tied.repartition(7), "k", "ts", Seq("v"))
+      .orderBy("version").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(a1.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")) &&
+      a2.toSeq == a1.toSeq, a1.mkString(","))
+  }
 }

@@ -603,5 +603,15 @@ class TextFunctionsSpec extends SparkSpec {
       // beta appears twice in doc 5 → one posting (within-doc dedupe)
       ("beta", 2L, Seq(5L, 9L)),
       ("gamma", 1L, Seq(3L))), got.mkString(","))
+    // conjunctive serve (uncapped → exact): alpha AND beta = {5, 9};
+    // duplicate query terms collapse; a missing term empties the result
+    val full = graft.ops.Text.invertedIndex(docs, "doc_id", "text",
+      maxPostings = 100)
+    def serve(ts: Seq[String]) =
+      graft.ops.Text.searchConjunctive(full, ts)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(serve(Seq("alpha", "beta")) == Seq(5L, 9L))
+    assert(serve(Seq("alpha", "alpha", "beta")) == Seq(5L, 9L))
+    assert(serve(Seq("alpha", "nosuch")) == Seq.empty)
   }
 }
