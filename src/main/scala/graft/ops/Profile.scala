@@ -98,6 +98,38 @@ object Profile {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** One-row corpus report card — the first page of a dataset card and
+    * the tripwire dashboard of an ingestion run: document / token /
+    * vocabulary / empty-doc counts and the exact-duplicate rate, all
+    * exact integers (dup rate in floored ppm). Duplicates are counted by
+    * content hash (n_docs − distinct md5(text)) — the q14 exact-dedup
+    * key, so the report agrees with what the dedup stage would drop.
+    *
+    * Scale shape: one doc-level aggregate (token counts ride each row;
+    * the distinct-hash count is Spark's two-phase partial-distinct) plus
+    * one distinct-token aggregate (map-side-combined; the shuffle
+    * carries the vocabulary, the same bound as every token op), joined
+    * as one-row broadcasts. Output: (n_docs, n_tokens, vocab,
+    * empty_docs, dup_docs, dup_ppm — all BIGINT). */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val ntok = size(filter(toks, t => t =!= "")).cast("long")
+    val d = docs.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("_h"), ntok.as("_ntok"))
+    val a = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      sum(when(col("_ntok") === 0, 1L).otherwise(0L)).as("empty_docs"),
+      countDistinct(col("_h")).as("_uniq"))
+    val v = docs.select(explode(toks).as("_tok")).where(col("_tok") =!= "")
+      .agg(countDistinct(col("_tok")).as("vocab"))
+    a.crossJoin(broadcast(v))
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        col("empty_docs"),
+        (col("n_docs") - col("_uniq")).as("dup_docs"),
+        expr("(n_docs - _uniq) * CAST(1000000 AS BIGINT) div n_docs")
+          .as("dup_ppm"))
+  }
+
   /** Zipf-slope vocabulary audit — least-squares fit of ln(freq) against
     * ln(rank) over the `topV` most frequent tokens (natural text sits
     * near slope −1; strong deviation flags templated/synthetic/spammy

@@ -957,4 +957,36 @@ object Scoring {
             least(col("n_rel"), lit(k.toLong)).cast("double"), 6))
           .as("ap"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — merge several ranked
+    * runs per query into one ranking without score calibration: each
+    * source contributes floor(10⁶ / (k + rank)) micro-units for a doc it
+    * ranked (the classic 1/(k+rank) with k = 60, held in EXACT integers
+    * — floored division, exact sums, no float ever aggregates), docs are
+    * re-ranked per query by (fused score desc, doc asc). The standard
+    * way to combine e.g. a lexical run (BM25 / the inverted index) with
+    * a vector run (ANN serving) — rank positions fuse even though the
+    * raw scores are incomparable.
+    *
+    * Scale shape: input is runs already truncated to their own top-k, so
+    * per-query candidate sets are ≤ k·sources rows — the fusion groupBy
+    * combines map-side and the per-query re-rank window orders a
+    * bounded frame (an eval/serving constant, the [[ndcgAtK]] argument).
+    * Output: (queryCol, docCol, rrf_micro BIGINT, fused_rank BIGINT ≤
+    * topK). */
+  def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
+              rankCol: String, k: Int = 60, topK: Int = 10): DataFrame = {
+    require(k >= 0, "rrfFuse: k must be >= 0")
+    require(topK > 0, "rrfFuse: topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val fused = runs
+      .select(col(queryCol), col(docCol),
+        expr(s"CAST(1000000 AS BIGINT) div ($k + $rankCol)").as("_c"))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("_c")).as("rrf_micro"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_micro").desc, col(docCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .where(col("fused_rank") <= topK)
+  }
 }

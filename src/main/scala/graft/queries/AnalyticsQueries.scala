@@ -1183,6 +1183,78 @@ object AnalyticsQueries {
         .orderBy("step_idx")
     },
 
+    // ── q184: reciprocal-rank fusion — merge a value-ranked run with a
+    //    recency-ranked run per user (the lexical+vector fusion shape
+    //    without score calibration): each source contributes
+    //    floor(1e6/(60+rank)) micro-units, exact integers end to end,
+    //    fused re-rank by (score desc, doc asc), top-5. ──
+    QueryDef("q184_rrf_fusion",
+      """WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
+        |              epoch_us(ts) AS us FROM events
+        |            WHERE value IS NOT NULL),
+        |ra AS (SELECT q, doc, row_number() OVER (
+        |         PARTITION BY q ORDER BY v DESC, doc) AS rnk FROM ev),
+        |rb AS (SELECT q, doc, row_number() OVER (
+        |         PARTITION BY q ORDER BY us DESC, doc) AS rnk FROM ev),
+        |u AS (SELECT q, doc, rnk FROM ra WHERE rnk <= 8
+        |      UNION ALL SELECT q, doc, rnk FROM rb WHERE rnk <= 8),
+        |f AS (SELECT q, doc,
+        |        CAST(sum(CAST(1000000 AS BIGINT) // (60 + rnk)) AS BIGINT)
+        |          AS rrf_micro
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT q, doc, rrf_micro, CAST(row_number() OVER (
+        |        PARTITION BY q ORDER BY rrf_micro DESC, doc) AS BIGINT)
+        |        AS fused_rank
+        |      FROM f)
+        |SELECT q AS query_id, doc, rrf_micro, fused_rank
+        |FROM r WHERE fused_rank <= 5
+        |ORDER BY query_id, fused_rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id").as("query_id"), col("event_id").as("doc"),
+          col("value"), Tables.floorDiv("ts", 1000L).as("us"))
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("value").desc, col("doc").asc)
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("us").desc, col("doc").asc)
+      val ra = ev.withColumn("rnk", row_number().over(wa))
+        .where(col("rnk") <= 8).select("query_id", "doc", "rnk")
+      val rb = ev.withColumn("rnk", row_number().over(wb))
+        .where(col("rnk") <= 8).select("query_id", "doc", "rnk")
+      graft.ops.Scoring.rrfFuse(ra.unionByName(rb), "query_id", "doc",
+          "rnk", k = 60, topK = 5)
+        .orderBy("query_id", "fused_rank")
+    },
+
+    // ── q185: corpus report card — the one-row dataset-card summary
+    //    (docs / tokens / vocabulary / empties / exact-dup rate) with
+    //    every number an exact integer; dup counting uses the q14
+    //    content-hash key so the report agrees with the dedup stage. ──
+    QueryDef("q185_corpus_report",
+      """WITH t AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+        |      AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, text,
+        |        len(list_filter(toks, x -> x <> '')) AS ntok FROM t),
+        |a AS (SELECT count(*) AS n_docs, CAST(sum(ntok) AS BIGINT)
+        |          AS n_tokens,
+        |        CAST(sum(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS empty_docs,
+        |        count(DISTINCT md5(text)) AS n_uniq
+        |      FROM d),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM (
+        |        SELECT unnest(toks) AS tok FROM t) WHERE tok <> '')
+        |SELECT n_docs, n_tokens, vocab, empty_docs,
+        |  n_docs - n_uniq AS dup_docs,
+        |  (n_docs - n_uniq) * CAST(1000000 AS BIGINT) // n_docs AS dup_ppm
+        |FROM a CROSS JOIN v""".stripMargin) { (s, d) =>
+      graft.ops.Profile.corpusReport(Tables.documents(s, d), "doc_id",
+        "text")
+    },
+
     // ── q152: Bradley–Terry preference strengths — pairwise outcomes
     //    (here: consecutive same-user events duel, higher `value` wins)
     //    reduced to one strength per item by 3 exact MM rounds — the

@@ -64,4 +64,16 @@ class ProfileSpec extends SparkSpec {
       .head()
     assert(shuffled.toSeq == got.toSeq)
   }
+
+  test("corpusReport: counts, empty docs, exact-dup rate in ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), // one uniq + 2 dups
+      (4L, "d e"), (5L, "   "), (6L, "")).toDF("doc_id", "text")
+    val r = Profile.corpusReport(docs, "doc_id", "text").head()
+    // n_docs 6, tokens 3+3+3+2 = 11, vocab {a,b,c,d,e} = 5, empties 2
+    // uniq hashes: "a b c", "d e", "   ", "" → 4 → dup_docs 2
+    assert(r.toSeq == Seq(6L, 11L, 5L, 2L, 2L, 2L * 1000000L / 6L),
+      r.toString)
+  }
 }

@@ -588,4 +588,26 @@ class ScoringSpec extends SparkSpec {
     assert(got(3)._1 == "q4" && got(3)._5.isNaN, got(3).toString)
     assert(got(4) == ("q5", 1L, 0L, 0.0, 0.0), got(4).toString)
   }
+
+  test("rrfFuse: exact micro-unit sums, cross-source boost, tie by doc, " +
+      "topK cut") {
+    import spark.implicits._
+    def c(rank: Int): Long = 1000000L / (60 + rank)
+    // source A ranks d1,d2,d3; source B ranks d2,d4
+    val runs = Seq(
+      ("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3),
+      ("q", "d2", 1), ("q", "d4", 2)).toDF("q", "doc", "rnk")
+    val got = Scoring.rrfFuse(runs, "q", "doc", "rnk", k = 60, topK = 3)
+      .orderBy("fused_rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // d2 fuses both sources: 1e6/62 + 1e6/61 — tops the single-source
+    // first-ranked d1 (1e6/61); d4 (B's rank 2 → c(2)=16129) outranks
+    // d3 (A's rank 3 → c(3)=15873); topK=3 cuts d3
+    assert(got.toSeq == Seq(
+      ("d2", c(2) + c(1), 1L), ("d1", c(1), 2L), ("d4", c(2), 3L)),
+      got.mkString(","))
+    val all = Scoring.rrfFuse(runs, "q", "doc", "rnk", k = 60, topK = 4)
+      .orderBy("fused_rank").collect().map(_.getString(1)).toSeq
+    assert(all == Seq("d2", "d1", "d4", "d3"), all.mkString(","))
+  }
 }
