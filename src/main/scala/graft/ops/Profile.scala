@@ -130,6 +130,96 @@ object Profile {
           .as("dup_ppm"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-/synthetic-data
+    * tripwire for a numeric measure column: observed first-significant-
+    * digit shares vs Benford's log₁₀(1+1/d) expectation. Digit
+    * extraction is LOG-FREE (a log10+floor would sit one ulp from a
+    * bucket flip at powers of ten, and libm implementations differ): a
+    * comparison ladder against exact power-of-ten double literals picks
+    * the exponent, one division normalizes the mantissa, a second
+    * ladder picks the digit — every comparison is between bit-identical
+    * doubles in both engines. Values outside [1, 10^(maxExp+1)) are
+    * excluded and counted (`n_excluded` — extend maxExp to widen).
+    * Expected shares are compile-time integer-ppm literals; observed
+    * shares are floored ppm; all 9 digits always emit (zero-count
+    * included). Output: (digit BIGINT 1-9, cnt, obs_ppm, exp_ppm
+    * BIGINT) + the total/excluded counts on every row. */
+  def benfordAudit(df: DataFrame, valueCol: String,
+                   maxExp: Int = 7): DataFrame = {
+    require(maxExp >= 0 && maxExp <= 22, "benfordAudit: maxExp in [0,22]")
+    val x = abs(col(valueCol).cast("double"))
+    val hi = math.pow(10.0, maxExp + 1)
+    val inc = col(valueCol).isNotNull && !isnan(x) && x >= 1.0 && x < hi
+    var mant: Column = null
+    for (e <- maxExp to 1 by -1) {
+      val p = lit(math.pow(10.0, e))
+      mant = if (mant == null) when(x >= p, x / p)
+             else mant.when(x >= p, x / p)
+    }
+    val m = if (mant == null) x else mant.otherwise(x)
+    var dig: Column = null
+    for (d <- 9 to 2 by -1) {
+      dig = if (dig == null) when(m >= d, d.toLong)
+            else dig.when(m >= d, d.toLong)
+    }
+    val digit = dig.otherwise(1L)
+    val counts = df.where(inc)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("cnt"))
+    val totals = df.agg(
+      sum(when(inc, 1L).otherwise(0L)).as("n_included"),
+      sum(when(inc, 0L).otherwise(1L)).as("n_excluded"))
+    val digits = counts.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(totals))
+      .select(col("digit"), col("cnt"),
+        when(col("n_included") > 0,
+          expr("cnt * CAST(1000000 AS BIGINT) div n_included"))
+          .otherwise(lit(0L)).as("obs_ppm"),
+        element_at(lit(BenfordPpm), col("digit").cast("int")).as("exp_ppm"),
+        col("n_included"), col("n_excluded"))
+  }
+
+  /** floor(log₁₀(1+1/d)·10⁶ + 0.5) for d = 1..9 — compile-time Benford
+    * expectation in integer ppm; oracle SQL embeds the same literals. */
+  val BenfordPpm: Array[Long] = (1 to 9).map(d =>
+    math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toArray
+
+  /** Two-proportion A/B z-test — the experiment readout over unit-level
+    * rows (one row per unit with its arm and converted flag): per-arm
+    * n/conversions, the lift in floored-ppm (exact integers), and the
+    * pooled two-proportion z statistic as ONE IEEE chain over the four
+    * exact counts, published as floor(z·1000 + 0.5) milli-units (the
+    * readability/silhouette floor contract — identical doubles floor
+    * identically). Arm A is the smaller arm value (deterministic);
+    * `z_milli` is NULL when degenerate (≠ 2 arms, or pooled rate 0/1 —
+    * no variance). Scale shape: one map-side-combined per-arm aggregate
+    * (2 rows), then driver-sized arithmetic. Output one row: (arm_a,
+    * n_a, conv_a, arm_b, n_b, conv_b, n_arms, lift_ppm, z_milli). */
+  def abTestProportions(units: DataFrame, armCol: String,
+                        convCol: String): DataFrame = {
+    val arms = units.groupBy(col(armCol).cast("long").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convCol), 1L).otherwise(0L)).as("c"))
+    val one = arms.agg(
+      min(struct(col("arm"), col("n"), col("c"))).as("A"),
+      max(struct(col("arm"), col("n"), col("c"))).as("B"),
+      count(lit(1)).as("n_arms"))
+    val na = col("A.n").cast("double"); val nb = col("B.n").cast("double")
+    val ca = col("A.c").cast("double"); val cb = col("B.c").cast("double")
+    val pp = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    one.select(col("A.arm").as("arm_a"), col("A.n").as("n_a"),
+      col("A.c").as("conv_a"), col("B.arm").as("arm_b"),
+      col("B.n").as("n_b"), col("B.c").as("conv_b"), col("n_arms"),
+      (expr("A.c * CAST(1000000 AS BIGINT) div A.n") -
+        expr("B.c * CAST(1000000 AS BIGINT) div B.n")).as("lift_ppm"),
+      when(col("n_arms") === 2 && pp > 0 && pp < 1,
+        floor(z * lit(1000.0) + lit(0.5)).cast("long")).as("z_milli"))
+  }
+
   /** Zipf-slope vocabulary audit — least-squares fit of ln(freq) against
     * ln(rank) over the `topV` most frequent tokens (natural text sits
     * near slope −1; strong deviation flags templated/synthetic/spammy

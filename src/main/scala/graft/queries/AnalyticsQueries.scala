@@ -1255,6 +1255,89 @@ object AnalyticsQueries {
         "text")
     },
 
+    // ── q186: Benford first-digit audit over l_extendedprice — the
+    //    fabricated-data tripwire. Digit extraction is LOG-FREE (two
+    //    comparison ladders against exact power-of-ten literals — a
+    //    log10+floor sits one ulp from a bucket flip and libm
+    //    implementations differ); expectations are compile-time integer
+    //    ppm shared with the op. ──
+    QueryDef("q186_benford", {
+      val ppm = graft.ops.Profile.BenfordPpm.mkString("[", ", ", "]")
+      val mant = (7 to 1 by -1)
+        .map(e => s"WHEN x >= 1.0e$e THEN x / 1.0e$e").mkString(" ")
+      val dig = (9 to 2 by -1)
+        .map(d => s"WHEN m >= $d THEN $d").mkString(" ")
+      s"""WITH v AS (SELECT l_extendedprice AS raw,
+         |    abs(CAST(l_extendedprice AS DOUBLE)) AS x FROM lineitem),
+         |inc AS (SELECT x FROM v WHERE raw IS NOT NULL AND NOT isnan(x)
+         |        AND x >= 1.0 AND x < 1.0e8),
+         |tot AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_included,
+         |    (SELECT CAST(sum(CASE WHEN raw IS NULL OR isnan(x)
+         |         OR x < 1.0 OR x >= 1.0e8 THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM v) AS n_excluded),
+         |g AS (SELECT CASE $mant ELSE x END AS m FROM inc),
+         |dg AS (SELECT CAST(CASE $dig ELSE 1 END AS BIGINT) AS digit
+         |       FROM g),
+         |c AS (SELECT digit, count(*) AS cnt FROM dg GROUP BY 1),
+         |d9 AS (SELECT unnest(generate_series(1, 9)) AS digit)
+         |SELECT d9.digit, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+         |  CASE WHEN n_included > 0 THEN coalesce(cnt, 0) *
+         |    CAST(1000000 AS BIGINT) // n_included ELSE 0 END AS obs_ppm,
+         |  CAST(($ppm)[d9.digit] AS BIGINT) AS exp_ppm,
+         |  n_included, n_excluded
+         |FROM d9 LEFT JOIN c USING (digit) CROSS JOIN tot
+         |ORDER BY d9.digit""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Profile.benfordAudit(Tables.lineitem(s, d),
+          "l_extendedprice", maxExp = 7)
+        .orderBy("digit")
+    },
+
+    // ── q187: two-proportion A/B readout — arms by user_id parity,
+    //    conversion = the user ever purchased; lift in exact floored
+    //    ppm, pooled z as one IEEE chain over four exact counts in
+    //    floor-milli units. ──
+    QueryDef("q187_ab_test",
+      """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |ar AS (SELECT arm, count(*) AS n,
+        |         CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |       FROM u GROUP BY 1),
+        |aa AS (SELECT arm, n, c FROM ar ORDER BY arm LIMIT 1),
+        |bb AS (SELECT arm, n, c FROM ar ORDER BY arm DESC LIMIT 1),
+        |nn AS (SELECT count(*) AS n_arms FROM ar)
+        |SELECT aa.arm AS arm_a, aa.n AS n_a, aa.c AS conv_a,
+        |  bb.arm AS arm_b, bb.n AS n_b, bb.c AS conv_b, n_arms,
+        |  aa.c * CAST(1000000 AS BIGINT) // aa.n -
+        |    bb.c * CAST(1000000 AS BIGINT) // bb.n AS lift_ppm,
+        |  CASE WHEN n_arms = 2
+        |      AND (CAST(aa.c AS DOUBLE) + CAST(bb.c AS DOUBLE)) /
+        |          (CAST(aa.n AS DOUBLE) + CAST(bb.n AS DOUBLE)) > 0
+        |      AND (CAST(aa.c AS DOUBLE) + CAST(bb.c AS DOUBLE)) /
+        |          (CAST(aa.n AS DOUBLE) + CAST(bb.n AS DOUBLE)) < 1
+        |    THEN CAST(floor(
+        |      (CAST(aa.c AS DOUBLE) / CAST(aa.n AS DOUBLE) -
+        |       CAST(bb.c AS DOUBLE) / CAST(bb.n AS DOUBLE)) /
+        |      sqrt(((CAST(aa.c AS DOUBLE) + CAST(bb.c AS DOUBLE)) /
+        |            (CAST(aa.n AS DOUBLE) + CAST(bb.n AS DOUBLE))) *
+        |           (CAST(1 AS DOUBLE) -
+        |            (CAST(aa.c AS DOUBLE) + CAST(bb.c AS DOUBLE)) /
+        |            (CAST(aa.n AS DOUBLE) + CAST(bb.n AS DOUBLE))) *
+        |           (CAST(1 AS DOUBLE) / CAST(aa.n AS DOUBLE) +
+        |            CAST(1 AS DOUBLE) / CAST(bb.n AS DOUBLE)))
+        |      * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |  END AS z_milli
+        |FROM aa CROSS JOIN bb CROSS JOIN nn""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      val units = ev.groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg((max(when(col("event_type") === "purchase", 1).otherwise(0))
+          === 1).as("conv"))
+      graft.ops.Profile.abTestProportions(units, "arm", "conv")
+    },
+
     // ── q152: Bradley–Terry preference strengths — pairwise outcomes
     //    (here: consecutive same-user events duel, higher `value` wins)
     //    reduced to one strength per item by 3 exact MM rounds — the

@@ -76,4 +76,52 @@ class ProfileSpec extends SparkSpec {
     assert(r.toSeq == Seq(6L, 11L, 5L, 2L, 2L, 2L * 1000000L / 6L),
       r.toString)
   }
+
+  test("benfordAudit: ladder digits incl. boundaries, exclusions, " +
+      "all 9 digits emit, expectation literals") {
+    import spark.implicits._
+    // one value per digit bucket across magnitudes + exclusions
+    val vals = Seq(1.0, 10.0, 19.99, 2.0, 250.0, 3.5e6, 9.0, 999999.0,
+      0.5, -42.0, 1.0e8, Double.NaN)
+    val got = Profile.benfordAudit(vals.toDF("v"), "v", maxExp = 7)
+      .orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // included: 1.0(d1) 10.0(d1) 19.99(d1) 2.0(d2) 250.0(d2) 3.5e6(d3)
+    // 9.0(d9) 999999.0(d9); excluded: 0.5, -42.0 (|.|=42 included! d4),
+    // 1.0e8 (>= hi), NaN
+    val cnt = got.map(t => t._1 -> t._2).toMap
+    assert(cnt == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 2L), got.mkString(","))
+    assert(got.map(_._3).toSeq ==
+      Profile.BenfordPpm.toSeq, "expectation literals")
+    assert(Profile.BenfordPpm.head == 301030L &&
+      Profile.BenfordPpm.sum >= 999998L) // shares ≈ 1
+    val excl = Profile.benfordAudit(vals.toDF("v"), "v", maxExp = 7)
+      .head()
+    assert(excl.getLong(4) == 9L && excl.getLong(5) == 3L, excl.toString)
+  }
+
+  test("abTestProportions: hand-computed z, lift ppm, degenerate NULLs") {
+    import spark.implicits._
+    // arm 0: 100 units, 30 conv; arm 1: 80 units, 16 conv
+    val units = ((1 to 100).map(i => (0L, i <= 30)) ++
+      (1 to 80).map(i => (1L, i <= 16))).toDF("arm", "conv")
+    val r = Profile.abTestProportions(units, "arm", "conv").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (0L, 100L, 30L, 1L, 80L, 16L, 2L))
+    assert(r.getLong(7) == 300000L - 200000L)
+    val pp = 46.0 / 180.0
+    val z = (0.3 - 0.2) / math.sqrt(pp * (1.0 - pp) *
+      (1.0 / 100.0 + 1.0 / 80.0))
+    assert(r.getLong(8) == math.floor(z * 1000.0 + 0.5).toLong, r.toString)
+    // all-converted → pooled rate 1 → z NULL
+    val dz = Profile.abTestProportions(
+      Seq((0L, true), (1L, true)).toDF("arm", "conv"), "arm", "conv").head()
+    assert(dz.isNullAt(8))
+    // single arm → NULL
+    val one = Profile.abTestProportions(
+      Seq((0L, true), (0L, false)).toDF("arm", "conv"), "arm", "conv").head()
+    assert(one.getLong(6) == 1L && one.isNullAt(8))
+  }
 }
