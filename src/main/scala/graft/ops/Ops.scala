@@ -498,4 +498,67 @@ object Ops {
       lead(col("valid_from"), 1).over(
         W.partitionBy(col(keyCol)).orderBy(col("version").asc)))
   }
+
+  /** First-order Markov transition matrix over per-key ordered event
+    * streams — the behavioral summary next to [[sessionFunnel]] (the
+    * funnel checks ONE path; this reports every consecutive-pair
+    * probability): counts of (state → next state) over each key's
+    * `ord`-ordered stream, with the row-conditional probability in
+    * floored ppm (cnt·10⁶ div Σ_from — exact integers). Pass a total
+    * `ord` (e.g. timestamp THEN event id — the q152 convention) so
+    * transitions are a pure function of the row multiset.
+    *
+    * Scale shape: one key exchange + the shared per-key sort for the
+    * lead() pass; everything after is sized by distinct state PAIRS.
+    * Output: (from_type, to_type, cnt BIGINT, p_ppm BIGINT). */
+  def transitionMatrix(events: DataFrame, keyCol: String, typeCol: String,
+                       ord: Seq[Column]): DataFrame = {
+    require(ord.nonEmpty, "transitionMatrix: ord must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where(col("_next").isNotNull)
+    val c = pairs.groupBy(col(typeCol).as("from_type"),
+        col("_next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("from_type")).agg(sum(col("cnt")).as("_ft"))
+    c.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * CAST(1000000 AS BIGINT) div _ft").as("p_ppm"))
+  }
+
+  /** Pairwise co-occurrence lift (market-basket association) over
+    * (key, item) observations: for each item pair a < b, the number of
+    * keys holding both, plus support and lift in deterministic units —
+    * support_ppm = n_ab·10⁶ div n (floored integers); lift = the
+    * classic n·n_ab / (n_a·n_b), published as floor(·10⁶) of ONE IEEE
+    * chain over the four exact counts (the counts exceed 2⁵³ products
+    * long before any real corpus does — the double chain is
+    * bit-identical across engines either way).
+    *
+    * Scale shape: baskets dedupe map-side; the pair self-join shuffles
+    * on the key with per-key work bounded by basket size² (an
+    * event-vocabulary constant here; cap baskets upstream for unbounded
+    * item domains); aggregates are item- and pair-sized. Output:
+    * (item_a, item_b, n_ab, support_ppm, lift_ppm — BIGINT). */
+  def basketLift(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    val b = df.select(col(keyCol).as("_k"), col(itemCol).as("_i")).distinct()
+    val n1 = b.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+    val nTot = b.select(col("_k")).distinct().agg(count(lit(1)).as("_n"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x._k") === col("y._k") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(n1.select(col("_i").as("item_a"), col("_ni").as("_na")), Seq("item_a"))
+      .join(n1.select(col("_i").as("item_b"), col("_ni").as("_nb")), Seq("item_b"))
+      .crossJoin(broadcast(nTot))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr("n_ab * CAST(1000000 AS BIGINT) div _n").as("support_ppm"),
+        floor(col("_n").cast("double") * col("n_ab").cast("double") *
+          lit(1000000.0) /
+          (col("_na").cast("double") * col("_nb").cast("double")))
+          .cast("long").as("lift_ppm"))
+  }
 }

@@ -1338,6 +1338,87 @@ object AnalyticsQueries {
       graft.ops.Profile.abTestProportions(units, "arm", "conv")
     },
 
+    // ── q188: Markov transition matrix — per-user consecutive event
+    //    pairs ((us, event_id) total order, the q152 convention) with
+    //    row-conditional probabilities in floored ppm. ──
+    QueryDef("q188_transition_matrix",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             event_type AS t FROM events),
+        |nx AS (SELECT user_id, t, lead(t) OVER w AS t2
+        |       FROM e WINDOW w AS (PARTITION BY user_id
+        |                           ORDER BY us, event_id)),
+        |p AS (SELECT t AS from_type, t2 AS to_type FROM nx
+        |      WHERE t2 IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*) AS cnt
+        |      FROM p GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot
+        |       FROM c GROUP BY 1)
+        |SELECT c.from_type AS from_type, c.to_type AS to_type, cnt,
+        |  cnt * CAST(1000000 AS BIGINT) // tot AS p_ppm
+        |FROM c JOIN ft ON c.from_type = ft.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("user_id"), Tables.floorDiv("ts", 1000L).as("us"),
+          col("event_id"), col("event_type"))
+      graft.ops.Ops.transitionMatrix(ev, "user_id", "event_type",
+          Seq(col("us").asc, col("event_id").asc))
+        .orderBy("from_type", "to_type")
+    },
+
+    // ── q189: market-basket lift over (user, event_type) baskets —
+    //    pairwise co-occurrence with support in floored ppm and lift as
+    //    floor(1e6·n·n_ab/(n_a·n_b)) of one IEEE chain over exact
+    //    counts. ──
+    QueryDef("q189_basket_lift",
+      """WITH b AS (SELECT DISTINCT user_id AS k, event_type AS i
+        |           FROM events),
+        |ni AS (SELECT i, count(*) AS n1 FROM b GROUP BY 1),
+        |nt AS (SELECT count(DISTINCT k) AS n FROM b),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab
+        |      FROM b x JOIN b y ON x.k = y.k AND x.i < y.i
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab,
+        |  n_ab * CAST(1000000 AS BIGINT) // n AS support_ppm,
+        |  CAST(floor(CAST(n AS DOUBLE) * CAST(n_ab AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)
+        |      / (CAST(na.n1 AS DOUBLE) * CAST(nb.n1 AS DOUBLE)))
+        |    AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN ni na ON na.i = p.item_a
+        |JOIN ni nb ON nb.i = p.item_b
+        |CROSS JOIN nt
+        |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      graft.ops.Ops.basketLift(ev, "user_id", "event_type")
+        .orderBy("item_a", "item_b")
+    },
+
+    // ── q190: pivoted cohort × event-type counts — the wide-report
+    //    surface (Spark .pivot with an explicit value list keeps the
+    //    plan a single Expand-free aggregate; the oracle is conditional
+    //    aggregation with identical column names). ──
+    QueryDef("q190_pivot_counts",
+      """SELECT user_id % 5 AS cohort,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      ev.groupBy((col("user_id") % 5).as("cohort"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("cohort")
+    },
+
     // ── q152: Bradley–Terry preference strengths — pairwise outcomes
     //    (here: consecutive same-user events duel, higher `value` wins)
     //    reduced to one strength per item by 3 exact MM rounds — the

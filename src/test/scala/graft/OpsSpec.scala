@@ -447,4 +447,42 @@ class OpsSpec extends SparkSpec {
     assert(a1.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")) &&
       a2.toSeq == a1.toSeq, a1.mkString(","))
   }
+
+  test("transitionMatrix: consecutive pairs per key, row-conditional ppm, " +
+      "no cross-key transitions") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"), ("u1", 4L, "b"),
+      ("u2", 1L, "a"), ("u2", 2L, "a"),
+      ("u3", 9L, "b")) // single event: no transition
+      .toDF("k", "ts", "t")
+    val got = Ops.transitionMatrix(ev, "k", "t",
+        Seq(col("ts").asc))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // from a: a→b ×2 (u1), a→a ×1 (u2) → p(a→b)=666666, p(a→a)=333333
+    // from b: b→a ×1 → 1000000 (u1's final b and u3's b emit nothing)
+    assert(got.toSeq == Seq(
+      ("a", "a", 1L, 333333L), ("a", "b", 2L, 666666L),
+      ("b", "a", 1L, 1000000L)), got.mkString(","))
+  }
+
+  test("basketLift: counts, support ppm, hand-computed lift, " +
+      "duplicate observations collapse") {
+    import spark.implicits._
+    // baskets: u1{x,y}, u2{x,y}, u3{x}, u4{y,z} (u1's x repeated)
+    val df = Seq(("u1", "x"), ("u1", "x"), ("u1", "y"), ("u2", "x"),
+      ("u2", "y"), ("u3", "x"), ("u4", "y"), ("u4", "z"))
+      .toDF("k", "i")
+    val got = Ops.basketLift(df, "k", "i")
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // n = 4; n_x = 3, n_y = 3, n_z = 1; xy = 2, yz = 1
+    def lift(n_ab: Long, na: Long, nb: Long): Long =
+      math.floor(4.0 * n_ab * 1000000.0 / (na.toDouble * nb.toDouble)).toLong
+    assert(got.toSeq == Seq(
+      ("x", "y", 2L, 500000L, lift(2, 3, 3)),
+      ("y", "z", 1L, 250000L, lift(1, 3, 1))), got.mkString(","))
+  }
 }
