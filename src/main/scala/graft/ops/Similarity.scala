@@ -916,6 +916,30 @@ object Similarity {
         when(col("n_scored") > 0, expr("s_sum_ppm div n_scored")))
   }
 
+  /** kNN majority-vote classification — label new vectors from a labeled
+    * corpus (the embedding-space classifier that needs no training: the
+    * standard bootstrap for extending a small labeled set over a large
+    * corpus): top-k cosine neighbors per query ([[bruteForceTopK]] — the
+    * exact tier; swap the scoring side for [[pqTopKAgainstIndex]] at
+    * corpus scale, the [[hardNegativesAgainstIndex]] composition), then
+    * an integer vote with the deterministic tie rule (most votes, then
+    * smallest label). The vote window orders ≤ k rows per query.
+    * Output: (query_id, pred_label, votes BIGINT). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, labelCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bruteForceTopK(queries, corpus.select(col("id"), col("vec")), k)
+    val voted = top
+      .join(corpus.select(col("id").as("neighbor_id"),
+        col(labelCol).as("_lab")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_lab"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_lab").asc)
+    voted.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+      .select(col("query_id"), col("_lab").as("pred_label"), col("votes"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
     * the EMBEDDING level: coarse-cluster the corpus, then compare vectors
     * only WITHIN a cluster, dropping every vector that has a lower-id

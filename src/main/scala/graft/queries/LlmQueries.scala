@@ -3880,6 +3880,46 @@ object LlmQueries {
         .orderBy("user_id", "version")
     },
 
+    // ── q191: kNN majority-vote classification — label every 50th
+    //    vector from its 10 nearest labeled neighbors (q23's exact
+    //    cosine chain + an integer vote, ties to the smallest label);
+    //    the no-training embedding classifier that bootstraps a small
+    //    labeled set over a corpus. ──
+    QueryDef("q191_knn_classify",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    round(list_inner_product(qe, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(qe, qe)) *
+        |       sqrt(list_inner_product(e.embedding::DOUBLE[],
+        |                               e.embedding::DOUBLE[]))), 6) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+        |top AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY sim DESC, neighbor_id)
+        |    AS rank
+        |  FROM scored) WHERE rank <= 10),
+        |v AS (SELECT query_id, l.label, count(*) AS votes
+        |      FROM top JOIN embeddings l ON l.vec_id = top.neighbor_id
+        |      GROUP BY 1, 2),
+        |r AS (SELECT query_id, label AS pred_label, votes,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY votes DESC, label) AS rn
+        |      FROM v)
+        |SELECT query_id, pred_label, votes FROM r WHERE rn = 1
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"),
+        col("label"))
+      graft.ops.Similarity.knnClassify(
+          emb.where(col("id") % 50 === 0).select(col("id"), col("vec")),
+          emb, "label", k = 10)
+        .orderBy("query_id")
+    },
+
     // ── q127: URL parsing + canonicalization — the crawl-frontier /
     //    URL-dedup key (RefinedWeb's first gate). The fixture builds a
     //    deterministic absolute URL per document exercising every

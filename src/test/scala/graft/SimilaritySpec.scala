@@ -864,4 +864,29 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffled.toSeq == got.map(t =>
       Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
   }
+
+  test("knnClassify: majority vote, smallest-label tie, self excluded") {
+    import spark.implicits._
+    // axis clusters: labels 1 (x-axis) and 2 (y-axis); query 100 sits on
+    // the x-axis → neighbors mostly label 1
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0), 1), (2L, Seq(0.9, 0.1), 1), (3L, Seq(0.95, 0.05), 1),
+      (4L, Seq(0.0, 1.0), 2), (5L, Seq(0.1, 0.9), 2))
+      .toDF("id", "vec", "label")
+    val q = Seq((100L, Seq(1.0, 0.01))).toDF("id", "vec")
+    val got = Similarity.knnClassify(q, corpus, "label", k = 3).head()
+    assert((got.getLong(0), got.getInt(1), got.getLong(2)) == (100L, 1, 3L))
+    // tie at k=4 would be 3-1; force a tie with k=2 over one of each?
+    // deterministic tie: equidistant diagonal query, one neighbor each →
+    // 1 vote vs 1 vote → smallest label wins
+    val qd = Seq((200L, Seq(1.0, 1.0))).toDF("id", "vec")
+    val tie = Similarity.knnClassify(qd,
+      Seq((1L, Seq(1.0, 0.0), 9), (2L, Seq(0.0, 1.0), 3))
+        .toDF("id", "vec", "label"), "label", k = 2).head()
+    assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L, tie.toString)
+    // a query that is also in the corpus never votes for itself
+    val selfq = corpus.where(col("id") === 1L).select("id", "vec")
+    val s = Similarity.knnClassify(selfq, corpus, "label", k = 4).head()
+    assert(s.getLong(0) == 1L && s.getInt(1) == 1 && s.getLong(2) == 2L)
+  }
 }
