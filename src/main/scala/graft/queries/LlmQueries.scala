@@ -3920,6 +3920,43 @@ object LlmQueries {
         .orderBy("query_id")
     },
 
+    // ── q192: anchor-text aggregation — per target URL, in-link counts
+    //    and the dominant anchor text (the classic link-context signal a
+    //    search/description pipeline mines): q176's links grouped by
+    //    target with the most-frequent anchor (ties lexicographic). ──
+    QueryDef("q192_anchor_signal",
+      s"""WITH $LinkRowsCtes,
+         |k AS (SELECT doc_id, pos, link_url, anchor FROM r
+         |      WHERE link_url IS NOT NULL),
+         |agg AS (SELECT link_url, count(*) AS n_links,
+         |          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+         |        FROM k GROUP BY 1),
+         |an AS (SELECT link_url, anchor, count(*) AS cnt
+         |       FROM k GROUP BY 1, 2),
+         |ta AS (SELECT link_url, anchor AS top_anchor, cnt AS top_cnt
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY link_url
+         |               ORDER BY cnt DESC, anchor) AS rn FROM an)
+         |       WHERE rn = 1)
+         |SELECT agg.link_url AS link_url, n_links, n_pages, top_anchor,
+         |  top_cnt
+         |FROM agg JOIN ta ON agg.link_url = ta.link_url
+         |ORDER BY link_url""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val links = graft.ops.Html.extractLinks(linkFixture(s, d),
+        "doc_id", "html", "base")
+      val agg = links.groupBy(col("link_url"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_pages"))
+      val w = Window.partitionBy(col("link_url"))
+        .orderBy(col("cnt").desc, col("anchor").asc)
+      val ta = links.groupBy(col("link_url"), col("anchor"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("link_url"), col("anchor").as("top_anchor"),
+          col("cnt").as("top_cnt"))
+      agg.join(ta, Seq("link_url")).orderBy("link_url")
+    },
+
     // ── q127: URL parsing + canonicalization — the crawl-frontier /
     //    URL-dedup key (RefinedWeb's first gate). The fixture builds a
     //    deterministic absolute URL per document exercising every

@@ -170,6 +170,52 @@ object RelationalQueries {
         .orderBy($"lvl", $"region".asc_nulls_last, $"nation".asc_nulls_last)
     },
 
+    // ── q193: share-of-region revenue — the percent-of-total window
+    //    report: nation revenue as exact ten-thousandths BIGINT, region
+    //    total via a window sum (no second aggregate pass), share as
+    //    floor of one IEEE ratio in ppm. ──
+    QueryDef("q193_revenue_share",
+      """WITH nr AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+        |      AS DECIMAL(28,4)) * 10000 AS BIGINT) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT region, nation, rev_e4,
+        |        CAST(sum(rev_e4) OVER (PARTITION BY region) AS BIGINT)
+        |          AS region_e4
+        |      FROM nr)
+        |SELECT region, nation, rev_e4, region_e4,
+        |  CAST(floor(CAST(rev_e4 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+        |    / CAST(region_e4 AS DOUBLE)) AS BIGINT) AS share_ppm
+        |FROM w ORDER BY region, nation""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val nr = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name".as("region"), $"n_name".as("nation"))
+        .agg((sum($"l_extendedprice".cast(D) *
+            (lit(1) - $"l_discount".cast(D)))
+          .cast("decimal(28,4)") * lit(10000)).cast("long").as("rev_e4"))
+      nr.withColumn("region_e4",
+          sum($"rev_e4").over(Window.partitionBy($"region")))
+        .withColumn("share_ppm",
+          floor($"rev_e4".cast("double") * lit(1000000.0) /
+            $"region_e4".cast("double")).cast("long"))
+        .orderBy("region", "nation")
+    },
+
     // ── O1: numeric-aware sort (numeric strings by value, junk last) ──
     QueryDef("q05_numeric_sort",
       """WITH keyed AS (
