@@ -2115,6 +2115,41 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── q194: dedup impact report — the cluster-SIZE histogram over
+    //    q57's near-dup clusters (how duplicated is this corpus, and in
+    //    what shape: many small clusters vs a few viral ones decides the
+    //    dedup strategy). Singletons included; n_docs = size·clusters
+    //    so Σ n_docs = corpus size (self-checking). ──
+    QueryDef("q194_dedup_impact",
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id,
+         |          COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz
+         |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 8, threshold = 0.8)
+      Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id", pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // ── cluster-correct corpus dedup: keep exactly the smallest-id member
     //    of each near-dup cluster, full doc rows out — the end-to-end
     //    "dedup this corpus" op (q21's pair-drop over-deletes on chains). ──
