@@ -128,9 +128,13 @@ object Html {
   /** Double-quoted href + anchor body — groups 1/2. Only double-quoted
     * hrefs are matched (the dominant form; a STATED simplification —
     * single-quoted/unquoted attributes are skipped, and `[^>]` keeps the
-    * scan from crossing the tag boundary). */
+    * scan from crossing the tag boundary). The `[ \t\r\n"'/]` delimiter
+    * before `href` anchors it as an ATTRIBUTE NAME — without it the
+    * non-greedy scan matches the tail of `data-href`/`xhref` and
+    * extracts the wrong URL from `<a data-href="/a" href="/b">`. */
   private[graft] val HrefRe: String =
-    "(?is)<a\\b[^>]*?href[ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    "(?is)<a\\b[^>]*?[ \\t\\r\\n\"'/]href[ \\t\\r\\n]*=[ \\t\\r\\n]*" +
+      "\"([^\"]*)\"[^>]*>(.*?)</a>"
 
   /** Out-link extraction — the web-graph edge builder (what feeds
     * PageRank / the graph spine / crawl frontiers) and the anchor-text

@@ -240,8 +240,10 @@ object Profile {
   def zipfSlope(docs: DataFrame, textCol: String,
                 topV: Int = 1024, fanout: Int = 64): DataFrame = {
     require(topV > 1, "zipfSlope: topV must be > 1")
-    // 65536·ln(65536) still fits the exact DECIMAL(12,6) cross terms —
-    // the head-fit bound that keeps every regression sum overflow-free
+    // Σ|x| ≤ 65536·ln(65536) ≈ 7.3e5 and Σ|y| ≤ 65536·ln(2⁶³) ≈ 2.9e6 —
+    // both inside the DECIMAL(18,6) cross-term operands (10^12 integer
+    // headroom), so every regression sum is overflow-free at any BIGINT
+    // frequency. The bound keeps the window tier's ranked head small.
     require(topV <= 65536, "zipfSlope: topV must be <= 65536")
     require(fanout > 0, "zipfSlope: fanout must be positive")
     import org.apache.spark.sql.expressions.Window
@@ -261,8 +263,10 @@ object Profile {
     def sq(a: Column, b: Column): Column =
       (a.cast(d6) * b.cast(d6)).cast("decimal(38,12)")
     val pts = top.select(
-      round(log(col("rank").cast("double")), 6).as("_x"),
-      round(log(col("_f").cast("double")), 6).as("_y"))
+      Round6.guarded(log(col("rank").cast("double")), "zipfSlope x")
+        .as("_x"),
+      Round6.guarded(log(col("_f").cast("double")), "zipfSlope y")
+        .as("_y"))
     val a = pts.agg(
       count(lit(1)).as("n"),
       sum(col("_x").cast(d6)).as("_sx"),
@@ -272,8 +276,13 @@ object Profile {
       sum(sq(col("_y"), col("_y"))).as("_syy"))
     def nTimes(s: Column): Column =
       col("n").cast("decimal(10,0)") * s.cast("decimal(26,12)")
+    // DECIMAL(18,6) operands: Σ of round-6 ln terms is bounded by
+    // topV·|ln f| ≤ 65536·~40 ≈ 2.6e6 for any count that fits a BIGINT,
+    // far inside the 10^12 integer headroom (the old (12,6) capped the
+    // integer part at 999,999 and silently NULLed at large topV); the
+    // (18,6)×(18,6) product is DECIMAL(37,12) — still inside Spark's 38.
     def cross(u: Column, v: Column): Column =
-      u.cast("decimal(12,6)") * v.cast("decimal(12,6)")
+      u.cast("decimal(18,6)") * v.cast("decimal(18,6)")
     val num = nTimes(col("_sxy")) - cross(col("_sx"), col("_sy"))
     val den = nTimes(col("_sxx")) - cross(col("_sx"), col("_sx"))
     val deny = nTimes(col("_syy")) - cross(col("_sy"), col("_sy"))

@@ -353,8 +353,15 @@ object Sampling {
     * HUGEINT `//`).
     *
     * Scale shape: ONE map-side-combined groupBy on source (the aggregate
-    * is source-cardinality-sized) + a broadcast join of the weight table
-    * (weights are a config table — human-curated, always tiny).
+    * is source-cardinality-sized) + a FULL OUTER join with the weight
+    * table — both sides are source-cardinality-sized by then, so the
+    * join is trivially cheap, and the outer form is the audit contract:
+    * a corpus source MISSING from the weight table still gets its row
+    * (weight/target/planned 0 — visible, not silently dropped), and a
+    * weight row with NO corpus rows reports available 0, planned 0,
+    * shortfall = its full target (the strongest possible re-weight
+    * signal). An inner join would under-report exactly the two cases an
+    * allocation audit exists to catch.
     *
     * Output: (sourceCol, available_tokens, weight_ppm, target_tokens,
     * planned_tokens, epochs_ppm, shortfall_tokens), all BIGINT. */
@@ -372,7 +379,10 @@ object Sampling {
       / lit(1000000L)).cast("long")
     val cap = floor(col("available_tokens").cast(dec) * lit(maxEpochsPpm)
       / lit(1000000L)).cast("long")
-    val base = avail.join(broadcast(w), Seq(sourceCol))
+    val base = avail.join(w, Seq(sourceCol), "full_outer")
+      .select(col(sourceCol),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"))
       .select(col(sourceCol), col("available_tokens"), col("weight_ppm"),
         target.as("target_tokens"), cap.as("_cap"))
     val planned = least(col("target_tokens"), col("_cap"))

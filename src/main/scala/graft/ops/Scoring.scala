@@ -89,8 +89,8 @@ object Scoring {
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
       .where(col("_tok") =!= "")
       .agg(countDistinct(col("_tok")).cast("double").as("_v"))
-    val lp = round(-log((col("_c12") + lit(addK)) /
-      (col("_c1") + lit(addK) * col("_v"))), 6)
+    val lp = Round6.guarded(-log((col("_c12") + lit(addK)) /
+      (col("_c1") + lit(addK) * col("_v"))), "bigramLmScore")
     tfc
       .join(c12, Seq("_bg"), "left")
       .withColumn("_w1", split(col("_bg"), " ").getItem(0))
@@ -177,7 +177,7 @@ object Scoring {
         lit(alpha) * (col("_c23").cast("double") / col("_c2")))
       .otherwise(lit(alpha * alpha) *
         (coalesce(col("_c3"), lit(1L)).cast("double") / col("_n")))
-    val lp = round(-log(p), 6)
+    val lp = Round6.guarded(-log(p), "trigramLmScore")
     joined
       .select(col(idCol), col("_tf"),
         when(col("_tg").isNotNull, col("_tf") * dec6(lp)).as("_lpw"))
@@ -317,8 +317,10 @@ object Scoring {
     val dim = cr.join(ct, Seq("_bkt"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("_bkt"),
-        dec6(round(log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_nt") + b)) -
-          log((col("_cr") + lit(1.0)) / (col("_nr") + b)), 6)).as("_lr"))
+        dec6(Round6.guarded(
+          log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_nt") + b)) -
+            log((col("_cr") + lit(1.0)) / (col("_nr") + b)),
+          "dsirLogWeights")).as("_lr"))
     toksOuter(docs, idCol, textCol)
       .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
       .join(broadcast(dim), Seq("_bkt"), "left")
@@ -365,7 +367,7 @@ object Scoring {
     val b = lit(buckets.toDouble)
     val pb = (coalesce(col("n_batch"), lit(0L)) + lit(1.0)) / (col("_nb") + b)
     val pr = (coalesce(col("n_ref"), lit(0L)) + lit(1.0)) / (col("_nr") + b)
-    val llr = round(log(pb) - log(pr), 6)
+    val llr = Round6.guarded(log(pb) - log(pr), "doremiLlr")
     cb.join(cr, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nr))
       .select(col("bucket"),
@@ -548,8 +550,12 @@ object Scoring {
 
   /** Operating-point sweep for a score gate — [[calibrationBins]]' audit
     * tells you WHETHER the gate is trustworthy; this tells you WHERE to
-    * cut: for every candidate threshold t_j = j·1e6/bins (predict
-    * positive iff score_ppm ≥ t_j), the confusion counts and floored-ppm
+    * cut: for every candidate threshold t_j = ceil(j·1e6/bins) (predict
+    * positive iff score_ppm ≥ t_j — ceil, not floor, because t_j must be
+    * the exact integer decision boundary of bin j: the smallest integer
+    * score that lands in bins ≥ j; a floored value would sit one score
+    * unit BELOW the boundary the counts were computed at whenever bins
+    * does not divide 1e6), the confusion counts and floored-ppm
     * precision / recall / F1. The suffix-sum trick makes the whole sweep
     * ONE aggregation pass: per-bin (n, n_pos) first (bins rows), then tp
     * and predicted-positive counts as running sums from the top bin down
@@ -598,7 +604,7 @@ object Scoring {
       .withColumn("_pp", sum(col("_n")).over(wSuf))
       .withColumn("_pos", sum(col("_npos")).over(wAll))
       .select(
-        floor(col("bin").cast(dec) * lit(1000000L) / lit(bins)).cast("long")
+        ceil(col("bin").cast(dec) * lit(1000000L) / lit(bins)).cast("long")
           .as("thr_ppm"),
         col("tp"), (col("_pp") - col("tp")).as("fp"),
         (col("_pos") - col("tp")).as("fn"),
@@ -645,8 +651,9 @@ object Scoring {
     val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("_ft"))
     val tot = tf.agg(sum(col("tf")).as("_tot"),
       countDistinct(col("cluster")).as("_nc"))
-    val idf6 = round(log(lit(1.0) +
-      (col("_tot").cast("double") / col("_nc")) / col("_ft")), 6)
+    val idf6 = Round6.guarded(log(lit(1.0) +
+      (col("_tot").cast("double") / col("_nc")) / col("_ft")),
+      "cTfIdfTopTerms idf")
     val scored = tf.join(ft, Seq("term"))
       .crossJoin(broadcast(tot))
       .select(col("cluster"), col("term"), col("tf"),
@@ -706,12 +713,13 @@ object Scoring {
     val n1 = sij.select(col("_n"))
     val miN = cont.crossJoin(broadcast(n1))
       .join(broadcast(ai), Seq("_a")).join(broadcast(bj), Seq("_b"))
-      .agg(sum((col("_nij") * round(log(
+      .agg(sum((col("_nij") * Round6.guarded(log(
         (col("_n").cast("double") * col("_nij")) /
-          (col("_ai").cast("double") * col("_bj"))), 6)
+          (col("_ai").cast("double") * col("_bj"))), "clusterAgreement mi")
         ).cast("decimal(38,6)")).as("_min"))
     def entN(m: DataFrame, c: String) = m.crossJoin(broadcast(n1))
-      .agg(sum((col(c) * round(log(col("_n").cast("double") / col(c)), 6))
+      .agg(sum((col(c) * Round6.guarded(
+          log(col("_n").cast("double") / col(c)), "clusterAgreement ent"))
         .cast("decimal(38,6)")).as(s"_h$c"))
     val haN = entN(ai, "_ai")
     val hbN = entN(bj, "_bj")
@@ -868,10 +876,16 @@ object Scoring {
     * unlabeled run docs gain 0, IDCG from ALL labeled docs), ndcg =
     * DCG/IDCG.
     *
-    * Determinism (the NMI term discipline): each gain term is ONE IEEE
-    * chain round(rel·ln2 / ln(i+1), 6) — identical operand order in the
-    * oracle — summed as DECIMAL(18,6) (exact, order-free), then one
-    * double ratio + round-6. NULL when IDCG = 0 (no positive label).
+    * Determinism: gain terms are NOT computed with `ln()` at run time —
+    * round(rel·ln2/ln(pos+1), 6) is a cross-libm ulp hazard (two libms
+    * can legitimately round the last digit differently; this bit the
+    * round-15 driver run). Instead every gain is a COMPILE-TIME LITERAL
+    * from [[ndcgGainTable]] (rel ∈ 1..maxRel × pos ∈ 1..k values, the
+    * rboTail / BenfordPpm shared-constant pattern — an external SQL
+    * oracle interpolates the identical literals via [[ndcgGainCaseSql]]),
+    * summed as DECIMAL(18,6) (exact, order-free), then one double ratio
+    * + round-6. NULL when IDCG = 0 (no positive label). A rel above
+    * `maxRel` raises (raise_error) rather than silently scoring 0.
     *
     * Scale shape: run rows filter to rank ≤ k before the label join
     * (broadcast-eligible eval set); the ideal ranking windows over ONE
@@ -881,12 +895,20 @@ object Scoring {
     * dcg DECIMAL(18,6), idcg DECIMAL(18,6), ndcg DOUBLE). */
   def ndcgAtK(runs: DataFrame, queryCol: String, docCol: String,
               rankCol: String, qrels: DataFrame, relCol: String,
-              k: Int): DataFrame = {
+              k: Int, maxRel: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxRel > 0, "maxRel must be positive")
     import org.apache.spark.sql.expressions.Window
-    def gain(rel: Column, pos: Column): Column =
-      round(rel.cast("double") * log(lit(2.0)) /
-        log((pos + 1).cast("double")), 6).cast("decimal(18,6)")
+    val table = ndcgGainTable(maxRel, k)
+    def gain(rel: Column, pos: Column): Column = {
+      val guarded = when(rel > maxRel, raise_error(concat(
+        lit(s"ndcgAtK: rel exceeds maxRel=$maxRel: "), rel.cast("string")))
+        .cast("double"))
+      val chained = table.foldLeft(guarded) { case (acc, ((r, p), g)) =>
+        acc.when(rel === r && pos === p, lit(g.toDouble))
+      }
+      chained.otherwise(lit(0.0)).cast("decimal(18,6)")
+    }
     val labels = qrels.select(col(queryCol), col(docCol),
       col(relCol).as("_rel"))
     val dcg = runs.where(col(rankCol) <= k)
@@ -908,6 +930,28 @@ object Scoring {
           round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
           .as("ndcg"))
   }
+
+  /** The literal gain table behind [[ndcgAtK]]: ((rel, pos) →
+    * round(rel·ln2/ln(pos+1), 6)) for rel ∈ 1..maxRel, pos ∈ 1..k —
+    * computed ONCE on the JVM (StrictMath, platform-independent by
+    * spec) and baked into both the Spark plan and the SQL oracle as
+    * plain 6-dp decimals, so no engine evaluates `ln()` at query time
+    * (the cross-libm ulp hazard; rel = 0 gains 0 and is omitted). */
+  private[graft] def ndcgGainTable(maxRel: Int,
+                                   k: Int): Seq[((Int, Int), BigDecimal)] =
+    for { r <- 1 to maxRel; p <- 1 to k } yield (r, p) ->
+      BigDecimal(r * StrictMath.log(2.0) / StrictMath.log(p + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** SQL CASE over [[ndcgGainTable]]'s literals for an external oracle —
+    * the shared-constant lockstep convention (rboTail, BenfordPpm).
+    * `relExpr`/`posExpr` are SQL fragments naming the relevance grade
+    * and 1-based position. */
+  private[graft] def ndcgGainCaseSql(relExpr: String, posExpr: String,
+                                     maxRel: Int, k: Int): String =
+    ndcgGainTable(maxRel, k).map { case ((r, p), g) =>
+      s"WHEN $relExpr = $r AND $posExpr = $p THEN CAST($g AS DECIMAL(18,6))"
+    }.mkString("CASE ", " ", " ELSE CAST(0 AS DECIMAL(18,6)) END")
 
   /** MAP / MRR @k per query — the binary-relevance companions to
     * [[ndcgAtK]] (the three standard ranking evals together: nDCG for

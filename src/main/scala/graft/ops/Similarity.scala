@@ -962,7 +962,12 @@ object Similarity {
     * Output: one row per input vector — (idCol, cell INT, n_dups =
     * count of lower-id cell-mates at ≥ threshold, keep INT = 1 iff
     * n_dups = 0). Audit-friendly like [[graft.ops.Dedup.batchAdmission]]:
-    * dropped rows stay visible with their evidence count. */
+    * dropped rows stay visible with their evidence count. Zero-norm
+    * vectors (cosine undefined — 0/0 is NaN, which sorts ABOVE every
+    * real sim and throws under ANSI) skip the pair stage entirely and
+    * publish (cell NULL, n_dups 0, keep 1): a zero vector is never
+    * evidence for dropping anything, itself included — the [[knnGraph]]
+    * exclusion with the keep side made explicit. */
   /** Per-vector int8 SCALAR quantization — the embedding-store compression
     * every serving stack applies before anything fancier (4 bytes → 1 byte
     * per dimension, ~4× smaller inverted lists than float32; PQ (q92) is
@@ -1015,17 +1020,25 @@ object Similarity {
     * boundary).
     *
     * Output: one row per corpus vector — (idCol, cell INT, n_contam =
-    * count of refs at ≥ threshold in the cell, keep INT = 1 iff 0). */
+    * count of refs at ≥ threshold in the cell, keep INT = 1 iff 0).
+    * Zero-norm rows (cosine undefined — NaN outranks every real sim,
+    * ANSI throws on 0/0): a zero-norm CORPUS vector skips the compare
+    * and publishes (cell NULL, n_contam 0, keep 1); a zero-norm REF is
+    * dropped from the broadcast (it can't contaminate anything). Same
+    * contract as [[semDedup]]. */
   def crossSemDedup(corpus: DataFrame, refs: DataFrame, idCol: String,
                     vecCol: String, cents: Seq[(Int, Seq[Double])],
                     threshold: Double): DataFrame = {
     require(cents.nonEmpty, "crossSemDedup: need at least one centroid")
     val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .select(col("_id"), col("_v"), ivfCell(col("_v"), cents).as("_cell"),
-        norm(col("_v")).as("_n"))
+      .select(col("_id"), col("_v"), norm(col("_v")).as("_n"))
+      .select(col("_id"), col("_v"), col("_n"),
+        when(col("_n") =!= 0.0, ivfCell(col("_v"), cents)).as("_cell"))
     val r = refs.select(col(idCol).as("_rid"), col(vecCol).as("_rv"))
-      .select(col("_rid"), col("_rv"),
-        ivfCell(col("_rv"), cents).as("_rcell"), norm(col("_rv")).as("_rn"))
+      .select(col("_rid"), col("_rv"), norm(col("_rv")).as("_rn"))
+      .where(col("_rn") =!= 0.0)
+      .select(col("_rid"), col("_rv"), col("_rn"),
+        ivfCell(col("_rv"), cents).as("_rcell"))
     val contam = c.join(broadcast(r), col("_cell") === col("_rcell"))
       .where(round(dot(col("_v"), col("_rv")) / (col("_n") * col("_rn")), 6)
         >= threshold)
@@ -1302,9 +1315,13 @@ object Similarity {
                cents: Seq[(Int, Seq[Double])],
                threshold: Double): DataFrame = {
     require(cents.nonEmpty, "semDedup: need at least one centroid")
+    // _cell is when-guarded on the norm: ivfCell divides by it, and a
+    // zero-norm row must neither throw (ANSI 0/0) nor join the pair
+    // stage (NULL cell never equi-matches) — see the contract above.
     val withCell = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .select(col("_id"), col("_v"), ivfCell(col("_v"), cents).as("_cell"),
-        norm(col("_v")).as("_n"))
+      .select(col("_id"), col("_v"), norm(col("_v")).as("_n"))
+      .select(col("_id"), col("_v"), col("_n"),
+        when(col("_n") =!= 0.0, ivfCell(col("_v"), cents)).as("_cell"))
     val lo = withCell.select(col("_cell").as("_bcell"), col("_id").as("_bid"),
       col("_v").as("_bv"), col("_n").as("_bn"))
     val dupCounts = withCell.join(lo,

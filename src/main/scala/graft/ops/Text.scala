@@ -288,7 +288,8 @@ object Text {
       // doc score is exact whatever order the partial aggregates add in
       // (a raw double sum is order-sensitive in the last ulps and can flip
       // the 6th decimal between engines).
-      .agg(F.sum(F.round(idf * norm, 6).cast("decimal(18,6)"))
+      .agg(F.sum(Round6.guarded(idf * norm, "bm25 term")
+          .cast("decimal(18,6)"))
         .cast("decimal(18,6)").cast("string").as("score"))
   }
 
@@ -327,9 +328,9 @@ object Text {
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
       .select(F.concat_ws(" ", col("x"), col("y")).as("bigram"),
         col("c_xy"),
-        F.round(F.log((col("c_xy") / col("nb")) /
-          ((col("c_x") / col("nt")) * (col("c_y") / col("nt")))), 6)
-          .as("pmi"))
+        Round6.guarded(F.log((col("c_xy") / col("nb")) /
+          ((col("c_x") / col("nt")) * (col("c_y") / col("nt")))),
+          "pmiBigrams").as("pmi"))
   }
 
   /** Exact-substring dedup REMOVAL — the endpoint [[duplicatedSpans]]

@@ -630,10 +630,12 @@ object AnalyticsQueries {
     //    user is a query, the run ranks their events by value desc
     //    (event_id tie-break), labels grade event_type purchase=3 /
     //    signup=2 / click=1 / else 0; IDCG from the full label set
-    //    (trec_eval semantics). Gain terms are one IEEE chain round-6,
+    //    (trec_eval semantics). Gains are COMPILE-TIME LITERALS shared
+    //    with the op (Scoring.ndcgGainCaseSql — no run-time ln() on
+    //    either engine; the cross-libm round-6 hazard, see r15),
     //    summed as DECIMAL(18,6), one final ratio. ──
     QueryDef("q171_ndcg",
-      """WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
+      s"""WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
         |              event_type AS t FROM events WHERE value IS NOT NULL),
         |runs AS (SELECT q, doc, row_number() OVER (
         |           PARTITION BY q ORDER BY v DESC, doc) AS rnk FROM ev),
@@ -641,9 +643,9 @@ object AnalyticsQueries {
         |qrels AS (SELECT q, doc, CASE t WHEN 'purchase' THEN 3
         |            WHEN 'signup' THEN 2 WHEN 'click' THEN 1
         |            ELSE 0 END AS rel FROM ev),
-        |dg AS (SELECT r8.q, CAST(sum(CAST(round(
-        |           CAST(coalesce(rel, 0) AS DOUBLE) * ln(2.0) /
-        |             ln(CAST(rnk + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |dg AS (SELECT r8.q, CAST(sum(
+        |           ${graft.ops.Scoring.ndcgGainCaseSql(
+                       "coalesce(rel, 0)", "rnk", maxRel = 3, k = 8)})
         |         AS DECIMAL(18,6)) AS dcg
         |       FROM r8 LEFT JOIN qrels ON r8.q = qrels.q
         |         AND r8.doc = qrels.doc
@@ -651,9 +653,9 @@ object AnalyticsQueries {
         |ideal AS (SELECT q, rel, row_number() OVER (
         |            PARTITION BY q ORDER BY rel DESC, doc) AS ipos
         |          FROM qrels),
-        |ig AS (SELECT q, CAST(sum(CAST(round(
-        |           CAST(rel AS DOUBLE) * ln(2.0) /
-        |             ln(CAST(ipos + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |ig AS (SELECT q, CAST(sum(
+        |           ${graft.ops.Scoring.ndcgGainCaseSql(
+                       "rel", "ipos", maxRel = 3, k = 8)})
         |         AS DECIMAL(18,6)) AS idcg
         |       FROM ideal WHERE ipos <= 8 GROUP BY 1)
         |SELECT dg.q AS query_id, dcg, idcg,

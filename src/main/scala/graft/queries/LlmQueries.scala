@@ -551,15 +551,19 @@ object LlmQueries {
     //    the wire before PQ (q92) is even considered. floor(x·127/m+0.5)
     //    rather than round(): the whole pack is IEEE-double bit-exact
     //    across engines, so codes AND the reconstruction-error audit
-    //    column replay in DuckDB verbatim. Map-only, no shuffle. ──
+    //    column replay in DuckDB verbatim. Map-only, no shuffle. codes
+    //    serialize to a space-joined string at the query boundary (the
+    //    q84 convention — declared queries emit SCALAR columns only;
+    //    the driver's comparator can't sort raw arrays). ──
     QueryDef("q141_int8_quantize",
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |m AS (SELECT vec_id, vec,
         |        list_max([abs(x) FOR x IN vec]) AS am FROM v)
         |SELECT vec_id, am AS absmax,
-        |  CASE WHEN am = 0 THEN [CAST(0 AS BIGINT) FOR x IN vec]
-        |       ELSE [CAST(floor(x * 127.0 / am + 0.5) AS BIGINT) FOR x IN vec]
-        |  END AS codes,
+        |  array_to_string(CASE WHEN am = 0
+        |    THEN [CAST(0 AS BIGINT) FOR x IN vec]
+        |    ELSE [CAST(floor(x * 127.0 / am + 0.5) AS BIGINT) FOR x IN vec]
+        |  END, ' ') AS codes,
         |  round(CASE WHEN am = 0 THEN 0.0
         |    ELSE list_max([abs(x - floor(x * 127.0 / am + 0.5) * am / 127.0)
         |                   FOR x IN vec]) END, 6) AS max_abs_err
@@ -567,7 +571,12 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d).select(
         col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("vec"))
-      Similarity.scalarQuantizeInt8(emb, "vec_id", "vec").orderBy("vec_id")
+      Similarity.scalarQuantizeInt8(emb, "vec_id", "vec")
+        .select(col("vec_id"), col("absmax"),
+          array_join(transform(col("codes"), _.cast("string")), " ")
+            .as("codes"),
+          col("max_abs_err"))
+        .orderBy("vec_id")
     },
 
     // ── q142: c-TF-IDF cluster labels (BERTopic's labeling stage) —
@@ -648,7 +657,8 @@ object LlmQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
         |    sum(npos) OVER () AS pos
         |  FROM dn)
-        |SELECT CAST(CAST(bin AS HUGEINT) * 1000000 // 10 AS BIGINT) AS thr_ppm,
+        |SELECT CAST((CAST(bin AS HUGEINT) * 1000000 + 9) // 10 AS BIGINT)
+        |    AS thr_ppm,
         |  CAST(tp AS BIGINT) AS tp, CAST(pp - tp AS BIGINT) AS fp,
         |  CAST(pos - tp AS BIGINT) AS fn,
         |  CASE WHEN pp = 0 THEN 0
@@ -945,7 +955,8 @@ object LlmQueries {
         |ORDER BY source""".stripMargin) { (s, d) =>
       val stats = Tables.documents(s, d)
         .groupBy(col("source"))
-        .agg(round(log(lit(1) + sum(col("n_chars"))), 6).as("score"))
+        .agg(graft.ops.Round6.guarded(log(lit(1) + sum(col("n_chars"))),
+          "q153 fixture score").as("score"))
       Sampling.mixtureWeights(stats, "source", "score", tau = 0.5)
         .orderBy("source")
     },
@@ -1367,7 +1378,8 @@ object LlmQueries {
       val stats = avail.groupBy(col("source"))
         .agg(sum(col("n_tok").cast("long")).as("available_tokens"))
         .select(col("source"),
-          round(log(lit(1) + col("available_tokens")), 6).as("score"))
+          graft.ops.Round6.guarded(log(lit(1) + col("available_tokens")),
+            "q162 fixture score").as("score"))
       val weights = Sampling.mixtureWeights(stats, "source", "score",
           tau = 1.0)
         .select(col("source"), col("weight_ppm"))
@@ -3665,13 +3677,13 @@ object LlmQueries {
         |      FROM p),
         |fin AS (SELECT n, sx, sy,
         |        CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(26,12))
-        |          - CAST(sx AS DECIMAL(12,6)) * CAST(sy AS DECIMAL(12,6))
+        |          - CAST(sx AS DECIMAL(18,6)) * CAST(sy AS DECIMAL(18,6))
         |          AS num,
         |        CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(26,12))
-        |          - CAST(sx AS DECIMAL(12,6)) * CAST(sx AS DECIMAL(12,6))
+        |          - CAST(sx AS DECIMAL(18,6)) * CAST(sx AS DECIMAL(18,6))
         |          AS den,
         |        CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(26,12))
-        |          - CAST(sy AS DECIMAL(12,6)) * CAST(sy AS DECIMAL(12,6))
+        |          - CAST(sy AS DECIMAL(18,6)) * CAST(sy AS DECIMAL(18,6))
         |          AS deny
         |      FROM ag)
         |SELECT CAST(n AS BIGINT) AS n,
@@ -3840,7 +3852,9 @@ object LlmQueries {
     // ── q179: inverted index build — the retrieval-serving artifact
     //    (term → sorted postings + exact df). maxPostings = 8 so the
     //    synthetic vocabulary's hot terms exercise the truncation path
-    //    (df > len(postings)) while rare terms stay whole. ──
+    //    (df > len(postings)) while rare terms stay whole. postings
+    //    serialize to a space-joined string at the query boundary (the
+    //    q84 convention — declared queries emit SCALAR columns only). ──
     QueryDef("q179_inverted_index",
       """WITH toks AS (SELECT doc_id,
         |    unnest(CASE WHEN trim(text) = '' THEN []
@@ -3853,11 +3867,14 @@ object LlmQueries {
         |         PARTITION BY term ORDER BY doc_id) AS rn FROM tk),
         |p AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings
         |      FROM rk WHERE rn <= 8 GROUP BY 1)
-        |SELECT df.term, df, postings
+        |SELECT df.term, df, array_to_string(postings, ' ') AS postings
         |FROM df JOIN p USING (term)
         |ORDER BY term""".stripMargin) { (s, d) =>
       graft.ops.Text.invertedIndex(Tables.documents(s, d), "doc_id",
           "text", maxPostings = 8)
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), " ")
+            .as("postings"))
         .orderBy("term")
     },
 
@@ -4304,7 +4321,9 @@ object LlmQueries {
     * replay (fixture build, href regex, resolution CASE, htmlToText
     * anchor cleanup), shared with q178's graph-composition oracle. */
   private lazy val LinkRowsCtes: String = {
-    val re = graft.ops.Html.HrefRe
+    // SQL-escape the regex for the single-quoted literal it lands in
+    // (HrefRe's attribute-delimiter class contains a literal ')
+    val re = graft.ops.Html.HrefRe.replace("'", "''")
     def dec(x: String): String =
       s"replace(replace(replace(replace(replace(replace($x," +
         "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39))," +

@@ -234,15 +234,16 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("epochPlan: hand-computed targets, epoch cap + shortfall, " +
-      "zero-token guard, unweighted sources excluded") {
+      "zero-token guard, outer-join audit covers both one-sided cases") {
     import spark.implicits._
     val rows = Seq(
       ("A", 60L), ("A", 40L),          // available 100
       ("B", 1000L),                    // available 1000
       ("C", 0L),                       // zero tokens: epochs guard
-      ("D", 50L)                       // no weight row -> not planned
+      ("D", 50L)                       // corpus source with NO weight row
     ).toDF("source", "n_tok")
-    val weights = Seq(("A", 500000L), ("B", 10000L), ("C", 300000L))
+    val weights = Seq(("A", 500000L), ("B", 10000L), ("C", 300000L),
+      ("E", 100000L))                  // weight row with NO corpus rows
       .toDF("source", "weight_ppm")
     val got = Sampling.epochPlan(rows, "source", "n_tok", weights,
         budget = 1000L, maxEpochsPpm = 2000000L)
@@ -255,7 +256,11 @@ class SamplingSpec extends SparkSpec {
       // B: target 10 << cap 2000 -> planned 10 at 0.01 epochs
       ("B", 1000L, 10000L, 10L, 10L, 10000L, 0L),
       // C: nothing available -> epochs 0 by guard, all target is shortfall
-      ("C", 0L, 300000L, 300L, 0L, 0L, 300L)))
+      ("C", 0L, 300000L, 300L, 0L, 0L, 300L),
+      // D: unweighted corpus source stays VISIBLE with zero allocation
+      ("D", 50L, 0L, 0L, 0L, 0L, 0L),
+      // E: weighted but absent from the corpus — full target is shortfall
+      ("E", 0L, 100000L, 100L, 0L, 0L, 100L)))
   }
 
   test("mixtureWeights: driver-replayed softmax, tau flattens, ppm sums " +

@@ -326,6 +326,16 @@ class ScoringSpec extends SparkSpec {
       (250000L, 0L, 0L, 0L, 0L),
       (500000L, 0L, 0L, 0L, 0L),
       (750000L, 0L, 0L, 0L, 0L)))
+    // published threshold IS the decision boundary when bins ∤ 1e6:
+    // bin 1 of 3 starts at ceil(1e6/3) = 333334 — a score exactly there
+    // lands in bin 1 (counted as predicted-positive at that threshold),
+    // while 333333 stays in bin 0
+    val edge = Seq((333334L, 1), (333333L, 0)).toDF("score_ppm", "label")
+    val g3 = Scoring.thresholdSweep(edge, "score_ppm", "label", bins = 3)
+      .orderBy("thr_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g3.toSeq == Seq(
+      (0L, 1L, 1L), (333334L, 1L, 0L), (666667L, 0L, 0L)))
   }
 
   test("cTfIdfTopTerms: hand-computed scores, rank ties by term, topN cut") {
@@ -526,8 +536,15 @@ class ScoringSpec extends SparkSpec {
   test("ndcgAtK: perfect run, hand-replayed partial, unlabeled docs, " +
       "zero-label NULL") {
     import spark.implicits._
+    // independent replay of the literal gain table (the op bakes these as
+    // plan literals — StrictMath is platform-pinned by spec, so this
+    // replay is exact, not a libm coincidence)
     def gain(rel: Long, pos: Int): Double =
-      r6(rel.toDouble * math.log(2.0) / math.log((pos + 1).toDouble))
+      r6(rel.toDouble * StrictMath.log(2.0) /
+        StrictMath.log((pos + 1).toDouble))
+    Scoring.ndcgGainTable(3, 4).foreach { case ((r, p), g) =>
+      assert(g.toDouble == gain(r.toLong, p), s"table ($r,$p)")
+    }
     val qrels = Seq(("q1", "d1", 3L), ("q1", "d2", 2L), ("q1", "d3", 1L),
       ("q1", "d4", 0L), ("q2", "d1", 1L), ("q2", "d2", 0L),
       ("q3", "d1", 0L), ("q3", "d2", 0L)).toDF("q", "doc", "rel")
@@ -554,6 +571,15 @@ class ScoringSpec extends SparkSpec {
     assert(h.getDecimal(1).doubleValue() == dcgH &&
       h.getDecimal(2).doubleValue() == idcgH, h.toString)
     assert(h.getDouble(3) == r6(dcgH / idcgH), h.toString)
+    // rel beyond the literal table raises instead of silently scoring 0
+    val over = Seq(("q1", "d1", 4L)).toDF("q", "doc", "rel")
+    val runs3 = Seq(("q1", "d1", 1)).toDF("q", "doc", "rnk")
+    val ex = intercept[Exception] {
+      Scoring.ndcgAtK(runs3, "q", "doc", "rnk", over, "rel", k = 4).collect()
+    }
+    assert(ex.getMessage.contains("exceeds maxRel") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exceeds maxRel")),
+      ex.toString)
   }
 
   test("mapMrrAtK: perfect, hand-replayed, no-hit, zero-label NULL, " +

@@ -646,6 +646,32 @@ class SimilaritySpec extends SparkSpec {
       "semDedup must stay cell-bounded:\n" + plan.take(800))
   }
 
+  test("semDedup / crossSemDedup: zero-norm vectors publish " +
+      "(cell NULL, 0 dups, keep 1) and never pair with cell-mates") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)),   // zero vector — would be NaN ≥ threshold
+      (2L, Seq(1.0, 0.0)),   // real cell-0 pair: 2 keeps, 3 drops
+      (3L, Seq(0.99, 0.01))
+    ).toDF("id", "vec")
+    val got = Similarity.semDedup(df, "id", "vec", cents, threshold = 0.35)
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(0).getLong(2) == 0L &&
+      got(0).getInt(3) == 1, got(0).toString)
+    assert(got(1).getInt(1) == 0 && got(1).getInt(3) == 1)
+    assert(got(2).getLong(2) == 1L && got(2).getInt(3) == 0)
+    // cross: zero-norm corpus row keeps with NULL cell; zero-norm ref
+    // is dropped from the broadcast (flags nothing)
+    val refs = Seq((100L, Seq(0.99, 0.01)), (101L, Seq(0.0, 0.0)))
+      .toDF("id", "vec")
+    val x = Similarity.crossSemDedup(df, refs, "id", "vec", cents,
+      threshold = 0.35).orderBy("id").collect()
+    assert(x(0).isNullAt(1) && x(0).getLong(2) == 0L && x(0).getInt(3) == 1)
+    assert(x(1).getLong(2) == 1L && x(1).getInt(3) == 0) // only ref 100
+    assert(x(2).getLong(2) == 1L && x(2).getInt(3) == 0)
+  }
+
   test("crossSemDedup: refs flag within-cell contamination, cross-cell " +
       "leaks missed by contract, refs side broadcast") {
     import spark.implicits._

@@ -45,6 +45,27 @@ class SparkEntrySpec extends SparkSpec {
         missing.toSeq.sorted.mkString(", "))
   }
 
+  // The driver's comparator materializes each result in pandas and sorts
+  // rows across ALL columns — a raw ARRAY/MAP/STRUCT column is unhashable
+  // there and errors the whole row (round 15 lost q141/q179 exactly this
+  // way). Contract: declared queries emit SCALAR columns only; serialize
+  // collections at the query boundary (array_join, the q84 convention).
+  test("no declared query emits ArrayType/MapType/StructType output columns") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(bad.isEmpty,
+      s"non-scalar output columns (serialize with array_join): " +
+        bad.mkString(", "))
+  }
+
   // Codegen-strict session: a generated-code compile failure normally falls
   // back to interpreted execution with only a log line — q29 shipped that
   // way (Spark's subexpression elimination under Expand emits an invalid

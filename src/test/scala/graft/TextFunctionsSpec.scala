@@ -527,6 +527,7 @@ class TextFunctionsSpec extends SparkSpec {
         "<a href=\"\">empty</a> " +
         "<a name=\"no-href\">none</a> " +
         "<a href='single'>sq</a> " +
+        "<a data-href=\"/wrong\" href=\"/right\">attr name anchored</a> " +
         "<a href=\"mailto:a@b.c\">mail me</a></p>"
     val got = graft.ops.Html.extractLinks(
         Seq((7L, html, "http://base.org/a/b/c?z=2")).toDF("id", "html", "base"),
@@ -538,7 +539,9 @@ class TextFunctionsSpec extends SparkSpec {
       (1, "http://base.org/docs/1", "Doc & notes"),
       (2, "http://cdn.org/lib", "CDN asset"),
       // rel/frag/empty hrefs (pos 3-5) drop; pos keeps document order
-      (6, "mailto:a@b.c", "mail me")), got.mkString("\n"))
+      // data-href must NOT satisfy the href scan (delimiter-anchored)
+      (6, "http://base.org/right", "attr name anchored"),
+      (7, "mailto:a@b.c", "mail me")), got.mkString("\n"))
     // a page with no anchors yields no rows
     assert(graft.ops.Html.extractLinks(
       Seq((1L, "<p>plain</p>", "http://b.org")).toDF("id", "html", "base"),
