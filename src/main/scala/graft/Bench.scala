@@ -251,7 +251,7 @@ object Bench {
       val gPrefix = "bench_spine"
       // Own catch: a graph-spine failure must report the already-measured
       // PQ fit/build/serve timings, not discard them with its own.
-      try {
+      val pqGraph = try {
         val gBuild = timed("graph_build") {
           graft.ops.Graph.graphIndex(
             graft.queries.AnalyticsQueries.coPurchaseW2(spark, sfDir),
@@ -273,6 +273,52 @@ object Bench {
         spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_edges")
         spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_adj")
       }
+      // ── Cluster-append phase attribution (round-16): q143's headline
+      // re-generates the corpus assign AND the delta's LSH pairs every
+      // timed rep, but a recurring crawl pays the corpus build ONCE and
+      // then, per batch, only delta-pair generation + the fold. Split the
+      // three so the artifact records the real recurring cost (the fold —
+      // store streamed through broadcast joins, CC on the contracted
+      // delta — is the number that must stay flat as the store grows).
+      val clusterPhases = try {
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+        val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        val batch = docs.where(col("doc_id") % 10 === 0)
+        val cdir = Files.createTempDirectory("graft-bench-cluster").toString
+        val cBuild = timed("cluster_build") {
+          val corpusPairs = graft.ops.Dedup.ngramJaccardPairs(corpus,
+            "doc_id", "text", shingleN = 8, threshold = 0.8)
+          graft.ops.Dedup.dedupAssign(corpus.select(col("doc_id")),
+              "doc_id", corpusPairs)
+            .select(col("doc_id"), col("cluster_id"))
+            .write.mode("overwrite").parquet(cdir)
+        }
+        var delta: org.apache.spark.sql.DataFrame = null
+        val cPairs = timed("cluster_delta_pairs") {
+          val cross = graft.ops.Dedup.minHashLshPairsAgainst(batch, corpus,
+              "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
+              threshold = 0.8)
+            .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"))
+          val internal = graft.ops.Dedup.minHashLshPairs(batch, "doc_id",
+              "text", shingleN = 8, k = 64, bands = 16, rows = 4,
+              threshold = 0.8)
+            .select(col("doc_a"), col("doc_b"))
+          // eager localCheckpoint = the phase boundary: pair generation
+          // is fully paid here, the fold below starts from materialized
+          // edges exactly as a crawl loop would hand them over
+          delta = cross.unionAll(internal).localCheckpoint()
+        }
+        val cFold = timed("cluster_fold") {
+          graft.ops.Dedup.clusterIndexAppend(spark.read.parquet(cdir),
+            batch.select(col("doc_id")), "doc_id", delta).count()
+        }
+        Seq(cBuild, cPairs, cFold)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster-append phase attribution failed: $e")
+          Seq.empty
+      }
+      pqGraph ++ clusterPhases
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] phase attribution failed: $e")

@@ -398,6 +398,23 @@ object ScaleSmoke {
       .count()
     println(f"knn_graph_50k_64cells: edges=$nkg " +
       f"time=${(System.nanoTime()-tkg)/1e9}%.1f s")
+    // IVF centroid refresh (round 16): a stale 64-cell quantizer over the
+    // 200k persisted index — ONE audit scan (per-cell decimal means, the
+    // group_centroids shape) + a rewrite of only the flagged cells'
+    // partitions; undrifted partitions are never read past the audit.
+    // Watch: audit ≈ one group_centroids pass; migration scales with
+    // drifted MASS, not index size.
+    val tir = System.nanoTime()
+    val irCents = v.where(col("id") < 64).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    graft.ops.Similarity.ivfIndex(v, irCents).write.mode("overwrite")
+      .partitionBy("_cell").parquet("/tmp/scale_ivfref")
+    val tir2 = System.nanoTime()
+    val (_, irDrifted) = graft.ops.Similarity.ivfCentroidRefresh(spark,
+      "/tmp/scale_ivfref", irCents, driftPpm = 100000L)
+    println(f"ivf_refresh_200k_64cells: refit=${irDrifted.size} " +
+      f"build=${(tir2 - tir)/1e9}%.1f s " +
+      f"refresh=${(System.nanoTime() - tir2)/1e9}%.1f s")
     // bitext margin mining (round 15): 100 broadcast src queries against
     // the 200k tgt corpus — three map-only passes of the hard_negatives
     // shape (sims for per-src means, per-tgt means, margins).

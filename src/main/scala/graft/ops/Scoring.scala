@@ -227,6 +227,98 @@ object Scoring {
       .withColumn("keep", col("score") > 0.0)
   }
 
+  /** Distributed FIT for the hashed linear quality gate — the training
+    * half of [[hashedLinearScore]] (which serves an externally-supplied
+    * weight vector; this learns one from labeled docs, closing the
+    * "bring your own model" seam in the curation story): full-batch
+    * gradient descent on the LEAST-SQUARES loss against ±1 targets,
+    * L = Σᵢ (w·xᵢ − yᵢ)²/2n, over the same features the scorer reads —
+    * xᵢ = per-doc token-frequency vector on md5-60 hashed buckets plus a
+    * constant-1 intercept feature (bucket −1). Least squares rather than
+    * logistic on purpose: the update rule is then a PURE RATIONAL chain
+    * (no exp/ln — the [[Round6]] hazard class has nothing to round), so
+    * the whole fit is integer-exact and an external SQL oracle replays
+    * every epoch verbatim.
+    *
+    * Determinism: weights live as integer micro-units. Per epoch, each
+    * doc's margin is sᵤ = (Σ_b wᵤ[b]·cnt_b) div d (exact integer ops;
+    * `div` truncates toward zero, bit-matching DuckDB `//` — probed on
+    * negatives), residual rᵤ = sᵤ − yᵤ with yᵤ = ±10⁶, per-bucket
+    * gradient gᵤ = Σ_docs (rᵤ·cnt_b) div d (exact integer sum,
+    * order-free), update wᵤ ← wᵤ − (lrPpm·(gᵤ div n)) div 10⁶. Zero
+    * init, no seeds: the fit is a pure function of (corpus, labels,
+    * buckets, epochs, lrPpm). Sub-micro mean gradients truncate to zero
+    * — anything below the scorer's own quantization can't matter.
+    *
+    * Convergence: features are a probability simplex + intercept
+    * (‖x‖² ≤ 2), so the Hessian's top eigenvalue is ≤ 2 and any
+    * lr ≤ 0.25 (lrPpm 250000) strictly decreases the loss until the
+    * micro-unit floor; the spec proves the decrease on a fixture.
+    *
+    * Scale shape: tokenize/hash ONCE into a compact persisted
+    * (doc, bucket, cnt, d, yᵤ) frame (text never re-scanned across
+    * epochs); each epoch is two joins against that frame — the weight
+    * table is `buckets`-bounded and BROADCAST, the margin aggregate runs
+    * in place on the id-partitioned frame, the gradient aggregate is
+    * map-side-combined to `buckets` rows — and per-epoch lineage is
+    * truncated ([[Graph.RoundStore]]; pass `checkpointDir` for
+    * multi-hundred-epoch fits). n enters in-plan as a broadcast one-row
+    * count, never a driver constant.
+    *
+    * `labelCol` must be 0/1. Output: (bucket BIGINT — −1 is the
+    * intercept, weight_u BIGINT micro-units); serve by feeding
+    * weight_u/10⁶ per bucket ≥ 0 as [[hashedLinearScore]]'s weight table
+    * and the −1 row as its intercept. */
+  def hashedLinearFit(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int, epochs: Int,
+                      lrPpm: Long = 250000L,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(buckets > 0, "hashedLinearFit: buckets must be positive")
+    require(epochs > 0, "hashedLinearFit: epochs must be positive")
+    require(lrPpm > 0 && lrPpm <= 1000000L,
+      "hashedLinearFit: lrPpm must be in (0, 1e6]")
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("_id"),
+        ((col(labelCol).cast("long") * 2 - 1) * 1000000L).as("_yu"),
+        explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .withColumn("_tok",
+        when(col("_tok") === "", lit(null: String)).otherwise(col("_tok")))
+    val counts = toks.where(col("_tok").isNotNull)
+      .select(col("_id"),
+        pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)).as("_bkt"))
+      .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+    // one row per doc: token count floored to 1 so empty docs still carry
+    // the intercept feature (cnt = d = 1) without a div-by-zero branch
+    val dframe = toks.groupBy(col("_id"), col("_yu"))
+      .agg(greatest(count(col("_tok")), lit(1L)).as("_d"))
+    val feats = counts.join(dframe, Seq("_id"))
+        .select(col("_id"), col("_bkt"), col("_cnt"), col("_d"), col("_yu"))
+      .unionByName(dframe.select(col("_id"), lit(-1L).as("_bkt"),
+        col("_d").as("_cnt"), col("_d"), col("_yu")))
+      .persist()
+    try {
+      val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
+      val store = new Graph.RoundStore(checkpointDir, "linfit")
+      var w = feats.select(col("_bkt")).distinct()
+        .select(col("_bkt"), lit(0L).as("_wu"))
+      for (_ <- 1 to epochs) {
+        val resid = feats.join(broadcast(w), Seq("_bkt"))
+          .groupBy(col("_id"), col("_d"), col("_yu"))
+          .agg(sum(col("_wu") * col("_cnt")).as("_z"))
+          .select(col("_id"), (expr("_z div _d") - col("_yu")).as("_ru"))
+        val grad = feats.join(resid, Seq("_id"))
+          .select(col("_bkt"), expr("(_ru * _cnt) div _d").as("_c"))
+          .groupBy(col("_bkt")).agg(sum(col("_c")).as("_g"))
+        w = store.truncate(
+          w.join(grad, Seq("_bkt"), "left").crossJoin(nd)
+            .select(col("_bkt"), (col("_wu") -
+              expr(s"(${lrPpm}L * (coalesce(_g, 0L) div _nd)) div 1000000L"))
+              .as("_wu")))
+      }
+      w.select(col("_bkt").as("bucket"), col("_wu").as("weight_u"))
+    } finally feats.unpersist()
+  }
+
   /** Multiclass hashed language identification — the fastText-LID shape
     * (Joulin et al., "Bag of Tricks for Efficient Text Classification"):
     * `weights` is a trained multiclass model as a (lang, bucket, weight)

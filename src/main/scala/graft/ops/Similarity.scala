@@ -341,6 +341,124 @@ object Similarity {
       fresh.write.mode("append").partitionBy("_cell").parquet(indexDir)
     }
 
+    /** Per-cell exact member means of a stored [[ivfIndex]] — the
+      * drift-detection input: (cell, n members, mean vector). One scan,
+      * decimal-exact per-dimension sums ([[groupCentroids]]), then a
+      * dim-bounded collect_list per cell — output is quantizer-sized. */
+    private def cellMeans(index: DataFrame, dim: Int): DataFrame =
+      groupCentroids(index.select(col("_cell"), col("vec")), "_cell",
+          "vec", dim)
+        .groupBy(col("_cell"))
+        .agg(max(col("n")).as("n"),
+          transform(array_sort(collect_list(struct(col("d"), col("c")))),
+            x => x.getField("c")).as("_mv"))
+
+    /** Drift audit for a frozen IVF/SemDeDup quantizer — WHICH cells'
+      * member mass has rotated away from the centroid that was fitted
+      * for them: per cell, `drift_ppm` = 10⁶ − floor(cos(centroid,
+      * member-mean)·10⁶ + 0.5) (micro-units of cosine distance — the
+      * member mean is the Lloyd-step optimum, so the angle between it
+      * and the frozen centroid IS the refit opportunity), and `refit` =
+      * 1 when it exceeds `driftPpm`. Cells with no members or a
+      * zero-norm mean report NULL drift / refit 0 (nothing to re-fit
+      * toward). This is the decision input of [[ivfCentroidRefresh]],
+      * published as its own audit (the [[ivfCellDrift]] report is what a
+      * pipeline alerts on between refreshes).
+      *
+      * Scale shape: one index scan into [[groupCentroids]]' map-side-
+      * combined decimal sums (shuffle carries k·dim aggregate rows, not
+      * vectors); the per-cell cosine is a plan-literal chain over the
+      * k×dim stored centroids — quantizer-sized, like [[ivfCell]].
+      * Output: (cell INT, n BIGINT, drift_ppm BIGINT, refit INT). */
+    def ivfCellDrift(index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                     driftPpm: Long): DataFrame = {
+      require(cents.nonEmpty, "ivfCellDrift: need at least one centroid")
+      require(driftPpm > 0, "ivfCellDrift: driftPpm must be positive")
+      val dim = cents.head._2.size
+      val mn = norm(col("_mv"))
+      val cos = cents.foldLeft(lit(null).cast("double")) {
+        case (acc, (cid, cv)) =>
+          val cl = array(cv.map(lit): _*)
+          when(col("_cell") === cid,
+            round(dot(col("_mv"), cl) / (mn * sqrt(dot(cl, cl))), 6))
+            .otherwise(acc)
+      }
+      cellMeans(index, dim)
+        .select(col("_cell").cast("int").as("cell"), col("n"),
+          when(mn =!= 0.0,
+            lit(1000000L) - floor(cos * lit(1e6) + lit(0.5)).cast("long"))
+            .as("drift_ppm"))
+        .withColumn("refit",
+          (col("drift_ppm").isNotNull && col("drift_ppm") > driftPpm)
+            .cast("int"))
+    }
+
+    /** Incremental centroid maintenance for a persisted [[ivfIndex]] —
+      * the refit half of the append story ([[ivfIndexAppend]] folds new
+      * vectors in under a FROZEN quantizer; after enough appends the
+      * frozen centroids drift off their cells' mass and recall decays):
+      * re-fit ONLY the cells [[ivfCellDrift]] flags (each drifted
+      * centroid moves to its members' exact mean — one Lloyd step on
+      * that cell), migrate ONLY those cells' members (re-assigned
+      * map-only against the updated centroid set; their partitions are
+      * rewritten, receiving cells get appends), and return the updated
+      * quantizer for the stored centroid table. Undrifted cells' rows
+      * are never read, re-encoded, or rewritten — the O(drifted)
+      * recurring cost a 100 TB index needs, not the O(history) rebuild.
+      *
+      * MISS CLASS (stated, the SemDeDup cross-cell contract): members of
+      * UNDRIFTED cells are not re-assigned, so one sitting marginally
+      * closer to a moved centroid stays put until its own cell drifts —
+      * serve-equality with a full re-assignment holds exactly when the
+      * refit is locally contained (the spec's fixture pins it; a
+      * periodic full re-assignment is the compaction analogue).
+      *
+      * Crash contract: migrated rows are localCheckpoint'd BEFORE the
+      * drifted partitions are deleted (same window as
+      * [[ivfIndexAppend]]'s append — re-running a half-applied refresh
+      * re-reads whatever partitions remain and re-derives a consistent
+      * state only if the checkpoint write completed; treat the
+      * delete+append pair as the commit point and re-run on doubt).
+      *
+      * Returns (updated centroids, refitted cell ids); no drift → the
+      * input centroids verbatim and zero IO beyond the audit scan. */
+    def ivfCentroidRefresh(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String,
+                           cents: Seq[(Int, Seq[Double])],
+                           driftPpm: Long)
+        : (Seq[(Int, Seq[Double])], Seq[Int]) = {
+      require(cents.nonEmpty, "ivfCentroidRefresh: need centroids")
+      val dim = cents.head._2.size
+      val idx = spark.read.parquet(indexDir)
+      val flagged = ivfCellDrift(idx, cents, driftPpm)
+        .where(col("refit") === 1).select(col("cell"))
+      val means = cellMeans(idx, dim)
+        .join(flagged, col("_cell") === col("cell"))
+        .select(col("cell"), col("_mv"))
+        .collect()                       // ≤ k rows — quantizer-sized
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      if (means.isEmpty) (cents, Nil)
+      else {
+        val newCents = cents.map { case (cid, cv) =>
+          (cid, means.getOrElse(cid, cv))
+        }
+        val driftedIds = means.keys.toSeq.sorted
+        val moved = idx
+          .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
+          .select(col("id"), col("vec"), col("_n"))
+          .withColumn("_cell", ivfCell(col("vec"), newCents))
+          .localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        driftedIds.foreach { cid =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$indexDir/_cell=$cid"), true)
+        }
+        moved.write.mode("append").partitionBy("_cell").parquet(indexDir)
+        (newCents, driftedIds)
+      }
+    }
+
     // ── Product quantization (PQ) ──────────────────────────────────────────
     //
     // The compression tier for the persisted ANN index (Jégou et al.,

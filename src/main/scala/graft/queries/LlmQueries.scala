@@ -132,6 +132,108 @@ object LlmQueries {
       s"WHEN $md THEN CAST(${Similarity.rboTail(10, 0.9)(md - 1)} " +
         "AS DECIMAL(18,6))").mkString(" ")
 
+  /** q195's oracle: the FULL 3-epoch training trajectory of
+    * [[graft.ops.Scoring.hashedLinearFit]] replayed in SQL — feature
+    * build (hashed counts + intercept rows), then per epoch the margin
+    * `//` d, residual, per-bucket gradient, lr-scaled update. Pure
+    * integer arithmetic end to end (HUGEINT intermediates; `//`
+    * truncates toward zero, matching Spark's `div` — probed on
+    * negatives), so the learned weights match bit-for-bit. Epoch CTEs
+    * are generated by the same loop bounds the op runs with. */
+  private val LinFitEpochs = 3
+
+  /** CTE chain (no WITH prefix) ending in `w3(bkt, wu)` — the learned
+    * weight table, shared by q195 (publishes it) and q197 (serves it
+    * through the scorer + sweep). */
+  private lazy val LinFitCtes: String = {
+    val chain = (1 to LinFitEpochs).map { k =>
+      val prev = s"w${k - 1}"
+      s"""r$k AS (SELECT f.doc_id,
+         |    (CAST(sum(CAST(wu AS HUGEINT) * c) AS HUGEINT) // d) - yu AS ru
+         |  FROM f JOIN $prev USING (bkt) GROUP BY f.doc_id, d, yu),
+         |g$k AS (SELECT bkt, sum((CAST(ru AS HUGEINT) * c) // d) AS g
+         |  FROM f JOIN r$k USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT w.bkt,
+         |    wu - (250000 * (coalesce(g, 0) // (SELECT nd FROM nd)))
+         |      // 1000000 AS wu
+         |  FROM $prev w LEFT JOIN g$k USING (bkt))""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+       |    ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |s AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS bkt
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) WHERE tok <> ''),
+       |cnt AS (SELECT doc_id, bkt, count(*) AS c FROM s GROUP BY 1, 2),
+       |dd AS (SELECT t.doc_id, greatest(coalesce(n.n, 0), 1) AS d,
+       |    CAST((2 * y - 1) * 1000000 AS BIGINT) AS yu
+       |  FROM t LEFT JOIN (SELECT doc_id, count(*) AS n FROM s
+       |                    GROUP BY 1) n USING (doc_id)),
+       |f AS (SELECT doc_id, bkt, c, d, yu FROM cnt JOIN dd USING (doc_id)
+       |      UNION ALL
+       |      SELECT doc_id, CAST(-1 AS BIGINT), d, d, yu FROM dd),
+       |nd AS (SELECT count(*) AS nd FROM dd),
+       |w0 AS (SELECT DISTINCT bkt, CAST(0 AS HUGEINT) AS wu FROM f),
+       |$chain""".stripMargin
+  }
+
+  private lazy val LinFitSql: String =
+    s"""WITH $LinFitCtes
+       |SELECT CAST(bkt AS BIGINT) AS bucket, CAST(wu AS BIGINT) AS weight_u
+       |FROM w$LinFitEpochs ORDER BY bucket""".stripMargin
+
+  /** q197's oracle: the q195 training chain, then the learned weights
+    * served through the q82 scoring chain (same double expression order
+    * as hashedLinearScore), scores micro-quantized + clamped to [0, 1e6],
+    * then the q146 sweep (densified bins, suffix sums, ceil thresholds)
+    * — the full train → serve → operate loop in ONE replayable query. */
+  private lazy val FitServeSweepSql: String = {
+    val w = s"w$LinFitEpochs"
+    s"""WITH $LinFitCtes,
+       |sm AS (SELECT doc_id, count(*) AS n, sum(wu) AS sw
+       |       FROM s JOIN $w USING (bkt) GROUP BY 1),
+       |i0 AS (SELECT CAST(wu AS DOUBLE) / 1000000.0 AS i FROM $w
+       |       WHERE bkt = -1),
+       |sc AS (SELECT t.doc_id,
+       |    CASE WHEN coalesce(sm.n, 0) > 0
+       |      THEN round((SELECT i FROM i0) + CAST(sm.sw AS DOUBLE) /
+       |                 (CAST(sm.n AS DOUBLE) * 1000000.0), 6)
+       |      ELSE round((SELECT i FROM i0), 6) END AS score,
+       |    t.y
+       |  FROM t LEFT JOIN sm USING (doc_id)),
+       |bn AS (SELECT CAST(least(CAST(least(1000000, greatest(0,
+       |      CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)))
+       |      AS HUGEINT) * 10 // 1000000, 9) AS INT) AS bin, y FROM sc),
+       |a2 AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+       |       FROM bn GROUP BY 1),
+       |dn2 AS (SELECT g.bin, coalesce(a2.n, 0) AS n,
+       |         coalesce(a2.npos, 0) AS npos
+       |        FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INT)
+       |                AS bin) g
+       |        LEFT JOIN a2 USING (bin)),
+       |sf2 AS (SELECT bin, n, npos,
+       |    sum(npos) OVER (ORDER BY bin DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(n) OVER (ORDER BY bin DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+       |    sum(npos) OVER () AS pos
+       |  FROM dn2)
+       |SELECT CAST((CAST(bin AS HUGEINT) * 1000000 + 9) // 10 AS BIGINT)
+       |    AS thr_ppm,
+       |  CAST(tp AS BIGINT) AS tp, CAST(pp - tp AS BIGINT) AS fp,
+       |  CAST(pos - tp AS BIGINT) AS fn,
+       |  CASE WHEN pp = 0 THEN 0
+       |    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // pp AS BIGINT)
+       |  END AS precision_ppm,
+       |  CASE WHEN pos = 0 THEN 0
+       |    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // pos AS BIGINT)
+       |  END AS recall_ppm,
+       |  CASE WHEN pp + pos = 0 THEN 0
+       |    ELSE CAST(CAST(tp AS HUGEINT) * 2000000 // (pp + pos) AS BIGINT)
+       |  END AS f1_ppm
+       |FROM sf2 ORDER BY thr_ppm""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── token counting (whitespace + BPE-ish regex) ──
@@ -677,6 +779,103 @@ object LlmQueries {
             (col("lang") === "en").cast("int").as("label")),
           "score_ppm", "label", bins = 10)
         .orderBy("thr_ppm")
+    },
+
+    // ── q195: distributed classifier FIT for the quality gate — the
+    //    training half of q82's scorer: full-batch least-squares gradient
+    //    descent (±1e6 integer-micro targets, 3 epochs, lr 0.25) over
+    //    md5-60 hashed token frequencies + an intercept feature
+    //    (bucket −1). Every epoch is pure integer arithmetic (div ≡
+    //    DuckDB // — probed on negatives), so the oracle replays the
+    //    ENTIRE training trajectory epoch by epoch, not just a final
+    //    score. Label: lang = 'en' (q144's gate). ──
+    QueryDef("q195_classifier_fit", LinFitSql) { (s, d) =>
+      Scoring.hashedLinearFit(
+          Tables.documents(s, d).select(col("doc_id"), col("text"),
+            (col("lang") === "en").cast("int").as("label")),
+          "doc_id", "text", "label", buckets = 512, epochs = 3,
+          lrPpm = 250000L)
+        .orderBy("bucket")
+    },
+
+    // ── q197: train → serve → operate in one chain — q195's learned
+    //    weights (≤ buckets+1 rows, collected driver-side like every
+    //    quantizer) fed through q82's scorer, micro-quantized + clamped,
+    //    then q146's operating-point sweep: the full quality-gate
+    //    lifecycle proven to compose (the q162 chain discipline). ──
+    QueryDef("q197_fit_serve_sweep", FitServeSweepSql) { (s, d) =>
+      val labeled = Tables.documents(s, d).select(col("doc_id"),
+        col("text"), (col("lang") === "en").cast("int").as("label"))
+      val fitRows = Scoring.hashedLinearFit(labeled, "doc_id", "text",
+        "label", buckets = 512, epochs = 3, lrPpm = 250000L).collect()
+      val intercept = fitRows.find(_.getLong(0) == -1L)
+        .map(_.getLong(1)).getOrElse(0L).toDouble / 1e6
+      import s.implicits._
+      val weights = fitRows.filter(_.getLong(0) >= 0L)
+        .map(r => (r.getLong(0), r.getLong(1).toDouble / 1e6)).toSeq
+        .toDF("bucket", "weight")
+      val scored = Scoring.hashedLinearScore(Tables.documents(s, d),
+        "doc_id", "text", weights, buckets = 512, intercept = intercept)
+      Scoring.thresholdSweep(
+          scored.join(labeled.select(col("doc_id"), col("label")),
+              Seq("doc_id"))
+            .select(least(lit(1000000L), greatest(lit(0L),
+              floor(col("score") * 1e6 + 0.5).cast("long")))
+              .as("score_ppm"), col("label")),
+          "score_ppm", "label", bins = 10)
+        .orderBy("thr_ppm")
+    },
+
+    // ── q196: IVF quantizer drift audit — WHICH cells of a frozen
+    //    coarse quantizer (q139/q73's) have rotated away from their
+    //    member mass: per cell, cosine distance (micro-units) between
+    //    the stored centroid and the members' decimal-exact mean (the
+    //    Lloyd-step optimum), refit-flagged above 190000 ppm. The
+    //    decision input of ivfCentroidRefresh, published as the
+    //    between-refresh alert. Oracle replays assignment (q145's CTE),
+    //    per-dim decimal means, and the cosine ladder. ──
+    QueryDef("q196_ivf_drift",
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+        |cents AS (SELECT id AS cid, vec AS cvec FROM w WHERE id < 16),
+        |assign AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT c.id, t.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id
+        |        ORDER BY round(list_inner_product(c.vec, t.cvec) /
+        |          (c.n * sqrt(list_inner_product(t.cvec, t.cvec))), 6)
+        |                 DESC, t.cid) AS rk
+        |    FROM w c, cents t) WHERE rk = 1),
+        |mem AS (SELECT cell, vec FROM assign JOIN w USING (id)),
+        |dims AS (SELECT cell, unnest(generate_series(1, len(vec))) AS d,
+        |           unnest(vec) AS x FROM mem),
+        |agg AS (SELECT cell, d,
+        |    round(CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / count(*), 6) AS c,
+        |    count(*) AS nn
+        |  FROM dims GROUP BY 1, 2),
+        |mv AS (SELECT cell, list(c ORDER BY d) AS mv,
+        |         CAST(max(nn) AS BIGINT) AS n FROM agg GROUP BY 1),
+        |base AS (SELECT mv.cell, n, mv, cvec
+        |         FROM mv JOIN cents ON mv.cell = cents.cid),
+        |rep AS (SELECT cell, n,
+        |    CASE WHEN sqrt(list_inner_product(mv, mv)) <> 0 THEN
+        |      1000000 - CAST(floor(round(list_inner_product(mv, cvec) /
+        |        (sqrt(list_inner_product(mv, mv)) *
+        |         sqrt(list_inner_product(cvec, cvec))), 6) * 1000000.0
+        |        + 0.5) AS BIGINT)
+        |    END AS drift_ppm
+        |  FROM base)
+        |SELECT CAST(cell AS INT) AS cell, n, drift_ppm,
+        |  CAST(coalesce(drift_ppm > 190000, FALSE) AS INT) AS refit
+        |FROM rep ORDER BY cell""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      Similarity.ivfCellDrift(Similarity.ivfIndex(emb, cents), cents,
+          driftPpm = 190000L)
+        .orderBy("cell")
     },
 
     // ── q145: SemDeDup → c-TF-IDF composition — dedupe the corpus

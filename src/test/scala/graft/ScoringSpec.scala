@@ -338,6 +338,72 @@ class ScoringSpec extends SparkSpec {
       (0L, 1L, 1L), (333334L, 1L, 0L), (666667L, 0L, 0L)))
   }
 
+  test("hashedLinearFit: epoch recurrence independently replayed, loss " +
+      "strictly decreases, fit weights serve through hashedLinearScore") {
+    import spark.implicits._
+    import graft.ops.Scoring
+    val B = 256
+    // the fixture's 4 tokens must hash to 4 DISTINCT buckets for the
+    // separability assertions to mean anything (deterministic — checked,
+    // not assumed)
+    val tokBkt = Seq("good", "fine", "bad", "poor").toDF("t")
+      .select(col("t"),
+        pmod(graft.ops.Dedup.md5Hash60(col("t")), lit(B.toLong)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tokBkt.values.toSet.size == 4, s"bucket collision: $tokBkt")
+    val fixture = Seq(
+      (1L, Seq("good", "good", "fine"), 1L),
+      (2L, Seq("good", "fine", "fine", "good"), 1L),
+      (3L, Seq("bad", "poor", "bad"), 0L),
+      (4L, Seq("poor", "poor", "bad", "poor"), 0L),
+      (5L, Seq.empty[String], 1L)) // intercept-only doc
+    val docs = fixture.map { case (id, ts, y) => (id, ts.mkString(" "), y) }
+      .toDF("doc_id", "text", "label")
+    val fit = Scoring.hashedLinearFit(docs, "doc_id", "text", "label",
+        buckets = B, epochs = 3, lrPpm = 250000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent replay of the integer recurrence (Scala Long '/'
+    // truncates toward zero — same as Spark div / DuckDB //)
+    val feats = fixture.map { case (id, ts, y) =>
+      val cnts = ts.groupBy(tokBkt).map { case (b, g) => b -> g.size.toLong }
+      val d = math.max(ts.size.toLong, 1L)
+      (id, cnts + (-1L -> d), d, (2 * y - 1) * 1000000L)
+    }
+    var wr = feats.flatMap(_._2.keys).distinct.map(_ -> 0L).toMap
+    def residuals = feats.map { case (id, cnts, d, yu) =>
+      id -> (cnts.map { case (b, c) => wr(b) * c }.sum / d - yu)
+    }.toMap
+    def loss = { val r = residuals; r.values.map(v => BigInt(v) * v).sum }
+    val losses = scala.collection.mutable.ArrayBuffer(loss)
+    for (_ <- 1 to 3) {
+      val r = residuals
+      val g = feats.flatMap { case (id, cnts, d, _) =>
+        cnts.map { case (b, c) => b -> r(id) * c / d }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      wr = wr.map { case (b, wu) =>
+        b -> (wu - 250000L * (g.getOrElse(b, 0L) / feats.size) / 1000000L)
+      }
+      losses += loss
+    }
+    assert(fit == wr, s"fit=$fit\nreplay=$wr")
+    assert(losses.sliding(2).forall(p => p(1) < p(0)), losses.toString)
+
+    // serve the learned model through the scorer on held-out docs
+    val weights = fit.toSeq.filter(_._1 >= 0)
+      .map { case (b, wu) => (b, wu.toDouble / 1e6) }
+      .toDF("bucket", "weight")
+    val intercept = fit(-1L).toDouble / 1e6
+    val held = Seq((10L, "good fine"), (11L, "poor bad"))
+      .toDF("doc_id", "text")
+    val served = Scoring.hashedLinearScore(held, "doc_id", "text",
+        weights, buckets = B, intercept = intercept)
+      .orderBy("doc_id").collect()
+    assert(served(0).getBoolean(3), served(0).toString)       // good keeps
+    assert(!served(1).getBoolean(3), served(1).toString)      // bad drops
+    assert(served(0).getDouble(2) > served(1).getDouble(2))
+  }
+
   test("cTfIdfTopTerms: hand-computed scores, rank ties by term, topN cut") {
     import spark.implicits._
     import graft.ops.Scoring

@@ -171,6 +171,64 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains(new java.io.File(s"$dir/assign").getName), plan.take(400))
   }
 
+  test("ivfCellDrift + ivfCentroidRefresh: drifted cells refit to member " +
+      "means and migrate, result equals full re-assignment, undrifted " +
+      "cells untouched, repeat refresh is a no-op") {
+    import spark.implicits._
+    def u(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    // stale quantizer: cents at 0°/90°/180°; cell-0 mass sits at ~35°,
+    // cell-1 mass at ~65° (both drifted), cell-2 mass ON its centroid
+    val corpus = Seq(
+      (0L, u(30)), (1L, u(35)), (2L, u(40)),
+      (10L, u(60)), (11L, u(65)), (12L, u(70)),
+      (20L, u(180)), (21L, u(180)), (22L, u(180))).toDF("id", "vec")
+    val cents = Seq(0 -> u(0), 1 -> u(90), 2 -> u(180))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfref").toString
+    try {
+      Similarity.ivfIndex(corpus, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/ivf")
+      val report = Similarity.ivfCellDrift(
+          spark.read.parquet(s"$dir/ivf"), cents, driftPpm = 50000L)
+        .orderBy("cell").collect()
+      assert(report.map(r => r.getInt(0) -> r.getInt(3)).toSeq ==
+        Seq(0 -> 1, 1 -> 1, 2 -> 0), report.mkString("\n"))
+      assert(report(2).getLong(2) == 0L) // on-centroid mass: zero drift
+
+      val (newCents, drifted) = Similarity.ivfCentroidRefresh(
+        spark, s"$dir/ivf", cents, driftPpm = 50000L)
+      assert(drifted == Seq(0, 1))
+      assert(newCents(2) == 2 -> u(180)) // undrifted centroid verbatim
+      // every drifted centroid moved to its members' (round-6) mean
+      assert(newCents(0)._2.head > 0.7 && newCents(0)._2(1) > 0.5)
+
+      // the maintained index IS the full re-assignment under newCents
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("vec"), col("_n"),
+            col("_cell").cast("int"))
+          .collect().map(_.toString).sorted.toSeq
+      val stored = spark.read.parquet(s"$dir/ivf")
+      assert(rows(stored) == rows(Similarity.ivfIndex(corpus, newCents)))
+
+      // and it serves equal to the in-plan path under the new quantizer
+      val queries = corpus.where(col("id").isin(1L, 11L, 20L))
+      def serve(r: Seq[org.apache.spark.sql.Row]) =
+        r.map(_.toString).sorted.toSeq
+      assert(serve(Similarity.ivfTopKAgainstIndex(queries, stored,
+          newCents, nprobe = 2, k = 3).collect().toSeq) ==
+        serve(Similarity.ivfTopK(queries, corpus, newCents,
+          nprobe = 2, k = 3).collect().toSeq))
+
+      // refit centroids now sit ON their mass: repeat refresh is a no-op
+      val (again, d2) = Similarity.ivfCentroidRefresh(
+        spark, s"$dir/ivf", newCents, driftPpm = 50000L)
+      assert(d2.isEmpty && again == newCents)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfIndexAppend / pqIndexAppend: appended index serves equal to a " +
       "full build; re-seen and null ids drop; re-append is a no-op") {
     import spark.implicits._
