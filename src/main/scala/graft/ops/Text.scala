@@ -717,4 +717,95 @@ object Text {
       .where(col("_nt") === t.size)
       .select(col("doc_id"))
   }
+
+  /** [[invertedIndex]] with TERM FREQUENCIES in the postings — the
+    * artifact RANKED retrieval needs ([[searchBm25]]): (term, df,
+    * postings ARRAY<STRUCT<doc, tf>>), postings by doc id ascending,
+    * capped at `maxPostings` by the same salted two-phase ranking (and
+    * the same exactness flag: a term is served exactly iff df ==
+    * len(postings)). Same scale shape as [[invertedIndex]] — the only
+    * difference is the per-(doc, term) count aggregate replacing the
+    * distinct. */
+  def invertedIndexTf(docs: DataFrame, idCol: String, textCol: String,
+                      maxPostings: Int = 1000, fanout: Int = 64): DataFrame = {
+    require(maxPostings > 0, "invertedIndexTf: maxPostings must be positive")
+    require(fanout > 0, "invertedIndexTf: fanout must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val local = Window
+      .partitionBy(col("term"), pmod(xxhash64(col("_id")), lit(fanout)))
+      .orderBy(col("_id").asc)
+    val global = Window.partitionBy(col("term")).orderBy(col("_id").asc)
+    val capped = tf
+      .withColumn("_l", row_number().over(local))
+      .where(col("_l") <= maxPostings)
+      .withColumn("_r", row_number().over(global))
+      .where(col("_r") <= maxPostings)
+    val postings = capped.groupBy(col("term"))
+      .agg(array_sort(collect_list(
+        struct(col("_id").as("doc"), col("_tf").as("tf")))).as("postings"))
+    dfreq.join(postings, Seq("term"))
+  }
+
+  /** Per-doc token-instance lengths — the BM25 norm's side table (the
+    * serving artifact is the PAIR: [[invertedIndexTf]] + this). Docs
+    * with no tokens are absent, exactly [[bm25]]'s `dl` frame, so the
+    * served n/avgdl statistics match the direct scorer's. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+
+  /** RANKED (BM25) retrieval served FROM the index — the third leg of
+    * the serving tier (build [[invertedIndexTf]] → boolean
+    * [[searchConjunctive]] → THIS): top-k docs over the UNION of the
+    * query terms' postings, scored with the IDENTICAL expression chain
+    * as the direct scorer [[bm25]] (same idf, same norm operand order,
+    * per-term contributions [[Round6.guarded]] then summed as
+    * DECIMAL(18,6)), so served scores equal a corpus-scan rescore
+    * whenever no queried term is truncated (df == len(postings), the
+    * index's published exactness flag).
+    *
+    * Scale shape — the reason an index exists: the scan set is the
+    * queried TERMS' rows (term-pruned on a term-partitioned index) plus
+    * one map-only pass of `doclens` with the candidate set BROADCAST
+    * (candidates ≤ |terms|·maxPostings by construction); the corpus
+    * text is never touched. The final ranking window is unpartitioned
+    * but provably bounded by the same |terms|·maxPostings (the
+    * [[graft.ops.Scoring.thresholdSweep]] contract for an unpartitioned
+    * window). Output: (doc_id, score STRING — exact decimal, the
+    * [[bm25]] convention, rank INT 1..k by (score desc, doc asc)). */
+  def searchBm25(index: DataFrame, doclens: DataFrame, terms: Seq[String],
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchBm25: terms must be non-empty")
+    require(k > 0, "searchBm25: k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val t = terms.distinct
+    val cand = index.where(col("term").isin(t: _*))
+      .select(col("df"), explode(col("postings")).as("_p"))
+      .select(col("df"), col("_p.doc").as("doc"), col("_p.tf").as("_tf"))
+    val stats = doclens.agg(count(lit(1)).cast("double").as("n_docs"),
+      F.avg(col("dl")).as("avgdl"))
+    val idf = F.log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("_tf") * (k1 + 1) /
+      (col("_tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1)
+    val scored = doclens.join(broadcast(cand), Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc"))
+      .agg(F.sum(Round6.guarded(idf * norm, "searchBm25 term")
+          .cast("decimal(18,6)"))
+        .cast("decimal(18,6)").as("_score"))
+    val w = Window.orderBy(col("_score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("doc").as("doc_id"),
+        col("_score").cast("string").as("score"), col("rank"))
+  }
 }

@@ -4099,6 +4099,45 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ── q198: RANKED retrieval served from the tf-carrying inverted
+    //    index — the third leg of the serving tier (q179 build, q182
+    //    boolean, THIS scores): top-10 by BM25 over the union of the
+    //    query terms' postings, scored with q87's exact expression chain
+    //    (idf·norm round-6, decimal sums). maxPostings = 500 ≥ every df
+    //    at this corpus, so the oracle states ground truth directly from
+    //    the documents (the exactness condition df == len(postings)). ──
+    QueryDef("q198_index_search_ranked",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |          FROM dl),
+        |qtf AS (SELECT * FROM tf WHERE term IN ('query', 'window')),
+        |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS score
+        |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats GROUP BY doc_id),
+        |r AS (SELECT doc_id, score, row_number() OVER (
+        |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT doc_id, CAST(score AS VARCHAR) AS score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val idx = graft.ops.Text.invertedIndexTf(docs, "doc_id", "text",
+        maxPostings = 500)
+      val dls = graft.ops.Text.docLengths(docs, "doc_id", "text")
+      graft.ops.Text.searchBm25(idx, dls, Seq("query", "window"), k = 10)
+        .orderBy("rank")
+    },
+
     // ── q183: SCD-2 history build — the change log of each user's
     //    event_type collapsed into validity intervals (half-open
     //    [from, to), NULL valid_to = current). (ts, value) ordering

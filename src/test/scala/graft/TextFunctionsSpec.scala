@@ -617,4 +617,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(serve(Seq("alpha", "alpha", "beta")) == Seq(5L, 9L))
     assert(serve(Seq("alpha", "nosuch")) == Seq.empty)
   }
+
+  test("invertedIndexTf + searchBm25: served top-k equals a direct bm25 " +
+      "corpus rescore; tf carried exactly; truncation under-reports " +
+      "by contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query engine query"),      // query tf 2
+      (2L, "query window plan"),
+      (3L, "window window window shuffle"),
+      (4L, "plan shuffle codegen"),
+      (5L, "query window query window")).toDF("doc_id", "text")
+    val idx = graft.ops.Text.invertedIndexTf(docs, "doc_id", "text",
+      maxPostings = 100)
+    // tf postings exact and doc-sorted
+    val q = idx.where(org.apache.spark.sql.functions.col("term") === "query")
+      .head()
+    assert(q.getLong(1) == 3L)
+    assert(q.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 2L), (2L, 1L), (5L, 2L)))
+    val dls = graft.ops.Text.docLengths(docs, "doc_id", "text")
+    val served = graft.ops.Text.searchBm25(idx, dls,
+        Seq("query", "window"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // direct corpus rescore through the same scorer, ranked the same way
+    val direct = graft.ops.Text.bm25(docs, "doc_id", "text",
+        Seq("query", "window"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, s) => (BigDecimal(s).unary_-, id) }
+      .take(3).zipWithIndex
+      .map { case ((id, s), i) => (id, s, i + 1) }
+    assert(served.toSeq == direct.toSeq, s"served=${served.mkString(",")}")
+    // truncated index: the capped term's dropped postings are absent
+    // from the candidate union (the stated serving trade)
+    val cut = graft.ops.Text.invertedIndexTf(docs, "doc_id", "text",
+      maxPostings = 2)
+    val servedCut = graft.ops.Text.searchBm25(cut, dls,
+        Seq("query", "window"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(servedCut.subsetOf(Set(1L, 2L, 3L, 5L)) && servedCut.size <= 4)
+    assert(!servedCut.contains(5L) || !servedCut.contains(3L) ||
+      servedCut.size < 4) // at cap 2, at least one posting was dropped
+  }
 }
