@@ -293,7 +293,6 @@ object Bench {
             .select(col("doc_id"), col("cluster_id"))
             .write.mode("overwrite").parquet(cdir)
         }
-        var delta: org.apache.spark.sql.DataFrame = null
         val cPairs = timed("cluster_delta_pairs") {
           val cross = graft.ops.Dedup.minHashLshPairsAgainst(batch, corpus,
               "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
@@ -303,14 +302,17 @@ object Bench {
               "text", shingleN = 8, k = 64, bands = 16, rows = 4,
               threshold = 0.8)
             .select(col("doc_a"), col("doc_b"))
-          // eager localCheckpoint = the phase boundary: pair generation
-          // is fully paid here, the fold below starts from materialized
-          // edges exactly as a crawl loop would hand them over
-          delta = cross.unionAll(internal).localCheckpoint()
+          // parquet = the phase boundary: pair generation is fully paid
+          // here, the fold below starts from STORED edges exactly as a
+          // crawl loop hands them over (a localCheckpoint would not
+          // survive the per-phase isolate(), which unpersists all RDDs)
+          cross.unionAll(internal).write.mode("overwrite")
+            .parquet(s"$cdir.delta")
         }
         val cFold = timed("cluster_fold") {
           graft.ops.Dedup.clusterIndexAppend(spark.read.parquet(cdir),
-            batch.select(col("doc_id")), "doc_id", delta).count()
+            batch.select(col("doc_id")), "doc_id",
+            spark.read.parquet(s"$cdir.delta")).count()
         }
         Seq(cBuild, cPairs, cFold)
       } catch {

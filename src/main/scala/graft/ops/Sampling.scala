@@ -418,7 +418,10 @@ object Sampling {
   def mixtureWeights(stats: DataFrame, keyCol: String, scoreCol: String,
                      tau: Double = 1.0): DataFrame = {
     require(tau > 0, "mixtureWeights: tau must be positive")
-    val e6 = round(exp(round(col(scoreCol) / lit(tau), 6)), 6)
+    // exp is the same cross-libm hazard class as ln — route through the
+    // per-row portability guard (see [[graft.ops.Round6]])
+    val e6 = Round6.guarded(exp(round(col(scoreCol) / lit(tau), 6)),
+      "mixtureWeights exp")
     val scored = stats.select(col(keyCol), col(scoreCol), e6.as("_e"))
     val tot = scored.agg(sum(col("_e").cast("decimal(18,6)")).as("_tot"))
     scored.crossJoin(broadcast(tot))

@@ -420,7 +420,9 @@ class PropertySpec extends SparkSpec {
       val model = (0 until bins).map { j =>
         val tp = (j until bins).map(np).sum
         val pp = (j until bins).map(n).sum
-        ((BigInt(j) * 1000000 / bins).toLong, tp, pp - tp, pos - tp,
+        // ceil threshold: the true integer decision boundary of bin j
+        (((BigInt(j) * 1000000 + bins - 1) / bins).toLong, tp, pp - tp,
+          pos - tp,
           if (pp == 0) 0L else tp * 1000000L / pp,
           if (pos == 0) 0L else tp * 1000000L / pos,
           if (pp + pos == 0) 0L else tp * 2000000L / (pp + pos))
