@@ -45,6 +45,18 @@ object ScaleSmoke {
       val nd = graft.ops.Scoring.dsirWeights(d, "doc_id", "text",
         d.where(col("doc_id") % 10 === 0), "text", buckets = 65536).count()
       println(f"dsir_100k: rows=$nd time=${(System.nanoTime()-td)/1e9}%.1f s")
+      // Classifier FIT (round 16) at 100k docs / 2^18 buckets / 3 epochs:
+      // tokenize+hash once into the persisted compact frame, then each
+      // epoch is two joins against it with the weight table broadcast —
+      // per-epoch cost must stay ~flat (the number to watch is
+      // total/epochs vs one classifier_100k serve pass).
+      val tft = System.nanoTime()
+      val nft = graft.ops.Scoring.hashedLinearFit(
+        d.withColumn("label", (col("doc_id") % 2).cast("int")),
+        "doc_id", "text", "label", buckets = 1 << 18, epochs = 3,
+        lrPpm = 250000L).count()
+      println(f"classifier_fit_100k_3ep: weights=$nft " +
+        f"time=${(System.nanoTime()-tft)/1e9}%.1f s")
       // quantileBuckets at 2M rows / 5 keys with ~400k DISTINCT scores per
       // key — the shape where a naive per-key cumulative window is one
       // 400k-row task; the two-level cum must stay flat.

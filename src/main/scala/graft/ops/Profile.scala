@@ -297,4 +297,84 @@ object Profile {
         (num.cast("double") * num.cast("double")) /
           (den.cast("double") * deny.cast("double")), 6)).as("r2"))
   }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * the standing composition audit (is `lang` independent of `source`?
+    * did the crawl's topic mix shift by host?): over the FULL R×C grid
+    * (zero-observed cells included — they carry the signal when a
+    * combination that should occur never does),
+    * χ² = Σ (o − e)²/e with e = row_total·col_total/n.
+    *
+    * Determinism: every expected count and term is one IEEE rational
+    * chain (no transcendentals — nothing for [[Round6]] to guard);
+    * terms round to 6 dp and sum AS DECIMAL (order-free), so the
+    * statistic replays exactly in any engine. The p-value lookup is
+    * deliberately NOT computed (the regularized Γ is a cross-libm
+    * swamp); publish (χ², dof) and let the caller compare against a
+    * literal critical-value table.
+    *
+    * Scale shape: one map-side-combined contingency groupBy (the only
+    * corpus-scan shuffle), then marginals/grid over contingency-sized
+    * frames. The grid is R×C rows — categorical-audit cardinalities by
+    * contract (a high-cardinality column belongs in [[keySkew]]-style
+    * audits, not a χ² grid). Output one row: (n BIGINT, dof BIGINT,
+    * chi2 DECIMAL(18,6)). */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cont = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = cont.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cb = cont.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val nn = cont.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("_r"), countDistinct(col("_b")).as("_c"))
+    val e = col("_ra").cast("double") * col("_cb").cast("double") /
+      col("_n").cast("double")
+    val o = coalesce(col("_o"), lit(0L)).cast("double")
+    val grid = broadcast(ra).crossJoin(broadcast(cb))
+      .join(cont, Seq("_a", "_b"), "left")
+      .crossJoin(broadcast(nn))
+    grid.agg(
+        max(col("_n")).as("_nt"), max(col("_r")).as("_rt"),
+        max(col("_c")).as("_ct"),
+        sum(round((o - e) * (o - e) / e, 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("chi2"))
+      .select(col("_nt").cast("long").as("n"),
+        ((col("_rt") - 1) * (col("_ct") - 1)).cast("long").as("dof"),
+        col("chi2"))
+  }
+
+  /** Gini concentration index of a keyed mass distribution — the
+    * one-number inequality audit for corpus composition (how
+    * concentrated are tokens across sources / docs across domains?
+    * G ≈ 0 balanced, → 1 a few keys own everything): with masses
+    * x₁ ≤ … ≤ xₙ (ties broken by key — the ranking is a pure function
+    * of the data), G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ).
+    *
+    * Integer-exact: the ranking is [[graft.ops.Ops.globalRowNumber]]'s
+    * range exchange (no single-task sort), both sums accumulate as
+    * DECIMAL(38,0), and the published ppm is ONE integral division of
+    * exact decimals (`div` truncates toward zero, matching DuckDB `//`;
+    * the numerator is non-negative by the sorted-rank construction, so
+    * trunc ≡ floor). Output one row: (n BIGINT, total BIGINT,
+    * gini_ppm BIGINT; NULL when total = 0). */
+  def giniConcentration(df: DataFrame, keyCol: String,
+                        massCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = df.groupBy(col(keyCol).as("_k"))
+      .agg(sum(col(massCol).cast("long")).as("_x"))
+    val ranked = graft.ops.Ops.globalRowNumber(m,
+      Seq(col("_x").asc, col("_k").asc), "_i")
+    ranked
+      .agg(count(lit(1)).as("_nk"), sum(col("_x")).as("_t"),
+        sum((col("_i").cast("decimal(19,0)") *
+          col("_x").cast("decimal(19,0)")).cast(dec)).as("_s1"))
+      .select(col("_nk").cast("long").as("n"),
+        col("_t").cast("long").as("total"),
+        when(col("_t") > 0, expr(
+          """((2 * cast(_s1 as decimal(38,0))
+            |  - (cast(_nk as decimal(38,0)) + 1) * cast(_t as decimal(38,0)))
+            |  * 1000000) div (cast(_nk as decimal(38,0))
+            |  * cast(_t as decimal(38,0)))""".stripMargin))
+          .as("gini_ppm"))
+  }
 }

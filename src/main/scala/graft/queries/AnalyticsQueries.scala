@@ -1421,6 +1421,54 @@ object AnalyticsQueries {
         .orderBy("cohort")
     },
 
+    // ── q199: χ² independence audit of lang × source — the composition
+    //    drift alarm (did the crawl's language mix shift by host?). Full
+    //    R×C grid incl. zero-observed cells; every term a pure IEEE
+    //    rational chain round-6, summed as DECIMAL. p-value deliberately
+    //    not computed (regularized Γ is a cross-libm swamp) — compare
+    //    (chi2, dof) against a literal critical-value table. ──
+    QueryDef("q199_chi2_independence",
+      """WITH c AS (SELECT lang AS a, source AS b, count(*) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n, count(DISTINCT a) AS r,
+        |              count(DISTINCT b) AS cc FROM c),
+        |g AS (SELECT ra.a, cb.b, ra.ra, cb.cb FROM ra CROSS JOIN cb),
+        |t AS (SELECT CAST(coalesce(o, 0) AS DOUBLE) AS o,
+        |        CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) /
+        |          CAST((SELECT n FROM nn) AS DOUBLE) AS e
+        |      FROM g LEFT JOIN c USING (a, b))
+        |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+        |  (SELECT CAST((r - 1) * (cc - 1) AS BIGINT) FROM nn) AS dof,
+        |  CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS chi2
+        |FROM t""".stripMargin) { (s, d) =>
+      graft.ops.Profile.chiSquareIndependence(
+        graft.queries.Tables.documents(s, d), "lang", "source")
+    },
+
+    // ── q200: Gini concentration of character mass across sources — the
+    //    one-number corpus-inequality audit (0 balanced → 1 one source
+    //    owns everything). Ranking by the range-exchange global row
+    //    number, sums DECIMAL(38)-exact, ppm published via ONE integral
+    //    division (div ≡ //, trunc ≡ floor on the non-negative
+    //    numerator). ──
+    QueryDef("q200_gini_sources",
+      """WITH m AS (SELECT source AS k, CAST(sum(n_chars) AS BIGINT) AS x
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM m),
+        |a AS (SELECT count(*) AS n, sum(x) AS t,
+        |        sum(CAST(i AS HUGEINT) * x) AS s1 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+        |  CASE WHEN t > 0 THEN CAST(
+        |    ((2 * s1 - (CAST(n AS HUGEINT) + 1) * t) * 1000000)
+        |      // (CAST(n AS HUGEINT) * t) AS BIGINT) END AS gini_ppm
+        |FROM a""".stripMargin) { (s, d) =>
+      graft.ops.Profile.giniConcentration(
+        graft.queries.Tables.documents(s, d), "source", "n_chars")
+    },
+
     // ── q152: Bradley–Terry preference strengths — pairwise outcomes
     //    (here: consecutive same-user events duel, higher `value` wins)
     //    reduced to one strength per item by 3 exact MM rounds — the

@@ -124,4 +124,50 @@ class ProfileSpec extends SparkSpec {
       Seq((0L, true), (0L, false)).toDF("arm", "conv"), "arm", "conv").head()
     assert(one.getLong(6) == 1L && one.isNullAt(8))
   }
+
+  test("chiSquareIndependence: hand-replayed 2x2, zero-observed cell in " +
+      "the grid, perfectly proportional table scores 0") {
+    import spark.implicits._
+    // o = [[10,20],[20,10]]: all e = 15, term = 25/15 each, chi2 = 4·(5/3)
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val r = Profile.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .head()
+    val term = BigDecimal(25.0 / 15.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(r.getLong(0) == 60L && r.getLong(1) == 1L)
+    assert(r.getDecimal(2) == (term * 4).bigDecimal.setScale(6), r.toString)
+    // zero-observed cell: ('y','q') never occurs but its e>0 term counts
+    val sparse = Seq.fill(8)(("x", "p")) ++ Seq.fill(8)(("x", "q")) ++
+      Seq.fill(4)(("y", "p"))
+    val s = Profile.chiSquareIndependence(sparse.toDF("a", "b"), "a", "b")
+      .head()
+    // e: x,p=9.6 x,q=6.4 y,p=2.4 y,q=1.6; terms replayed at 6dp
+    def t6(o: Double, e: Double) = BigDecimal((o - e) * (o - e) / e)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp = t6(8, 9.6) + t6(8, 6.4) + t6(4, 2.4) + t6(0, 1.6)
+    assert(s.getDecimal(2) == exp.bigDecimal.setScale(6), s.toString)
+    // proportional table: independence exactly, chi2 = 0
+    val ind = Seq.fill(6)(("x", "p")) ++ Seq.fill(3)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(2)(("y", "q"))
+    assert(Profile.chiSquareIndependence(ind.toDF("a", "b"), "a", "b")
+      .head().getDecimal(2).signum == 0)
+  }
+
+  test("giniConcentration: equal masses 0, max concentration (n-1)/n, " +
+      "hand case 1-2-3-4, zero total NULL") {
+    import spark.implicits._
+    def gini(rows: Seq[(String, Long)]): org.apache.spark.sql.Row =
+      Profile.giniConcentration(rows.toDF("k", "m"), "k", "m").head()
+    val eq = gini(Seq(("a", 5L), ("b", 5L), ("c", 5L)))
+    assert(eq.getLong(2) == 0L, eq.toString)
+    // one key owns everything among 4: G = 3/4
+    val max4 = gini(Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L)))
+    assert(max4.getLong(2) == 750000L, max4.toString)
+    // masses 1,2,3,4: S1 = 30, G = (60 - 50)/40 = 0.25
+    val h = gini(Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+    assert((h.getLong(0), h.getLong(1), h.getLong(2)) == (4L, 10L, 250000L))
+    // all-zero masses: NULL (no distribution to rank)
+    assert(gini(Seq(("a", 0L), ("b", 0L))).isNullAt(2))
+  }
 }
