@@ -428,33 +428,99 @@ object Similarity {
                            driftPpm: Long)
         : (Seq[(Int, Seq[Double])], Seq[Int]) = {
       require(cents.nonEmpty, "ivfCentroidRefresh: need centroids")
-      val dim = cents.head._2.size
       val idx = spark.read.parquet(indexDir)
-      val flagged = ivfCellDrift(idx, cents, driftPpm)
-        .where(col("refit") === 1).select(col("cell"))
-      val means = cellMeans(idx, dim)
-        .join(flagged, col("_cell") === col("cell"))
-        .select(col("cell"), col("_mv"))
-        .collect()                       // ≤ k rows — quantizer-sized
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      if (means.isEmpty) (cents, Nil)
+      val (newCents, driftedIds) = refreshPlan(idx, cents, driftPpm)
+      if (driftedIds.isEmpty) (cents, Nil)
       else {
-        val newCents = cents.map { case (cid, cv) =>
-          (cid, means.getOrElse(cid, cv))
-        }
-        val driftedIds = means.keys.toSeq.sorted
         val moved = idx
           .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
           .select(col("id"), col("vec"), col("_n"))
           .withColumn("_cell", ivfCell(col("vec"), newCents))
           .localCheckpoint()
-        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        driftedIds.foreach { cid =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$indexDir/_cell=$cid"), true)
-        }
-        moved.write.mode("append").partitionBy("_cell").parquet(indexDir)
+        rewriteCells(spark, indexDir, driftedIds, moved)
+        (newCents, driftedIds)
+      }
+    }
+
+    /** The refit decision shared by both refresh layouts: flag drifted
+      * cells ([[ivfCellDrift]]), collect their members' means (≤ k rows
+      * — quantizer-sized), and splice them into the centroid set.
+      * Returns (updated centroids, refitted cell ids — empty when
+      * nothing drifted). */
+    private def refreshPlan(idx: DataFrame, cents: Seq[(Int, Seq[Double])],
+                            driftPpm: Long)
+        : (Seq[(Int, Seq[Double])], Seq[Int]) = {
+      val dim = cents.head._2.size
+      val flagged = ivfCellDrift(idx, cents, driftPpm)
+        .where(col("refit") === 1).select(col("cell"))
+      val means = cellMeans(idx, dim)
+        .join(flagged, col("_cell") === col("cell"))
+        .select(col("cell"), col("_mv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      (cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) },
+        means.keys.toSeq.sorted)
+    }
+
+    /** Partition-level commit of a refresh: delete the refitted cells'
+      * directories, append the (already-checkpointed) re-assigned rows.
+      * The checkpoint-before-delete ordering is the crash contract both
+      * refresh layouts document. */
+    private def rewriteCells(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, driftedIds: Seq[Int],
+                             moved: DataFrame): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      driftedIds.foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexDir/_cell=$cid"), true)
+      }
+      moved.write.mode("append").partitionBy("_cell").parquet(indexDir)
+    }
+
+    /** [[ivfCentroidRefresh]] for the COMPRESSED ([[pqIndex]] /
+      * [[pqIndexResidual]]) layout — where a centroid move does MORE
+      * than re-route assignments: residual codes are encoded AGAINST
+      * their cell's centroid, so every member of a refitted cell must
+      * re-encode (its stored codes describe a residual from a centroid
+      * that no longer exists). The codes hold no full vectors, so the
+      * drift audit and the re-encode both read `corpus` — the
+      * full-vector table the PQ serving contract already keeps wherever
+      * the corpus lives ([[pqTopKAgainstIndex]]'s re-rank side): one
+      * map-only assignment pass for the audit, then re-encode of ONLY
+      * the drifted cells' members. Plain (non-residual) codes don't
+      * depend on the coarse centroids, but their rows still migrate, so
+      * the partition rewrite is the same.
+      *
+      * Undrifted cells' rows are never re-encoded or rewritten — their
+      * centroids are unchanged, so their residual codes stay valid (the
+      * property that makes this O(drifted), and the reason the refresh
+      * must go through THIS op rather than [[ivfCentroidRefresh]] on a
+      * compressed directory). Same miss class and crash contract as the
+      * full-vector refresh. Returns (updated centroids, refitted cell
+      * ids). */
+    def pqCentroidRefresh(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, corpus: DataFrame,
+                          dim: Int, m: Int,
+                          books: Seq[(Int, Int, Seq[Double])],
+                          cents: Seq[(Int, Seq[Double])],
+                          driftPpm: Long,
+                          residual: Boolean = false)
+        : (Seq[(Int, Seq[Double])], Seq[Int]) = {
+      require(cents.nonEmpty, "pqCentroidRefresh: need centroids")
+      val assigned = ivfIndex(corpus.where(col("id").isNotNull), cents)
+      val (newCents, driftedIds) = refreshPlan(assigned, cents, driftPpm)
+      if (driftedIds.isEmpty) (cents, Nil)
+      else {
+        val movedFull = assigned
+          .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
+          .select(col("id"), col("vec"), col("_n"))
+          .withColumn("_cell", ivfCell(col("vec"), newCents))
+        val moved =
+          (if (residual) pqIndexResidual(movedFull, dim, m, books, newCents)
+           else pqIndex(movedFull, dim, m, books))
+            .localCheckpoint()
+        rewriteCells(spark, indexDir, driftedIds, moved)
         (newCents, driftedIds)
       }
     }

@@ -229,6 +229,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCentroidRefresh: drifted cells re-encode against their moved " +
+      "centroid (residual layout), result equals a full rebuild, " +
+      "undrifted partitions untouched") {
+    import spark.implicits._
+    def u(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r), math.cos(r), math.sin(r))
+    }
+    val corpus = Seq(
+      (0L, u(30)), (1L, u(35)), (2L, u(40)),   // drifts off cent 0 (0°)
+      (10L, u(60)), (11L, u(65)), (12L, u(70)), // drifts off cent 1 (90°)
+      (20L, u(180)), (21L, u(180)), (22L, u(180))).toDF("id", "vec")
+    val cents = Seq(0 -> u(0), 1 -> u(90), 2 -> u(180))
+    val books = Similarity.pqFitCodebooks(corpus, dim = 4, m = 2, ksub = 4,
+      iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqref").toString
+    try {
+      Similarity.pqIndexResidual(
+          Similarity.ivfIndex(corpus, cents), 4, 2, books, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/pq")
+      val (newCents, drifted) = Similarity.pqCentroidRefresh(spark,
+        s"$dir/pq", corpus, dim = 4, m = 2, books = books, cents = cents,
+        driftPpm = 50000L, residual = true)
+      assert(drifted == Seq(0, 1))
+      assert(newCents(2) == 2 -> u(180))
+      // the maintained compressed index IS the full rebuild under
+      // newCents — including the re-encoded residual codes
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("_n"), col("_codes"),
+            col("_cell").cast("int"))
+          .collect().map(_.toString).sorted.toSeq
+      val stored = spark.read.parquet(s"$dir/pq")
+      val rebuilt = Similarity.pqIndexResidual(
+        Similarity.ivfIndex(corpus, newCents), 4, 2, books, newCents)
+      assert(rows(stored) == rows(rebuilt))
+      // repeat refresh: centroids sit on their mass, nothing to do
+      val (again, d2) = Similarity.pqCentroidRefresh(spark, s"$dir/pq",
+        corpus, 4, 2, books, newCents, driftPpm = 50000L, residual = true)
+      assert(d2.isEmpty && again == newCents)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfIndexAppend / pqIndexAppend: appended index serves equal to a " +
       "full build; re-seen and null ids drop; re-append is a no-op") {
     import spark.implicits._
