@@ -718,6 +718,58 @@ object Text {
       .select(col("doc_id"))
   }
 
+  /** Trending terms between two corpus slices (this crawl vs last, this
+    * week vs previous) — the vocabulary-level drift monitor that names
+    * WHAT changed where [[graft.ops.Scoring.distributionDrift]]'s bucket
+    * audit only says THAT something did: per term, the Laplace-smoothed
+    * relative-rate ratio
+    * `ratio_ppm = floor((c_cur+1)·(N_prev+V)·10⁶ / ((c_prev+1)·(N_cur+V)))`
+    * (V = distinct terms across both slices — the smoothing vocabulary;
+    * new terms get finite ratios instead of division blowups), filtered
+    * to `minCount` current occurrences, ranked by (ratio desc, term).
+    *
+    * Integer-exact end to end: counts and totals are exact aggregates,
+    * the ratio is ONE integral division of DECIMAL(38) products (`div`
+    * ≡ DuckDB `//`, non-negative operands), and the ranking is the
+    * range-exchange global row number — no task sorts the vocabulary,
+    * no transcendental reaches an output column.
+    *
+    * Scale shape: two token-count passes (map-side combined to
+    * vocabulary-sized frames), one full-outer term join, two one-row
+    * totals broadcast in-plan, then the bounded ranked head. Output:
+    * (term, c_cur, c_prev, ratio_ppm, rank 1..topN). */
+  def trendingTerms(current: DataFrame, currentTextCol: String,
+                    previous: DataFrame, previousTextCol: String,
+                    topN: Int, minCount: Long = 5L): DataFrame = {
+    require(topN > 0, "trendingTerms: topN must be positive")
+    require(minCount >= 1, "trendingTerms: minCount must be >= 1")
+    def counts(df: DataFrame, text: String, out: String) =
+      df.select(explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val cur = counts(current, currentTextCol, "_cc")
+    val prev = counts(previous, previousTextCol, "_cp")
+    val joined = cur.join(prev, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("_cc"), lit(0L)).as("c_cur"),
+        coalesce(col("_cp"), lit(0L)).as("c_prev"))
+    val tot = joined.agg(sum(col("c_cur")).as("_nc"),
+      sum(col("c_prev")).as("_np"), count(lit(1)).as("_v"))
+    val dec = "decimal(38,0)"
+    val ratio = expr(
+      s"""((cast(c_cur as $dec) + 1) * (cast(_np as $dec) + _v) * 1000000)
+         | div ((cast(c_prev as $dec) + 1) * (cast(_nc as $dec) + _v))"""
+        .stripMargin)
+    val scored = joined.where(col("c_cur") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("c_cur"), col("c_prev"),
+        ratio.as("ratio_ppm"))
+    Ops.globalRowNumber(scored,
+        Seq(col("ratio_ppm").desc, col("term").asc), "rank")
+      .where(col("rank") <= topN)
+      .withColumn("rank", col("rank").cast("int"))
+  }
+
   /** [[invertedIndex]] with TERM FREQUENCIES in the postings — the
     * artifact RANKED retrieval needs ([[searchBm25]]): (term, df,
     * postings ARRAY<STRUCT<doc, tf>>), postings by doc id ascending,

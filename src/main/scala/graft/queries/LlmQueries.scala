@@ -4138,6 +4138,42 @@ object LlmQueries {
         .orderBy("rank")
     },
 
+    // ── q201: trending terms — the vocabulary-level drift monitor
+    //    (q135's bucket audit says THAT the mix moved; this names WHAT):
+    //    even-doc slice vs odd-doc slice, Laplace-smoothed relative-rate
+    //    ratio as ONE integral division of exact products, min support
+    //    5, top 20 by (ratio desc, term). ──
+    QueryDef("q201_trending_terms",
+      """WITH cur AS (SELECT t AS term, count(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS t FROM documents WHERE doc_id % 2 = 0) WHERE t <> ''
+        |  GROUP BY 1),
+        |prv AS (SELECT t AS term, count(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS t FROM documents WHERE doc_id % 2 = 1) WHERE t <> ''
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(cur.term, prv.term) AS term,
+        |        coalesce(cur.c, 0) AS c_cur, coalesce(prv.c, 0) AS c_prev
+        |      FROM cur FULL OUTER JOIN prv ON cur.term = prv.term),
+        |tt AS (SELECT sum(c_cur) AS nc, sum(c_prev) AS np, count(*) AS v
+        |       FROM j),
+        |sc AS (SELECT term, c_cur, c_prev,
+        |    CAST(((CAST(c_cur AS HUGEINT) + 1) * (np + v) * 1000000)
+        |      // ((CAST(c_prev AS HUGEINT) + 1) * (nc + v)) AS BIGINT)
+        |      AS ratio_ppm
+        |  FROM j CROSS JOIN tt WHERE c_cur >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY ratio_ppm DESC, term)
+        |        AS rank FROM sc)
+        |SELECT term, c_cur, c_prev, ratio_ppm, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Text.trendingTerms(
+          docs.where(col("doc_id") % 2 === 0), "text",
+          docs.where(col("doc_id") % 2 === 1), "text",
+          topN = 20, minCount = 5L)
+        .orderBy("rank")
+    },
+
     // ── q183: SCD-2 history build — the change log of each user's
     //    event_type collapsed into validity intervals (half-open
     //    [from, to), NULL valid_to = current). (ts, value) ordering

@@ -618,6 +618,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(serve(Seq("alpha", "nosuch")) == Seq.empty)
   }
 
+  test("trendingTerms: smoothed ratio hand-replayed, new term ranks " +
+      "first, min support filters, totals include both slices") {
+    import spark.implicits._
+    // cur: aa×5, new×5, bb×1 (Nc=11); prev: aa×5, bb×4, cc×1 (Np=10);
+    // V=4 → ratio = (c_cur+1)·14e6 // ((c_prev+1)·15)
+    val cur = Seq((1L, "aa aa aa aa aa bb new new new new new"))
+      .toDF("id", "text")
+    val prev = Seq((2L, "aa aa aa aa aa bb bb bb bb cc")).toDF("id", "text")
+    val got = graft.ops.Text.trendingTerms(cur, "text", prev, "text",
+        topN = 10, minCount = 5L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.toSeq == Seq(
+      ("new", 5L, 0L, 6L * 14000000L / 15L, 1),  // 5600000
+      ("aa", 5L, 5L, 6L * 14000000L / 90L, 2)),  // 933333
+      got.mkString(","))
+  }
+
   test("invertedIndexTf + searchBm25: served top-k equals a direct bm25 " +
       "corpus rescore; tf carried exactly; truncation under-reports " +
       "by contract") {
