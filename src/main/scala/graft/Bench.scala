@@ -280,11 +280,12 @@ object Bench {
       // three so the artifact records the real recurring cost (the fold —
       // store streamed through broadcast joins, CC on the contracted
       // delta — is the number that must stay flat as the store grows).
+      var cdir: String = null
       val clusterPhases = try {
         val docs = graft.queries.Tables.documents(spark, sfDir)
         val corpus = docs.where(col("doc_id") % 10 =!= 0)
         val batch = docs.where(col("doc_id") % 10 === 0)
-        val cdir = Files.createTempDirectory("graft-bench-cluster").toString
+        cdir = Files.createTempDirectory("graft-bench-cluster").toString
         val cBuild = timed("cluster_build") {
           val corpusPairs = graft.ops.Dedup.ngramJaccardPairs(corpus,
             "doc_id", "text", shingleN = 8, threshold = 0.8)
@@ -319,6 +320,15 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] cluster-append phase attribution failed: $e")
           Seq.empty
+      } finally {
+        // the graph phase drops its tables the same way — don't leak two
+        // temp parquet trees per bench run (round-16 advisory)
+        if (cdir != null) {
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(cdir))
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(s"$cdir.delta"))
+        }
       }
       pqGraph ++ clusterPhases
     } catch {
@@ -411,6 +421,25 @@ object Bench {
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_.med).sum else 0.0
     val totalCold = if (results.nonEmpty) results.values.map(_.cold).sum else 0.0
+    // ── Serve-only headline (round 17): a handful of queries re-run a
+    // deterministic FIT inside the timed body (codebook/centroid/GD
+    // training a production pipeline pays once and persists), so the raw
+    // total moves with re-fit cost, not recurring serve cost. serve_total
+    // drops the fit-dominated queries and adds back the measured *_serve
+    // phases, so round-over-round comparisons track the recurring path.
+    // Membership is by construction (which queries call a fit op in the
+    // timed body), not by timing.
+    val fitDominated = Set(
+      "q92_ann_pq",          // pqFitCodebooks in-query (pq_serve phase)
+      "q94_ann_ivfpq",       // residual codebook fit (pq_serve phase)
+      "q143_cluster_append", // corpus build + delta pairs (cluster_fold)
+      "q195_classifier_fit", // the fit IS the query — no serve half
+      "q197_fit_serve_sweep", // 3-epoch fit before the sweep
+      "q203_langid_fit")     // 3 one-vs-all fits before the serve
+    val serveTotal =
+      results.collect { case (k, v) if !fitDominated(k) => v.med }.sum +
+        phases.collect { case (k, v) if k.endsWith("_serve") ||
+          k == "cluster_fold" => v }.sum
     val contentionJson =
       contention.map(c => s""","contention":${c.json}""").getOrElse("")
     val phasesJson =
@@ -419,6 +448,7 @@ object Bench {
         .mkString(""","phases":{""", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""serve_total":$serveTotal,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
         s""""runs":$reps,"queries_runs":$qsRuns,"queries_env":$qsEnv,""" +
         s""""suspect":$suspectsJson$contentionJson$phasesJson,"sf":"$sfDir"}"""

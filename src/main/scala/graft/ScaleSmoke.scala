@@ -57,6 +57,18 @@ object ScaleSmoke {
         lrPpm = 250000L).count()
       println(f"classifier_fit_100k_3ep: weights=$nft " +
         f"time=${(System.nanoTime()-tft)/1e9}%.1f s")
+      // Multiclass one-vs-all LID fit (round 17) at 100k docs / 4 classes
+      // / 2^16 buckets / 2 epochs: ONE tokenize+hash into the shared
+      // persisted frame, then per class the q195 epoch loop. Watch:
+      // total ≈ classes × (per-epoch cost of classifier_fit at the same
+      // buckets) + one shared feature build — NOT classes × re-tokenize.
+      val tova = System.nanoTime()
+      val nova = graft.ops.Scoring.langIdFit(
+        d.withColumn("cls", concat(lit("c"), col("doc_id") % 4)),
+        "doc_id", "text", "cls", buckets = 1 << 16, epochs = 2,
+        lrPpm = 250000L).count()
+      println(f"langid_fit_100k_4cls_2ep: weights=$nova " +
+        f"time=${(System.nanoTime()-tova)/1e9}%.1f s")
       // quantileBuckets at 2M rows / 5 keys with ~400k DISTINCT scores per
       // key — the shape where a naive per-key cumulative window is one
       // 400k-row task; the two-level cum must stay flat.
@@ -422,11 +434,26 @@ object ScaleSmoke {
     graft.ops.Similarity.ivfIndex(v, irCents).write.mode("overwrite")
       .partitionBy("_cell").parquet("/tmp/scale_ivfref")
     val tir2 = System.nanoTime()
-    val (_, irDrifted) = graft.ops.Similarity.ivfCentroidRefresh(spark,
+    val (irNew, irDrifted) = graft.ops.Similarity.ivfCentroidRefresh(spark,
       "/tmp/scale_ivfref", irCents, driftPpm = 100000L)
     println(f"ivf_refresh_200k_64cells: refit=${irDrifted.size} " +
       f"build=${(tir2 - tir)/1e9}%.1f s " +
       f"refresh=${(System.nanoTime() - tir2)/1e9}%.1f s")
+    // IVF compaction (round 17): the full-re-assignment true-up after
+    // the refresh above — one map-only audit pass over the 200k index
+    // (no shuffle; centroids are plan literals), rewrite of only the
+    // cells that lost members (the refresh's documented miss class).
+    // Watch: audit ≈ one index scan; the SECOND compact must find
+    // nothing and cost only the audit.
+    val tic = System.nanoTime()
+    val icMoved = graft.ops.Similarity.ivfCompact(spark,
+      "/tmp/scale_ivfref", irNew)
+    val tic2 = System.nanoTime()
+    val icAgain = graft.ops.Similarity.ivfCompact(spark,
+      "/tmp/scale_ivfref", irNew)
+    println(f"ivf_compact_200k_64cells: rewritten=${icMoved.size} " +
+      f"noop=${icAgain.size} compact=${(tic2 - tic)/1e9}%.1f s " +
+      f"recheck=${(System.nanoTime() - tic2)/1e9}%.1f s")
     // bitext margin mining (round 15): 100 broadcast src queries against
     // the 200k tgt corpus — three map-only passes of the hard_negatives
     // shape (sims for per-src means, per-tgt means, margins).

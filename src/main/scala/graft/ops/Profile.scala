@@ -228,15 +228,29 @@ object Profile {
     * standard practice (the tail bends away from the power law) and is
     * also what makes the op scale: the full vocabulary is never ranked.
     *
-    * Determinism: x = round(ln rank, 6), y = round(ln freq, 6); all five
-    * regression sums accumulate exact decimals (products of two 6-dp
-    * values are exact 12-dp), slope/intercept/r² are single IEEE ratios
-    * of exact-decimal casts, round-6. Scale shape: one map-side-combined
-    * token count, then the salted two-phase bottom-k ranking (no task
-    * sorts the whole vocabulary; the final window ranks ≤ topV·fanout
-    * survivors), then a one-row aggregate. Output one row:
-    * (n BIGINT, slope DOUBLE, intercept DOUBLE, r2 DOUBLE); slope/r²
-    * NULL when degenerate (n < 2 / zero variance). */
+    * Determinism: x = round(ln rank, 6), y = round(ln freq, 6) enter as
+    * exact integer MICRO-UNITS (xᵤ = x·10⁶), so all five regression sums
+    * are exact integers (products of two micro-values are exact
+    * pico-units) and every published statistic is one signed integral
+    * division (`div` ≡ DuckDB `//`, sign split so trunc ≡ floor on
+    * non-negative operands — a rounded double ratio is the q171
+    * divergence class):
+    * {{{
+    *   num = n·Σxᵤyᵤ − Σxᵤ·Σyᵤ,  den = n·Σxᵤ² − (Σxᵤ)²,
+    *   deny = n·Σyᵤ² − (Σyᵤ)²
+    *   slope_ppm     = sign(num)·((|num|·10⁶) div den)
+    *   intercept_ppm = sign(i)·(|i| div (n·10⁶)),
+    *                   i = Σyᵤ·10⁶ − slope_ppm·Σxᵤ
+    *   r2_ppm        = (slope_ppm·num) div deny   (≥ 0: signs match)
+    * }}}
+    * (intercept/r² consume the QUANTIZED slope — the published
+    * definition, identical on both engines; r² ≤ 10⁶ by Cauchy–Schwarz
+    * so no intermediate exceeds DECIMAL(38).) Scale shape: one map-side-
+    * combined token count, then the salted two-phase bottom-k ranking
+    * (no task sorts the whole vocabulary; the final window ranks ≤
+    * topV·fanout survivors), then a one-row aggregate. Output one row:
+    * (n BIGINT, slope_ppm, intercept_ppm, r2_ppm — all BIGINT);
+    * slope/r² NULL when degenerate (n < 2 / zero variance). */
   def zipfSlope(docs: DataFrame, textCol: String,
                 topV: Int = 1024, fanout: Int = 64): DataFrame = {
     require(topV > 1, "zipfSlope: topV must be > 1")
@@ -259,43 +273,43 @@ object Profile {
       .where(col("_lrk") <= topV)
       .withColumn("rank", row_number().over(global))
       .where(col("rank") <= topV)
-    val d6 = "decimal(18,6)"
-    def sq(a: Column, b: Column): Column =
-      (a.cast(d6) * b.cast(d6)).cast("decimal(38,12)")
+    val d38 = "decimal(38,0)"
+    // micro-unit points: xᵤ ≤ ln(65536)·10⁶ ≈ 1.2e7, yᵤ ≤ ln(2⁶³)·10⁶ ≈
+    // 4.4e7 — pico-unit products ≤ 5e14 per term, sums ≤ 3.3e19 over
+    // 65536 terms, n·Σ ≤ 2.2e24: everything sits far inside DECIMAL(38).
     val pts = top.select(
-      Round6.guarded(log(col("rank").cast("double")), "zipfSlope x")
-        .as("_x"),
-      Round6.guarded(log(col("_f").cast("double")), "zipfSlope y")
-        .as("_y"))
+      floor(Round6.guarded(log(col("rank").cast("double")), "zipfSlope x")
+        * lit(1e6) + lit(0.5)).cast("long").as("_xu"),
+      floor(Round6.guarded(log(col("_f").cast("double")), "zipfSlope y")
+        * lit(1e6) + lit(0.5)).cast("long").as("_yu"))
     val a = pts.agg(
       count(lit(1)).as("n"),
-      sum(col("_x").cast(d6)).as("_sx"),
-      sum(col("_y").cast(d6)).as("_sy"),
-      sum(sq(col("_x"), col("_y"))).as("_sxy"),
-      sum(sq(col("_x"), col("_x"))).as("_sxx"),
-      sum(sq(col("_y"), col("_y"))).as("_syy"))
-    def nTimes(s: Column): Column =
-      col("n").cast("decimal(10,0)") * s.cast("decimal(26,12)")
-    // DECIMAL(18,6) operands: Σ of round-6 ln terms is bounded by
-    // topV·|ln f| ≤ 65536·~40 ≈ 2.6e6 for any count that fits a BIGINT,
-    // far inside the 10^12 integer headroom (the old (12,6) capped the
-    // integer part at 999,999 and silently NULLed at large topV); the
-    // (18,6)×(18,6) product is DECIMAL(37,12) — still inside Spark's 38.
-    def cross(u: Column, v: Column): Column =
-      u.cast("decimal(18,6)") * v.cast("decimal(18,6)")
-    val num = nTimes(col("_sxy")) - cross(col("_sx"), col("_sy"))
-    val den = nTimes(col("_sxx")) - cross(col("_sx"), col("_sx"))
-    val deny = nTimes(col("_syy")) - cross(col("_sy"), col("_sy"))
-    val slope = when(den =!= 0,
-      round(num.cast("double") / den.cast("double"), 6))
-    a.select(col("n").cast("long").as("n"),
-      slope.as("slope"),
-      when(den =!= 0, round(
-        (col("_sy").cast("double") - slope * col("_sx").cast("double")) /
-          col("n").cast("double"), 6)).as("intercept"),
-      when(den =!= 0 && deny =!= 0, round(
-        (num.cast("double") * num.cast("double")) /
-          (den.cast("double") * deny.cast("double")), 6)).as("r2"))
+      sum(col("_xu").cast(d38)).as("_sx"),
+      sum(col("_yu").cast(d38)).as("_sy"),
+      sum((col("_xu").cast(d38) * col("_yu")).cast(d38)).as("_sxy"),
+      sum((col("_xu").cast(d38) * col("_xu")).cast(d38)).as("_sxx"),
+      sum((col("_yu").cast(d38) * col("_yu")).cast(d38)).as("_syy"))
+    a
+      .withColumn("_num", expr(
+        "cast(n as decimal(38,0)) * _sxy - _sx * _sy"))
+      .withColumn("_den", expr(
+        "cast(n as decimal(38,0)) * _sxx - _sx * _sx"))
+      .withColumn("_deny", expr(
+        "cast(n as decimal(38,0)) * _syy - _sy * _sy"))
+      .withColumn("slope_ppm", when(col("_den") =!= 0, expr(
+        """(case when _num < 0 then -1L else 1L end) *
+          |  ((abs(_num) * 1000000) div _den)""".stripMargin)))
+      .withColumn("_inum", expr(
+        "_sy * 1000000 - cast(slope_ppm as decimal(38,0)) * _sx"))
+      .select(col("n").cast("long").as("n"),
+        col("slope_ppm"),
+        when(col("_den") =!= 0, expr(
+          """(case when _inum < 0 then -1L else 1L end) *
+            |  (abs(_inum) div (cast(n as decimal(38,0)) * 1000000))"""
+            .stripMargin)).as("intercept_ppm"),
+        when(col("_den") =!= 0 && col("_deny") =!= 0, expr(
+          "(cast(slope_ppm as decimal(38,0)) * _num) div _deny"))
+          .as("r2_ppm"))
   }
 
   /** Pearson χ² test of independence between two categorical columns —
@@ -317,11 +331,21 @@ object Profile {
     * corpus-scan shuffle), then marginals/grid over contingency-sized
     * frames. The grid is R×C rows — categorical-audit cardinalities by
     * contract (a high-cardinality column belongs in [[keySkew]]-style
-    * audits, not a χ² grid). Output one row: (n BIGINT, dof BIGINT,
+    * audits, not a χ² grid). NULL categories are dropped up front —
+    * callers who want NULL as a category coalesce to a sentinel first
+    * (see the body comment). Output one row: (n BIGINT, dof BIGINT,
     * chi2 DECIMAL(18,6)). */
   def chiSquareIndependence(df: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
-    val cont = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+    // NULL categories are dropped up front (documented): a NULL key
+    // would be counted in the contingency/marginals and n but excluded
+    // from countDistinct's dof and never matched by the grid's
+    // equi-join — its observed mass silently treated as 0 while its
+    // expected mass still inflates χ² (round-16 advisory). A caller who
+    // wants NULL as a category coalesces to a sentinel first.
+    val cont = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
       .agg(count(lit(1)).as("_o"))
     val ra = cont.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
     val cb = cont.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))

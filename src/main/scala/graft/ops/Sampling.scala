@@ -399,34 +399,47 @@ object Sampling {
     * score→weight step of loss-aware data mixing (the DoReMi family, Xie
     * et al. 2023 arXiv:2305.10429: domains with higher excess loss get
     * exponentially more weight; τ controls how aggressive): weight_i ∝
-    * exp(score_i/τ), published as floored integer ppm so downstream
-    * samplers ([[mixtureResample]], [[epochPlan]] — both take ppm weight
-    * tables) consume them without float noise.
+    * exp(score_i/τ), published as integer ppm so downstream samplers
+    * ([[mixtureResample]], [[epochPlan]] — both take ppm weight tables)
+    * consume them without float noise.
     *
-    * Determinism: score/τ rounds to 6 dp, exp rounds to 6 dp (the
-    * round-6-ln convention of [[graft.ops.Scoring]] applied to exp — libm
-    * last-ulp differences collapse), the denominator sums AS
-    * DECIMAL(18,6) (exact, order-free), and the final ppm is one
-    * multiply/divide/floor chain of IEEE-exact doubles. Scores should be
-    * O(1–20) (log-loss scale): exp of a larger score overflows the
-    * decimal accumulator LOUDLY rather than skewing weights silently.
+    * Determinism: the softmax is computed MAX-SHIFTED — weight_i ∝
+    * exp((score_i − max score)/τ), mathematically identical
+    * (shift-invariance) and the standard numerically-stable form — so
+    * every exp output lies in (0, 1], where [[Round6.guarded]]'s
+    * absolute 1e-12 margin regime holds and the 6-dp round is PROVEN
+    * per row (round 16's advisory: unshifted exp reaches 1e8+, where
+    * the relative cross-libm margin covers the whole 6-dp quantum and
+    * no round of a libm output can be certified at all). The exp
+    * argument is one IEEE subtract + divide of the shared score doubles
+    * — bit-identical across engines without any inner rounding (an
+    * inner round of score/τ would itself be a rational-ratio round, the
+    * q171 class). The rounded exp re-enters as exact integer micro-units
+    * (floor(b·10⁶ + 0.5) — near-integer by construction, boundary-free),
+    * the denominator is an exact integer sum, and weight_ppm =
+    * (bᵤ·10⁶) div Σbᵤ — one integral division (`div` ≡ DuckDB `//`,
+    * trunc ≡ floor on non-negative operands).
     *
     * `stats`: one row per domain (keyCol, scoreCol). Scale shape: the
-    * input is domain-cardinality-sized; one map pass + a one-row decimal
-    * total broadcast back. Output: (keyCol, scoreCol, boltzmann_6,
-    * weight_ppm) — weights sum to ≤ 1e6 (floor bias ≤ 1 ppm/domain). */
+    * input is domain-cardinality-sized; one max + one total (one-row
+    * aggregates, broadcast back) around a map pass. Output: (keyCol,
+    * scoreCol, boltzmann_6 — the SHIFTED exp at 6 dp, max row = 1.0 —
+    * weight_ppm) — weights sum to ≤ 1e6 (trunc bias ≤ 1 ppm/domain). */
   def mixtureWeights(stats: DataFrame, keyCol: String, scoreCol: String,
                      tau: Double = 1.0): DataFrame = {
     require(tau > 0, "mixtureWeights: tau must be positive")
+    val m = stats.agg(max(col(scoreCol)).as("_mx"))
     // exp is the same cross-libm hazard class as ln — route through the
     // per-row portability guard (see [[graft.ops.Round6]])
-    val e6 = Round6.guarded(exp(round(col(scoreCol) / lit(tau), 6)),
-      "mixtureWeights exp")
-    val scored = stats.select(col(keyCol), col(scoreCol), e6.as("_e"))
-    val tot = scored.agg(sum(col("_e").cast("decimal(18,6)")).as("_tot"))
+    val e6 = Round6.guarded(
+      exp((col(scoreCol) - col("_mx")) / lit(tau)), "mixtureWeights exp")
+    val scored = stats.crossJoin(broadcast(m))
+      .select(col(keyCol), col(scoreCol), e6.as("_e"))
+      .withColumn("_eu",
+        floor(col("_e") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = scored.agg(sum(col("_eu")).as("_tot"))
     scored.crossJoin(broadcast(tot))
       .select(col(keyCol), col(scoreCol), col("_e").as("boltzmann_6"),
-        floor(col("_e") * lit(1000000.0) / col("_tot").cast("double"))
-          .cast("long").as("weight_ppm"))
+        expr("_eu * cast(1000000 as bigint) div _tot").as("weight_ppm"))
   }
 }

@@ -59,8 +59,12 @@ object Scoring {
     * p(w₂|w₁) = (C(w₁w₂)+k) / (C(w₁·)+k·V) with C(w₁·) the corpus count
     * of bigrams starting at w₁ and V the unigram vocabulary size (in-plan,
     * no driver pre-pass); the score is the mean of −ln p over the doc's
-    * bigram INSTANCES. Output: (idCol, n_bigrams, cross_entropy),
-    * cross_entropy NULL for docs with fewer than two tokens.
+    * bigram INSTANCES, published as integer ppm (Σ tf·round(−ln p,6) in
+    * exact micros, ONE integral division by the instance count — `div` ≡
+    * DuckDB `//`, trunc ≡ floor on the non-negative sum; a rounded
+    * double mean is the q171 divergence class). Output: (idCol,
+    * n_bigrams, ce_ppm BIGINT), ce_ppm NULL for docs with fewer than two
+    * tokens.
     *
     * Scale shape: ONE bigram pass — instances aggregate to a per-doc
     * (id, bigram, tf) frame in place (text repartitioned by id;
@@ -103,8 +107,8 @@ object Scoring {
         sum(col("_lpw")).as("_s"))
       .select(col(idCol), col("n_bigrams"),
         when(col("n_bigrams") > 0,
-          round(col("_s").cast("double") / col("n_bigrams"), 6))
-          .as("cross_entropy"))
+          expr("cast(_s * 1000000 as decimal(38,0)) div n_bigrams"))
+          .as("ce_ppm"))
   }
 
   /** Per-doc cross-entropy under a Stupid-Backoff trigram LM fitted on a
@@ -133,7 +137,9 @@ object Scoring {
     * count-only map-side-combined aggregates of `ref` (vocabulary-shaped
     * — unhinted joins, see class doc) plus a one-row token total
     * broadcast. Nothing text-sized shuffles beyond the aggregated
-    * frames. Output: (idCol, n_trigrams, cross_entropy). */
+    * frames. The published mean is integer ppm (ONE integral division of
+    * the exact micro-sum by the instance count — see [[bigramLmScore]]).
+    * Output: (idCol, n_trigrams, ce_ppm BIGINT). */
   def trigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                      ref: DataFrame, refTextCol: String,
                      alpha: Double = 0.4): DataFrame = {
@@ -187,21 +193,26 @@ object Scoring {
         sum(col("_lpw")).as("_s"))
       .select(col(idCol), col("n_trigrams"),
         when(col("n_trigrams") > 0,
-          round(col("_s").cast("double") / col("n_trigrams"), 6))
-          .as("cross_entropy"))
+          expr("cast(_s * 1000000 as decimal(38,0)) div n_trigrams"))
+          .as("ce_ppm"))
   }
 
   /** Linear-classifier inference over hashed bag-of-tokens features — the
     * fastText-style quality gate: `weights` is a trained model as a
     * (bucket, weight) frame, each token contributes the weight of its
     * md5-60 hash bucket, and the doc's score is the mean contribution
-    * plus `intercept`. Output: (idCol, n_toks, score, keep) with
-    * keep = score > 0; token-less docs score `intercept`.
+    * plus `intercept`, published as SIGNED integer ppm: score_ppm =
+    * intercept_ppm + sign(S)·(|S| div n_toks) — one integral division of
+    * exact integers (`div` ≡ DuckDB `//`, sign split so trunc ≡ floor on
+    * non-negative operands; a rounded double ratio is the q171
+    * divergence class). Output: (idCol, n_toks, score_ppm BIGINT, keep)
+    * with keep = score_ppm > 0; token-less docs score intercept_ppm.
     *
     * Weights are quantized ONCE to integer micro-units
-    * (round(w·10⁶) — models ship ≤6-dp weights losslessly), so the
-    * per-doc aggregate is an exact integer sum: bit-identical under
-    * retry, layout, and engine replay, with no decimal column in flight.
+    * (round(w·10⁶) — models ship ≤6-dp weights losslessly; the intercept
+    * quantizes the same way on the JVM), so the per-doc aggregate is an
+    * exact integer sum: bit-identical under retry, layout, and engine
+    * replay, with no decimal column in flight.
     *
     * Scale shape: ONE corpus pass — the weight vector is `buckets`-bounded
     * and explicitly broadcast, inference is a map-only enrich of the token
@@ -214,6 +225,7 @@ object Scoring {
     require(buckets > 0, "buckets must be positive")
     val wq = weights.select(col("bucket"),
       round(col("weight") * 1e6).cast("long").as("_wq"))
+    val iPpm = math.round(intercept * 1e6)
     toksOuter(docs, idCol, textCol)
       .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
       .join(broadcast(wq), col("_bkt") === col("bucket"), "left")
@@ -222,9 +234,11 @@ object Scoring {
         sum(coalesce(col("_wq"), lit(0L))).as("_s"))
       .select(col(idCol), col("n_toks"),
         when(col("n_toks") > 0,
-          round(lit(intercept) + col("_s").cast("double") / (col("n_toks") * 1e6), 6))
-          .otherwise(round(lit(intercept), 6)).as("score"))
-      .withColumn("keep", col("score") > 0.0)
+          lit(iPpm) + expr(
+            """(case when _s < 0 then -1L else 1L end) *
+              |  (abs(_s) div n_toks)""".stripMargin))
+          .otherwise(lit(iPpm)).as("score_ppm"))
+      .withColumn("keep", col("score_ppm") > 0L)
   }
 
   /** Distributed FIT for the hashed linear quality gate — the training
@@ -299,24 +313,103 @@ object Scoring {
     try {
       val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
       val store = new Graph.RoundStore(checkpointDir, "linfit")
-      var w = feats.select(col("_bkt")).distinct()
-        .select(col("_bkt"), lit(0L).as("_wu"))
-      for (_ <- 1 to epochs) {
-        val resid = feats.join(broadcast(w), Seq("_bkt"))
-          .groupBy(col("_id"), col("_d"), col("_yu"))
-          .agg(sum(col("_wu") * col("_cnt")).as("_z"))
-          .select(col("_id"), (expr("_z div _d") - col("_yu")).as("_ru"))
-        val grad = feats.join(resid, Seq("_id"))
-          .select(col("_bkt"), expr("(_ru * _cnt) div _d").as("_c"))
-          .groupBy(col("_bkt")).agg(sum(col("_c")).as("_g"))
-        w = store.truncate(
-          w.join(grad, Seq("_bkt"), "left").crossJoin(nd)
-            .select(col("_bkt"), (col("_wu") -
-              expr(s"(${lrPpm}L * (coalesce(_g, 0L) div _nd)) div 1000000L"))
-              .as("_wu")))
-      }
-      w.select(col("_bkt").as("bucket"), col("_wu").as("weight_u"))
+      linFitLoop(feats, nd, epochs, lrPpm, store)
+        .select(col("_bkt").as("bucket"), col("_wu").as("weight_u"))
     } finally feats.unpersist()
+  }
+
+  /** The epoch loop shared by [[hashedLinearFit]] and [[langIdFit]]:
+    * `feats` is the persisted (_id, _bkt, _cnt, _d, _yu) feature frame
+    * (bucket −1 = the intercept feature), `nd` the broadcast one-row doc
+    * count. Returns the (_bkt, _wu) weight vector after `epochs` exact
+    * integer-GD rounds (the q195 arithmetic, verbatim). */
+  private def linFitLoop(feats: DataFrame, nd: DataFrame, epochs: Int,
+                         lrPpm: Long, store: Graph.RoundStore): DataFrame = {
+    var w = feats.select(col("_bkt")).distinct()
+      .select(col("_bkt"), lit(0L).as("_wu"))
+    for (_ <- 1 to epochs) {
+      val resid = feats.join(broadcast(w), Seq("_bkt"))
+        .groupBy(col("_id"), col("_d"), col("_yu"))
+        .agg(sum(col("_wu") * col("_cnt")).as("_z"))
+        .select(col("_id"), (expr("_z div _d") - col("_yu")).as("_ru"))
+      val grad = feats.join(resid, Seq("_id"))
+        .select(col("_bkt"), expr("(_ru * _cnt) div _d").as("_c"))
+        .groupBy(col("_bkt")).agg(sum(col("_c")).as("_g"))
+      w = store.truncate(
+        w.join(grad, Seq("_bkt"), "left").crossJoin(nd)
+          .select(col("_bkt"), (col("_wu") -
+            expr(s"(${lrPpm}L * (coalesce(_g, 0L) div _nd)) div 1000000L"))
+            .as("_wu")))
+    }
+    w
+  }
+
+  /** One-vs-all multiclass FIT for the hashed language-ID model — the
+    * training half of [[langIdScore]] (which serves an externally
+    * supplied (lang, bucket, weight) table; this learns one from a
+    * labeled corpus, closing the last bring-your-own-model seam): for
+    * each distinct class c in `classCol`, run [[hashedLinearFit]]'s
+    * exact integer-GD loop against the binary target (class == c) over
+    * the SAME hashed-token features, and stack the learned vectors as
+    * (lang, bucket −1 = intercept, weight_u micro-units). Serve by
+    * feeding weight_u/10⁶ straight into [[langIdScore]] — its bucket −1
+    * rows are the per-class intercepts and its argmax is over
+    * Σ w + intercept·n (the mean + intercept, n shared across classes).
+    *
+    * Determinism: class list is the SORTED distinct classCol values
+    * (driver-collected — class-bounded by contract); each class's fit is
+    * byte-identical to [[hashedLinearFit]] on the binarized label (the
+    * spec pins the equality), so the whole model is a pure function of
+    * (corpus, labels, buckets, epochs, lrPpm).
+    *
+    * Scale shape: the corpus is tokenized/hashed ONCE into one persisted
+    * feature frame shared by every class (the text is never re-scanned
+    * per class — K re-reads of raw text would dominate at 100 TB); per
+    * class the cost is [[hashedLinearFit]]'s two-joins-per-epoch against
+    * that frame with a `buckets`-bounded broadcast weight table, and
+    * per-class lineage is truncated independently. NULL-class docs are
+    * dropped (no label, no vote). Output: (lang STRING, bucket BIGINT,
+    * weight_u BIGINT), (classes × ≤ buckets+1) rows. */
+  def langIdFit(docs: DataFrame, idCol: String, textCol: String,
+                classCol: String, buckets: Int, epochs: Int,
+                lrPpm: Long = 250000L,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(buckets > 0, "langIdFit: buckets must be positive")
+    require(epochs > 0, "langIdFit: epochs must be positive")
+    val base = docs.where(col(classCol).isNotNull).repartition(col(idCol))
+      .select(col(idCol).as("_id"), col(classCol).cast("string").as("_lab"),
+        explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .withColumn("_tok",
+        when(col("_tok") === "", lit(null: String)).otherwise(col("_tok")))
+    val counts = base.where(col("_tok").isNotNull)
+      .select(col("_id"),
+        pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)).as("_bkt"))
+      .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+    val dframe = base.groupBy(col("_id"), col("_lab"))
+      .agg(greatest(count(col("_tok")), lit(1L)).as("_d"))
+    val shared = counts.join(dframe, Seq("_id"))
+        .select(col("_id"), col("_bkt"), col("_cnt"), col("_d"), col("_lab"))
+      .unionByName(dframe.select(col("_id"), lit(-1L).as("_bkt"),
+        col("_d").as("_cnt"), col("_d"), col("_lab")))
+      .persist()
+    try {
+      shared.count() // materialize before the per-class loops fan out
+      val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
+      val classes = dframe.select(col("_lab")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      classes.map { c =>
+        val feats = shared.withColumn("_yu",
+          (when(col("_lab") === c, 1L).otherwise(-1L) * 1000000L))
+        val store = new Graph.RoundStore(checkpointDir, s"linfit_$c")
+        linFitLoop(feats, nd, epochs, lrPpm, store)
+          .select(lit(c).as("lang"), col("_bkt").as("bucket"),
+            col("_wu").as("weight_u"))
+          // per-class weights are buckets-bounded: pin them NOW so the
+          // stacked union does not re-run K epoch chains lazily against
+          // an unpersisted cache after the finally
+          .localCheckpoint()
+      }.reduce(_ unionByName _)
+    } finally shared.unpersist()
   }
 
   /** Multiclass hashed language identification — the fastText-LID shape
@@ -327,9 +420,16 @@ object Scoring {
     * class with the SMALLEST lang label breaking ties. This is the first
     * gate of a multilingual pipeline — the producer of the `lang` column
     * the per-language ops (bytes-per-token audits, temperature mixtures)
-    * consume. Output: (idCol, n_toks, lang, score) with score the winning
-    * class's mean per-token contribution; token-less docs get NULL
-    * lang/score (no evidence, no verdict).
+    * consume. Output: (idCol, n_toks, lang, score_ppm BIGINT) with
+    * score_ppm the winning class's mean per-token contribution as SIGNED
+    * integer ppm (sign · (|sum| div n_toks) — `div` ≡ DuckDB `//`, sign
+    * split so trunc ≡ floor; never a rounded double ratio, the q171
+    * divergence class); token-less docs get NULL lang/score_ppm (no
+    * evidence, no verdict). Weight rows with bucket −1 are per-class
+    * INTERCEPTS ([[langIdFit]]'s layout): each enters its class's sum as
+    * intercept·n_toks, i.e. the published score is mean + intercept —
+    * matching [[hashedLinearScore]]'s binary contract; models without −1
+    * rows are unaffected.
     *
     * Determinism: weights quantize ONCE to integer micro-units (the
     * [[hashedLinearScore]] contract), per-class sums are exact integer
@@ -353,22 +453,35 @@ object Scoring {
     require(buckets > 0, "buckets must be positive")
     val wq = weights.select(col("lang"), col("bucket"),
       round(col("weight") * 1e6).cast("long").as("_wq"))
+    // bucket −1 rows are per-class INTERCEPTS ([[langIdFit]]'s layout):
+    // they can never match a pmod bucket, so they are split out and
+    // enter each class's sum as intercept·n_toks (mean + intercept in
+    // sum space — n_toks is shared across classes, so the argmax is
+    // unchanged in spirit and exact in integers). A model without −1
+    // rows behaves exactly as before.
+    val icpt = wq.where(col("bucket") === -1L)
+      .select(col("lang"), col("_wq").as("_iu"))
+    val wreal = wq.where(col("bucket") >= 0L)
     val langs = wq.select(col("lang")).distinct()
     val toks = toksOuter(docs, idCol, textCol)
       .withColumn("_bkt", pmod(Dedup.md5Hash60(col("_tok")), lit(buckets.toLong)))
     val counts = toks.groupBy(col(idCol)).agg(count(col("_tok")).as("n_toks"))
-    val sums = toks.join(broadcast(wq), col("_bkt") === col("bucket"))
+    val sums = toks.join(broadcast(wreal), col("_bkt") === col("bucket"))
       .groupBy(col(idCol), col("lang")).agg(sum(col("_wq")).as("_s"))
     counts.crossJoin(broadcast(langs))
       .join(sums, Seq(idCol, "lang"), "left")
-      .withColumn("_sc", coalesce(col("_s"), lit(0L)))
+      .join(broadcast(icpt), Seq("lang"), "left")
+      .withColumn("_sc", coalesce(col("_s"), lit(0L)) +
+        coalesce(col("_iu"), lit(0L)) * col("n_toks"))
       .groupBy(col(idCol), col("n_toks"))
       .agg(min(struct((-col("_sc")).as("s"), col("lang").as("l"))).as("_m"))
+      .withColumn("_bs", -col("_m").getField("s"))
       .select(col(idCol), col("n_toks"),
         when(col("n_toks") > 0, col("_m").getField("l")).as("lang"),
-        when(col("n_toks") > 0,
-          round((-col("_m").getField("s")).cast("double") / (col("n_toks") * 1e6), 6))
-          .as("score"))
+        when(col("n_toks") > 0, expr(
+          """(case when _bs < 0 then -1L else 1L end) *
+            |  (abs(_bs) div n_toks)""".stripMargin))
+          .as("score_ppm"))
   }
 
   /** DSIR importance weights (Xie et al., "Data Selection for Language
@@ -429,16 +542,21 @@ object Scoring {
     * admitting a batch: hashed-unigram token distributions (the
     * [[dsirWeights]] feature space), add-1 smoothed, compared bucket by
     * bucket. Output one row per bucket observed in EITHER stream:
-    * (bucket, n_batch, n_ref, llr, kl_term) where
-    * `llr = ln p̂_b − ln p̂_r` (6 dp) and `kl_term = p̂_b · llr` (6 dp) —
-    * summing kl_term approximates KL(batch ‖ reference); sorting by |llr|
-    * surfaces WHICH features moved (the actionable part: a spam wave or a
-    * parser regression shows up as specific buckets, not just a scalar).
+    * (bucket, n_batch, n_ref, llr, kl_ppm) where
+    * `llr = ln p̂_b − ln p̂_r` (6 dp, [[Round6.guarded]]) and `kl_ppm =
+    * sign(llr) · (((n_batch+1)·|llr·10⁶|) div (N_b+buckets))` — the
+    * exact integral quantization of p̂_b·llr·10⁶ (`div` ≡ DuckDB `//`,
+    * sign split so trunc ≡ floor; rounding the rational product p̂_b·llr
+    * to 6 dp is the q171 divergence class). Summing kl_ppm approximates
+    * KL(batch ‖ reference)·10⁶; sorting by |llr| surfaces WHICH features
+    * moved (the actionable part: a spam wave or a parser regression
+    * shows up as specific buckets, not just a scalar).
     *
     * Same determinism contract as the rest of the tier: counts are exact
-    * integers, each ln/product is rounded to 6 dp at the bucket level
-    * (never aggregated as floats), so the table is bit-identical across
-    * runs, layouts, and engines. Scale shape: one pass per stream into
+    * integers, the one ln per bucket is guarded round-6 and re-enters as
+    * an exact micro-unit integer (never aggregated as floats), so the
+    * table is bit-identical across runs, layouts, and engines. Scale
+    * shape: one pass per stream into
     * `buckets`-bounded map-side-combined count tables; totals are one-row
     * aggregates DERIVED from those tables (no extra scan); the final
     * full-outer join touches ≤ 2·`buckets` rows. */
@@ -454,19 +572,26 @@ object Scoring {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_batch"))
     val cr = bucketStream(reference, refTextCol)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
-    val nb = cb.agg(coalesce(sum(col("n_batch")), lit(0L)).cast("double").as("_nb"))
-    val nr = cr.agg(coalesce(sum(col("n_ref")), lit(0L)).cast("double").as("_nr"))
+    val nb = cb.agg(coalesce(sum(col("n_batch")), lit(0L)).as("_nbl"))
+    val nr = cr.agg(coalesce(sum(col("n_ref")), lit(0L)).as("_nrl"))
     val b = lit(buckets.toDouble)
-    val pb = (coalesce(col("n_batch"), lit(0L)) + lit(1.0)) / (col("_nb") + b)
-    val pr = (coalesce(col("n_ref"), lit(0L)) + lit(1.0)) / (col("_nr") + b)
+    val pb = (coalesce(col("n_batch"), lit(0L)) + lit(1.0)) /
+      (col("_nbl").cast("double") + b)
+    val pr = (coalesce(col("n_ref"), lit(0L)) + lit(1.0)) /
+      (col("_nrl").cast("double") + b)
     val llr = Round6.guarded(log(pb) - log(pr), "doremiLlr")
     cb.join(cr, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nr))
       .select(col("bucket"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        llr.as("llr"),
-        round(pb * llr, 6).as("kl_term"))
+        llr.as("llr"), col("_nbl"))
+      .withColumn("_lu", floor(col("llr") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("kl_ppm", expr(
+        s"""(case when _lu < 0 then -1L else 1L end) *
+           |  ((cast(n_batch + 1L as decimal(38,0)) * abs(_lu))
+           |     div (_nbl + ${buckets}L))""".stripMargin))
+      .drop("_lu", "_nbl")
   }
 
   /** Value-based per-key quantile bucketing — the CCNet split (Wenzek et
@@ -563,8 +688,15 @@ object Scoring {
     * a pure function of the per-key score multiset, never interpolated);
     * MAD is the same statistic over |score − median|.
     *
-    * z6 = round((score − median)/mad, 6); NULL when the score is NULL or
-    * the MAD is 0 (≥ half the key's scores equal its median — a
+    * z_ppm = sign(score − median) · ((|score − median|·10⁶) div mad) in
+    * exact decimal micros — SIGNED integer ppm via one integral division
+    * (`div` ≡ DuckDB `//`; operands kept non-negative so trunc ≡ floor,
+    * sign reapplied after — the cross-engine publication rule; a rounded
+    * double ratio is the q171 divergence class). Exact when the score is
+    * integral or a ≤ 6-dp decimal (every declared use); a raw-double
+    * score would push the hazard into the micros cast — route such
+    * scores through [[Round6.guarded]] first. NULL when the score is
+    * NULL or the MAD is 0 (≥ half the key's scores equal its median — a
     * degenerate population where no robust scale exists; publishing ±∞
     * or 0 would silently pass/kill those rows at any threshold).
     *
@@ -572,7 +704,7 @@ object Scoring {
     * windows + a key-sized aggregate) + two broadcast joins back onto the
     * corpus — the threshold tables are key-cardinality-sized and must fit
     * a broadcast (the [[quantileBuckets]] contract). Output: input
-    * columns + median, mad, z6. */
+    * columns + median, mad, z_ppm. */
   def robustZScores(scored: DataFrame, keyCol: String, scoreCol: String,
                     coarseBins: Double = 100.0): DataFrame = {
     require(coarseBins > 0, "robustZScores: coarseBins must be positive")
@@ -586,10 +718,15 @@ object Scoring {
       .select(col(keyCol), col("_t1").as("mad"))
     scored.join(broadcast(med), Seq(keyCol), "left")
       .join(broadcast(mad), Seq(keyCol), "left")
-      .withColumn("z6",
+      .withColumn("_num_u",
         when(col(scoreCol).isNotNull && col("mad") =!= 0,
-          round((col(scoreCol) - col("median")).cast("double") /
-            col("mad").cast("double"), 6)))
+          expr(s"cast((`$scoreCol` - median) * 1000000 as decimal(38,0))")))
+      .withColumn("z_ppm",
+        when(col("_num_u").isNotNull, expr(
+          """(case when _num_u < 0 then -1L else 1L end) *
+            |  ((abs(_num_u) * 1000000)
+            |     div cast(mad * 1000000 as decimal(38,0)))""".stripMargin)))
+      .drop("_num_u")
   }
 
   /** Classifier calibration table (reliability diagram + ECE, Guo et al.
@@ -769,16 +906,20 @@ object Scoring {
     * marginals, ARI = 2·(S_ij·S_n − S_a·S_b) / ((S_a+S_b)·S_n −
     * 2·S_a·S_b); every product accumulates as DECIMAL(38,0) (exact up
     * to ~10⁹ rows — beyond that the products exceed 38 digits; shard
-    * first), then ONE double division + round-6. NMI uses
-    * integer-WEIGHTED entropies (n·H = Σ aᵢ·round(ln(n/aᵢ), 6), summed
-    * as DECIMAL) so no per-term fraction ever reaches round() at a
-    * concentration point; nmi = round(2·MIₙ/(Hₐₙ + H_bₙ), 6). Both
-    * publish NULL when degenerate (single cluster on both sides).
+    * first), published as SIGNED integer ppm via ONE integral division
+    * (sign split so trunc ≡ floor on the non-negative denominator;
+    * `div` ≡ DuckDB `//` — a rounded double ratio is the q171
+    * divergence class; ARI can be negative). NMI uses integer-WEIGHTED
+    * entropies (n·H = Σ aᵢ·round(ln(n/aᵢ), 6), summed as DECIMAL) so no
+    * per-term fraction ever reaches round() at a concentration point;
+    * nmi_ppm = (2·MIₙ·10⁶ in exact micros) div (Hₐₙ + H_bₙ in micros),
+    * sign split the same way. Both publish NULL when degenerate (single
+    * cluster on both sides).
     *
     * Scale shape: one inner join on the id + one map-side-combined
     * contingency groupBy (sized by distinct co-cluster PAIRS, ≤ the
     * smaller assignment's row count); marginals derive from it; output
-    * is ONE row. Output: (n BIGINT, ari DOUBLE, nmi DOUBLE). */
+    * is ONE row. Output: (n BIGINT, ari_ppm BIGINT, nmi_ppm BIGINT). */
   def clusterAgreement(a: DataFrame, b: DataFrame, idCol: String,
                        aCol: String, bCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -822,12 +963,19 @@ object Scoring {
     sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
       .crossJoin(broadcast(miN)).crossJoin(broadcast(haN))
       .crossJoin(broadcast(hbN))
-      .select(col("_n").as("n"),
-        when(den =!= 0,
-          round(num.cast("double") / den.cast("double"), 6)).as("ari"),
-        when((col("_h_ai") + col("_h_bj")).cast("double") =!= 0.0,
-          round(lit(2.0) * col("_min").cast("double") /
-            (col("_h_ai") + col("_h_bj")).cast("double"), 6)).as("nmi"))
+      .select(col("_n").as("n"), num.as("_anum"), den.as("_aden"),
+        col("_min"), col("_h_ai"), col("_h_bj"))
+      .select(col("n"),
+        when(col("_aden") =!= 0, expr(
+          """(case when _anum < 0 then -1L else 1L end) *
+            |  ((abs(_anum) * 1000000) div _aden)""".stripMargin))
+          .as("ari_ppm"),
+        when(col("_h_ai") + col("_h_bj") =!= 0, expr(
+          """(case when _min < 0 then -1L else 1L end) *
+            |  ((cast(abs(_min) * 1000000 as decimal(38,0)) * 2000000)
+            |     div cast((_h_ai + _h_bj) * 1000000 as decimal(38,0)))"""
+            .stripMargin))
+          .as("nmi_ppm"))
   }
 
   /** Bradley–Terry preference-strength estimation (Bradley & Terry 1952;
@@ -835,20 +983,29 @@ object Scoring {
     * Bradley-Terry models") — the aggregation step of preference-data
     * curation: pairwise outcomes (A beat B) over items (model responses,
     * prompts, annotators) reduce to one strength per item, P(i beats j) =
-    * sᵢ/(sᵢ+sⱼ). Exactly `iters` MM rounds:
+    * sᵢ/(sᵢ+sⱼ). Strengths live in INTEGER MICRO-UNITS (sᵢᵘ = sᵢ·10⁶,
+    * starting at 10⁶ = 1.0) and every division is integral — exactly
+    * `iters` MM rounds:
     * {{{
-    *   sᵢ' = (Wᵢ + 1) / ( Σⱼ round(nᵢⱼ/(sᵢ+sⱼ), 6)  +  round(2/(sᵢ+1), 6) )
-    *   then normalized: sᵢ ← round(sᵢ'/Σ s', 6)
+    *   denᵢᵘ = Σⱼ (nᵢⱼ·10¹² div max(sᵢᵘ+sⱼᵘ, 1))  +  2·10¹² div (sᵢᵘ+10⁶)
+    *   sᵢ'ᵘ  = (Wᵢ + 1)·10¹² div denᵢᵘ
+    *   then normalized: sᵢᵘ ← (sᵢ'ᵘ·10⁶) div Σ s'ᵘ
     * }}}
     * where Wᵢ = wins, nᵢⱼ = games between i and j. The `+1 win` /
     * `+2/(sᵢ+1)` pair is one VIRTUAL win and loss against a fixed
     * strength-1 dummy — the standard regularizer that keeps an all-win
     * or all-loss item finite (without it the MLE diverges; Hunter §6).
     *
-    * Determinism contract (file header): the per-opponent terms round to
-    * 6 dp and sum AS DECIMAL(18,6) — exact, order-free — then one double
-    * add + divide + round(·,6) per item, so `iters` rounds are a pure
-    * function of the outcome multiset, bit-identical across engines.
+    * Determinism contract (file header): NO double ever divides — every
+    * per-opponent term, the update, and the normalization are integral
+    * divisions of exact DECIMAL(38,0)s (`div` ≡ DuckDB `//`, trunc ≡
+    * floor on these non-negative operands) summed order-free, so `iters`
+    * rounds are a pure function of the outcome multiset, bit-identical
+    * across engines. (The former per-round round(double, 6) chain was
+    * the q171 divergence class compounded once per round — a
+    * boundary-adjacent rational at ANY round would fork the whole
+    * trajectory.) The max(·,1) divisor guard covers the measure-zero
+    * case of two strengths truncating to 0 micro-units.
     *
     * Scale shape: items/games tables are persisted once; each round is
     * ONE join of games against the strength vector on both endpoints +
@@ -865,8 +1022,8 @@ object Scoring {
     *
     * `outcomes`: one row per game, `winnerCol` beat `loserCol` (any
     * key type; cast to string). Null-keyed or self-play rows dropped.
-    * Output: (item STRING, games BIGINT, wins BIGINT, strength DOUBLE
-    * — normalized to sum ≈ 1, 6 dp). */
+    * Output: (item STRING, games BIGINT, wins BIGINT, strength_ppm
+    * BIGINT — normalized to sum ≈ 10⁶). */
   def bradleyTerry(outcomes: DataFrame, winnerCol: String, loserCol: String,
                    iters: Int = 3,
                    checkpointDir: Option[String] = None): DataFrame = {
@@ -887,27 +1044,31 @@ object Scoring {
       .select(col("_i"), col("_games"),
         coalesce(col("_wins"), lit(0L)).as("_wins"))
       .persist(MEMORY_AND_DISK)
-    var cur = base.withColumn("_s", lit(1.0))
+    var cur = base.withColumn("_su", lit(1000000L))
     for (_ <- 1 to iters) {
-      val sj = cur.select(col("_i").as("_j"), col("_s").as("_sj"))
+      val sj = cur.select(col("_i").as("_j"), col("_su").as("_sju"))
       val den = games
-        .join(cur.select(col("_i"), col("_s")), Seq("_i"))
+        .join(cur.select(col("_i"), col("_su")), Seq("_i"))
         .join(sj, Seq("_j"))
         .groupBy(col("_i"))
-        .agg(sum(round(col("_n") / (col("_s") + col("_sj")), 6)
-          .cast("decimal(18,6)")).as("_den"))
+        .agg(sum(expr(
+          """(cast(_n as decimal(38,0)) * 1000000000000)
+            |  div greatest(_su + _sju, 1L)""".stripMargin)
+          .cast("decimal(38,0)")).as("_denu"))
       val upd = cur.join(den, Seq("_i"))
         .select(col("_i"), col("_games"), col("_wins"),
-          round((col("_wins") + lit(1L)).cast("double") /
-            (col("_den").cast("double") +
-              round(lit(2.0) / (col("_s") + lit(1.0)), 6)), 6).as("_s"))
-      val tot = upd.agg(sum(col("_s").cast("decimal(18,6)")).as("_tot"))
+          expr(
+            """(cast(_wins + 1L as decimal(38,0)) * 1000000000000)
+              |  div (_denu + (cast(2 as decimal(38,0)) * 1000000000000)
+              |         div (_su + 1000000L))""".stripMargin).as("_su"))
+      val tot = upd.agg(sum(col("_su").cast("decimal(38,0)")).as("_totu"))
       cur = store.truncate(upd.crossJoin(broadcast(tot))
         .select(col("_i"), col("_games"), col("_wins"),
-          round(col("_s") / col("_tot").cast("double"), 6).as("_s")))
+          expr("(cast(_su as decimal(38,0)) * 1000000) div _totu")
+            .as("_su")))
     }
     cur.select(col("_i").as("item"), col("_games").as("games"),
-      col("_wins").as("wins"), col("_s").as("strength"))
+      col("_wins").as("wins"), col("_su").as("strength_ppm"))
   }
 
   /** Pairwise Cohen's kappa (Cohen 1960) over an annotation table — the
@@ -920,9 +1081,17 @@ object Scoring {
     *
     * Exactness (the [[clusterAgreement]] ARI discipline): kappa reduces
     * to ONE integer ratio — (n·agree − Σ_c naᶜ·nbᶜ) / (n² − Σ_c naᶜ·nbᶜ)
-    * — accumulated as DECIMAL(38,0), one trailing double division +
-    * round-6. NULL when the denominator is 0 (both raters constant with
-    * identical marginals — chance agreement is 1, kappa undefined).
+    * — accumulated as DECIMAL(38,0) and published as SIGNED integer ppm:
+    * sign(num) · ((|num|·10⁶) div den), one integral division of exact
+    * integers (`div` ≡ DuckDB `//`; operands kept non-negative so trunc
+    * ≡ floor, the sign reapplied after → trunc-toward-zero quantization
+    * on both engines). Kappa can be negative (worse than chance), which
+    * is why the sign is split out rather than relying on the engines'
+    * negative-division conventions. Never a rounded double — a rounded
+    * rational ratio is the cross-engine divergence class that bit q171
+    * (see [[graft.ops.Round6]]). NULL when the denominator is 0 (both
+    * raters constant with identical marginals — chance agreement is 1,
+    * kappa undefined).
     *
     * Precondition: ≤ one rating per (item, rater) — dedupe upstream
     * (e.g. [[graft.ops.Ops.firstPerGroup]] on rating time) or pairs
@@ -930,7 +1099,7 @@ object Scoring {
     * (per-item work bounded by raters-per-item², an annotation-design
     * constant, never corpus-sized), then every aggregate is sized by
     * rater-pairs × classes. Output: (rater_a, rater_b, n BIGINT,
-    * agree BIGINT, kappa DOUBLE). */
+    * agree BIGINT, kappa_ppm BIGINT). */
   def cohenKappaPairs(ratings: DataFrame, itemCol: String, raterCol: String,
                       labelCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -954,8 +1123,12 @@ object Scoring {
     val den = col("n").cast(dec) * col("n").cast(dec) - col("_pen")
     base.join(pe, Seq("rater_a", "rater_b"))
       .select(col("rater_a"), col("rater_b"), col("n"), col("agree"),
-        when(den =!= 0,
-          round(num.cast("double") / den.cast("double"), 6)).as("kappa"))
+        num.as("_num"), den.as("_den"))
+      .select(col("rater_a"), col("rater_b"), col("n"), col("agree"),
+        when(col("_den") =!= 0, expr(
+          """(case when _num < 0 then -1L else 1L end) *
+            |  ((abs(_num) * 1000000) div _den)""".stripMargin))
+          .as("kappa_ppm"))
   }
 
   /** nDCG@k (Järvelin & Kekäläinen 2002) per query — the graded-
@@ -975,16 +1148,24 @@ object Scoring {
     * from [[ndcgGainTable]] (rel ∈ 1..maxRel × pos ∈ 1..k values, the
     * rboTail / BenfordPpm shared-constant pattern — an external SQL
     * oracle interpolates the identical literals via [[ndcgGainCaseSql]]),
-    * summed as DECIMAL(18,6) (exact, order-free), then one double ratio
-    * + round-6. NULL when IDCG = 0 (no positive label). A rel above
-    * `maxRel` raises (raise_error) rather than silently scoring 0.
+    * summed as DECIMAL(18,6) (exact, order-free). The published ratio is
+    * NOT a rounded double (that bit the round-15 AND round-16 driver
+    * runs: dcg/idcg are ratios of exact 6-dp decimals — small-
+    * denominator rationals that can land within a half-ulp of a 0.5e-6
+    * HALF_UP boundary, where two engines' round-6 legitimately
+    * disagrees) — it is `ndcg_ppm = (dcg·10⁶) div idcg` in exact
+    * DECIMAL(38,0) micros: ONE integral division (`div` ≡ DuckDB `//`;
+    * trunc ≡ floor on the non-negative ratio), environment-independent
+    * by construction (the q200 gini pattern). NULL when IDCG = 0 (no
+    * positive label). A rel above `maxRel` raises (raise_error) rather
+    * than silently scoring 0.
     *
     * Scale shape: run rows filter to rank ≤ k before the label join
     * (broadcast-eligible eval set); the ideal ranking windows over ONE
     * QUERY'S labels (eval-design bounded, never corpus-sized) — salted
     * two-phase ranking is deliberately NOT used because label sets are
     * small by construction; output is queries × 1. Output: (queryCol,
-    * dcg DECIMAL(18,6), idcg DECIMAL(18,6), ndcg DOUBLE). */
+    * dcg DECIMAL(18,6), idcg DECIMAL(18,6), ndcg_ppm BIGINT). */
   def ndcgAtK(runs: DataFrame, queryCol: String, docCol: String,
               rankCol: String, qrels: DataFrame, relCol: String,
               k: Int, maxRel: Int = 3): DataFrame = {
@@ -1018,9 +1199,10 @@ object Scoring {
         .as("idcg"))
     dcg.join(idcg, Seq(queryCol))
       .select(col(queryCol), col("dcg"), col("idcg"),
-        when(col("idcg") > 0,
-          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
-          .as("ndcg"))
+        when(col("idcg") > 0, expr(
+          """(cast(dcg * 1000000 as decimal(38,0)) * 1000000)
+            |  div cast(idcg * 1000000 as decimal(38,0))""".stripMargin))
+          .as("ndcg_ppm"))
   }
 
   /** The literal gain table behind [[ndcgAtK]]: ((rel, pos) →
@@ -1049,19 +1231,25 @@ object Scoring {
     * [[ndcgAtK]] (the three standard ranking evals together: nDCG for
     * graded labels, AP for ranked coverage, RR for first-hit latency).
     * A run doc is a HIT when its label has `relCol` > 0 (graded labels
-    * binarize, trec_eval-style). Per query:
-    *  - `rr` = round(1/rank_of_first_hit, 6), 0.0 when no hit in the
+    * binarize, trec_eval-style). Everything is PURE INTEGER ppm — no
+    * double ever divides (a published rounded rational ratio is the
+    * cross-engine divergence class that bit q171; `div` ≡ DuckDB `//`,
+    * trunc ≡ floor on these non-negative ratios). Per query:
+    *  - `rr_ppm` = 10⁶ div rank_of_first_hit, 0 when no hit in the
     *    top k;
-    *  - `ap` = round(Σ_{hit at rank i} round(hits≤i / i, 6) /
-    *    min(R, k), 6) with R = positives in the LABEL set (docs the run
-    *    missed count against it); precision terms are exact integer
-    *    ratios rounded 6 and summed as DECIMAL(18,6); NULL when R = 0
-    *    (no positive label — undefined, matching [[ndcgAtK]]'s NULL).
+    *  - `ap_ppm` = (Σ_{hit at rank i} (hits≤i · 10⁶ div i)) div
+    *    min(R, k) with R = positives in the LABEL set (docs the run
+    *    missed count against it); precision terms are exact integral
+    *    micro-units summed as BIGINT (trunc quantization per term — ≤ 1
+    *    ppm below the real ratio, identically on both engines); NULL
+    *    when R = 0 (no positive label — undefined, matching
+    *    [[ndcgAtK]]'s NULL).
     *
     * Scale shape: run rows filter to rank ≤ k before the label join,
     * the cumulative-hit window orders ONE QUERY'S ≤ k run rows (k is an
     * eval constant), and R comes from one label-set aggregate. Output:
-    * (queryCol, n_rel BIGINT, hits BIGINT, rr DOUBLE, ap DOUBLE). */
+    * (queryCol, n_rel BIGINT, hits BIGINT, rr_ppm BIGINT, ap_ppm
+    * BIGINT). */
   def mapMrrAtK(runs: DataFrame, queryCol: String, docCol: String,
                 rankCol: String, qrels: DataFrame, relCol: String,
                 k: Int): DataFrame = {
@@ -1076,22 +1264,23 @@ object Scoring {
       .join(labels, Seq(queryCol, docCol), "left")
       .na.fill(0, Seq("_pos"))
       .withColumn("_cum", sum(col("_pos")).over(w))
-    val perQ = scored.groupBy(col(queryCol))
+    val perQ = scored
+      .withColumn("_pterm",
+        expr(s"cast(_cum as bigint) * cast(1000000 as bigint)" +
+          s" div cast(`$rankCol` as bigint)"))
+      .groupBy(col(queryCol))
       .agg(
         sum(col("_pos")).cast("long").as("hits"),
         min(when(col("_pos") === 1, col(rankCol))).as("_first"),
-        sum(when(col("_pos") === 1,
-          round(col("_cum").cast("double") / col(rankCol).cast("double"), 6)
-            .cast("decimal(18,6)"))).as("_psum"))
+        sum(when(col("_pos") === 1, col("_pterm"))).as("_psum"))
     nRel.join(perQ, Seq(queryCol), "left")
       .select(col(queryCol), col("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        coalesce(round(lit(1.0) / col("_first").cast("double"), 6),
-          lit(0.0)).as("rr"),
+        coalesce(expr("cast(1000000 as bigint) div cast(_first as bigint)"),
+          lit(0L)).as("rr_ppm"),
         when(col("n_rel") > 0,
-          round(coalesce(col("_psum"), lit(BigDecimal(0))).cast("double") /
-            least(col("n_rel"), lit(k.toLong)).cast("double"), 6))
-          .as("ap"))
+          expr(s"coalesce(_psum, 0L) div least(n_rel, ${k}L)"))
+          .as("ap_ppm"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — merge several ranked

@@ -442,6 +442,61 @@ object Similarity {
       }
     }
 
+    /** FULL re-assignment compaction of a persisted [[ivfIndex]] — the
+      * endpoint of [[ivfCentroidRefresh]]'s documented miss class:
+      * refreshes re-assign only DRIFTED cells' members, so a member of
+      * an undrifted cell sitting marginally closer to a moved centroid
+      * stays put; after many refreshes those strays accumulate and
+      * serve-equality with a fresh build erodes. Compaction re-assigns
+      * EVERY stored row against the current centroids in one map-only
+      * pass (centroids ride as plan literals — no shuffle, no refit) and
+      * rewrites ONLY the cells whose membership changed: losing cells
+      * are rewritten without their departed rows, gaining cells receive
+      * appends — an unchanged cell's partition is never touched, so a
+      * mostly-converged index compacts in O(strays), not O(history).
+      * After it, the stored index IS `ivfIndex(corpus, cents)` —
+      * serve-equality with a fresh build holds exactly (the spec pins it
+      * after a drift → refresh → compact cycle).
+      *
+      * Run it on the lake-hygiene cadence the append/refresh docs
+      * already name (e.g. weekly, or when [[ivfCellDrift]] shows residue
+      * below the refresh threshold) — appends and refreshes stay the
+      * cheap recurring path; this is the periodic true-up.
+      *
+      * Crash contract = the refresh's: moved+keeper rows are
+      * localCheckpoint'd BEFORE the affected partitions are deleted;
+      * treat delete+append as the commit point and re-run on doubt
+      * (idempotent — a second pass finds nothing to move). Returns the
+      * rewritten cell ids (empty = already compact, zero IO beyond the
+      * audit scan). */
+    def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String,
+                   cents: Seq[(Int, Seq[Double])]): Seq[Int] = {
+      require(cents.nonEmpty, "ivfCompact: need centroids")
+      val idx = spark.read.parquet(indexDir)
+        .withColumn("_newCell", ivfCell(col("vec"), cents))
+      val changedCells = idx
+        .where(col("_newCell").cast("int") =!= col("_cell").cast("int"))
+        .select(col("_cell"), col("_newCell"))
+      // quantizer-bounded collect: ≤ k distinct losing cell ids
+      val losing = changedCells.select(col("_cell").cast("int").as("_c"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (losing.isEmpty) Nil
+      else {
+        val affected = losing.map(Integer.valueOf)
+        // rows leaving an affected cell land at their new cell; rows
+        // STAYING in an affected cell must ride along because the whole
+        // partition is deleted
+        val rewrite = idx
+          .where(col("_cell").isin(affected: _*))
+          .select(col("id"), col("vec"), col("_n"),
+            col("_newCell").as("_cell"))
+          .localCheckpoint()
+        rewriteCells(spark, indexDir, losing, rewrite)
+        losing.sorted
+      }
+    }
+
     /** The refit decision shared by both refresh layouts: flag drifted
       * cells ([[ivfCellDrift]]), collect their members' means (≤ k rows
       * — quantizer-sized), and splice them into the centroid set.
@@ -512,8 +567,19 @@ object Similarity {
       val (newCents, driftedIds) = refreshPlan(assigned, cents, driftPpm)
       if (driftedIds.isEmpty) (cents, Nil)
       else {
+        // Membership comes from the STORED index, not the re-assigned
+        // corpus (round-16 advisory): a corpus row whose id was never
+        // appended (or was dropped by pqIndexAppend's dedup) must not be
+        // silently admitted by a refresh — refreshes move existing rows,
+        // appends add new ones ([[ivfCentroidRefresh]]'s stored-index
+        // semantics). The semi-join is partition-pruned to the drifted
+        // cells and carries only ids.
+        val storedIds = spark.read.parquet(indexDir)
+          .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
+          .select(col("id"))
         val movedFull = assigned
           .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
+          .join(storedIds, Seq("id"), "left_semi")
           .select(col("id"), col("vec"), col("_n"))
           .withColumn("_cell", ivfCell(col("vec"), newCents))
         val moved =
@@ -891,8 +957,12 @@ object Similarity {
     * Scale shape: both sides are k-bounded per query (batch·k rows, not
     * corpus-sized); one hash join on (query, neighbor) and two map-side-
     * combined aggregates — no windows, no skew (every key appears ≤ k
-    * times by construction). Output: (query_id, n_hits, n_truth,
-    * recall). */
+    * times by construction). The published ratio is integer ppm via ONE
+    * integral division of exact integers (`div` ≡ DuckDB `//`, trunc ≡
+    * floor on the non-negative ratio) — never a rounded double, the
+    * cross-engine portability rule every published count-ratio follows
+    * (see [[graft.ops.Round6]]). Output: (query_id, n_hits, n_truth,
+    * recall_ppm BIGINT). */
   def topKRecall(approx: DataFrame, truth: DataFrame): DataFrame = {
     val t = truth.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))
@@ -903,8 +973,8 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_truth"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("n_truth"), 6).as("recall"))
+        expr("coalesce(n_hits, 0L) * cast(1000000 as bigint) div n_truth")
+          .as("recall_ppm"))
   }
 
   /** Contrastive hard-negative mining — the training-pair generator for
@@ -1019,8 +1089,12 @@ object Similarity {
     * Determinism: IEEE double summation is addition-order-dependent, so
     * each component is rounded to 6 dp and summed as DECIMAL(38,12) —
     * exact and associative, bit-identical across partitionings, retries
-    * and engines (the Scoring tier's decimal-sum contract); the single
-    * trailing division and 6-dp render are fixed IEEE expressions.
+    * and engines (the Scoring tier's decimal-sum contract). The mean is
+    * NOT a rounded double ratio (the q171 divergence class): the sum
+    * quantizes to SIGNED micro-units by one integral division (sign
+    * split so trunc ≡ floor on non-negative operands, `div` ≡ DuckDB
+    * `//`), and `c` is that exact integer divided by 10⁶ — one IEEE
+    * division of exact inputs, bit-identical on any engine.
     *
     * Scale shape: one posexplode (narrow) + ONE map-side-combinable
     * groupBy on (group, d) — the shuffle carries groups × dim partial
@@ -1042,7 +1116,11 @@ object Similarity {
       .agg(sum(round(col("_v"), 6).cast("decimal(38,12)")).as("_s"),
         count(lit(1)).as("n"))
       .select(col(keyCol), col("d"),
-        round(col("_s").cast("double") / col("n"), 6).as("c"), col("n"))
+        (expr(
+          """(case when _s < 0 then -1L else 1L end) *
+            |  (cast(abs(_s) * 1000000 as decimal(38,0)) div n)"""
+            .stripMargin).cast("double") / lit(1e6)).as("c"),
+        col("n"))
   }
 
   /** Simplified silhouette (Hruschka et al. 2004 — the centroid-based
@@ -1347,16 +1425,16 @@ object Similarity {
     * Determinism: sims round to 6 dp then enter ALL further arithmetic
     * as exact integer micro-units (floor(sim·10⁶ + 0.5) — the q141
     * convention), so each neighborhood is an exact integer (sum, count)
-    * pair and the margin is ONE integer-ratio division + round:
-    * margin = round(su·2·nx·ny / (sx·ny + sy·nx), 6). This is
-    * deliberate: rounding a mean-of-6-dp-values (÷2, ÷k) concentrates
-    * on exact decimal halves, where engines legitimately disagree on
-    * round()'s direction (Spark rounds the shortest decimal repr of the
-    * double; DuckDB rounds its binary value) — integer micro-units never
-    * reach round() at a concentration point. Pairs whose denominator is
-    * ≤ 0 (anticorrelated neighborhoods — no meaningful ratio) are
-    * excluded rather than published with a flipped sign. Zero-norm
-    * vectors are dropped on both sides.
+    * pair and the margin publishes as SIGNED integer ppm: margin_ppm =
+    * sign(num) · ((|num|·10⁶) div den) with num = su·2·nx·ny, den =
+    * sx·ny + sy·nx — ONE integral division of exact integers (`div` ≡
+    * DuckDB `//`; sign split so trunc ≡ floor on non-negative operands).
+    * Never round(num/den, 6): an integer-ratio double rounded to 6 dp is
+    * the q171 divergence class — engines legitimately disagree on
+    * round()'s direction within a half-ulp of a 0.5e-6 boundary. Pairs
+    * whose denominator is ≤ 0 (anticorrelated neighborhoods — no
+    * meaningful ratio) are excluded rather than published with a flipped
+    * sign. Zero-norm vectors are dropped on both sides.
     *
     * Scale shape: the src side is the bounded query batch —
     * broadcast, so every tgt-side pass is map-only ([[bruteForceTopK]]'s
@@ -1369,8 +1447,8 @@ object Similarity {
     * first with [[knnGraph]]'s cell geometry and run the margin on its
     * edges.
     *
-    * Output: (src_id, tgt_id, sim, margin, mutual INT) — one row per
-    * src vector with at least one positive-margin candidate. */
+    * Output: (src_id, tgt_id, sim, margin_ppm BIGINT, mutual INT) — one
+    * row per src vector with at least one positive-margin candidate. */
   def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
                   vecCol: String, k: Int): DataFrame = {
     require(k > 0, "marginPairs: k must be positive")
@@ -1400,20 +1478,23 @@ object Similarity {
       .join(my, Seq("tgt_id"))
       .withColumn("_den",
         col("_sx") * col("_ny") + col("_sy") * col("_nx"))
-      .withColumn("margin",
-        when(col("_den") > 0,
-          round((col("_su") * lit(2L) * col("_nx") * col("_ny"))
-            .cast("double") / col("_den").cast("double"), 6)))
-      .where(col("margin").isNotNull)
+      .withColumn("_mnum",
+        col("_su") * lit(2L) * col("_nx") * col("_ny"))
+      .withColumn("margin_ppm",
+        when(col("_den") > 0, expr(
+          """(case when _mnum < 0 then -1L else 1L end) *
+            |  ((cast(abs(_mnum) as decimal(38,0)) * 1000000)
+            |     div _den)""".stripMargin)))
+      .where(col("margin_ppm").isNotNull)
     val fwd = boundedTopK(margins.withColumnRenamed("src_id", "query_id"),
-        "tgt_id", col("margin"), 1)
+        "tgt_id", col("margin_ppm"), 1)
       .select(col("query_id").as("src_id"), col("tgt_id"), col("sim"),
-        col("margin"))
+        col("margin_ppm"))
     val bwd = boundedTopK(margins.withColumnRenamed("tgt_id", "query_id"),
-        "src_id", col("margin"), 1)
+        "src_id", col("margin_ppm"), 1)
       .select(col("src_id"), col("query_id").as("tgt_id"), lit(1).as("_mut"))
     fwd.join(bwd, Seq("src_id", "tgt_id"), "left")
-      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"),
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin_ppm"),
         coalesce(col("_mut"), lit(0)).as("mutual"))
   }
 
@@ -1427,14 +1508,19 @@ object Similarity {
     * fail loudly (the PQ-tier `vecChecked` contract).
     *
     * Determinism: sums of x and x² accumulate AS DECIMAL(38,12) (the
-    * [[groupCentroids]] convention — exact, order-free); mean and
-    * population variance publish at 6 dp from one IEEE divide/multiply
-    * chain; min/max are exact doubles.
+    * [[groupCentroids]] convention — exact, order-free); the published
+    * moments are integer ppm via integral division of the exact sums
+    * (sign split on the mean so trunc ≡ floor on non-negative operands;
+    * `div` ≡ DuckDB `//` — a rounded double ratio is the q171
+    * divergence class). The SECOND MOMENT is published rather than the
+    * variance — var = m2 − mean² needs a square of a rational, which no
+    * integral scheme keeps exact; the consumer derives it in one IEEE
+    * step from two exact integers. min/max are exact doubles.
     *
     * Scale shape: one posexplode pass with map-side partial aggregation
     * — the shuffle carries dim × partial-aggregate rows, never vectors;
-    * output is dim rows. Output: (d INT, n, mean_6, var_6, min_x,
-    * max_x). */
+    * output is dim rows. Output: (d INT, n, mean_ppm BIGINT signed,
+    * m2_ppm BIGINT, min_x, max_x). */
   def embeddingStats(vectors: DataFrame, idCol: String, vecCol: String,
                      dim: Int): DataFrame = {
     require(dim > 0, "embeddingStats: dim must be positive")
@@ -1448,10 +1534,10 @@ object Similarity {
         min(col("_x")).as("min_x"),
         max(col("_x")).as("max_x"))
       .select(col("d"), col("n"),
-        round(col("_s").cast("double") / col("n"), 6).as("mean_6"),
-        round(col("_ss").cast("double") / col("n") -
-          (col("_s").cast("double") / col("n")) *
-          (col("_s").cast("double") / col("n")), 6).as("var_6"),
+        expr(
+          """(case when _s < 0 then -1L else 1L end) *
+            |  ((abs(_s) * 1000000) div n)""".stripMargin).as("mean_ppm"),
+        expr("(_ss * 1000000) div n").as("m2_ppm"),
         col("min_x"), col("max_x"))
   }
 

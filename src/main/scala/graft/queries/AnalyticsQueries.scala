@@ -594,7 +594,9 @@ object AnalyticsQueries {
     //    Fixture: each event is a rating — item = event_id div 8, rater =
     //    event_id % 8 (≤ one rating per (item, rater) by construction),
     //    label = event_type. Kappa is ONE integer ratio (n·agree −
-    //    Σ naᶜ·nbᶜ over n² − Σ naᶜ·nbᶜ), HUGEINT-replayed, round-6. ──
+    //    Σ naᶜ·nbᶜ over n² − Σ naᶜ·nbᶜ), HUGEINT-replayed and published
+    //    as SIGNED integer ppm (sign split out, |num|·10⁶ // den —
+    //    trunc-toward-zero on both engines; never a rounded double). ──
     QueryDef("q170_annotator_kappa",
       """WITH r AS (SELECT event_id // 8 AS i, event_id % 8 AS ra,
         |             event_type AS l FROM events),
@@ -611,9 +613,11 @@ object AnalyticsQueries {
         |       GROUP BY 1, 2)
         |SELECT bse.a AS rater_a, bse.b AS rater_b, n, agree,
         |  CASE WHEN CAST(n AS HUGEINT) * n - pen <> 0
-        |    THEN round(CAST(CAST(n AS HUGEINT) * agree - pen AS DOUBLE) /
-        |               CAST(CAST(n AS HUGEINT) * n - pen AS DOUBLE), 6)
-        |  END AS kappa
+        |    THEN CAST((CASE WHEN CAST(n AS HUGEINT) * agree - pen < 0
+        |           THEN -1 ELSE 1 END) *
+        |      (abs(CAST(n AS HUGEINT) * agree - pen) * 1000000
+        |        // (CAST(n AS HUGEINT) * n - pen)) AS BIGINT)
+        |  END AS kappa_ppm
         |FROM bse JOIN pe ON bse.a = pe.a AND bse.b = pe.b
         |ORDER BY rater_a, rater_b""".stripMargin) { (s, d) =>
       val ev = graft.queries.RelationalQueries.eventsNs(s, d)
@@ -633,7 +637,11 @@ object AnalyticsQueries {
     //    (trec_eval semantics). Gains are COMPILE-TIME LITERALS shared
     //    with the op (Scoring.ndcgGainCaseSql — no run-time ln() on
     //    either engine; the cross-libm round-6 hazard, see r15),
-    //    summed as DECIMAL(18,6), one final ratio. ──
+    //    summed as DECIMAL(18,6); the published ratio is integer ppm
+    //    via ONE exact-decimal integral division (div ≡ //, trunc ≡
+    //    floor on the non-negative ratio) — round-6 of the double
+    //    quotient diverged cross-engine on boundary-adjacent rationals
+    //    in BOTH the r15 and r16 driver runs (see ndcgAtK doc). ──
     QueryDef("q171_ndcg",
       s"""WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
         |              event_type AS t FROM events WHERE value IS NOT NULL),
@@ -660,8 +668,9 @@ object AnalyticsQueries {
         |       FROM ideal WHERE ipos <= 8 GROUP BY 1)
         |SELECT dg.q AS query_id, dcg, idcg,
         |  CASE WHEN idcg > 0
-        |    THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
-        |  END AS ndcg
+        |    THEN CAST((CAST(dcg * 1000000 AS HUGEINT) * 1000000)
+        |      // CAST(idcg * 1000000 AS HUGEINT) AS BIGINT)
+        |  END AS ndcg_ppm
         |FROM dg JOIN ig ON dg.q = ig.q
         |ORDER BY query_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -686,9 +695,11 @@ object AnalyticsQueries {
     // ── q172: MAP/MRR@8 per query — the binary-relevance companions to
     //    q171's nDCG over the same run (events ranked by value desc per
     //    user); a doc is relevant when its type is purchase/signup/click.
-    //    Precision-at-hit terms are exact integer ratios round-6 summed
-    //    as DECIMAL(18,6); AP divides by min(R, k) with R from the FULL
-    //    label set (missed positives count against the run). ──
+    //    Pure integer ppm end to end: precision-at-hit terms are
+    //    cum·10⁶ // rnk micro-units summed as BIGINT, AP divides the sum
+    //    by min(R, k) with R from the FULL label set (missed positives
+    //    count against the run), RR is 10⁶ // first_hit — no double
+    //    ratio is ever rounded (the q171 divergence class). ──
     QueryDef("q172_map_mrr",
       """WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
         |              event_type AS t FROM events WHERE value IS NOT NULL),
@@ -706,16 +717,15 @@ object AnalyticsQueries {
         |         AND r8.doc = qrels.doc),
         |pq AS (SELECT q, CAST(sum(pos) AS BIGINT) AS hits,
         |         min(CASE WHEN pos = 1 THEN rnk END) AS first_hit,
-        |         sum(CASE WHEN pos = 1 THEN CAST(round(
-        |           CAST(cum AS DOUBLE) / rnk, 6) AS DECIMAL(18,6)) END)
-        |           AS psum
+        |         sum(CASE WHEN pos = 1 THEN CAST(cum AS BIGINT) *
+        |           CAST(1000000 AS BIGINT) // rnk END) AS psum
         |       FROM sc GROUP BY 1)
         |SELECT nr.q AS query_id, n_rel,
         |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
-        |  coalesce(round(CAST(1.0 AS DOUBLE) / first_hit, 6), 0.0) AS rr,
-        |  CASE WHEN n_rel > 0 THEN round(
-        |    CAST(coalesce(psum, 0) AS DOUBLE) /
-        |    CAST(least(n_rel, 8) AS DOUBLE), 6) END AS ap
+        |  CAST(coalesce(CAST(1000000 AS BIGINT) // first_hit, 0)
+        |    AS BIGINT) AS rr_ppm,
+        |  CASE WHEN n_rel > 0 THEN CAST(
+        |    coalesce(psum, 0) // least(n_rel, 8) AS BIGINT) END AS ap_ppm
         |FROM nr LEFT JOIN pq ON nr.q = pq.q
         |ORDER BY query_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -1429,7 +1439,9 @@ object AnalyticsQueries {
     //    (chi2, dof) against a literal critical-value table. ──
     QueryDef("q199_chi2_independence",
       """WITH c AS (SELECT lang AS a, source AS b, count(*) AS o
-        |           FROM documents GROUP BY 1, 2),
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
         |ra AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1),
         |cb AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1),
         |nn AS (SELECT sum(o) AS n, count(DISTINCT a) AS r,
@@ -1473,10 +1485,12 @@ object AnalyticsQueries {
     //    (here: consecutive same-user events duel, higher `value` wins)
     //    reduced to one strength per item by 3 exact MM rounds — the
     //    aggregation step of preference-data curation. The oracle unrolls
-    //    the 3 rounds verbatim: every per-opponent term rounds to 6 dp
-    //    and sums AS DECIMAL (order-free), so both engines walk the
-    //    identical arithmetic. Timestamps floor to µs first (q121's
-    //    precision contract). ──
+    //    the 3 rounds verbatim in INTEGER MICRO-UNITS: every per-opponent
+    //    term, update, and normalization is an integral division
+    //    (HUGEINT // ≡ Spark decimal div) summed order-free, so both
+    //    engines walk the identical arithmetic — no double ever divides
+    //    (the q171 divergence class would compound once per round).
+    //    Timestamps floor to µs first (q121's precision contract). ──
     QueryDef("q152_bradley_terry",
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |              event_type AS t, value AS v FROM events),
@@ -1494,48 +1508,49 @@ object AnalyticsQueries {
         |b AS (SELECT gg.i, gg.games, coalesce(wi.wins, 0) AS wins
         |      FROM (SELECT i, sum(n) AS games FROM g GROUP BY 1) gg
         |      LEFT JOIN wi USING (i)),
-        |s0 AS (SELECT i, games, wins, CAST(1.0 AS DOUBLE) AS s FROM b),
+        |s0 AS (SELECT i, games, wins, CAST(1000000 AS HUGEINT) AS su
+        |       FROM b),
         |d1 AS (SELECT g.i,
-        |         sum(CAST(round(g.n / (si.s + sj.s), 6) AS DECIMAL(18,6)))
-        |           AS den
+        |         sum(CAST(g.n AS HUGEINT) * 1000000000000
+        |           // greatest(si.su + sj.su, 1)) AS den
         |       FROM g JOIN s0 si ON si.i = g.i JOIN s0 sj ON sj.i = g.j
         |       GROUP BY 1),
         |u1 AS (SELECT s.i, s.games, s.wins,
-        |         round(CAST(s.wins + 1 AS DOUBLE) /
-        |           (CAST(d.den AS DOUBLE) + round(2.0 / (s.s + 1.0), 6)), 6)
-        |           AS s
+        |         (CAST(s.wins + 1 AS HUGEINT) * 1000000000000)
+        |           // (d.den + CAST(2 AS HUGEINT) * 1000000000000
+        |                // (s.su + 1000000)) AS su
         |       FROM s0 s JOIN d1 d ON d.i = s.i),
-        |t1 AS (SELECT sum(CAST(s AS DECIMAL(18,6))) AS tot FROM u1),
-        |s1 AS (SELECT i, games, wins, round(s / CAST(tot AS DOUBLE), 6) AS s
+        |t1 AS (SELECT sum(su) AS tot FROM u1),
+        |s1 AS (SELECT i, games, wins, (su * 1000000) // tot AS su
         |       FROM u1 CROSS JOIN t1),
         |d2 AS (SELECT g.i,
-        |         sum(CAST(round(g.n / (si.s + sj.s), 6) AS DECIMAL(18,6)))
-        |           AS den
+        |         sum(CAST(g.n AS HUGEINT) * 1000000000000
+        |           // greatest(si.su + sj.su, 1)) AS den
         |       FROM g JOIN s1 si ON si.i = g.i JOIN s1 sj ON sj.i = g.j
         |       GROUP BY 1),
         |u2 AS (SELECT s.i, s.games, s.wins,
-        |         round(CAST(s.wins + 1 AS DOUBLE) /
-        |           (CAST(d.den AS DOUBLE) + round(2.0 / (s.s + 1.0), 6)), 6)
-        |           AS s
+        |         (CAST(s.wins + 1 AS HUGEINT) * 1000000000000)
+        |           // (d.den + CAST(2 AS HUGEINT) * 1000000000000
+        |                // (s.su + 1000000)) AS su
         |       FROM s1 s JOIN d2 d ON d.i = s.i),
-        |t2 AS (SELECT sum(CAST(s AS DECIMAL(18,6))) AS tot FROM u2),
-        |s2 AS (SELECT i, games, wins, round(s / CAST(tot AS DOUBLE), 6) AS s
+        |t2 AS (SELECT sum(su) AS tot FROM u2),
+        |s2 AS (SELECT i, games, wins, (su * 1000000) // tot AS su
         |       FROM u2 CROSS JOIN t2),
         |d3 AS (SELECT g.i,
-        |         sum(CAST(round(g.n / (si.s + sj.s), 6) AS DECIMAL(18,6)))
-        |           AS den
+        |         sum(CAST(g.n AS HUGEINT) * 1000000000000
+        |           // greatest(si.su + sj.su, 1)) AS den
         |       FROM g JOIN s2 si ON si.i = g.i JOIN s2 sj ON sj.i = g.j
         |       GROUP BY 1),
         |u3 AS (SELECT s.i, s.games, s.wins,
-        |         round(CAST(s.wins + 1 AS DOUBLE) /
-        |           (CAST(d.den AS DOUBLE) + round(2.0 / (s.s + 1.0), 6)), 6)
-        |           AS s
+        |         (CAST(s.wins + 1 AS HUGEINT) * 1000000000000)
+        |           // (d.den + CAST(2 AS HUGEINT) * 1000000000000
+        |                // (s.su + 1000000)) AS su
         |       FROM s2 s JOIN d3 d ON d.i = s.i),
-        |t3 AS (SELECT sum(CAST(s AS DECIMAL(18,6))) AS tot FROM u3),
-        |s3 AS (SELECT i, games, wins, round(s / CAST(tot AS DOUBLE), 6) AS s
+        |t3 AS (SELECT sum(su) AS tot FROM u3),
+        |s3 AS (SELECT i, games, wins, (su * 1000000) // tot AS su
         |       FROM u3 CROSS JOIN t3)
         |SELECT i AS item, CAST(games AS BIGINT) AS games,
-        |  CAST(wins AS BIGINT) AS wins, s AS strength
+        |  CAST(wins AS BIGINT) AS wins, CAST(su AS BIGINT) AS strength_ppm
         |FROM s3 ORDER BY item""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = graft.queries.RelationalQueries.eventsNs(s, d)

@@ -183,26 +183,26 @@ object LlmQueries {
        |FROM w$LinFitEpochs ORDER BY bucket""".stripMargin
 
   /** q197's oracle: the q195 training chain, then the learned weights
-    * served through the q82 scoring chain (same double expression order
-    * as hashedLinearScore), scores micro-quantized + clamped to [0, 1e6],
-    * then the q146 sweep (densified bins, suffix sums, ceil thresholds)
-    * — the full train → serve → operate loop in ONE replayable query. */
+    * served through the q82 scoring chain (same signed-ppm integral
+    * division as hashedLinearScore — no double ever divides), scores
+    * clamped to [0, 1e6], then the q146 sweep (densified bins, suffix
+    * sums, ceil thresholds) — the full train → serve → operate loop in
+    * ONE replayable query. */
   private lazy val FitServeSweepSql: String = {
     val w = s"w$LinFitEpochs"
     s"""WITH $LinFitCtes,
        |sm AS (SELECT doc_id, count(*) AS n, sum(wu) AS sw
        |       FROM s JOIN $w USING (bkt) GROUP BY 1),
-       |i0 AS (SELECT CAST(wu AS DOUBLE) / 1000000.0 AS i FROM $w
-       |       WHERE bkt = -1),
+       |i0 AS (SELECT wu AS iu FROM $w WHERE bkt = -1),
        |sc AS (SELECT t.doc_id,
+       |    (SELECT iu FROM i0) +
        |    CASE WHEN coalesce(sm.n, 0) > 0
-       |      THEN round((SELECT i FROM i0) + CAST(sm.sw AS DOUBLE) /
-       |                 (CAST(sm.n AS DOUBLE) * 1000000.0), 6)
-       |      ELSE round((SELECT i FROM i0), 6) END AS score,
+       |      THEN (CASE WHEN sm.sw < 0 THEN -1 ELSE 1 END)
+       |             * CAST(abs(CAST(sm.sw AS HUGEINT)) // sm.n AS BIGINT)
+       |      ELSE 0 END AS sp,
        |    t.y
        |  FROM t LEFT JOIN sm USING (doc_id)),
-       |bn AS (SELECT CAST(least(CAST(least(1000000, greatest(0,
-       |      CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)))
+       |bn AS (SELECT CAST(least(CAST(least(1000000, greatest(0, sp))
        |      AS HUGEINT) * 10 // 1000000, 9) AS INT) AS bin, y FROM sc),
        |a2 AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
        |       FROM bn GROUP BY 1),
@@ -587,8 +587,8 @@ object LlmQueries {
         |      FROM appr a JOIN tr USING (query_id, neighbor_id) GROUP BY 1)
         |SELECT nt.query_id,
         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, nt.n_truth,
-        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / nt.n_truth, 6)
-        |    AS recall
+        |  CAST(coalesce(h.n_hits, 0) * CAST(1000000 AS BIGINT)
+        |    // nt.n_truth AS BIGINT) AS recall_ppm
         |FROM nt LEFT JOIN h USING (query_id)
         |ORDER BY query_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(
@@ -820,8 +820,7 @@ object LlmQueries {
           scored.join(labeled.select(col("doc_id"), col("label")),
               Seq("doc_id"))
             .select(least(lit(1000000L), greatest(lit(0L),
-              floor(col("score") * 1e6 + 0.5).cast("long")))
-              .as("score_ppm"), col("label")),
+              col("score_ppm"))).as("score_ppm"), col("label")),
           "score_ppm", "label", bins = 10)
         .orderBy("thr_ppm")
     },
@@ -849,9 +848,10 @@ object LlmQueries {
         |mem AS (SELECT cell, vec FROM assign JOIN w USING (id)),
         |dims AS (SELECT cell, unnest(generate_series(1, len(vec))) AS d,
         |           unnest(vec) AS x FROM mem),
-        |agg AS (SELECT cell, d,
-        |    round(CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12))) AS DOUBLE)
-        |      / count(*), 6) AS c,
+        |agg AS (SELECT cell, d, (CASE WHEN sum(CAST(round(x, 6)
+        |          AS DECIMAL(38,12))) < 0 THEN -1 ELSE 1 END
+        |        * (CAST(abs(sum(CAST(round(x, 6) AS DECIMAL(38,12))))
+        |             * 1000000 AS HUGEINT) // count(*))) / 1000000.0 AS c,
         |    count(*) AS nn
         |  FROM dims GROUP BY 1, 2),
         |mv AS (SELECT cell, list(c ORDER BY d) AS mv,
@@ -1058,7 +1058,8 @@ object LlmQueries {
         |      GROUP BY 1)
         |SELECT nt.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  CAST(nt.n_truth AS BIGINT) AS n_truth,
-        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / nt.n_truth, 6) AS recall
+        |  CAST(coalesce(h.n_hits, 0) * CAST(1000000 AS BIGINT)
+        |    // nt.n_truth AS BIGINT) AS recall_ppm
         |FROM nt LEFT JOIN h ON h.query_id = nt.query_id
         |ORDER BY nt.query_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(
@@ -1138,19 +1139,25 @@ object LlmQueries {
     //    (a stand-in for per-domain excess loss — any score column
     //    works; division-free on purpose, a mean-of-6dp-values lands
     //    round() on exact decimal halves where engines disagree) →
-    //    weight ∝ exp(score/τ) at τ=0.5, published as floored ppm for
-    //    the samplers (q78/q140 consume ppm weight tables). ──
+    //    weight ∝ exp((score − max score)/τ) at τ=0.5 — MAX-SHIFTED so
+    //    every exp ∈ (0,1], the regime where Round6's guard is provable
+    //    (unshifted exp reached 1e8+ where no 6-dp round of a libm
+    //    output certifies; shift-invariance keeps weights identical) —
+    //    published as exact integral-division ppm for the samplers
+    //    (q78/q140 consume ppm weight tables). ──
     QueryDef("q153_mixture_weights",
       """WITH a AS (SELECT source,
         |        round(ln(1 + sum(n_chars)), 6) AS score
         |      FROM documents GROUP BY 1),
+        |mx AS (SELECT max(score) AS m FROM a),
         |e AS (SELECT source, score,
-        |        round(exp(round(score / 0.5, 6)), 6) AS b FROM a),
-        |t AS (SELECT sum(CAST(b AS DECIMAL(18,6))) AS tot FROM e)
+        |        round(exp((score - m) / 0.5), 6) AS b FROM a CROSS JOIN mx),
+        |e2 AS (SELECT source, score, b,
+        |         CAST(floor(b * 1000000.0 + 0.5) AS BIGINT) AS bu FROM e),
+        |t AS (SELECT sum(bu) AS tot FROM e2)
         |SELECT source, score, b AS boltzmann_6,
-        |  CAST(floor(b * 1000000.0 / CAST(tot AS DOUBLE)) AS BIGINT)
-        |    AS weight_ppm
-        |FROM e CROSS JOIN t
+        |  CAST(CAST(bu AS HUGEINT) * 1000000 // tot AS BIGINT) AS weight_ppm
+        |FROM e2 CROSS JOIN t
         |ORDER BY source""".stripMargin) { (s, d) =>
       val stats = Tables.documents(s, d)
         .groupBy(col("source"))
@@ -1251,9 +1258,12 @@ object LlmQueries {
     // ── q156: per-language robust z-scores (median/MAD) over a quality
     //    signal — cross-population score normalization so ONE global
     //    threshold compares fairly across languages; value-based lower
-    //    medians (never interpolated), MAD over |x−med|, z rounded 6.
-    //    The oracle replays both medians with plain cumulative windows
-    //    (the q131 two-level ≡ one-level equivalence is spec-pinned). ──
+    //    medians (never interpolated), MAD over |x−med|, z published as
+    //    SIGNED integer ppm (sign · (|x−med|·10⁶ // mad) — trunc-toward-
+    //    zero on both engines; never a rounded double ratio, the q171
+    //    divergence class). The oracle replays both medians with plain
+    //    cumulative windows (the q131 two-level ≡ one-level equivalence
+    //    is spec-pinned). ──
     QueryDef("q156_robust_z",
       """WITH s AS (SELECT doc_id, lang, n_chars FROM documents),
         |c AS (SELECT lang, n_chars AS v, count(*) AS c FROM s GROUP BY 1, 2),
@@ -1276,9 +1286,10 @@ object LlmQueries {
         |        WHERE cum * 2 >= n GROUP BY 1)
         |SELECT s.doc_id, s.lang, s.n_chars, m.median, a.mad,
         |  CASE WHEN a.mad <> 0
-        |       THEN round(CAST(s.n_chars - m.median AS DOUBLE)
-        |              / CAST(a.mad AS DOUBLE), 6)
-        |  END AS z6
+        |       THEN CAST((CASE WHEN s.n_chars < m.median THEN -1 ELSE 1 END)
+        |         * (abs(CAST(s.n_chars AS HUGEINT) - m.median) * 1000000
+        |              // a.mad) AS BIGINT)
+        |  END AS z_ppm
         |FROM s JOIN med m USING (lang) JOIN mad a USING (lang)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Scoring.robustZScores(
@@ -1286,7 +1297,7 @@ object LlmQueries {
             col("n_chars")),
           "lang", "n_chars")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("median"),
-          col("mad"), col("z6"))
+          col("mad"), col("z_ppm"))
         .orderBy("doc_id")
     },
 
@@ -1333,9 +1344,10 @@ object LlmQueries {
         |  LEFT JOIN cun u3 ON u3.tok = split_part(tg.g, ' ', 3)
         |  CROSS JOIN nn),
         |d AS (SELECT doc_id, count(*) AS n_trigrams,
-        |        round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+        |        CAST(CAST(sum(lp) * 1000000 AS HUGEINT) // count(*)
+        |          AS BIGINT) AS ce_ppm
         |      FROM lp GROUP BY 1)
-        |SELECT doc_id, coalesce(n_trigrams, 0) AS n_trigrams, cross_entropy
+        |SELECT doc_id, coalesce(n_trigrams, 0) AS n_trigrams, ce_ppm
         |FROM documents LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -1371,17 +1383,18 @@ object LlmQueries {
         |my AS (SELECT tid, CAST(sum(su) AS BIGINT) AS sy, count(*) AS ny
         |       FROM br WHERE rk <= 4 GROUP BY 1),
         |mg AS (SELECT sc2.sid, sc2.tid, sim,
-        |         round(CAST(su * 2 * nx * ny AS DOUBLE)
-        |           / CAST(sx * ny + sy * nx AS DOUBLE), 6) AS margin
+        |         CAST((CASE WHEN su < 0 THEN -1 ELSE 1 END)
+        |           * (abs(CAST(su AS HUGEINT) * 2 * nx * ny) * 1000000
+        |              // (sx * ny + sy * nx)) AS BIGINT) AS margin_ppm
         |       FROM sc2 JOIN mx USING (sid) JOIN my USING (tid)
         |       WHERE sx * ny + sy * nx > 0),
-        |fwd AS (SELECT sid, tid, sim, margin FROM (
+        |fwd AS (SELECT sid, tid, sim, margin_ppm FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
-        |      ORDER BY margin DESC, tid) AS rk FROM mg) WHERE rk = 1),
+        |      ORDER BY margin_ppm DESC, tid) AS rk FROM mg) WHERE rk = 1),
         |bwd AS (SELECT sid, tid FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
-        |      ORDER BY margin DESC, sid) AS rk FROM mg) WHERE rk = 1)
-        |SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim, f.margin,
+        |      ORDER BY margin_ppm DESC, sid) AS rk FROM mg) WHERE rk = 1)
+        |SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim, f.margin_ppm,
         |  CAST(b.sid IS NOT NULL AS INT) AS mutual
         |FROM fwd f LEFT JOIN bwd b ON b.sid = f.sid AND b.tid = f.tid
         |ORDER BY src_id""".stripMargin) { (s, d) =>
@@ -1486,20 +1499,29 @@ object LlmQueries {
     // ── q161: per-dimension embedding-store statistics — the vector-
     //    corpus health monitor (collapsed dims, runaway dims, shifted
     //    means) run before any index build trusts the store; decimal-
-    //    exact moment sums (the q122 convention). ──
+    //    exact moment sums (the q122 convention) published as integer
+    //    ppm via pico-unit integral division — the second moment rather
+    //    than the variance (m2 − mean² squares a rational; the consumer
+    //    derives var in one IEEE step from two exact integers). ──
     QueryDef("q161_embedding_stats",
       """WITH v AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
         |ex AS (SELECT unnest(generate_series(1, len(vec))) - 1 AS d,
-        |         unnest(vec) AS x FROM v)
-        |SELECT CAST(d AS INT) AS d, count(*) AS n,
-        |  round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
-        |    AS mean_6,
-        |  round(CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
-        |    - (CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*))
-        |      * (CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)), 6)
-        |    AS var_6,
-        |  min(x) AS min_x, max(x) AS max_x
-        |FROM ex GROUP BY d
+        |         unnest(vec) AS x FROM v),
+        |a AS (SELECT CAST(d AS INT) AS d, count(*) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,12))) * 1000000000000
+        |          AS HUGEINT) AS sp,
+        |        CAST(sum(CAST(x * x AS DECIMAL(38,12))) * 1000000000000
+        |          AS HUGEINT) AS ssp,
+        |        min(x) AS min_x, max(x) AS max_x
+        |      FROM ex GROUP BY 1)
+        |SELECT d, n,
+        |  CAST((CASE WHEN sp < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(sp) * 1000000) // (CAST(n AS HUGEINT) * 1000000000000))
+        |    AS BIGINT) AS mean_ppm,
+        |  CAST((ssp * 1000000) // (CAST(n AS HUGEINT) * 1000000000000)
+        |    AS BIGINT) AS m2_ppm,
+        |  min_x, max_x
+        |FROM a
         |ORDER BY d""".stripMargin) { (s, d) =>
       Similarity.embeddingStats(
           Tables.embeddings(s, d).select(col("vec_id"),
@@ -1538,8 +1560,8 @@ object LlmQueries {
         |kept AS (SELECT s.* FROM s JOIN med m USING (lang)
         |         JOIN mad a USING (lang)
         |         WHERE a.mad <> 0
-        |           AND abs(round(CAST(s.n_chars - m.median AS DOUBLE)
-        |                 / CAST(a.mad AS DOUBLE), 6)) <= 2.0),
+        |           AND abs(CAST(s.n_chars AS HUGEINT) - m.median) * 1000000
+        |                 // a.mad <= 2000000),
         |tok AS (SELECT source,
         |    CASE WHEN trim(text) = '' THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
@@ -1548,13 +1570,17 @@ object LlmQueries {
         |          FROM tok GROUP BY 1),
         |sc3 AS (SELECT source, available_tokens,
         |          round(ln(1 + available_tokens), 6) AS score FROM avail),
+        |mx3 AS (SELECT max(score) AS m FROM sc3),
         |e AS (SELECT source, available_tokens, score,
-        |        round(exp(round(score / 1.0, 6)), 6) AS b FROM sc3),
-        |t AS (SELECT sum(CAST(b AS DECIMAL(18,6))) AS tot FROM e),
+        |        round(exp((score - m) / 1.0), 6) AS b
+        |      FROM sc3 CROSS JOIN mx3),
+        |e2 AS (SELECT source, available_tokens, b,
+        |         CAST(floor(b * 1000000.0 + 0.5) AS BIGINT) AS bu FROM e),
+        |t AS (SELECT sum(bu) AS tot FROM e2),
         |wt AS (SELECT source, available_tokens,
-        |         CAST(floor(b * 1000000.0 / CAST(tot AS DOUBLE)) AS BIGINT)
+        |         CAST(CAST(bu AS HUGEINT) * 1000000 // tot AS BIGINT)
         |           AS weight_ppm
-        |       FROM e CROSS JOIN t),
+        |       FROM e2 CROSS JOIN t),
         |p AS (SELECT source, available_tokens, weight_ppm,
         |    CAST(CAST(50000 AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
         |      AS target_tokens,
@@ -1571,7 +1597,7 @@ object LlmQueries {
         |ORDER BY source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val kept = Scoring.robustZScores(docs, "lang", "n_chars")
-        .where(col("z6").isNotNull && abs(col("z6")) <= 2.0)
+        .where(col("z_ppm").isNotNull && abs(col("z_ppm")) <= 2000000L)
       val avail = kept.select(col("source"),
           graft.functions.TextFunctions.tokenCountWs(col("text")).as("n_tok"))
       val stats = avail.groupBy(col("source"))
@@ -1633,19 +1659,22 @@ object LlmQueries {
          |ha AS (SELECT sum(CAST(ai * round(ln(CAST(n AS DOUBLE) / ai), 6)
          |         AS DECIMAL(38,6))) AS han FROM ai CROSS JOIN tot),
          |hb AS (SELECT sum(CAST(bj * round(ln(CAST(n AS DOUBLE) / bj), 6)
-         |         AS DECIMAL(38,6))) AS hbn FROM bj CROSS JOIN tot)
-         |SELECT tot.n,
-         |  CASE WHEN (sa + sb) * CAST(n AS HUGEINT) * (n - 1)
-         |            - 2 * sa * sb <> 0 THEN
-         |    round(CAST(2 * (sij * CAST(n AS HUGEINT) * (n - 1) - sa * sb)
-         |            AS DOUBLE)
-         |      / CAST((sa + sb) * CAST(n AS HUGEINT) * (n - 1) - 2 * sa * sb
-         |            AS DOUBLE), 6) END AS ari,
-         |  CASE WHEN CAST(han + hbn AS DOUBLE) <> 0 THEN
-         |    round(2.0 * CAST(minv AS DOUBLE) / CAST(han + hbn AS DOUBLE), 6)
-         |  END AS nmi
-         |FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi
-         |CROSS JOIN ha CROSS JOIN hb""".stripMargin) { (s, d) =>
+         |         AS DECIMAL(38,6))) AS hbn FROM bj CROSS JOIN tot),
+         |fin AS (SELECT tot.n,
+         |    2 * (sij * CAST(n AS HUGEINT) * (n - 1) - sa * sb) AS anum,
+         |    (sa + sb) * CAST(n AS HUGEINT) * (n - 1) - 2 * sa * sb AS aden,
+         |    CAST(minv * 1000000 AS HUGEINT) AS miu,
+         |    CAST((han + hbn) * 1000000 AS HUGEINT) AS hu
+         |  FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi
+         |  CROSS JOIN ha CROSS JOIN hb)
+         |SELECT n,
+         |  CASE WHEN aden <> 0 THEN
+         |    CAST((CASE WHEN anum < 0 THEN -1 ELSE 1 END)
+         |      * ((abs(anum) * 1000000) // aden) AS BIGINT) END AS ari_ppm,
+         |  CASE WHEN hu <> 0 THEN
+         |    CAST((CASE WHEN miu < 0 THEN -1 ELSE 1 END)
+         |      * ((abs(miu) * 2000000) // hu) AS BIGINT) END AS nmi_ppm
+         |FROM fin""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 8, threshold = 0.8)
@@ -1968,8 +1997,10 @@ object LlmQueries {
     // ── q135: corpus drift monitor — per-bucket hashed-unigram
     //    distribution comparison between a crawl batch (doc_id%10=0) and
     //    the reference corpus: add-1-smoothed log-likelihood ratio and
-    //    KL contribution per bucket, exact integer counts, each ln/product
-    //    rounded at the bucket level (the DSIR determinism contract).
+    //    KL contribution per bucket, exact integer counts, the one ln
+    //    guarded round-6 and the KL term published as integer ppm via
+    //    exact integral division (never a rounded rational product —
+    //    the q171 divergence class; the DSIR determinism contract).
     //    Sorting by |llr| names WHICH features moved — the actionable
     //    form of a drift alarm. ──
     QueryDef("q135_corpus_drift",
@@ -1993,12 +2024,16 @@ object LlmQueries {
         |k AS (SELECT bucket, n_batch, n_ref,
         |        round(ln((n_batch + 1.0) / (nb + 4096.0)) -
         |              ln((n_ref + 1.0) / (nr + 4096.0)), 6) AS llr,
-        |        (n_batch + 1.0) / (nb + 4096.0) AS pb
-        |      FROM j CROSS JOIN nb CROSS JOIN nr)
+        |        nb
+        |      FROM j CROSS JOIN nb CROSS JOIN nr),
+        |k2 AS (SELECT *, CAST(floor(llr * 1000000.0 + 0.5) AS HUGEINT)
+        |         AS lu FROM k)
         |SELECT bucket, CAST(n_batch AS BIGINT) AS n_batch,
         |  CAST(n_ref AS BIGINT) AS n_ref, llr,
-        |  round(pb * llr, 6) AS kl_term
-        |FROM k ORDER BY bucket""".stripMargin) { (s, d) =>
+        |  CAST((CASE WHEN lu < 0 THEN -1 ELSE 1 END)
+        |    * ((CAST(n_batch + 1 AS HUGEINT) * abs(lu)) // (nb + 4096))
+        |    AS BIGINT) AS kl_ppm
+        |FROM k2 ORDER BY bucket""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       Scoring.distributionDrift(docs.where(col("doc_id") % 10 === 0), "text",
           docs.where(col("doc_id") % 10 =!= 0), "text", buckets = 4096)
@@ -2738,7 +2773,9 @@ object LlmQueries {
     // ── in-corpus bigram-LM cross-entropy (CCNet-style perplexity proxy):
     //    add-1-smoothed p(w2|w1) from the corpus's own bigram counts,
     //    score = mean −ln p over the doc's bigrams. Per-row ln rounded to
-    //    6 dp then summed AS DECIMAL — exact under any partition order. ──
+    //    6 dp then summed AS DECIMAL — exact under any partition order;
+    //    the mean publishes as integer ppm (micro-sum // count — never a
+    //    rounded double ratio, the q171 divergence class). ──
     QueryDef("q81_lm_score",
       """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
         |             ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
@@ -2757,9 +2794,10 @@ object LlmQueries {
         |       FROM bg JOIN c12 USING (g)
         |       JOIN ctx ON ctx.w1 = split_part(g, ' ', 1) CROSS JOIN v),
         |d AS (SELECT doc_id, count(*) AS n_bigrams,
-        |        round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+        |        CAST(CAST(sum(lp) * 1000000 AS HUGEINT) // count(*)
+        |          AS BIGINT) AS ce_ppm
         |      FROM lp GROUP BY 1)
-        |SELECT doc_id, coalesce(n_bigrams, 0) AS n_bigrams, cross_entropy
+        |SELECT doc_id, coalesce(n_bigrams, 0) AS n_bigrams, ce_ppm
         |FROM documents LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Scoring.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
@@ -2783,12 +2821,14 @@ object LlmQueries {
         |d AS (SELECT doc_id, count(*) AS n_toks,
         |        sum((bkt % 2001) - 1000) AS sm FROM s GROUP BY 1),
         |f AS (SELECT doc_id, n_toks,
-        |        round(0.1 + CAST(sm AS DOUBLE) / (n_toks * 1000.0), 6) AS score
+        |        100000 + (CASE WHEN sm < 0 THEN -1 ELSE 1 END)
+        |          * (abs(CAST(sm AS HUGEINT) * 1000) // n_toks) AS sp
         |      FROM d),
         |g AS (SELECT doc_id, coalesce(n_toks, 0) AS n_toks,
-        |        coalesce(score, 0.1) AS score
+        |        coalesce(sp, 100000) AS sp
         |      FROM documents LEFT JOIN f USING (doc_id))
-        |SELECT doc_id, n_toks, score, score > 0.0 AS keep
+        |SELECT doc_id, n_toks, CAST(sp AS BIGINT) AS score_ppm,
+        |  sp > 0 AS keep
         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
       val weights = s.range(65536).select(col("id").as("bucket"),
         (((col("id") % 2001) - 1000).cast("double") / 1000.0).as("weight"))
@@ -2854,13 +2894,15 @@ object LlmQueries {
         |        sum(((bkt * p + q) % 2001) - 1000) AS sm
         |      FROM s CROSS JOIN cls GROUP BY 1, 2),
         |r AS (SELECT doc_id, n_toks, lang,
-        |        round(CAST(sm AS DOUBLE) / (n_toks * 1000.0), 6) AS score,
+        |        CAST((CASE WHEN sm < 0 THEN -1 ELSE 1 END)
+        |          * (abs(CAST(sm AS HUGEINT) * 1000) // n_toks)
+        |          AS BIGINT) AS score_ppm,
         |        row_number() OVER (PARTITION BY doc_id
         |                           ORDER BY sm DESC, lang) AS rk
         |      FROM d),
-        |w AS (SELECT doc_id, n_toks, lang, score FROM r WHERE rk = 1)
+        |w AS (SELECT doc_id, n_toks, lang, score_ppm FROM r WHERE rk = 1)
         |SELECT doc_id, coalesce(w.n_toks, 0) AS n_toks,
-        |  w.lang AS lang, w.score AS score
+        |  w.lang AS lang, w.score_ppm AS score_ppm
         |FROM documents LEFT JOIN w USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val weights = Seq(("de", 3L, 17L), ("en", 5L, 29L), ("fr", 7L, 41L))
@@ -2932,25 +2974,26 @@ object LlmQueries {
         |d AS (SELECT doc_id, count(*) AS n_toks,
         |        sum((bkt % 2001) - 1000) AS sm FROM s GROUP BY 1),
         |sc AS (SELECT doc_id,
-        |         round(0.1 + CAST(sm AS DOUBLE) / (n_toks * 1000.0), 6)
-        |           AS score
+        |         100000 + (CASE WHEN sm < 0 THEN -1 ELSE 1 END)
+        |           * CAST(abs(CAST(sm AS HUGEINT) * 1000) // n_toks
+        |               AS BIGINT) AS score_ppm
         |       FROM d),
         |k AS (SELECT dd.doc_id, dd.lang, dd.source,
-        |        coalesce(sc.score, 0.1) AS score
+        |        coalesce(sc.score_ppm, 100000) AS score_ppm
         |      FROM documents dd LEFT JOIN sc USING (doc_id)
-        |      WHERE coalesce(sc.score, 0.1) > 0.0),
-        |q AS (SELECT doc_id, lang, source, score,
+        |      WHERE coalesce(sc.score_ppm, 100000) > 0),
+        |q AS (SELECT doc_id, lang, source, score_ppm,
         |        row_number() OVER (PARTITION BY source
-        |          ORDER BY score DESC, doc_id) AS rk FROM k),
-        |r AS (SELECT doc_id, lang, source, score FROM q WHERE rk <= 30),
-        |b AS (SELECT doc_id, lang, source, score,
+        |          ORDER BY score_ppm DESC, doc_id) AS rk FROM k),
+        |r AS (SELECT doc_id, lang, source, score_ppm FROM q WHERE rk <= 30),
+        |b AS (SELECT doc_id, lang, source, score_ppm,
         |        CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 ELSE 1 END
         |        + CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
         |                          1, 15) AS BIGINT) % 1000000) <
         |                    CASE lang WHEN 'en' THEN 500000 ELSE 0 END
         |               THEN 1 ELSE 0 END AS n
         |      FROM r)
-        |SELECT doc_id, lang, source, score,
+        |SELECT doc_id, lang, source, score_ppm,
         |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS copy_id
         |FROM b WHERE n > 0
         |ORDER BY doc_id, copy_id""".stripMargin) { (s, d) =>
@@ -2961,12 +3004,12 @@ object LlmQueries {
           weights, buckets = 65536, intercept = 0.1)
         .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       val kept = scored.where(col("keep"))
-        .select(col("doc_id"), col("lang"), col("source"), col("score"))
+        .select(col("doc_id"), col("lang"), col("source"), col("score_ppm"))
       val quota = Sampling.topKPerStratum(kept, "source", "doc_id",
-        k = 30, ord = Seq(col("score").desc))
+        k = 30, ord = Seq(col("score_ppm").desc))
       Sampling.mixtureResample(quota, "lang", "doc_id",
           Map("en" -> 0.5, "zh" -> 2.0))
-        .select(col("doc_id"), col("lang"), col("source"), col("score"),
+        .select(col("doc_id"), col("lang"), col("source"), col("score_ppm"),
           col("copy_id"))
         .orderBy("doc_id", "copy_id")
     },
@@ -3713,7 +3756,7 @@ object LlmQueries {
       sampled.select(col("doc_id"), col("lang"), col("rate_ppm"))
         .join(lm, Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("rate_ppm"),
-          col("n_bigrams"), col("cross_entropy"))
+          col("n_bigrams"), col("ce_ppm"))
         .orderBy("doc_id")
     },
 
@@ -3787,7 +3830,9 @@ object LlmQueries {
         |a AS (SELECT label, d, SUM(CAST(round(v, 6) AS DECIMAL(38,12))) AS s,
         |        COUNT(*) AS n
         |      FROM v GROUP BY 1, 2)
-        |SELECT label, d, round(CAST(s AS DOUBLE) / n, 6) AS c, n
+        |SELECT label, d,
+        |  (CASE WHEN s < 0 THEN -1 ELSE 1 END
+        |     * (CAST(abs(s) * 1000000 AS HUGEINT) // n)) / 1000000.0 AS c, n
         |FROM a ORDER BY label, d""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("label"),
         transform(col("embedding"), _.cast("double")).as("vec"))
@@ -3812,9 +3857,10 @@ object LlmQueries {
         |          x -> x IS NULL OR isnan(x) OR abs(x) >= 1e9)) = 0),
         |vd AS (SELECT cl, unnest(generate_series(0, len(vec) - 1)) AS d,
         |         unnest(vec) AS x FROM e),
-        |cd AS (SELECT cl, d,
-        |         round(CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12)))
-        |           AS DOUBLE) / count(*), 6) AS c
+        |cd AS (SELECT cl, d, (CASE WHEN sum(CAST(round(x, 6)
+        |             AS DECIMAL(38,12))) < 0 THEN -1 ELSE 1 END
+        |           * (CAST(abs(sum(CAST(round(x, 6) AS DECIMAL(38,12))))
+        |                * 1000000 AS HUGEINT) // count(*))) / 1000000.0 AS c
         |       FROM vd GROUP BY 1, 2),
         |cv AS (SELECT cl AS cc, list(c ORDER BY d) AS cvec FROM cd GROUP BY 1),
         |sc AS (SELECT e.id, e.cl, cv.cc,
@@ -3862,43 +3908,36 @@ object LlmQueries {
         |f AS (SELECT tok, count(*) AS f FROM tk GROUP BY 1),
         |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank
         |        FROM f ORDER BY f DESC, tok LIMIT 256),
-        |p AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
-        |             round(ln(CAST(f AS DOUBLE)), 6) AS y FROM top),
-        |ag AS (SELECT count(*) AS n,
-        |        sum(CAST(x AS DECIMAL(18,6))) AS sx,
-        |        sum(CAST(y AS DECIMAL(18,6))) AS sy,
-        |        sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
-        |          AS DECIMAL(38,12))) AS sxy,
-        |        sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
-        |          AS DECIMAL(38,12))) AS sxx,
-        |        sum(CAST(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
-        |          AS DECIMAL(38,12))) AS syy
+        |p AS (SELECT CAST(floor(round(ln(CAST(rank AS DOUBLE)), 6)
+        |               * 1000000.0 + 0.5) AS HUGEINT) AS xu,
+        |             CAST(floor(round(ln(CAST(f AS DOUBLE)), 6)
+        |               * 1000000.0 + 0.5) AS HUGEINT) AS yu FROM top),
+        |ag AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        sum(xu) AS sx, sum(yu) AS sy,
+        |        sum(xu * yu) AS sxy, sum(xu * xu) AS sxx,
+        |        sum(yu * yu) AS syy
         |      FROM p),
         |fin AS (SELECT n, sx, sy,
-        |        CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(26,12))
-        |          - CAST(sx AS DECIMAL(18,6)) * CAST(sy AS DECIMAL(18,6))
-        |          AS num,
-        |        CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(26,12))
-        |          - CAST(sx AS DECIMAL(18,6)) * CAST(sx AS DECIMAL(18,6))
-        |          AS den,
-        |        CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(26,12))
-        |          - CAST(sy AS DECIMAL(18,6)) * CAST(sy AS DECIMAL(18,6))
-        |          AS deny
-        |      FROM ag)
+        |        n * sxy - sx * sy AS num,
+        |        n * sxx - sx * sx AS den,
+        |        n * syy - sy * sy AS deny
+        |      FROM ag),
+        |sl AS (SELECT n, sx, sy, num, den, deny,
+        |        CASE WHEN den <> 0
+        |          THEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |            * ((abs(num) * 1000000) // den) END AS slope_ppm
+        |      FROM fin),
+        |ic AS (SELECT *, sy * 1000000 - slope_ppm * sx AS inum FROM sl)
         |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(slope_ppm AS BIGINT) AS slope_ppm,
         |  CASE WHEN den <> 0
-        |    THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
-        |  END AS slope,
-        |  CASE WHEN den <> 0 THEN round(
-        |    (CAST(sy AS DOUBLE) -
-        |      round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
-        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
-        |  END AS intercept,
-        |  CASE WHEN den <> 0 AND deny <> 0 THEN round(
-        |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
-        |    (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
-        |  END AS r2
-        |FROM fin""".stripMargin) { (s, d) =>
+        |    THEN CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+        |      * (abs(inum) // (n * 1000000)) AS BIGINT)
+        |  END AS intercept_ppm,
+        |  CASE WHEN den <> 0 AND deny <> 0
+        |    THEN CAST((slope_ppm * num) // deny AS BIGINT)
+        |  END AS r2_ppm
+        |FROM ic""".stripMargin) { (s, d) =>
       graft.ops.Profile.zipfSlope(Tables.documents(s, d), "text",
         topV = 256)
     },
@@ -4350,8 +4389,8 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val scored = Scoring.bigramLmScore(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      Scoring.quantileBuckets(scored, "lang", "cross_entropy", b = 3)
-        .select(col("doc_id"), col("lang"), col("cross_entropy"),
+      Scoring.quantileBuckets(scored, "lang", "ce_ppm", b = 3)
+        .select(col("doc_id"), col("lang"), col("ce_ppm"),
           when(col("bucket") === 0, lit("head"))
             .when(col("bucket") === 1, lit("middle"))
             .when(col("bucket") === 2, lit("tail")).as("ppl_bucket"))
@@ -4383,6 +4422,54 @@ object LlmQueries {
       Text.chunkTokens(Tables.documents(s, d), "doc_id", "text",
           chunkSize = 64, overlap = 16)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ── q202: IVF compaction — the serve-equality ENDPOINT of the
+    //    append/refresh lifecycle (q196/q130's miss class closed): build
+    //    under the frozen first-16 quantizer, refresh the drifted cells
+    //    (q196's audit + Lloyd step), then COMPACT — one map-only full
+    //    re-assignment that rewrites only cells whose membership changed.
+    //    After it the stored index must equal a fresh build under the
+    //    refreshed centroids EXACTLY, so the oracle skips the
+    //    intermediate states entirely: it replays the drift audit to get
+    //    the refreshed centroids, then assigns every vector directly —
+    //    per-ID membership, the strongest equality check. ──
+    QueryDef("q202_ivf_compact", IvfCompactSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-compact").toString
+      Similarity.ivfIndex(emb, cents).write.mode("overwrite")
+        .partitionBy("_cell").parquet(dir)
+      val (newCents, _) = Similarity.ivfCentroidRefresh(s, dir, cents,
+        driftPpm = 190000L)
+      Similarity.ivfCompact(s, dir, newCents)
+      s.read.parquet(dir)
+        .select(col("id"), col("_cell").cast("int").as("cell"))
+        .orderBy("id")
+    },
+
+    // ── q203: multiclass one-vs-all language-ID FIT + serve — the
+    //    training half of q125's server (closing the last
+    //    bring-your-own-model seam): per class (de/en/fr — a fixed fit
+    //    slice so the class list is a query constant), the q195 exact
+    //    integer-GD loop against the binarized label over ONE shared
+    //    hashed-token feature frame; the stacked (lang, bucket,
+    //    weight_u) model — bucket −1 rows are per-class intercepts —
+    //    serves ALL docs through langIdScore unchanged (argmax over
+    //    Σw + intercept·n, signed-ppm published score). The oracle
+    //    unrolls all three 3-epoch trajectories and the serve verbatim. ──
+    QueryDef("q203_langid_fit", LangIdFitSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = Scoring.langIdFit(
+        docs.where(col("lang").isin("de", "en", "fr")),
+        "doc_id", "text", "lang", buckets = 512, epochs = 3)
+      val wdf = model.select(col("lang"), col("bucket"),
+        (col("weight_u").cast("double") / 1e6).as("weight"))
+      Scoring.langIdScore(docs, "doc_id", "text", wdf, buckets = 512)
+        .orderBy("doc_id")
     }
   )
 
@@ -4538,12 +4625,13 @@ object LlmQueries {
       |       FROM bg JOIN c12 USING (g)
       |       JOIN ctx ON ctx.w1 = split_part(g, ' ', 1) CROSS JOIN v),
       |dd AS (SELECT doc_id,
-      |         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+      |         CAST(CAST(sum(lp) * 1000000 AS HUGEINT) // count(*)
+      |           AS BIGINT) AS ce_ppm
       |       FROM lp GROUP BY 1),
-      |sc AS (SELECT d.doc_id, d.lang, dd.cross_entropy
+      |sc AS (SELECT d.doc_id, d.lang, dd.ce_ppm
       |       FROM documents d LEFT JOIN dd USING (doc_id)),
-      |hist AS (SELECT lang, cross_entropy AS s, count(*) AS c FROM sc
-      |         WHERE cross_entropy IS NOT NULL GROUP BY 1, 2),
+      |hist AS (SELECT lang, ce_ppm AS s, count(*) AS c FROM sc
+      |         WHERE ce_ppm IS NOT NULL GROUP BY 1, 2),
       |cum AS (SELECT lang, s,
       |          sum(c) OVER (PARTITION BY lang ORDER BY s
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -4553,10 +4641,10 @@ object LlmQueries {
       |         min(CASE WHEN cum * 3 >= n * 1 THEN s END) AS t1,
       |         min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS t2
       |       FROM cum GROUP BY 1)
-      |SELECT sc.doc_id, sc.lang, sc.cross_entropy,
-      |  CASE WHEN sc.cross_entropy IS NULL THEN NULL
-      |       ELSE CASE WHEN sc.cross_entropy > t2 THEN 'tail'
-      |                 WHEN sc.cross_entropy > t1 THEN 'middle'
+      |SELECT sc.doc_id, sc.lang, sc.ce_ppm,
+      |  CASE WHEN sc.ce_ppm IS NULL THEN NULL
+      |       ELSE CASE WHEN sc.ce_ppm > t2 THEN 'tail'
+      |                 WHEN sc.ce_ppm > t1 THEN 'middle'
       |                 ELSE 'head' END END AS ppl_bucket
       |FROM sc LEFT JOIN th USING (lang)
       |ORDER BY doc_id""".stripMargin
@@ -4782,7 +4870,8 @@ object LlmQueries {
        |       FROM bg JOIN c12 USING (g)
        |       JOIN ctx ON ctx.w1 = split_part(g, ' ', 1) CROSS JOIN v),
        |lm AS (SELECT doc_id, count(*) AS n_bigrams,
-       |         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+       |         CAST(CAST(sum(lp) * 1000000 AS HUGEINT) // count(*)
+       |           AS BIGINT) AS ce_ppm
        |       FROM lp GROUP BY 1),
        |docs2 AS (SELECT a.doc_id, d.lang FROM agg a
        |          JOIN documents d USING (doc_id)),
@@ -4797,7 +4886,7 @@ object LlmQueries {
        |      FROM tt CROSS JOIN z)
        |SELECT d2.doc_id, d2.lang, r.rate_ppm,
        |  CAST(coalesce(lm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       |  lm.cross_entropy
+       |  lm.ce_ppm
        |FROM docs2 d2 JOIN r ON d2.lang = r.s
        |LEFT JOIN lm ON lm.doc_id = d2.doc_id
        |WHERE (CAST('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR)), 1, 15)
@@ -5022,5 +5111,131 @@ object LlmQueries {
        |  coalesce(input_ids, '') AS input_ids
        |FROM documents LEFT JOIN d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+  /** q202's oracle: q196's drift-audit CTEs produce the refreshed
+    * centroid set (drifted cells move to their members' exact means),
+    * then every vector assigns DIRECTLY against it — the fixed point a
+    * refresh+compact cycle must land the stored index on, checked per
+    * id (the strongest membership equality). */
+  private lazy val IvfCompactSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |w AS (SELECT id, vec, sqrt(list_inner_product(vec, vec)) AS n FROM v),
+      |cents AS (SELECT id AS cid, vec AS cvec FROM w WHERE id < 16),
+      |assign AS (
+      |  SELECT id, cid AS cell FROM (
+      |    SELECT c.id, t.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY c.id
+      |        ORDER BY round(list_inner_product(c.vec, t.cvec) /
+      |          (c.n * sqrt(list_inner_product(t.cvec, t.cvec))), 6)
+      |                 DESC, t.cid) AS rk
+      |    FROM w c, cents t) WHERE rk = 1),
+      |mem AS (SELECT cell, vec FROM assign JOIN w USING (id)),
+      |dims AS (SELECT cell, unnest(generate_series(1, len(vec))) AS d,
+      |           unnest(vec) AS x FROM mem),
+      |agg AS (SELECT cell, d, (CASE WHEN sum(CAST(round(x, 6)
+      |          AS DECIMAL(38,12))) < 0 THEN -1 ELSE 1 END
+      |        * (CAST(abs(sum(CAST(round(x, 6) AS DECIMAL(38,12))))
+      |             * 1000000 AS HUGEINT) // count(*))) / 1000000.0 AS c
+      |  FROM dims GROUP BY 1, 2),
+      |mv AS (SELECT cell, list(c ORDER BY d) AS mv FROM agg GROUP BY 1),
+      |rep AS (SELECT mv.cell,
+      |    CASE WHEN sqrt(list_inner_product(mv, mv)) <> 0 THEN
+      |      1000000 - CAST(floor(round(list_inner_product(mv, cvec) /
+      |        (sqrt(list_inner_product(mv, mv)) *
+      |         sqrt(list_inner_product(cvec, cvec))), 6) * 1000000.0
+      |        + 0.5) AS BIGINT)
+      |    END AS drift_ppm, mv
+      |  FROM mv JOIN cents ON mv.cell = cents.cid),
+      |newc AS (SELECT cents.cid,
+      |    CASE WHEN coalesce(rep.drift_ppm > 190000, FALSE)
+      |         THEN rep.mv ELSE cents.cvec END AS cvec
+      |  FROM cents LEFT JOIN rep ON rep.cell = cents.cid),
+      |a2 AS (
+      |  SELECT id, cid AS cell FROM (
+      |    SELECT c.id, t.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY c.id
+      |        ORDER BY round(list_inner_product(c.vec, t.cvec) /
+      |          (c.n * sqrt(list_inner_product(t.cvec, t.cvec))), 6)
+      |                 DESC, t.cid) AS rk
+      |    FROM w c, newc t) WHERE rk = 1)
+      |SELECT id, CAST(cell AS INT) AS cell FROM a2
+      |ORDER BY id""".stripMargin
+
+  /** q203's oracle: the q195 integer-GD chain unrolled ONCE PER CLASS
+    * (de/en/fr, binarized labels over one shared hashed-token table),
+    * then the serve replayed verbatim — per-class sums from the learned
+    * buckets, intercepts from the bucket −1 rows entering as
+    * intercept·n, argmax by (score desc, lang asc), signed-ppm
+    * publication. */
+  private lazy val LangIdFitSql: String = {
+    val classes = Seq("de", "en", "fr")
+    val epochs = 3
+    def chain(c: String): String = {
+      val p = c + "_"
+      val rounds = (1 to epochs).map { k =>
+        val prev = s"${p}w${k - 1}"
+        s"""${p}r$k AS (SELECT f.doc_id,
+           |    (CAST(sum(CAST(wu AS HUGEINT) * c) AS HUGEINT) // d) - yu AS ru
+           |  FROM ${p}f f JOIN $prev USING (bkt) GROUP BY f.doc_id, d, yu),
+           |${p}g$k AS (SELECT bkt, sum((CAST(ru AS HUGEINT) * c) // d) AS g
+           |  FROM ${p}f f JOIN ${p}r$k USING (doc_id) GROUP BY 1),
+           |${p}w$k AS (SELECT w.bkt,
+           |    wu - (250000 * (coalesce(g, 0) // (SELECT nd FROM nd)))
+           |      // 1000000 AS wu
+           |  FROM $prev w LEFT JOIN ${p}g$k USING (bkt))""".stripMargin
+      }.mkString(",\n")
+      s"""${p}f AS (SELECT doc_id, bkt, c, d,
+         |    CAST((2 * (CASE WHEN lang = '$c' THEN 1 ELSE 0 END) - 1)
+         |      * 1000000 AS BIGINT) AS yu
+         |  FROM cnt JOIN dd0 USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS BIGINT), d, d,
+         |    CAST((2 * (CASE WHEN lang = '$c' THEN 1 ELSE 0 END) - 1)
+         |      * 1000000 AS BIGINT)
+         |  FROM dd0),
+         |${p}w0 AS (SELECT DISTINCT bkt, CAST(0 AS HUGEINT) AS wu
+         |  FROM ${p}f),
+         |$rounds""".stripMargin
+    }
+    def serveClass(c: String): String = {
+      val p = c + "_"
+      s"""SELECT n.doc_id, '$c' AS lang,
+         |    coalesce(sm.sw, 0) +
+         |      (SELECT wu FROM ${p}w$epochs WHERE bkt = -1) * n.n_toks AS sc
+         |  FROM na n LEFT JOIN (
+         |    SELECT doc_id, sum(wu) AS sw FROM sa JOIN ${p}w$epochs
+         |    USING (bkt) WHERE bkt >= 0 GROUP BY 1) sm USING (doc_id)"""
+        .stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+       |    ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
+       |    lang FROM documents),
+       |tf AS (SELECT doc_id, toks, lang FROM t
+       |       WHERE lang IN ('de', 'en', 'fr')),
+       |s AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS bkt
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tf) WHERE tok <> ''),
+       |cnt AS (SELECT doc_id, bkt, count(*) AS c FROM s GROUP BY 1, 2),
+       |ndoc AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+       |dd0 AS (SELECT tf.doc_id, tf.lang,
+       |    greatest(coalesce(n.n, 0), 1) AS d
+       |  FROM tf LEFT JOIN ndoc n USING (doc_id)),
+       |nd AS (SELECT count(*) AS nd FROM dd0),
+       |${classes.map(chain).mkString(",\n")},
+       |sa AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS bkt
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) WHERE tok <> ''),
+       |na AS (SELECT doc_id, count(*) AS n_toks FROM sa GROUP BY 1),
+       |cl AS (${classes.map(serveClass).mkString("\n  UNION ALL\n")}),
+       |best AS (SELECT doc_id, lang, sc, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY sc DESC, lang) AS rk FROM cl)
+       |SELECT d.doc_id, coalesce(na.n_toks, 0) AS n_toks, b.lang,
+       |  CASE WHEN na.n_toks > 0 THEN
+       |    CAST((CASE WHEN b.sc < 0 THEN -1 ELSE 1 END)
+       |      * (abs(b.sc) // na.n_toks) AS BIGINT) END AS score_ppm
+       |FROM documents d LEFT JOIN na USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, lang, sc FROM best WHERE rk = 1) b
+       |  USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -247,6 +247,95 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1)._2 == "email me at <EMAIL> right now please thanks kindly friend")
   }
 
+  test("windowedAgg under adversarial reorder: out-of-order rows whose " +
+      "window is still OPEN aggregate (even below the raw watermark), a " +
+      "row for an already-FINALIZED window drops (count pinned), " +
+      "unfinalized windows stay in state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("ts_ns", "event_type", "value")
+    def m(x: Long): Long = x * 60L * 1000000000L // minutes -> ns
+    val q = EventStream.windowedAgg(events) // 1 h windows, 30 min watermark
+      .writeStream.format("memory").queryName("wooagg")
+      .outputMode("append").start()
+    // batch 1: in-order. max event time 10h10 -> watermark becomes 9h40.
+    mem.addData((m(570), "view", 1.0), (m(600), "click", 1.0),
+      (m(610), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2 (wm 9h40): the 9h50 click AND the 9h10 view are both out
+    // of order, and BOTH aggregate — lateness is per WINDOW, not per
+    // event: their window [9,10) (end 10h) is still open at wm 9h40.
+    // The 11h40 click advances the wm to 11h10, which FINALIZES [9,10)
+    // and [10,11) (the engine runs a no-data batch to emit them).
+    mem.addData((m(590), "click", 1.0), (m(550), "view", 1.0),
+      (m(700), "click", 1.0))
+    q.processAllAvailable()
+    // batch 3 (wm 11h10): a second 9h50 view now targets the FINALIZED
+    // [9,10) -> DROPPED (the pinned late-data loss); 20h advances the
+    // wm to 19h30, finalizing [11,12) too.
+    mem.addData((m(590), "view", 1.0), (m(1200), "click", 1.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val out = spark.table("wooagg")
+      .selectExpr("unix_micros(window_start) div 3600000000L as hh",
+        "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // [9,10): both out-of-order rows counted, the post-finalization one
+    // is NOT; [20,21) (the dummy's own window) is absent — still open.
+    assert(out == Seq((9L, "click", 1L), (9L, "view", 2L),
+      (10L, "click", 2L), (11L, "click", 1L)), out.mkString(","))
+    assert(dropped == 1L,
+      s"exactly the post-finalization 9h50 view must drop, got $dropped")
+  }
+
+  test("sessionAgg under adversarial reorder: an out-of-order row MERGES " +
+      "into its session, a row whose would-be session is already closed " +
+      "drops (count pinned), open sessions stay in state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val events = mem.toDF().toDF("ts_ns", "user_id", "event_type", "value")
+    def m(x: Long): Long = x * 60L * 1000000000L // minutes -> ns
+    val q = EventStream.sessionAgg(events) // 30 min gap, 30 min watermark
+      .writeStream.format("memory").queryName("woosess")
+      .outputMode("append").start()
+    // batch 1: user 1 at 10h00 and 10h10 (one session), user 2 at 10h05;
+    // wm -> 9h40.
+    mem.addData((m(600), 1L, "c", 0.0), (m(610), 1L, "c", 0.0),
+      (m(605), 2L, "c", 0.0))
+    q.processAllAvailable()
+    // batch 2 (wm 9h40): user 1 at 9h50 is out of order and within the
+    // 30 min gap of 10h00 -> MERGES (session becomes 9h50..10h10, n=3);
+    // user 3 at 13h advances the wm to 12h30, which finalizes every
+    // session ending before it (users 1-3; the engine's no-data batch
+    // emits them).
+    mem.addData((m(590), 1L, "c", 0.0), (m(780), 3L, "c", 0.0))
+    q.processAllAvailable()
+    // batch 3 (wm 12h30): user 2 at 9h10 would form a session ending
+    // 9h40 <= wm -> DROPPED (the pinned late-data loss); the 20h dummy
+    // leaves its own session open.
+    mem.addData((m(550), 2L, "c", 0.0), (m(1200), 4L, "c", 0.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val out = spark.table("woosess")
+      .selectExpr("unix_micros(session_start) div 60000000L as mm",
+        "user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => t._2).toSeq
+    // user 1's session STARTS at the out-of-order 9h50 event (merge
+    // proof); user 2's late row did not resurrect a second session;
+    // user 4's session is still open -> absent.
+    assert(out == Seq((9L * 60 + 50, 1L, 3L), (10L * 60 + 5, 2L, 1L),
+      (13L * 60, 3L, 1L)), out.mkString(","))
+    assert(dropped == 1L, s"exactly the 9h10 row must drop, got $dropped")
+  }
+
   test("ts_ns -> event_time is exact integer division at the 2^53 boundary") {
     import spark.implicits._
     // exact µs = 2^53 + 1 — NOT representable as a double (doubles above

@@ -46,18 +46,20 @@ class ProfileSpec extends SparkSpec {
       (2L, rep("t3", 4) + " " + rep("t4", 3))).toDF("doc_id", "text")
     val got = Profile.zipfSlope(docs, "text", topV = 4).head()
     assert(got.getLong(0) == 4L)
-    assert(math.abs(got.getDouble(1) + 1.0) < 1e-4, got.toString)
-    assert(math.abs(got.getDouble(2) - math.log(12.0)) < 1e-4, got.toString)
-    assert(got.getDouble(3) > 0.9999, got.toString)
+    // published as integer ppm: slope ≈ −1 → ~−1e6, intercept ≈ ln 12
+    assert(math.abs(got.getLong(1) + 1000000L) < 100L, got.toString)
+    assert(math.abs(got.getLong(2) - math.round(math.log(12.0) * 1e6))
+      < 100L, got.toString)
+    assert(got.getLong(3) > 999900L, got.toString)
     // head cut: topV = 2 fits only t1/t2 — still slope −1 on the power law
     val head2 = Profile.zipfSlope(docs, "text", topV = 2).head()
     assert(head2.getLong(0) == 2L &&
-      math.abs(head2.getDouble(1) + 1.0) < 1e-4, head2.toString)
+      math.abs(head2.getLong(1) + 1000000L) < 100L, head2.toString)
     // frequency ties rank by token asc (deterministic): equal freqs →
     // zero y-variance → slope 0, r² NULL
     val ties = Seq((1L, "b a c a b c")).toDF("doc_id", "text")
     val t = Profile.zipfSlope(ties, "text", topV = 3).head()
-    assert(t.getLong(0) == 3L && t.getDouble(1) == 0.0 && t.isNullAt(3),
+    assert(t.getLong(0) == 3L && t.getLong(1) == 0L && t.isNullAt(3),
       t.toString)
     // layout invariance (decimal-sum contract)
     val shuffled = Profile.zipfSlope(docs.repartition(5), "text", topV = 4)

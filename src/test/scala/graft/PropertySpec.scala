@@ -590,21 +590,24 @@ class PropertySpec extends SparkSpec {
       val s = xs.sorted
       s((s.size + 1) / 2 - 1)
     }
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val byKey = data.groupBy(_._1)
     val model = data.map { case (key, id, v) =>
       val vals = byKey(key).map(_._3)
       val med = lowerMedian(vals)
       val mad = lowerMedian(vals.map(x => math.abs(x - med)))
-      val z = if (mad == 0) None else Some(r6((v - med).toDouble / mad))
+      // signed-ppm model: sign · trunc(|v−med|·10⁶ / mad)
+      val z = if (mad == 0) None
+        else {
+          val sg = if (v < med) -1L else 1L
+          Some(sg * (math.abs(v - med) * 1000000L / mad))
+        }
       (id, med, mad, z)
     }.sortBy(_._1)
     val got = graft.ops.Scoring.robustZScores(
         data.toDF("k", "id", "v"), "k", "v")
       .orderBy("id").collect()
       .map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
-        Option(r.get(5)).map(_.asInstanceOf[Double])))
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
     assert(got.toSeq == model)
   }
 }

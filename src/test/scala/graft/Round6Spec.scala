@@ -47,4 +47,34 @@ class Round6Spec extends SparkSpec {
       .select(Round6.guarded(col("y"), "edge")).head()
     assert(got.getDouble(0) == 1.0e-6, got.toString)
   }
+
+  test("relative margin: large-magnitude boundary-adjacent values raise " +
+      "where the absolute margin was numerically blind") {
+    import spark.implicits._
+    // y ≈ 1e8 sitting as close to a x.xxxxxx5 boundary as doubles allow:
+    // ulp(1e8) ≈ 1.5e-8 ≫ 1e-12, so the old absolute margin passed it
+    // unproven; the relative margin (16 ulp) must refuse it.
+    val y = {
+      val b = 1.0000000000000005e8 // boundary-adjacent at 1e8
+      // nearest double to a 0.5e-6 boundary: construct via the quantum
+      math.floor(b * 1e6) / 1e6 + 0.5e-6
+    }
+    val ex = intercept[Exception] {
+      Seq(y).toDF("y").select(Round6.guarded(col("y"), "rel spec")).collect()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("portability guard"), s"$y: $ex")
+  }
+
+  test("lenient: hazard rows publish NULL instead of raising") {
+    import spark.implicits._
+    val df = Seq(Some(0.0000005), Some(math.log(3.0)), None).toDF("y")
+    val got = df.select(Round6.lenient(col("y")).as("g")).collect()
+    assert(got(0).isNullAt(0), "boundary value must quarantine to NULL")
+    assert(got(1).getDouble(0) ==
+      BigDecimal(math.log(3.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2).isNullAt(0))
+  }
 }

@@ -273,11 +273,13 @@ class SamplingSpec extends SparkSpec {
     val got = Sampling.mixtureWeights(stats, "src", "score", tau = 1.0)
       .orderBy("src").collect()
       .map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
-    val e = Map("web" -> r6(math.exp(2.0)), "code" -> r6(math.exp(1.0)),
-      "books" -> r6(math.exp(0.5)))
-    val tot = e.values.map(v =>
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
-    def ppm(k: String) = math.floor(e(k) * 1000000.0 / tot).toLong
+    // max-shifted replay: exp((score − 2.0)/τ) ∈ (0, 1], exact micro
+    // units, integral-division ppm
+    val e = Map("web" -> r6(math.exp(0.0)), "code" -> r6(math.exp(-1.0)),
+      "books" -> r6(math.exp(-1.5)))
+    val eu = e.view.mapValues(v => math.floor(v * 1e6 + 0.5).toLong).toMap
+    val tot = eu.values.sum
+    def ppm(k: String) = eu(k) * 1000000L / tot
     assert(got.toSeq == Seq(
       ("books", e("books"), ppm("books")), ("code", e("code"), ppm("code")),
       ("web", e("web"), ppm("web"))))

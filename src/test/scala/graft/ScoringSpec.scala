@@ -26,6 +26,13 @@ class ScoringSpec extends SparkSpec {
     xs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
       .sum.toDouble
 
+  /** ppm publication replica: trunc((Σ 6-dp terms)·10⁶ / n) — mirrors
+    * the engine's micro-sum integral division bit-for-bit. */
+  private def meanPpm(xs: Seq[Double], n: Long): Long =
+    (xs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.bigDecimal.movePointRight(6).toBigIntegerExact
+      .divide(java.math.BigInteger.valueOf(n))).longValueExact()
+
   test("bigramLmScore: add-1 bigram LM, driver-checked; short docs NULL") {
     import spark.implicits._
     val docs = Seq(
@@ -43,13 +50,13 @@ class ScoringSpec extends SparkSpec {
     val lpAb = r6(-math.log(p(3, 3)))
     val lpBa = r6(-math.log(p(1, 2)))
     val lpBc = r6(-math.log(p(1, 2)))
-    val exp1 = r6(decSum(Seq(lpAb, lpBa, lpAb, lpBc)) / 4)
-    val exp2 = r6(decSum(Seq(lpAb)) / 1)
+    val exp1 = meanPpm(Seq(lpAb, lpBa, lpAb, lpBc), 4)
+    val exp2 = meanPpm(Seq(lpAb), 1)
 
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 4L), (2L, 1L), (3L, 0L), (4L, 0L)))
-    assert(out(0).getDouble(2) == exp1)
-    assert(out(1).getDouble(2) == exp2)
+    assert(out(0).getLong(2) == exp1)
+    assert(out(1).getLong(2) == exp2)
     assert(out(2).isNullAt(2) && out(3).isNullAt(2))
   }
 
@@ -71,13 +78,16 @@ class ScoringSpec extends SparkSpec {
       val bkt = md5h60(tok) % b
       (bkt % 21 - 10) * 100000L
     }
-    val exp1 = r6(0.25 + (wq("x") + wq("y") + wq("z")).toDouble / (3 * 1e6))
-    val exp2 = r6(0.25 + (2 * wq("x")).toDouble / (2 * 1e6))
+    // signed-ppm replay: intercept_ppm + sign(S)·trunc(|S|/n)
+    def sppm(s: Long, n: Long): Long =
+      250000L + (if (s < 0) -1L else 1L) * (math.abs(s) / n)
+    val exp1 = sppm(wq("x") + wq("y") + wq("z"), 3)
+    val exp2 = sppm(2 * wq("x"), 2)
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 3L), (2L, 2L), (3L, 0L)))
-    assert(out(0).getDouble(2) == exp1)
-    assert(out(1).getDouble(2) == exp2)
-    assert(out(2).getDouble(2) == 0.25) // token-less doc scores the intercept
+    assert(out(0).getLong(2) == exp1)
+    assert(out(1).getLong(2) == exp2)
+    assert(out(2).getLong(2) == 250000L) // token-less doc scores intercept
     assert(out.map(_.getBoolean(3)).toSeq ==
       Seq(exp1 > 0, exp2 > 0, true))
   }
@@ -108,17 +118,18 @@ class ScoringSpec extends SparkSpec {
         val bkt = md5h60(t) % b
         ((bkt * p + q) % 21 - 10) * 100000L
       }.sum
-    def expect(tokens: Seq[String]): (String, Double) = {
+    def expect(tokens: Seq[String]): (String, Long) = {
       val scores = Seq("aa" -> 0L, "de" -> sum(tokens, 3, 5),
         "en" -> sum(tokens, 7, 11))
       val (l, sc) = scores.minBy { case (lang, s) => (-s, lang) }
-      (l, r6(sc.toDouble / (tokens.size * 1e6)))
+      // signed-ppm replay: sign · trunc(|sum| / n)
+      (l, (if (sc < 0) -1L else 1L) * (math.abs(sc) / tokens.size))
     }
     val e1 = expect(Seq("x", "y", "z")); val e2 = expect(Seq("x", "x"))
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 3L), (2L, 2L), (3L, 0L)))
-    assert((out(0).getString(2), out(0).getDouble(3)) == e1)
-    assert((out(1).getString(2), out(1).getDouble(3)) == e2)
+    assert((out(0).getString(2), out(0).getLong(3)) == e1)
+    assert((out(1).getString(2), out(1).getLong(3)) == e2)
     assert(out(2).isNullAt(2) && out(2).isNullAt(3), "empty doc must abstain")
     // Forced tie: identical weight rows under two labels — every doc's
     // sums tie and the smallest label must win deterministically.
@@ -126,6 +137,61 @@ class ScoringSpec extends SparkSpec {
     val t = Scoring.langIdScore(docs.where($"doc_id" === 1L), "doc_id",
       "text", tied, buckets = b).collect()(0)
     assert(t.getString(2) == "ab", s"tie must break to smallest lang: $t")
+  }
+
+  test("langIdScore: bucket -1 weight rows are per-class intercepts " +
+      "(score = mean + intercept, argmax shifts accordingly)") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val b = 64
+    // identical bucket weights for both classes; only intercepts differ
+    def dense(l: String) = spark.range(b).select(lit(l).as("lang"),
+      col("id").as("bucket"), (col("id") % 3).cast("double").as("weight"))
+    val base = dense("aa").unionByName(dense("zz"))
+    val withI = base.unionByName(
+      Seq(("aa", -1L, 0.25), ("zz", -1L, 0.75)).toDF("lang", "bucket", "weight"))
+    val noI = Scoring.langIdScore(docs, "doc_id", "text", base, b).head()
+    // tie on sums → smallest lang wins
+    assert(noI.getString(2) == "aa")
+    val got = Scoring.langIdScore(docs, "doc_id", "text", withI, b).head()
+    // zz's intercept (750000 micros) breaks the tie and shifts the score
+    assert(got.getString(2) == "zz", got.toString)
+    assert(got.getLong(3) == noI.getLong(3) + 750000L, got.toString)
+  }
+
+  test("langIdFit: per-class trajectory equals hashedLinearFit on the " +
+      "binarized label; the stacked model serves its own fit slice " +
+      "correctly through langIdScore") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "der hund läuft schnell", "de"),
+      (2L, "der alte hund schläft", "de"),
+      (3L, "the dog runs fast", "en"),
+      (4L, "the old dog sleeps", "en"),
+      (5L, "le chien court vite", "fr"),
+      (6L, "le vieux chien dort", "fr")).toDF("doc_id", "text", "lang")
+    val B = 256
+    val model = Scoring.langIdFit(docs, "doc_id", "text", "lang",
+      buckets = B, epochs = 2)
+    val rows = model.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // one-vs-all equality: each class's vector IS hashedLinearFit's on
+    // the binarized label (same features, same integer GD)
+    for (c <- Seq("de", "en", "fr")) {
+      val bin = Scoring.hashedLinearFit(
+        docs.withColumn("label", (col("lang") === c).cast("int")),
+        "doc_id", "text", "label", buckets = B, epochs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ova = rows.filter(_._1 == c).map(t => (t._2, t._3)).sorted.toSeq
+      assert(ova == bin, s"class $c diverges from the binary fit")
+    }
+    // the model serves its own (separable) fit slice correctly
+    val wdf = model.select(col("lang"), col("bucket"),
+      (col("weight_u").cast("double") / 1e6).as("weight"))
+    val served = Scoring.langIdScore(docs, "doc_id", "text", wdf, B)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(served.toSeq == Seq((1L, "de"), (2L, "de"), (3L, "en"),
+      (4L, "en"), (5L, "fr"), (6L, "fr")), served.mkString(","))
   }
 
   test("dsirWeights: target-vs-raw log ratio, driver-checked") {
@@ -205,7 +271,7 @@ class ScoringSpec extends SparkSpec {
     val got = Scoring.distributionDrift(batch, "text", ref, "text", buckets = B)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4)))).toMap
+        r.getDouble(3), r.getLong(4)))).toMap
     // driver replay with the same md5-60 bucket hash
     val bkt = (t: String) => md5h60(t) % B
     val cb = Seq("a", "a", "b").groupBy(bkt).map { case (k, v) => k -> v.size.toLong }
@@ -216,7 +282,11 @@ class ScoringSpec extends SparkSpec {
       val pb = (x + 1.0) / (nb + B)
       val pr = (y + 1.0) / (nr + B)
       val llr = r6(math.log(pb) - math.log(pr))
-      k -> ((x, y, llr, r6(pb * llr)))
+      // kl_ppm replay: sign(llr)·trunc((x+1)·|llr·10⁶| / (N_b+B))
+      val lu = math.floor(llr * 1e6 + 0.5).toLong
+      val kl = (if (lu < 0) -1L else 1L) *
+        ((x + 1L) * math.abs(lu) / (nb.toLong + B))
+      k -> ((x, y, llr, kl))
     }.toMap
     assert(got == want)
   }
@@ -401,7 +471,7 @@ class ScoringSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(served(0).getBoolean(3), served(0).toString)       // good keeps
     assert(!served(1).getBoolean(3), served(1).toString)      // bad drops
-    assert(served(0).getDouble(2) > served(1).getDouble(2))
+    assert(served(0).getLong(2) > served(1).getLong(2))
   }
 
   test("cTfIdfTopTerms: hand-computed scores, rank ties by term, topN cut") {
@@ -445,12 +515,12 @@ class ScoringSpec extends SparkSpec {
     val got = Scoring.trigramLmScore(docs, "doc_id", "text", ref, "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        Option(r.get(2)).map(_.asInstanceOf[Double])))
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
     assert(got.toSeq == Seq(
-      (1L, 1L, Some(r6(-math.log(1.0 / 2.0)))),
-      (2L, 1L, Some(r6(-math.log(0.4 * 0.4 * (1.0 / 6.0))))),
-      (3L, 1L, Some(r6(-math.log(0.4 * (2.0 / 2.0))))),
-      (4L, 1L, Some(r6(-math.log(0.4 * 0.4 * (1.0 / 6.0))))),
+      (1L, 1L, Some(meanPpm(Seq(r6(-math.log(1.0 / 2.0))), 1))),
+      (2L, 1L, Some(meanPpm(Seq(r6(-math.log(0.4 * 0.4 * (1.0 / 6.0)))), 1))),
+      (3L, 1L, Some(meanPpm(Seq(r6(-math.log(0.4 * (2.0 / 2.0)))), 1))),
+      (4L, 1L, Some(meanPpm(Seq(r6(-math.log(0.4 * 0.4 * (1.0 / 6.0)))), 1))),
       (5L, 0L, None)))
   }
 
@@ -466,12 +536,12 @@ class ScoringSpec extends SparkSpec {
       .toDF("lang", "id", "v")
     val got = Scoring.robustZScores(df, "lang", "v").orderBy("id").collect()
       .map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
-        Option(r.get(5)).map(_.asInstanceOf[Double])))
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
     // en: median = 3 (lower median of 5), MAD = median of [2,1,0,1,97] = 1
     assert(got.take(6).toSeq == Seq(
-      (1L, 3L, 1L, Some(-2.0)), (2L, 3L, 1L, Some(-1.0)),
-      (3L, 3L, 1L, Some(0.0)), (4L, 3L, 1L, Some(1.0)),
-      (5L, 3L, 1L, Some(97.0)), (6L, 3L, 1L, None)))
+      (1L, 3L, 1L, Some(-2000000L)), (2L, 3L, 1L, Some(-1000000L)),
+      (3L, 3L, 1L, Some(0L)), (4L, 3L, 1L, Some(1000000L)),
+      (5L, 3L, 1L, Some(97000000L)), (6L, 3L, 1L, None)))
     // fr: median = 5, deviations [0,0,0,4] → MAD 0 → z NULL everywhere
     assert(got.drop(6).toSeq == Seq(
       (11L, 5L, 0L, None), (12L, 5L, 0L, None), (13L, 5L, 0L, None),
@@ -482,24 +552,25 @@ class ScoringSpec extends SparkSpec {
       "mixed case") {
     import spark.implicits._
     def asg(xs: (Long, Long)*) = xs.toDF("id", "c")
-    // identical clusterings → ARI 1, NMI 1
+    // identical clusterings → ARI 1, NMI 1 (published as integer ppm)
     val x = asg(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L)
     val same = Scoring.clusterAgreement(x, x, "id", "c", "c").head()
-    assert(same.getLong(0) == 4L && same.getDouble(1) == 1.0 &&
-      same.getDouble(2) == 1.0)
+    assert(same.getLong(0) == 4L && same.getLong(1) == 1000000L &&
+      same.getLong(2) == 1000000L)
     // single cluster on both sides → both metrics NULL
     val one = asg(1L -> 0L, 2L -> 0L, 3L -> 0L)
     val deg = Scoring.clusterAgreement(one, one, "id", "c", "c").head()
     assert(deg.isNullAt(1) && deg.isNullAt(2))
     // mixed case, replayed by hand: A = {1,2|3,4}, B = {1,3|2,4}
     // contingency all nij = 1 → S_ij = 0; Sa = Sb = 4; n = 4, Sn = 12
-    // ARI = 2(0·12 − 16)/(8·12 − 32) = −32/64 = −0.5
+    // ARI = 2(0·12 − 16)/(8·12 − 32) = −32/64 = −0.5 → −500000 ppm
+    // (trunc-toward-zero on the sign-split exact ratio)
     val a = asg(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L)
     val b = asg(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
     val got = Scoring.clusterAgreement(a, b, "id", "c", "c").head()
-    assert(got.getLong(0) == 4L && got.getDouble(1) == -0.5)
+    assert(got.getLong(0) == 4L && got.getLong(1) == -500000L)
     // NMI: every nij·ln(n·nij/(ai·bj)) = ln(4/4) = 0 → MI 0 → NMI 0
-    assert(got.getDouble(2) == 0.0)
+    assert(got.getLong(2) == 0L)
   }
 
   test("bradleyTerry: driver-replayed MM rounds, more wins ranks higher, " +
@@ -515,31 +586,33 @@ class ScoringSpec extends SparkSpec {
       .toDF("winner", "loser")
     val got = Scoring.bradleyTerry(outcomes, "winner", "loser", iters = 3)
       .orderBy("item").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // Driver replay of the exact published arithmetic: per-opponent terms
-    // rounded to 6 dp, summed as decimal, one double add for the virtual
-    // win/loss regularizer, round-6 update, round-6 normalize.
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Driver replay of the exact published arithmetic: strengths in
+    // integer micro-units, every per-opponent term / update / normalize
+    // an integral (floor) division — no double ever divides.
     val games = Map(("A", "B") -> 2L, ("B", "A") -> 2L, ("A", "C") -> 1L,
       ("C", "A") -> 1L, ("B", "C") -> 1L, ("C", "B") -> 1L)
     val wins = Map("A" -> 3L, "B" -> 1L, "C" -> 0L)
     val items = Seq("A", "B", "C")
-    var s = items.map(_ -> 1.0).toMap
+    val T = BigInt(1000000000000L)
+    var s = items.map(_ -> BigInt(1000000L)).toMap
     for (_ <- 1 to 3) {
       val upd = items.map { i =>
-        val den = decSum(items.collect { case j if games.contains((i, j)) =>
-          r6(games((i, j)).toDouble / (s(i) + s(j))) }) +
-          r6(2.0 / (s(i) + 1.0))
-        i -> r6((wins(i) + 1).toDouble / den)
+        val den = items.collect { case j if games.contains((i, j)) =>
+          BigInt(games((i, j))) * T / (s(i) + s(j)).max(BigInt(1)) }.sum +
+          BigInt(2) * T / (s(i) + BigInt(1000000))
+        i -> BigInt(wins(i) + 1) * T / den
       }.toMap
-      val tot = decSum(items.map(upd))
-      s = items.map(i => i -> r6(upd(i) / tot)).toMap
+      val tot = items.map(upd).sum
+      s = items.map(i => i -> upd(i) * 1000000 / tot).toMap
     }
     assert(got.toSeq == Seq(
-      ("A", 3L, 3L, s("A")), ("B", 3L, 1L, s("B")), ("C", 2L, 0L, s("C"))))
+      ("A", 3L, 3L, s("A").toLong), ("B", 3L, 1L, s("B").toLong),
+      ("C", 2L, 0L, s("C").toLong)))
     assert(s("A") > s("B") && s("B") > s("C"))
   }
 
-  test("bradleyTerry: layout-invariant (decimal-sum contract)") {
+  test("bradleyTerry: layout-invariant (integer micro-unit contract)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
     val items = (0 until 12).map(i => s"m$i")
@@ -550,10 +623,10 @@ class ScoringSpec extends SparkSpec {
       (a, b)
     }.toDF("winner", "loser")
     val base = Scoring.bradleyTerry(outcomes, "winner", "loser", iters = 3)
-      .orderBy("item").collect().map(r => (r.getString(0), r.getDouble(3)))
+      .orderBy("item").collect().map(r => (r.getString(0), r.getLong(3)))
     val shuffled = Scoring.bradleyTerry(outcomes.repartition(13),
         "winner", "loser", iters = 3)
-      .orderBy("item").collect().map(r => (r.getString(0), r.getDouble(3)))
+      .orderBy("item").collect().map(r => (r.getString(0), r.getLong(3)))
     assert(base.toSeq == shuffled.toSeq)
   }
 
@@ -571,12 +644,12 @@ class ScoringSpec extends SparkSpec {
     val got = Scoring.cohenKappaPairs(ratings, "item", "rater", "lab")
       .orderBy("rater_a", "rater_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
     // (1,2): perfect agreement, balanced marginals → kappa = 1
-    assert(got(0) == (1L, 2L, 20L, 20L, 1.0), got(0).toString)
+    assert(got(0) == (1L, 2L, 20L, 20L, 1000000L), got(0).toString)
     // (1,3): systematic opposite with balanced marginals → kappa = −1
-    assert(got(1) == (1L, 3L, 20L, 0L, -1.0), got(1).toString)
-    assert(got(2) == (2L, 3L, 20L, 0L, -1.0), got(2).toString)
+    assert(got(1) == (1L, 3L, 20L, 0L, -1000000L), got(1).toString)
+    assert(got(2) == (2L, 3L, 20L, 0L, -1000000L), got(2).toString)
     // hand-checked partial agreement: the classic 2×2 worked example —
     // a=10 both-yes, b=5 a-yes/b-no, c=3 a-no/b-yes, d=2 both-no:
     // po=12/20, pe=(15·13 + 5·7)/400 → kappa=(240−230)/(400−230)
@@ -591,7 +664,20 @@ class ScoringSpec extends SparkSpec {
     val h = Scoring.cohenKappaPairs(hand.toDF("item", "rater", "lab"),
       "item", "rater", "lab").head()
     assert(h.getLong(2) == 20L && h.getLong(3) == 12L)
-    assert(h.getDouble(4) == math.rint(10.0 / 170.0 * 1e6) / 1e6, h.toString)
+    // signed-ppm publication: trunc(10/170 · 10⁶) = 58823
+    assert(h.getLong(4) == 10L * 1000000L / 170L, h.toString)
+    // negative-kappa quantization is trunc-toward-zero (sign split out):
+    // opposite-with-skewed-marginals worked example — a=0, b=5, c=3, d=2:
+    // num = 10·2 − (5·3 + 5·7) = −30, den = 100 − 50 = 50 → −600000
+    val neg = Seq.tabulate(5)(i => (200 + i, 8L, "y")) ++
+      Seq.tabulate(5)(i => (200 + i, 9L, "n")) ++
+      Seq.tabulate(3)(i => (205 + i, 8L, "n")) ++
+      Seq.tabulate(3)(i => (205 + i, 9L, "y")) ++
+      Seq.tabulate(2)(i => (208 + i, 8L, "n")) ++
+      Seq.tabulate(2)(i => (208 + i, 9L, "n"))
+    val ng = Scoring.cohenKappaPairs(neg.toDF("item", "rater", "lab"),
+      "item", "rater", "lab").head()
+    assert(ng.getLong(4) == -600000L, ng.toString)
     // degenerate: both raters constant with identical marginals → NULL
     val const = (0 until 5).flatMap(i => Seq((i, 1L, "x"), (i, 2L, "x")))
       .toDF("item", "rater", "lab")
@@ -620,12 +706,22 @@ class ScoringSpec extends SparkSpec {
     val runs = Seq(("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
       ("q1", "d4", 4), ("q2", "dX", 1), ("q2", "d1", 2),
       ("q3", "d1", 1)).toDF("q", "doc", "rnk")
+    // ppm replay: exact integer micros, one floor division — matches
+    // the op's (dcg·10⁶) div idcg published form
+    def ppm(dcg: Double, idcg: Double): Long = {
+      val du = BigDecimal(dcg).setScale(6).bigDecimal
+        .movePointRight(6).toBigIntegerExact
+      val iu = BigDecimal(idcg).setScale(6).bigDecimal
+        .movePointRight(6).toBigIntegerExact
+      du.multiply(java.math.BigInteger.valueOf(1000000L))
+        .divide(iu).longValueExact()
+    }
     val got = Scoring.ndcgAtK(runs, "q", "doc", "rnk", qrels, "rel", k = 4)
       .orderBy("q").collect()
-    assert(got(0).getString(0) == "q1" && got(0).getDouble(3) == 1.0)
+    assert(got(0).getString(0) == "q1" && got(0).getLong(3) == 1000000L)
     val dcg2 = decSum(Seq(gain(0L, 1), gain(1L, 2)))
     val idcg2 = decSum(Seq(gain(1L, 1), gain(0L, 2)))
-    assert(got(1).getDouble(3) == r6(dcg2 / idcg2), got(1).toString)
+    assert(got(1).getLong(3) == ppm(dcg2, idcg2), got(1).toString)
     assert(got(2).isNullAt(3), got(2).toString)
     // reordered partial case replayed term-by-term: run d2,d1,d3,d4
     val runs2 = Seq(("q1", "d2", 1), ("q1", "d1", 2), ("q1", "d3", 3),
@@ -636,7 +732,7 @@ class ScoringSpec extends SparkSpec {
     val idcgH = decSum(Seq(gain(3L, 1), gain(2L, 2), gain(1L, 3), gain(0L, 4)))
     assert(h.getDecimal(1).doubleValue() == dcgH &&
       h.getDecimal(2).doubleValue() == idcgH, h.toString)
-    assert(h.getDouble(3) == r6(dcgH / idcgH), h.toString)
+    assert(h.getLong(3) == ppm(dcgH, idcgH), h.toString)
     // rel beyond the literal table raises instead of silently scoring 0
     val over = Seq(("q1", "d1", 4L)).toDF("q", "doc", "rel")
     val runs3 = Seq(("q1", "d1", 1)).toDF("q", "doc", "rnk")
@@ -671,14 +767,16 @@ class ScoringSpec extends SparkSpec {
     // q5 has a positive label but NO run rows → hits 0, rr 0, ap 0
     val got = Scoring.mapMrrAtK(runs, "q", "doc", "rnk", qrels, "rel", k = 4)
       .orderBy("q").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
-    val ap1 = r6(decSum(Seq(r6(1.0 / 2), r6(2.0 / 3))) / 3.0)
-    assert(got(0) == ("q1", 3L, 2L, 0.5, ap1), got(0).toString)
-    assert(got(1) == ("q2", 3L, 3L, 1.0, 1.0), got(1).toString)
-    assert(got(2) == ("q3", 1L, 0L, 0.0, 0.0), got(2).toString)
-    assert(got(3)._1 == "q4" && got(3)._5.isNaN, got(3).toString)
-    assert(got(4) == ("q5", 1L, 0L, 0.0, 0.0), got(4).toString)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    // pure-ppm replay: terms 1·10⁶/2 = 500000, 2·10⁶/3 = 666666 (trunc),
+    // ap = (500000 + 666666) / 3 = 388888 (trunc)
+    val ap1 = (1000000L / 2 + 2000000L / 3) / 3
+    assert(got(0) == ("q1", 3L, 2L, 500000L, ap1), got(0).toString)
+    assert(got(1) == ("q2", 3L, 3L, 1000000L, 1000000L), got(1).toString)
+    assert(got(2) == ("q3", 1L, 0L, 0L, 0L), got(2).toString)
+    assert(got(3)._1 == "q4" && got(3)._5 == Long.MinValue, got(3).toString)
+    assert(got(4) == ("q5", 1L, 0L, 0L, 0L), got(4).toString)
   }
 
   test("rrfFuse: exact micro-unit sums, cross-source boost, tie by doc, " +

@@ -229,6 +229,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfCompact: refresh leaves a stray in an undrifted cell, compact " +
+      "moves it (rewriting only the losing cell), result equals a fresh " +
+      "build, second compact is a no-op") {
+    import spark.implicits._
+    def u(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    // cents 0°/90°. Cell-0 mass at ~40° (drifts, refits to its mean).
+    // Cell 1: three members ON 90° (no drift) plus a STRAY at 50° —
+    // after the refresh moves cent 0 to ~40°, the stray is closer to the
+    // moved centroid, but refreshes never re-assign undrifted cells:
+    // the documented miss class this op closes.
+    val corpus = Seq(
+      (0L, u(35)), (1L, u(40)), (2L, u(45)),
+      (10L, u(85)), (11L, u(90)), (12L, u(95)),
+      (13L, u(50))).toDF("id", "vec")
+    val cents = Seq(0 -> u(0), 1 -> u(90))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcmp").toString
+    try {
+      Similarity.ivfIndex(corpus, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/ivf")
+      val (newCents, drifted) = Similarity.ivfCentroidRefresh(
+        spark, s"$dir/ivf", cents, driftPpm = 50000L)
+      assert(drifted == Seq(0), s"only cell 0 drifts: $drifted")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("vec"), col("_n"),
+            col("_cell").cast("int"))
+          .collect().map(_.toString).sorted.toSeq
+      val fresh = rows(Similarity.ivfIndex(corpus, newCents))
+      // the miss class is REAL on this fixture: the stray keeps cell 1
+      assert(rows(spark.read.parquet(s"$dir/ivf")) != fresh,
+        "fixture must exhibit the refresh miss class")
+      // compact: only the losing cell (1) is rewritten
+      val rewritten = Similarity.ivfCompact(spark, s"$dir/ivf", newCents)
+      assert(rewritten == Seq(1), rewritten.toString)
+      assert(rows(spark.read.parquet(s"$dir/ivf")) == fresh)
+      // serve-equality with the in-plan path after the full cycle
+      val queries = corpus.where(col("id").isin(1L, 13L))
+      def serve(r: Seq[org.apache.spark.sql.Row]) =
+        r.map(_.toString).sorted.toSeq
+      assert(serve(Similarity.ivfTopKAgainstIndex(queries,
+          spark.read.parquet(s"$dir/ivf"), newCents, nprobe = 2, k = 3)
+          .collect().toSeq) ==
+        serve(Similarity.ivfTopK(queries, corpus, newCents,
+          nprobe = 2, k = 3).collect().toSeq))
+      // already compact: second pass touches nothing
+      assert(Similarity.ivfCompact(spark, s"$dir/ivf", newCents).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pqCentroidRefresh: drifted cells re-encode against their moved " +
       "centroid (residual layout), result equals a full rebuild, " +
       "undrifted partitions untouched") {
@@ -268,6 +320,18 @@ class SimilaritySpec extends SparkSpec {
       val (again, d2) = Similarity.pqCentroidRefresh(spark, s"$dir/pq",
         corpus, 4, 2, books, newCents, driftPpm = 50000L, residual = true)
       assert(d2.isEmpty && again == newCents)
+      // membership comes from the STORED index: a corpus row never
+      // appended (id 99, landing in a drifted cell) must NOT be admitted
+      // by a refresh — refreshes move existing rows, appends add new ones
+      val intruder = corpus.unionByName(
+        Seq((99L, u(32))).toDF("id", "vec"))
+      val (_, d3) = Similarity.pqCentroidRefresh(spark, s"$dir/pq",
+        intruder, 4, 2, books, cents, driftPpm = 50000L, residual = true)
+      assert(d3.nonEmpty, "intruder pulls cell 0 back into drift")
+      val ids = spark.read.parquet(s"$dir/pq")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(99L),
+        "refresh must not admit rows absent from the stored index")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
@@ -690,10 +754,10 @@ class SimilaritySpec extends SparkSpec {
       // query 3 entirely missing from approx -> recall 0
     ).toDF("query_id", "neighbor_id")
     val got = Similarity.topKRecall(approx, truth).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     assert(got.toSeq == Seq(
-      (1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 4L, 0.0)))
+      (1L, 2L, 4L, 500000L), (2L, 2L, 2L, 1000000L), (3L, 0L, 4L, 0L)))
   }
 
   test("scalarQuantizeInt8: hand-computed codes, range bound, zero-vector " +
@@ -832,11 +896,13 @@ class SimilaritySpec extends SparkSpec {
     val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id", "vec")
     val got = Similarity.embeddingStats(df, "id", "vec", dim = 2)
       .orderBy("d").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5)))
     assert(got.toSeq == Seq(
-      (0, 2L, 2.0, 1.0, 1.0, 3.0),   // mean 2, E[x²]−μ² = 5−4 = 1
-      (1, 2L, 3.0, 1.0, 2.0, 4.0)))
+      // d0: mean 2 → 2e6 ppm, E[x²] = (1+9)/2 = 5 → 5e6 ppm
+      (0, 2L, 2000000L, 5000000L, 1.0, 3.0),
+      // d1: mean 3 → 3e6 ppm, E[x²] = (4+16)/2 = 10 → 10e6 ppm
+      (1, 2L, 3000000L, 10000000L, 2.0, 4.0)))
     val short = Seq((1L, Seq(1.0))).toDF("id", "vec")
     val e = intercept[Exception] {
       Similarity.embeddingStats(short, "id", "vec", dim = 2).collect()
@@ -874,12 +940,15 @@ class SimilaritySpec extends SparkSpec {
       si -> topSum(sims.filter(_._1._1 == si).map(_._2)) }.toMap
     val my = tgtV.map { case (ti, _) =>
       ti -> topSum(sims.filter(_._1._2 == ti).map(_._2)) }.toMap
-    def margin(si: Long, ti: Long): Option[Double] = {
+    def margin(si: Long, ti: Long): Option[Long] = {
       val (sx, nx) = mx(si); val (sy, ny) = my(ti)
       val den = sx * ny + sy * nx
-      if (den > 0)
-        Some(r6((su(simMap((si, ti))) * 2 * nx * ny).toDouble / den.toDouble))
-      else None
+      if (den > 0) {
+        // signed-ppm replay: sign · trunc(|num|·10⁶ / den)
+        val num = su(simMap((si, ti))) * 2 * nx * ny
+        val sg = if (num < 0) -1L else 1L
+        Some(sg * (BigInt(num).abs * 1000000 / BigInt(den)).toLong)
+      } else None
     }
     val expFwd = sv.map { case (si, _) =>
       val best = tgtV.flatMap { case (ti, _) =>
@@ -897,7 +966,7 @@ class SimilaritySpec extends SparkSpec {
       (si, ti, sim, m, if (expBwd((si, ti))) 1 else 0) }
     val got = Similarity.marginPairs(src, tgt, "id", "vec", k = 2)
       .orderBy("src_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
         r.getInt(4)))
     assert(got.toSeq == exp)
     assert(!got.exists(_._1 == 9L)) // zero-norm src dropped

@@ -66,6 +66,40 @@ class SparkEntrySpec extends SparkSpec {
         bad.mkString(", "))
   }
 
+  test("no oracle publishes round(<rational double ratio>, 6) — the q171 " +
+      "cross-engine divergence class (exact ratios must publish as " +
+      "integer ppm via integral division)") {
+    // Spark's round-via-shortest-decimal-repr and DuckDB's
+    // round-the-binary-value legitimately disagree within a half-ulp of
+    // a 0.5e-6 HALF_UP boundary, and a ratio of exact decimals/integers
+    // is a small-denominator rational that CAN land there (q171 did, two
+    // driver rounds in a row). The portable publication for such ratios
+    // is integer ppm via `//` (the q200 pattern). round(·, 6) stays legal
+    // for transcendental chains (ln/exp/sqrt-norm cosines — boundary
+    // hits are measure-zero and Round6.guarded covers the declared ln/exp
+    // sites). This spec bans the rational-ratio syntactic class in every
+    // oracle; the hash gate then forces the Spark twin to match.
+    val banned = Seq(
+      // round of a CAST-to-double numerator over anything
+      ("round(CAST(..AS DOUBLE) / ..",
+        """round\s*\(\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*/""".r),
+      // round of anything over a CAST-to-double denominator, 6 digits
+      ("round(.. / CAST(..AS DOUBLE), 6)",
+        """/\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*,\s*6\s*\)""".r),
+      // round of a mean: division by count(*) inside a 6-dp round
+      ("round(.. / count(*), 6)",
+        """/\s*count\s*\(\s*\*\s*\)\s*,\s*6\s*\)""".r))
+    val hits = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        banned.collect { case (label, re) if re.findFirstIn(sql).isDefined =>
+          s"$name: $label"
+        }
+    }
+    assert(hits.isEmpty,
+      "rational-ratio round-6 publication (convert to integer ppm via " +
+        "integral division — see Round6 Scaladoc): " + hits.mkString("; "))
+  }
+
   // Codegen-strict session: a generated-code compile failure normally falls
   // back to interpreted execution with only a log line — q29 shipped that
   // way (Spark's subexpression elimination under Expand emits an invalid
