@@ -435,7 +435,8 @@ object Bench {
       "q143_cluster_append", // corpus build + delta pairs (cluster_fold)
       "q195_classifier_fit", // the fit IS the query — no serve half
       "q197_fit_serve_sweep", // 3-epoch fit before the sweep
-      "q203_langid_fit")     // 3 one-vs-all fits before the serve
+      "q203_langid_fit",     // 3 one-vs-all fits before the serve
+      "q204_pq_compact")     // residual codebook fit + build + 2 rewrites
     val serveTotal =
       results.collect { case (k, v) if !fitDominated(k) => v.med }.sum +
         phases.collect { case (k, v) if k.endsWith("_serve") ||

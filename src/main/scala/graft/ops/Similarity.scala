@@ -497,6 +497,61 @@ object Similarity {
       }
     }
 
+    /** [[ivfCompact]] for the COMPRESSED ([[pqIndex]] /
+      * [[pqIndexResidual]]) layout — the full-re-assignment true-up of a
+      * PQ directory after [[pqCentroidRefresh]] cycles: codes hold no
+      * full vectors, so re-assignment reads `corpus` (the full-vector
+      * table the PQ serving contract already keeps —
+      * [[pqTopKAgainstIndex]]'s re-rank side), movers re-encode at their
+      * new cell (their RESIDUAL codes describe the old cell's centroid;
+      * plain codes migrate unchanged but the partition move is the
+      * same), and rows that stay put keep their stored codes verbatim —
+      * only cells that LOSE members are rewritten, so a mostly-converged
+      * index compacts in O(strays). Stored rows absent from `corpus`
+      * stay where they are (never silently dropped); corpus rows absent
+      * from the index are never admitted (compaction moves rows, appends
+      * add them — the [[pqCentroidRefresh]] stored-membership rule).
+      * `cents` must be the index's current stored centroids. Crash
+      * contract = the refresh's checkpoint-before-delete. Returns the
+      * rewritten cell ids (empty = already compact). */
+    def pqCompact(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, corpus: DataFrame,
+                  dim: Int, m: Int,
+                  books: Seq[(Int, Int, Seq[Double])],
+                  cents: Seq[(Int, Seq[Double])],
+                  residual: Boolean = false): Seq[Int] = {
+      require(cents.nonEmpty, "pqCompact: need centroids")
+      val assigned = ivfIndex(corpus.where(col("id").isNotNull), cents)
+        .select(col("id"), col("vec"), col("_n"),
+          col("_cell").cast("int").as("_newCell"))
+      val stored = spark.read.parquet(indexDir)
+      val movers = stored
+        .select(col("id"), col("_cell").cast("int").as("_oldCell"))
+        .join(assigned, Seq("id"))
+        .where(col("_newCell") =!= col("_oldCell"))
+      // quantizer-bounded collect: ≤ k losing cells
+      val losing = movers.select(col("_oldCell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (losing.isEmpty) Nil
+      else {
+        val affected = losing.map(Integer.valueOf)
+        val encFrame = movers
+          .select(col("id"), col("vec"), col("_n"),
+            col("_newCell").as("_cell"))
+        val enc =
+          if (residual) pqIndexResidual(encFrame, dim, m, books, cents)
+          else pqIndex(encFrame, dim, m, books)
+        // keepers ride along because their whole partition is deleted;
+        // their codes are still valid (cell and centroid unchanged)
+        val keepers = stored
+          .where(col("_cell").isin(affected: _*))
+          .join(movers.select(col("id")), Seq("id"), "left_anti")
+        val rewrite = keepers.unionByName(enc).localCheckpoint()
+        rewriteCells(spark, indexDir, losing, rewrite)
+        losing.sorted
+      }
+    }
+
     /** The refit decision shared by both refresh layouts: flag drifted
       * cells ([[ivfCellDrift]]), collect their members' means (≤ k rows
       * — quantizer-sized), and splice them into the centroid set.

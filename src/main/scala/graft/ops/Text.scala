@@ -242,8 +242,16 @@ object Text {
       .agg(count(lit(1)).as("tf"))
     val scored = tf.join(dfTable(tf), "term")
     val withN = nFrame.fold(scored)(n => scored.crossJoin(broadcast(n)))
+    // idf rounds 6-dp under the portability guard FIRST, then multiplies
+    // by the integer tf (the cTfIdfTopTerms convention): the true product
+    // of an integer and a 6-dp decimal sits ON the 6-dp grid, so the
+    // final round-6 is boundary-free on every engine — round(tf·ln(...))
+    // directly would be an unguarded transcendental round (the Round6
+    // hazard this library never publishes).
+    val idf6 = graft.ops.Round6.guarded(F.log(nExpr / col("df")),
+      "tfIdf idf")
     withN.select(col(idCol), col("term"), col("tf"), col("df"),
-      F.round(col("tf") * F.log(nExpr / col("df")), 6).as("tfidf"))
+      F.round(col("tf") * idf6, 6).as("tfidf"))
   }
 
   private def dfTable(tf: DataFrame): DataFrame =

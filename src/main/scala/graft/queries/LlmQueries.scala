@@ -3206,7 +3206,7 @@ object LlmQueries {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT doc_id, term, tf, df,
-        |       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |       round(tf * round(ln(CAST(n AS DOUBLE) / df), 6), 6) AS tfidf
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -4470,6 +4470,41 @@ object LlmQueries {
         (col("weight_u").cast("double") / 1e6).as("weight"))
       Scoring.langIdScore(docs, "doc_id", "text", wdf, buckets = 512)
         .orderBy("doc_id")
+    },
+
+    // ── q204: PQ compaction — q202's true-up for the COMPRESSED layout,
+    //    proven at the SERVING contract: build the residual IVF-PQ index
+    //    under the stale first-16 quantizer, refresh drifted cells
+    //    (pqCentroidRefresh re-encodes their residual codes), COMPACT
+    //    (pqCompact moves + re-encodes every stray), then serve with
+    //    exhaustive probes + exact re-rank — which must equal the
+    //    brute-force ground truth (q94's proven equality condition), so
+    //    the oracle is the same exact-cosine top-k SQL. A stray left
+    //    behind would carry residual codes against the wrong centroid
+    //    and surface here as a wrong ADC shortlist. ──
+    QueryDef("q204_pq_compact", BruteTopKSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val cents0 = emb.where(col("id") < 16).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      val books = Similarity.pqFitCodebooksResidual(emb, cents0, dim = 64,
+        m = 32, ksub = 16, iters = 2, maxSample = 4096)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-pq-compact").toString
+      Similarity.pqIndexResidual(Similarity.ivfIndex(emb, cents0),
+          dim = 64, m = 32, books, cents0)
+        .write.mode("overwrite").partitionBy("_cell").parquet(dir)
+      val (newCents, _) = Similarity.pqCentroidRefresh(s, dir, emb,
+        dim = 64, m = 32, books, cents0, driftPpm = 190000L,
+        residual = true)
+      Similarity.pqCompact(s, dir, emb, dim = 64, m = 32, books, newCents,
+        residual = true)
+      Similarity.pqTopKAgainstIndex(emb.where(col("id") % 50 === 0),
+          s.read.parquet(dir), emb, newCents, books, dim = 64, m = 32,
+          nprobe = 16, rerank = 80, k = 10, residualCents = Some(newCents))
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 

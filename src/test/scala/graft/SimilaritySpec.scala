@@ -281,6 +281,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCompact: a stray's residual codes re-encode at its new cell, " +
+      "only the losing cell rewrites, result equals a full rebuild, " +
+      "second compact is a no-op, never-indexed rows stay out") {
+    import spark.implicits._
+    def u(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r), math.cos(r), math.sin(r))
+    }
+    // the ivfCompact geometry: cell-0 mass at ~40° drifts; cell 1 has
+    // three on-axis members plus a 50° stray that the refresh leaves
+    // behind and the compact must move (re-encoding its RESIDUAL codes
+    // against the moved centroid).
+    val corpus = Seq(
+      (0L, u(35)), (1L, u(40)), (2L, u(45)),
+      (10L, u(85)), (11L, u(90)), (12L, u(95)),
+      (13L, u(50))).toDF("id", "vec")
+    val cents = Seq(0 -> u(0), 1 -> u(90))
+    val books = Similarity.pqFitCodebooks(corpus, dim = 4, m = 2, ksub = 4,
+      iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcmp").toString
+    try {
+      Similarity.pqIndexResidual(
+          Similarity.ivfIndex(corpus, cents), 4, 2, books, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/pq")
+      val (newCents, drifted) = Similarity.pqCentroidRefresh(spark,
+        s"$dir/pq", corpus, dim = 4, m = 2, books = books, cents = cents,
+        driftPpm = 50000L, residual = true)
+      assert(drifted == Seq(0))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("_n"), col("_codes"),
+            col("_cell").cast("int"))
+          .collect().map(_.toString).sorted.toSeq
+      val rebuilt = rows(Similarity.pqIndexResidual(
+        Similarity.ivfIndex(corpus, newCents), 4, 2, books, newCents))
+      assert(rows(spark.read.parquet(s"$dir/pq")) != rebuilt,
+        "fixture must exhibit the refresh miss class")
+      // a never-appended corpus row must not be admitted by the compact
+      val intruder = corpus.unionByName(Seq((99L, u(52))).toDF("id", "vec"))
+      val rewritten = Similarity.pqCompact(spark, s"$dir/pq", intruder,
+        dim = 4, m = 2, books = books, cents = newCents, residual = true)
+      assert(rewritten == Seq(1), rewritten.toString)
+      assert(rows(spark.read.parquet(s"$dir/pq")) == rebuilt)
+      assert(!spark.read.parquet(s"$dir/pq").select(col("id"))
+        .collect().map(_.getLong(0)).contains(99L))
+      // already compact: nothing to do
+      assert(Similarity.pqCompact(spark, s"$dir/pq", corpus, 4, 2, books,
+        newCents, residual = true).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pqCentroidRefresh: drifted cells re-encode against their moved " +
       "centroid (residual layout), result equals a full rebuild, " +
       "undrifted partitions untouched") {

@@ -17,9 +17,13 @@ class TextFunctionsSpec extends SparkSpec {
     val out = graft.ops.Text.tfIdf(docs, "doc_id", "text", nDocs = 4L)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
-    def s(tf: Long, df: Long) =
-      BigDecimal(tf * math.log(4.0 / df))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the idf rounds 6-dp under the guard FIRST, then multiplies by the
+    // integer tf (the boundary-free grid product — see tfIdfWithN)
+    def s(tf: Long, df: Long) = {
+      val idf6 = BigDecimal(math.log(4.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (idf6 * tf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     assert(rows == Set(
       (1L, "apple", 2L, 2L, s(2, 2)), (1L, "banana", 1L, 2L, s(1, 2)),
       (2L, "banana", 1L, 2L, s(1, 2)), (2L, "cherry", 1L, 1L, s(1, 1)),
