@@ -135,7 +135,7 @@ object ScaleSmoke {
         concat(lit("k"), col("id") % 5).as("k"), col("id").as("id"),
         (((col("id") * 7919) % 1000003).cast("double") / 1000.0).as("s"))
       val nrz = graft.ops.Scoring.robustZScores(scoresZ, "k", "s")
-        .where(col("z6").isNotNull).count()
+        .where(col("z_ppm").isNotNull).count()
       println(f"robust_z_2m: rows=$nrz " +
         f"time=${(System.nanoTime()-trz)/1e9}%.1f s")
       // Stupid-Backoff trigram (round 15): 100k docs scored under a

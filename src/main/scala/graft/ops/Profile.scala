@@ -320,12 +320,16 @@ object Profile {
     * χ² = Σ (o − e)²/e with e = row_total·col_total/n.
     *
     * Determinism: every expected count and term is one IEEE rational
-    * chain (no transcendentals — nothing for [[Round6]] to guard);
-    * terms round to 6 dp and sum AS DECIMAL (order-free), so the
-    * statistic replays exactly in any engine. The p-value lookup is
-    * deliberately NOT computed (the regularized Γ is a cross-libm
-    * swamp); publish (χ², dof) and let the caller compare against a
-    * literal critical-value table.
+    * chain (no transcendentals — nothing for [[Round6]] to guard), so
+    * both engines hold the IDENTICAL double per term; each term then
+    * quantizes by floor(term·10⁶ + 0.5) — floor operates on the shared
+    * BINARY value on every engine (unlike round(·, 6), whose
+    * engine-specific decimal-repr path is the q171 divergence class
+    * even on identical doubles) — and the exact integer micro-units sum
+    * order-free as BIGINT. The p-value lookup is deliberately NOT
+    * computed (the regularized Γ is a cross-libm swamp); publish
+    * (chi2_ppm, dof) and let the caller compare against a literal
+    * critical-value table in micro-units.
     *
     * Scale shape: one map-side-combined contingency groupBy (the only
     * corpus-scan shuffle), then marginals/grid over contingency-sized
@@ -334,7 +338,7 @@ object Profile {
     * audits, not a χ² grid). NULL categories are dropped up front —
     * callers who want NULL as a category coalesce to a sentinel first
     * (see the body comment). Output one row: (n BIGINT, dof BIGINT,
-    * chi2 DECIMAL(18,6)). */
+    * chi2_ppm BIGINT). */
   def chiSquareIndependence(df: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
     // NULL categories are dropped up front (documented): a NULL key
@@ -360,11 +364,11 @@ object Profile {
     grid.agg(
         max(col("_n")).as("_nt"), max(col("_r")).as("_rt"),
         max(col("_c")).as("_ct"),
-        sum(round((o - e) * (o - e) / e, 6).cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("chi2"))
+        sum(floor((o - e) * (o - e) / e * lit(1e6) + lit(0.5))
+          .cast("long")).as("chi2_ppm"))
       .select(col("_nt").cast("long").as("n"),
         ((col("_rt") - 1) * (col("_ct") - 1)).cast("long").as("dof"),
-        col("chi2"))
+        col("chi2_ppm"))
   }
 
   /** Gini concentration index of a keyed mass distribution — the

@@ -1433,10 +1433,14 @@ object AnalyticsQueries {
 
     // ── q199: χ² independence audit of lang × source — the composition
     //    drift alarm (did the crawl's language mix shift by host?). Full
-    //    R×C grid incl. zero-observed cells; every term a pure IEEE
-    //    rational chain round-6, summed as DECIMAL. p-value deliberately
-    //    not computed (regularized Γ is a cross-libm swamp) — compare
-    //    (chi2, dof) against a literal critical-value table. ──
+    //    R×C grid incl. zero-observed cells (NULL categories dropped up
+    //    front); every term a pure IEEE rational chain — the same double
+    //    on both engines — quantized by floor(term·10⁶ + 0.5) (floor
+    //    works on the BINARY value everywhere; round-6's decimal-repr
+    //    path is the q171 class) and summed as exact BIGINT micro-units.
+    //    p-value deliberately not computed (regularized Γ is a
+    //    cross-libm swamp) — compare (chi2_ppm, dof) against a literal
+    //    critical-value table in micro-units. ──
     QueryDef("q199_chi2_independence",
       """WITH c AS (SELECT lang AS a, source AS b, count(*) AS o
         |           FROM documents
@@ -1453,8 +1457,8 @@ object AnalyticsQueries {
         |      FROM g LEFT JOIN c USING (a, b))
         |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
         |  (SELECT CAST((r - 1) * (cc - 1) AS BIGINT) FROM nn) AS dof,
-        |  CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
-        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS chi2
+        |  CAST(sum(CAST(floor((o - e) * (o - e) / e * 1000000.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS chi2_ppm
         |FROM t""".stripMargin) { (s, d) =>
       graft.ops.Profile.chiSquareIndependence(
         graft.queries.Tables.documents(s, d), "lang", "source")

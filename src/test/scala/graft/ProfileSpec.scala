@@ -135,25 +135,32 @@ class ProfileSpec extends SparkSpec {
       Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
     val r = Profile.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
       .head()
-    val term = BigDecimal(25.0 / 15.0)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // micro-unit replay: floor(term·10⁶ + 0.5) on the same IEEE double
+    def tu(o: Double, e: Double): Long =
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
     assert(r.getLong(0) == 60L && r.getLong(1) == 1L)
-    assert(r.getDecimal(2) == (term * 4).bigDecimal.setScale(6), r.toString)
+    assert(r.getLong(2) == 4 * tu(10, 15), r.toString)
     // zero-observed cell: ('y','q') never occurs but its e>0 term counts
     val sparse = Seq.fill(8)(("x", "p")) ++ Seq.fill(8)(("x", "q")) ++
       Seq.fill(4)(("y", "p"))
     val s = Profile.chiSquareIndependence(sparse.toDF("a", "b"), "a", "b")
       .head()
-    // e: x,p=9.6 x,q=6.4 y,p=2.4 y,q=1.6; terms replayed at 6dp
-    def t6(o: Double, e: Double) = BigDecimal((o - e) * (o - e) / e)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val exp = t6(8, 9.6) + t6(8, 6.4) + t6(4, 2.4) + t6(0, 1.6)
-    assert(s.getDecimal(2) == exp.bigDecimal.setScale(6), s.toString)
+    // e: x,p=9.6 x,q=6.4 y,p=2.4 y,q=1.6; terms replayed in micro-units
+    val exp = tu(8, 9.6) + tu(8, 6.4) + tu(4, 2.4) + tu(0, 1.6)
+    assert(s.getLong(2) == exp, s.toString)
     // proportional table: independence exactly, chi2 = 0
     val ind = Seq.fill(6)(("x", "p")) ++ Seq.fill(3)(("x", "q")) ++
       Seq.fill(4)(("y", "p")) ++ Seq.fill(2)(("y", "q"))
     assert(Profile.chiSquareIndependence(ind.toDF("a", "b"), "a", "b")
-      .head().getDecimal(2).signum == 0)
+      .head().getLong(2) == 0L)
+    // NULL categories are dropped up front, not silently zeroed into the
+    // grid: adding NULL-keyed rows must not change the statistic
+    val withNulls = rows ++ Seq((null.asInstanceOf[String], "p"),
+      ("x", null.asInstanceOf[String]))
+    val nn = Profile.chiSquareIndependence(
+      withNulls.toDF("a", "b"), "a", "b").head()
+    assert(nn.getLong(0) == 60L && nn.getLong(2) == r.getLong(2),
+      nn.toString)
   }
 
   test("giniConcentration: equal masses 0, max concentration (n-1)/n, " +
