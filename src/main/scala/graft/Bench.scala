@@ -435,12 +435,18 @@ object Bench {
       "q143_cluster_append", // corpus build + delta pairs (cluster_fold)
       "q195_classifier_fit", // the fit IS the query — no serve half
       "q197_fit_serve_sweep", // 3-epoch fit before the sweep
+      "q202_ivf_compact",    // build + refresh + compact every rep
       "q203_langid_fit",     // 3 one-vs-all fits before the serve
       "q204_pq_compact")     // residual codebook fit + build + 2 rewrites
+    // Add back ONLY the phases whose owning queries were dropped above
+    // (pq_serve for q92/q94, cluster_fold for q143). graph_serve must
+    // NOT be added: its queries (q97/q99/kCore) are not fit-dominated
+    // and stay in the query sum — adding the phase would double-count
+    // the graph serving work.
+    val servePhases = Set("pq_serve", "cluster_fold")
     val serveTotal =
       results.collect { case (k, v) if !fitDominated(k) => v.med }.sum +
-        phases.collect { case (k, v) if k.endsWith("_serve") ||
-          k == "cluster_fold" => v }.sum
+        phases.collect { case (k, v) if servePhases(k) => v }.sum
     val contentionJson =
       contention.map(c => s""","contention":${c.json}""").getOrElse("")
     val phasesJson =

@@ -376,6 +376,8 @@ object Scoring {
                 checkpointDir: Option[String] = None): DataFrame = {
     require(buckets > 0, "langIdFit: buckets must be positive")
     require(epochs > 0, "langIdFit: epochs must be positive")
+    require(lrPpm > 0 && lrPpm <= 1000000L,
+      "langIdFit: lrPpm must be in (0, 1e6]")
     val base = docs.where(col(classCol).isNotNull).repartition(col(idCol))
       .select(col(idCol).as("_id"), col(classCol).cast("string").as("_lab"),
         explode_outer(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
@@ -397,6 +399,9 @@ object Scoring {
       val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
       val classes = dframe.select(col("_lab")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
+      require(classes.nonEmpty,
+        "langIdFit: no non-NULL class values to fit (empty.reduce would " +
+          "otherwise throw far from the cause)")
       classes.map { c =>
         val feats = shared.withColumn("_yu",
           (when(col("_lab") === c, 1L).otherwise(-1L) * 1000000L))
@@ -718,14 +723,20 @@ object Scoring {
       .select(col(keyCol), col("_t1").as("mad"))
     scored.join(broadcast(med), Seq(keyCol), "left")
       .join(broadcast(mad), Seq(keyCol), "left")
+      // operands widen to DECIMAL(38,6) BEFORE the ×10⁶: a long score
+      // multiplied in native arithmetic would silently wrap past ~9.2e12
+      // (non-ANSI long overflow) — per-source token totals at the 100 TB
+      // mandate sit exactly there
       .withColumn("_num_u",
         when(col(scoreCol).isNotNull && col("mad") =!= 0,
-          expr(s"cast((`$scoreCol` - median) * 1000000 as decimal(38,0))")))
+          expr(s"cast((cast(`$scoreCol` as decimal(38,6)) - median)" +
+            " * 1000000 as decimal(38,0))")))
       .withColumn("z_ppm",
         when(col("_num_u").isNotNull, expr(
           """(case when _num_u < 0 then -1L else 1L end) *
             |  ((abs(_num_u) * 1000000)
-            |     div cast(mad * 1000000 as decimal(38,0)))""".stripMargin)))
+            |     div cast(cast(mad as decimal(38,6)) * 1000000
+            |           as decimal(38,0)))""".stripMargin)))
       .drop("_num_u")
   }
 

@@ -627,13 +627,18 @@ object Similarity {
         // appended (or was dropped by pqIndexAppend's dedup) must not be
         // silently admitted by a refresh — refreshes move existing rows,
         // appends add new ones ([[ivfCentroidRefresh]]'s stored-index
-        // semantics). The semi-join is partition-pruned to the drifted
-        // cells and carries only ids.
+        // semantics). The semi-join keys the corpus vectors by the
+        // drifted partitions' STORED ids with NO filter on the corpus
+        // side's own assignment: a stored row of a drifted cell whose
+        // fresh old-centroid assignment lands elsewhere (a stray parked
+        // there by an earlier refresh) would otherwise vanish — its
+        // partition is deleted but the cell-filtered frame omits it.
+        // The semi-join is partition-pruned to the drifted cells and
+        // carries only ids.
         val storedIds = spark.read.parquet(indexDir)
           .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
           .select(col("id"))
         val movedFull = assigned
-          .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
           .join(storedIds, Seq("id"), "left_semi")
           .select(col("id"), col("vec"), col("_n"))
           .withColumn("_cell", ivfCell(col("vec"), newCents))

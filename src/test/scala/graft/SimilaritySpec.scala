@@ -281,6 +281,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCentroidRefresh: a stray parked in a cell by an earlier " +
+      "refresh migrates when that cell drifts — never silently dropped") {
+    import spark.implicits._
+    def u(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r), math.cos(r), math.sin(r))
+    }
+    // cell-0 mass at ~40° (drifts in round 1); cell 1 holds three
+    // on-axis members, a 70° member that will pull its refreshed mean,
+    // and the 50° STRAY whose fresh assignment flips to the moved
+    // centroid after round 1 while its stored row stays in cell 1.
+    val corpus = Seq(
+      (0L, u(35)), (1L, u(40)), (2L, u(45)),
+      (10L, u(85)), (11L, u(90)), (12L, u(95)), (14L, u(70)),
+      (13L, u(50))).toDF("id", "vec")
+    val cents = Seq(0 -> u(0), 1 -> u(90))
+    val books = Similarity.pqFitCodebooks(corpus, dim = 4, m = 2, ksub = 4,
+      iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqstray").toString
+    try {
+      Similarity.pqIndexResidual(
+          Similarity.ivfIndex(corpus, cents), 4, 2, books, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/pq")
+      // refresh 1: only cell 0 drifts (to ~40°). The 50° stray stays in
+      // STORED cell 1 (the miss class) although it now fresh-assigns to
+      // the moved centroid — the EXACT precondition of the loss scenario.
+      val (c1, d1) = Similarity.pqCentroidRefresh(spark, s"$dir/pq",
+        corpus, dim = 4, m = 2, books = books, cents = cents,
+        driftPpm = 50000L, residual = true)
+      assert(d1 == Seq(0))
+      // refresh 2: the 70° member keeps cell 1's fresh mean ~5° off its
+      // centroid (~3760 ppm), so a lower threshold flags cell 1 — and
+      // cell 1's STORED partition still holds the stray, whose fresh
+      // assignment under the current centroids is cell 0. A rewrite
+      // frame filtered by the fresh assignment would omit it while
+      // deleting its partition.
+      val (c2, d2) = Similarity.pqCentroidRefresh(spark, s"$dir/pq",
+        corpus, dim = 4, m = 2, books = books, cents = c1,
+        driftPpm = 3000L, residual = true)
+      assert(d2 == Seq(1), d2.toString)
+      val ids = spark.read.parquet(s"$dir/pq")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(ids.contains(13L), "the stray must survive its cell's refresh")
+      assert(ids.size == 8, s"no row may be lost or duplicated: $ids")
+      // and the store equals the full rebuild under the newest centroids
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("_n"), col("_codes"),
+            col("_cell").cast("int"))
+          .collect().map(_.toString).sorted.toSeq
+      assert(rows(spark.read.parquet(s"$dir/pq")) ==
+        rows(Similarity.pqIndexResidual(
+          Similarity.ivfIndex(corpus, c2), 4, 2, books, c2)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pqCompact: a stray's residual codes re-encode at its new cell, " +
       "only the losing cell rewrites, result equals a full rebuild, " +
       "second compact is a no-op, never-indexed rows stay out") {
