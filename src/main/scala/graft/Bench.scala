@@ -272,6 +272,10 @@ object Bench {
         // not leaked into the warehouse catalog on a failed phase
         spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_edges")
         spark.sql(s"DROP TABLE IF EXISTS ${gPrefix}_adj")
+        // the third temp parquet tree this block creates — same leak
+        // class as the cluster dirs below
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(idxDir))
       }
       // ── Cluster-append phase attribution (round-16): q143's headline
       // re-generates the corpus assign AND the delta's LSH pairs every
@@ -432,7 +436,7 @@ object Bench {
     val fitDominated = Set(
       "q92_ann_pq",          // pqFitCodebooks in-query (pq_serve phase)
       "q94_ann_ivfpq",       // residual codebook fit (pq_serve phase)
-      "q143_cluster_append", // corpus build + delta pairs (cluster_fold)
+      "q143_cluster_index_append", // corpus build + delta pairs (cluster_fold)
       "q195_classifier_fit", // the fit IS the query — no serve half
       "q197_fit_serve_sweep", // 3-epoch fit before the sweep
       "q202_ivf_compact",    // build + refresh + compact every rep

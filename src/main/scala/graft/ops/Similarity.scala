@@ -475,11 +475,11 @@ object Similarity {
       require(cents.nonEmpty, "ivfCompact: need centroids")
       val idx = spark.read.parquet(indexDir)
         .withColumn("_newCell", ivfCell(col("vec"), cents))
-      val changedCells = idx
+      // quantizer-bounded collect: ≤ k distinct losing cell ids (gaining
+      // cells need no tracking — they only receive appends)
+      val losing = idx
         .where(col("_newCell").cast("int") =!= col("_cell").cast("int"))
-        .select(col("_cell"), col("_newCell"))
-      // quantizer-bounded collect: ≤ k distinct losing cell ids
-      val losing = changedCells.select(col("_cell").cast("int").as("_c"))
+        .select(col("_cell").cast("int").as("_c"))
         .distinct().collect().map(_.getInt(0)).toSeq
       if (losing.isEmpty) Nil
       else {
