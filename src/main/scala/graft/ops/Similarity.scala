@@ -1456,6 +1456,59 @@ object Similarity {
       .select(col("query_id"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** Kendall rank correlation (τ-a, Kendall 1938) between two ranked
+    * runs per query — the pairwise-ORDER companion to
+    * [[rankBiasedOverlap]] (RBO scores top-weighted overlap; τ asks
+    * whether the two runs order the SHARED items the same way — an
+    * index/reranker audit reads both: high RBO with low τ means the
+    * same candidates in a scrambled order). Computed over docs present
+    * in BOTH runs (the standard top-k treatment): per shared-doc pair
+    * i < j, concordant when both runs order them identically, else
+    * discordant; τ = (C − D)/(C + D). Ranks within one run are strict
+    * by contract (row_number-produced), so ties cannot occur and
+    * C + D = n(n−1)/2 exactly.
+    *
+    * Published as SIGNED integer ppm — sign(C−D)·((|C−D|·10⁶) div
+    * (C+D)) — one integral division of exact counts (`div` ≡ DuckDB
+    * `//`, trunc ≡ floor after the sign split; a rounded double ratio
+    * is the q171 divergence class). NULL when fewer than two shared
+    * docs (no pair to order). Queries sharing NO docs emit no row
+    * (there is no order to correlate — [[rankBiasedOverlap]] publishes
+    * their overlap-0 story).
+    *
+    * Scale shape: one (query, doc) equi-join, then a per-query
+    * self-join bounded by k² pairs per query (k is the runs' own top-k
+    * — an eval/serving constant, the [[graft.ops.Scoring.ndcgAtK]]
+    * argument), one map-side-combined aggregate. Output: (query_id,
+    * n_common BIGINT, concordant BIGINT, discordant BIGINT, tau_ppm
+    * BIGINT). */
+  def kendallTau(runA: DataFrame, runB: DataFrame): DataFrame = {
+    val a = runA.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("_ra"))
+    val b = runB.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("_rb"))
+    val m = a.join(b, Seq("query_id", "neighbor_id"))
+    val l = m.select(col("query_id"), col("neighbor_id").as("_di"),
+      col("_ra").as("_rai"), col("_rb").as("_rbi"))
+    val r = m.select(col("query_id"), col("neighbor_id").as("_dj"),
+      col("_ra").as("_raj"), col("_rb").as("_rbj"))
+    val pairs = l.join(r, Seq("query_id")).where(col("_di") < col("_dj"))
+    val counts = m.groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    val conc = (col("_rai") < col("_raj")) === (col("_rbi") < col("_rbj"))
+    val cd = pairs.groupBy(col("query_id")).agg(
+      sum(when(conc, 1L).otherwise(0L)).as("concordant"),
+      sum(when(conc, 0L).otherwise(1L)).as("discordant"))
+    counts.join(cd, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_common"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"))
+      .withColumn("tau_ppm",
+        when(col("n_common") >= 2, expr(
+          """(case when concordant < discordant then -1L else 1L end) *
+            |  ((abs(concordant - discordant) * cast(1000000 as bigint))
+            |     div (concordant + discordant))""".stripMargin)))
+  }
+
   /** The per-match-depth contribution table behind [[rankBiasedOverlap]]:
     * a match first counted at depth md contributes w_d/d for every
     * d ≥ md, so RBO_k = Σ_matches tail(md). Each w_d and each 1/d is

@@ -1496,6 +1496,84 @@ object LlmQueries {
         .orderBy("query_id")
     },
 
+    // ── q205: Kendall τ between the int8 run and the float truth — the
+    //    pairwise-ORDER audit next to q160's RBO over the same fixture
+    //    (same candidates in a scrambled order shows here, not there).
+    //    Shared-doc pairs only, strict ranks → C + D = n(n−1)/2; τ
+    //    published as SIGNED integer ppm via one integral division
+    //    (sign split, div ≡ //) — never a rounded double ratio. ──
+    QueryDef("q205_kendall_tau",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |w AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS n
+         |      FROM v),
+         |tq AS (SELECT * FROM w WHERE vec_id % 50 = 0),
+         |tsc AS (
+         |  SELECT tq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_inner_product(tq.vec, c.vec) / (tq.n * c.n), 6) AS sim
+         |  FROM tq, w c WHERE c.vec_id <> tq.vec_id),
+         |ra AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM tsc)
+         |  WHERE rank <= 10),
+         |m AS (SELECT vec_id, vec, list_max([abs(x) FOR x IN vec]) AS am
+         |      FROM v),
+         |q8 AS (SELECT vec_id,
+         |        CASE WHEN am = 0 THEN [0.0 FOR x IN vec]
+         |             ELSE [floor(x * 127.0 / am + 0.5) FOR x IN vec]
+         |        END AS c FROM m),
+         |n8 AS (SELECT vec_id, c, sqrt(list_inner_product(c, c)) AS n FROM q8),
+         |aq AS (SELECT * FROM n8 WHERE vec_id % 50 = 0),
+         |asc0 AS (
+         |  SELECT aq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN aq.n * c.n = 0 THEN 0.0
+         |         ELSE round(list_inner_product(aq.c, c.c) / (aq.n * c.n), 6)
+         |    END AS sim
+         |  FROM aq, n8 c WHERE c.vec_id <> aq.vec_id),
+         |rb AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM asc0)
+         |  WHERE rank <= 10),
+         |shared AS (SELECT ra.query_id, ra.neighbor_id,
+         |             ra.rank AS rka, rb.rank AS rkb
+         |           FROM ra JOIN rb ON rb.query_id = ra.query_id
+         |             AND rb.neighbor_id = ra.neighbor_id),
+         |nn AS (SELECT query_id, count(*) AS n_common FROM shared
+         |       GROUP BY 1),
+         |pr AS (SELECT i.query_id,
+         |         CASE WHEN (i.rka < j.rka) = (i.rkb < j.rkb)
+         |              THEN 1 ELSE 0 END AS conc
+         |       FROM shared i JOIN shared j
+         |         ON j.query_id = i.query_id
+         |         AND i.neighbor_id < j.neighbor_id),
+         |cd AS (SELECT query_id, CAST(sum(conc) AS BIGINT) AS concordant,
+         |         CAST(sum(1 - conc) AS BIGINT) AS discordant
+         |       FROM pr GROUP BY 1)
+         |SELECT nn.query_id, nn.n_common,
+         |  coalesce(cd.concordant, 0) AS concordant,
+         |  coalesce(cd.discordant, 0) AS discordant,
+         |  CASE WHEN nn.n_common >= 2 THEN
+         |    CAST((CASE WHEN coalesce(cd.concordant, 0)
+         |                    < coalesce(cd.discordant, 0)
+         |           THEN -1 ELSE 1 END)
+         |      * ((abs(coalesce(cd.concordant, 0)
+         |              - coalesce(cd.discordant, 0)) * 1000000)
+         |         // (coalesce(cd.concordant, 0)
+         |            + coalesce(cd.discordant, 0))) AS BIGINT)
+         |  END AS tau_ppm
+         |FROM nn LEFT JOIN cd USING (query_id)
+         |ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+      val queries = emb.where(col("id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+      val codes = Similarity.scalarQuantizeInt8(
+        emb.withColumnRenamed("id", "vec_id"), "vec_id", "vec")
+      val approx = Similarity.int8TopK(
+        codes.where(col("vec_id") % 50 === 0), codes, "vec_id", k = 10)
+      Similarity.kendallTau(truth, approx).orderBy("query_id")
+    },
+
     // ── q161: per-dimension embedding-store statistics — the vector-
     //    corpus health monitor (collapsed dims, runaway dims, shifted
     //    means) run before any index build trusts the store; decimal-

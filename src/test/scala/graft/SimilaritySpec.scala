@@ -848,6 +848,38 @@ class SimilaritySpec extends SparkSpec {
     assert(run(1) == got, "layout must not change centroids")
   }
 
+  test("kendallTau: identity +1e6, reversal -1e6, hand-computed mix, " +
+      "sub-two-shared NULL, disjoint runs emit no row") {
+    import spark.implicits._
+    def run(rows: (String, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    // q1: identical order → τ = 1; q2: full reversal of 3 shared docs →
+    // τ = −1; q3: one swapped adjacent pair of 4 shared docs →
+    // C=5, D=1 → τ = 4/6 → 666666 ppm (trunc); q4: single shared doc →
+    // NULL; q5: no shared docs → no row.
+    val a = run(
+      ("q1", 1L, 1), ("q1", 2L, 2),
+      ("q2", 1L, 1), ("q2", 2L, 2), ("q2", 3L, 3),
+      ("q3", 1L, 1), ("q3", 2L, 2), ("q3", 3L, 3), ("q3", 4L, 4),
+      ("q4", 1L, 1), ("q4", 2L, 2),
+      ("q5", 1L, 1))
+    val b = run(
+      ("q1", 1L, 1), ("q1", 2L, 2),
+      ("q2", 1L, 3), ("q2", 2L, 2), ("q2", 3L, 1),
+      ("q3", 2L, 1), ("q3", 1L, 2), ("q3", 3L, 3), ("q3", 4L, 4),
+      ("q4", 1L, 5), ("q4", 9L, 1),
+      ("q5", 7L, 1))
+    val got = Similarity.kendallTau(a, b).orderBy("query_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("q1", 2L, 1L, 0L, 1000000L),
+      ("q2", 3L, 0L, 3L, -1000000L),
+      ("q3", 4L, 5L, 1L, 666666L),
+      ("q4", 1L, 0L, 0L, Long.MinValue)), got.mkString(","))
+    assert(!got.exists(_._1 == "q5"), "disjoint runs must emit no row")
+  }
+
   test("topKRecall: per-truth-query hits, missing queries score 0, " +
       "short truth lists use their own denominator") {
     import spark.implicits._
