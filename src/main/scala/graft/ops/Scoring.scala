@@ -1176,7 +1176,14 @@ object Scoring {
     * QUERY'S labels (eval-design bounded, never corpus-sized) — salted
     * two-phase ranking is deliberately NOT used because label sets are
     * small by construction; output is queries × 1. Output: (queryCol,
-    * dcg DECIMAL(18,6), idcg DECIMAL(18,6), ndcg_ppm BIGINT). */
+    * dcg_u BIGINT, idcg_u BIGINT, ndcg_ppm BIGINT) — dcg/idcg are
+    * exact 6-dp decimal sums internally but PUBLISH as micro-unit
+    * BIGINTs (`cast(dcg·10⁶ as bigint)`, lossless): no DECIMAL ever
+    * leaves a declared query (the
+    * [[graft.queries.RelationalQueries.moneyStr]] contract — the
+    * driver's hasher canonicalizes decimal columns asymmetrically per
+    * engine, so identical decimal VALUES hash-differ at the type
+    * level; this, not arithmetic, kept q171 red rounds 15–17). */
   def ndcgAtK(runs: DataFrame, queryCol: String, docCol: String,
               rankCol: String, qrels: DataFrame, relCol: String,
               k: Int, maxRel: Int = 3): DataFrame = {
@@ -1209,7 +1216,9 @@ object Scoring {
       .agg(sum(gain(col("_rel"), col("_ipos"))).cast("decimal(18,6)")
         .as("idcg"))
     dcg.join(idcg, Seq(queryCol))
-      .select(col(queryCol), col("dcg"), col("idcg"),
+      .select(col(queryCol),
+        expr("cast(dcg * 1000000 as bigint)").as("dcg_u"),
+        expr("cast(idcg * 1000000 as bigint)").as("idcg_u"),
         when(col("idcg") > 0, expr(
           """(cast(dcg * 1000000 as decimal(38,0)) * 1000000)
             |  div cast(idcg * 1000000 as decimal(38,0))""".stripMargin))

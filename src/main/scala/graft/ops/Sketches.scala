@@ -65,15 +65,23 @@ object Sketches {
 
   /** Cardinality estimate per key from a register table:
     * `(keyCols*, est BIGINT)`. Fixed-point harmonic sum (exact BIGINT),
-    * then one double division + the standard small-range linear-counting
-    * correction — bit-identical across engines and partitionings. */
+    * then the raw estimate C/s as round-half-up of the EXACT RATIONAL
+    * via one integral division — (2C + s) div (2s) in DECIMAL(38,0),
+    * with C = [[hllAlphaNumerator]] (an exact integer: its double ulp
+    * is 2^(16+p−8) > 1, so αm²·2^(B+1) carries no fraction). The branch
+    * test raw ≤ 2.5m likewise compares C ≤ 2.5m·s in exact integers.
+    * `round(<double ratio of exact inputs>)` is the q171 r15/r16
+    * cross-engine divergence class (converted here in r18); only the
+    * small-range linear-counting branch keeps a double round — it is
+    * transcendental (ln), where boundary hits are measure-zero per the
+    * Round6 contract. Bit-identical across engines and partitionings. */
   def hllEstimate(regs: DataFrame, keyCols: Seq[String], p: Int = 8): DataFrame = {
     val m = 1 << p
     val bBits = 60 - p
     // alpha_m * m^2, scaled by 2^(B+1) to undo the fixed-point scaling of
     // the harmonic sum below. Computed once here; oracles embed the same
-    // double via %.17g (hllAlphaNumerator).
-    val c = hllAlphaNumerator(p)
+    // exact integer (hllAlphaNumerator).
+    val twoC = hllAlphaNumerator(p) * 2
     val agg = regs.groupBy(keyCols.map(col): _*)
       .agg(
         // Σ 2^((B+1) - r): every term a power of two ≤ 2^B — an exact
@@ -84,11 +92,16 @@ object Sketches {
       .withColumn("_v", lit(m) - col("_nb"))
       .withColumn("_s",
         col("_s_ne") + col("_v") * lit(1L << (bBits + 1)))
-    val raw = lit(c) / col("_s").cast("double")
-    val est = when(col("_v") > 0 && raw <= lit(2.5 * m),
-        lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
-      .otherwise(raw)
-    agg.select(keyCols.map(col) :+ round(est).cast("long").as("est"): _*)
+    // raw ≤ 2.5m ⟺ C ≤ 2.5m·s ⟺ 2C ≤ 5m·s, all exact integers
+    val smallRange = col("_v") > 0 &&
+      expr(s"cast('$twoC' as decimal(38,0)) <= ${5L * m} * cast(_s as decimal(38,0))")
+    val est = when(smallRange,
+        round(lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
+          .cast("long"))
+      .otherwise(expr(
+        s"""cast((cast('$twoC' as decimal(38,0)) + _s)
+           |  div (2 * cast(_s as decimal(38,0))) as bigint)""".stripMargin))
+    agg.select(keyCols.map(col) :+ est.as("est"): _*)
   }
 
   /** Build + estimate in one call. */
@@ -124,12 +137,16 @@ object Sketches {
   }
 
   /** alpha_m · m² · 2^(B+1) — the numerator of the raw HLL estimate over
-    * the fixed-point harmonic sum. Public so oracle SQL can embed the
-    * exact same double (format with %.17g). */
-  def hllAlphaNumerator(p: Int): Double = {
+    * the fixed-point harmonic sum, as the EXACT integer value of the
+    * double αm²·2^(61−p): for p ≥ 4 the product exceeds 2^(60+p/…)
+    * with ulp > 1, so the double is integral and `toBigIntegerExact`
+    * cannot throw. Public so oracle SQL embeds the identical integer
+    * literal (HUGEINT-ranged). */
+  def hllAlphaNumerator(p: Int): BigInt = {
     val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    alpha * m * m * math.pow(2.0, 61 - p) // 2^(B+1) with B = 60 - p
+    val c = alpha * m * m * math.pow(2.0, 61 - p) // 2^(B+1) with B = 60 - p
+    BigInt(new java.math.BigDecimal(c).toBigIntegerExact)
   }
 
   // ── KMV (k-minimum-values) ───────────────────────────────────────────
@@ -189,18 +206,26 @@ object Sketches {
   /** Cardinality estimate per key from a KMV sketch: `(keyCols*, est
     * BIGINT)`. Sketch smaller than k ⇒ the set IS the sketch ⇒ exact
     * count; else the Beyer et al. unbiased estimator (k−1)/h₍k₎ on hashes
-    * normalized to [0,1) — here (k−1)·2⁶⁰ / h₍k₎ with the numerator a
-    * single exactly-representable double ([[kmvNumerator]], %.17g-
-    * embeddable in oracle SQL), one IEEE division + round-to-integer
-    * (cross-engine-safe: .5-exact doubles round identically). */
+    * normalized to [0,1) — here round-half-up of the exact rational
+    * (k−1)·2⁶⁰ / h₍k₎ via ONE integral division, (2C + h₍k₎) div
+    * (2·h₍k₎) with C = [[kmvNumerator]] an exact integer (trunc ≡ floor
+    * on the non-negative operands; div ≡ DuckDB `//`). Never
+    * `round(<double ratio>)`: C/h₍k₎ is a small-denominator rational
+    * that can sit within a half-ulp of a rounding boundary where two
+    * engines' round() legitimately disagrees — the q171 r15/r16
+    * divergence class, converted here in r18. 2C exceeds BIGINT for
+    * k > 8, so the division runs in DECIMAL(38,0) (HUGEINT oracle-side). */
   def kmvEstimate(sketch: DataFrame, keyCols: Seq[String],
                   k: Int = 256): DataFrame = {
-    val c = kmvNumerator(k)
+    val twoC = kmvNumerator(k) * 2
     val agg = sketch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n"), max(col("h")).as("_hk"))
     agg.select(keyCols.map(col) :+
       when(col("_n") < k || col("_hk") === 0, col("_n"))
-        .otherwise(round(lit(c) / col("_hk").cast("double")).cast("long"))
+        .otherwise(expr(
+          s"""cast((cast('$twoC' as decimal(38,0)) + _hk)
+             |  div (2 * cast(_hk as decimal(38,0))) as bigint)"""
+            .stripMargin))
         .as("est"): _*)
   }
 
@@ -211,7 +236,8 @@ object Sketches {
     * and |A∩B| ≈ K∩/|L| · est(∪). Everything up to the final published
     * ratios is exact integers (two left-semi joins against L + one
     * count); `jaccard_ppm` is floored integer division (engine-exact)
-    * and `est_intersect` one IEEE ratio + round. Below sketch size all
+    * and `est_intersect` round-half-up of the exact rational
+    * K∩·est(∪)/|L| via one integral division. Below sketch size all
     * four estimates are EXACT counts (the sketches hold the full sets).
     * Output: key cols + (est_a, est_b, est_union, k_inter, jaccard_ppm,
     * est_intersect), all BIGINT. */
@@ -239,17 +265,25 @@ object Sketches {
           expr("CAST(k_inter * CAST(1000000 AS BIGINT) div _nu AS BIGINT)"))
           .otherwise(lit(0L)))
       .withColumn("est_intersect",
+        // round-half-up of the exact rational k_inter·est_union/nu as ONE
+        // integral division — (2·num + den) div (2·den); trunc ≡ floor on
+        // the non-negative operands. Never `round(<double ratio>)`: the
+        // three inputs are exact integers, so the quotient is a small-
+        // denominator rational that can sit within a half-ulp of a
+        // rounding boundary where two engines' round() legitimately
+        // disagree (the q171 r15/r16 divergence class).
         when(col("_nu") > 0,
-          round(col("k_inter").cast("double") * col("est_union").cast("double")
-            / col("_nu").cast("double")).cast("long"))
+          expr("""cast((2 * cast(k_inter as decimal(38,0)) * est_union + _nu)
+                 |  div (2 * cast(_nu as decimal(38,0))) as bigint)"""
+            .stripMargin))
           .otherwise(lit(0L)))
       .drop("_nu")
   }
 
-  /** (k−1)·2⁶⁰ — the KMV estimator numerator, a single exactly-
-    * representable double. Public so oracle SQL embeds the identical
-    * constant via %.17g. */
-  def kmvNumerator(k: Int): Double = (k - 1).toDouble * math.pow(2.0, 60)
+  /** (k−1)·2⁶⁰ — the KMV estimator numerator, an exact integer. Public
+    * so oracle SQL embeds the identical constant as an integer literal
+    * (HUGEINT-ranged for k > 8). */
+  def kmvNumerator(k: Int): BigInt = BigInt(k - 1) << 60
 
   // ── Count-Min ────────────────────────────────────────────────────────
 

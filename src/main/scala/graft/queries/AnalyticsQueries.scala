@@ -465,10 +465,11 @@ object AnalyticsQueries {
         |        256 - nb AS v
         |      FROM a)
         |SELECT l_returnflag,
-        |  CAST(round(CASE
-        |    WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
-        |    THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
-        |    ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) AS est
+        |  CASE
+        |    WHEN v > 0 AND $Hll2C8 <= 1280 * CAST(s AS HUGEINT)
+        |    THEN CAST(round(256.0 * ln(256.0 / CAST(v AS DOUBLE))) AS BIGINT)
+        |    ELSE CAST(($Hll2C8 + s) // (2 * CAST(s AS HUGEINT)) AS BIGINT)
+        |  END AS est
         |FROM f ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       graft.ops.Sketches.hllDistinct(Tables.lineitem(s, d),
           Seq("l_returnflag"), "l_partkey", p = 8)
@@ -513,21 +514,21 @@ object AnalyticsQueries {
          |           SELECT SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_ne,
          |             COUNT(*) AS nb FROM ru)),
          |ests AS (SELECT
-         |  (SELECT CAST(round(CASE
-         |     WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
-         |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
-         |     ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) FROM fa)
-         |    AS est_a,
-         |  (SELECT CAST(round(CASE
-         |     WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
-         |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
-         |     ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) FROM fb)
-         |    AS est_b,
-         |  (SELECT CAST(round(CASE
-         |     WHEN v > 0 AND ($HllC8 / CAST(s AS DOUBLE)) <= 640.0
-         |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
-         |     ELSE $HllC8 / CAST(s AS DOUBLE) END) AS BIGINT) FROM fu)
-         |    AS est_union)
+         |  (SELECT CASE
+         |     WHEN v > 0 AND $Hll2C8 <= 1280 * CAST(s AS HUGEINT)
+         |     THEN CAST(round(256.0 * ln(256.0 / CAST(v AS DOUBLE))) AS BIGINT)
+         |     ELSE CAST(($Hll2C8 + s) // (2 * CAST(s AS HUGEINT)) AS BIGINT)
+         |     END FROM fa) AS est_a,
+         |  (SELECT CASE
+         |     WHEN v > 0 AND $Hll2C8 <= 1280 * CAST(s AS HUGEINT)
+         |     THEN CAST(round(256.0 * ln(256.0 / CAST(v AS DOUBLE))) AS BIGINT)
+         |     ELSE CAST(($Hll2C8 + s) // (2 * CAST(s AS HUGEINT)) AS BIGINT)
+         |     END FROM fb) AS est_b,
+         |  (SELECT CASE
+         |     WHEN v > 0 AND $Hll2C8 <= 1280 * CAST(s AS HUGEINT)
+         |     THEN CAST(round(256.0 * ln(256.0 / CAST(v AS DOUBLE))) AS BIGINT)
+         |     ELSE CAST(($Hll2C8 + s) // (2 * CAST(s AS HUGEINT)) AS BIGINT)
+         |     END FROM fu) AS est_union)
          |SELECT est_a, est_b, est_union,
          |  greatest(CAST(0 AS BIGINT), est_a + est_b - est_union)
          |    AS est_intersect
@@ -547,7 +548,10 @@ object AnalyticsQueries {
     //    inclusion–exclusion, and everything below sketch size is EXACT.
     //    The oracle replays the whole scheme: distinct md5-60 hashes,
     //    bottom-64 per side, merged bottom-64, two membership probes,
-    //    floored-ppm Jaccard, one IEEE ratio for the count. ──
+    //    floored-ppm Jaccard, and the count as round-half-up of the exact
+    //    rational k_inter·est_union/nu via one integral division
+    //    ((2·num + den) // (2·den)) — the last round(<double ratio>)
+    //    publication was converted in r18; see the r17 sweep. ──
     QueryDef("q169_kmv_intersect",
       s"""WITH ha AS (
          |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
@@ -568,18 +572,21 @@ object AnalyticsQueries {
          |ki AS (SELECT count(*) AS c FROM lu
          |       WHERE h IN (SELECT h FROM la) AND h IN (SELECT h FROM lb)),
          |ests AS (SELECT
-         |  (SELECT CAST(round(CASE WHEN n < 64 OR hk = 0 THEN CAST(n AS DOUBLE)
-         |     ELSE $KmvC64 / CAST(hk AS DOUBLE) END) AS BIGINT) FROM ea) AS est_a,
-         |  (SELECT CAST(round(CASE WHEN n < 64 OR hk = 0 THEN CAST(n AS DOUBLE)
-         |     ELSE $KmvC64 / CAST(hk AS DOUBLE) END) AS BIGINT) FROM eb) AS est_b,
-         |  (SELECT CAST(round(CASE WHEN n < 64 OR hk = 0 THEN CAST(n AS DOUBLE)
-         |     ELSE $KmvC64 / CAST(hk AS DOUBLE) END) AS BIGINT) FROM eu) AS est_union,
+         |  (SELECT CAST(CASE WHEN n < 64 OR hk = 0 THEN n
+         |     ELSE ($Kmv2C64 + hk) // (2 * CAST(hk AS HUGEINT))
+         |     END AS BIGINT) FROM ea) AS est_a,
+         |  (SELECT CAST(CASE WHEN n < 64 OR hk = 0 THEN n
+         |     ELSE ($Kmv2C64 + hk) // (2 * CAST(hk AS HUGEINT))
+         |     END AS BIGINT) FROM eb) AS est_b,
+         |  (SELECT CAST(CASE WHEN n < 64 OR hk = 0 THEN n
+         |     ELSE ($Kmv2C64 + hk) // (2 * CAST(hk AS HUGEINT))
+         |     END AS BIGINT) FROM eu) AS est_union,
          |  (SELECT c FROM ki) AS k_inter,
          |  (SELECT n FROM eu) AS nu)
          |SELECT est_a, est_b, est_union, k_inter,
          |  CAST(k_inter * CAST(1000000 AS BIGINT) // nu AS BIGINT) AS jaccard_ppm,
-         |  CAST(round(CAST(k_inter AS DOUBLE) * CAST(est_union AS DOUBLE)
-         |    / CAST(nu AS DOUBLE)) AS BIGINT) AS est_intersect
+         |  CAST((2 * CAST(k_inter AS HUGEINT) * est_union + nu)
+         |    // (2 * CAST(nu AS HUGEINT)) AS BIGINT) AS est_intersect
          |FROM ests""".stripMargin) { (s, d) =>
       val ev = graft.queries.RelationalQueries.eventsNs(s, d)
       val sa = graft.ops.Sketches.kmvSketch(
@@ -641,7 +648,13 @@ object AnalyticsQueries {
     //    via ONE exact-decimal integral division (div ≡ //, trunc ≡
     //    floor on the non-negative ratio) — round-6 of the double
     //    quotient diverged cross-engine on boundary-adjacent rationals
-    //    in BOTH the r15 and r16 driver runs (see ndcgAtK doc). ──
+    //    in BOTH the r15 and r16 driver runs (see ndcgAtK doc). r17
+    //    found the REAL driver-red root cause: dcg/idcg left the query
+    //    as DECIMAL(18,6) — the one type the moneyStr contract forbids
+    //    (the driver's hasher canonicalizes decimals asymmetrically per
+    //    engine, so identical values hash-differ data-independently).
+    //    Both sides now publish lossless micro-unit BIGINTs
+    //    dcg_u/idcg_u; SparkEntrySpec bans DecimalType outputs. ──
     QueryDef("q171_ndcg",
       s"""WITH ev AS (SELECT user_id AS q, event_id AS doc, value AS v,
         |              event_type AS t FROM events WHERE value IS NOT NULL),
@@ -666,7 +679,9 @@ object AnalyticsQueries {
                        "rel", "ipos", maxRel = 3, k = 8)})
         |         AS DECIMAL(18,6)) AS idcg
         |       FROM ideal WHERE ipos <= 8 GROUP BY 1)
-        |SELECT dg.q AS query_id, dcg, idcg,
+        |SELECT dg.q AS query_id,
+        |  CAST(dcg * 1000000 AS BIGINT) AS dcg_u,
+        |  CAST(idcg * 1000000 AS BIGINT) AS idcg_u,
         |  CASE WHEN idcg > 0
         |    THEN CAST((CAST(dcg * 1000000 AS HUGEINT) * 1000000)
         |      // CAST(idcg * 1000000 AS HUGEINT) AS BIGINT)
@@ -1762,13 +1777,19 @@ object AnalyticsQueries {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
-  /** q100's HLL alpha numerator (p=8), %.17g so the oracle embeds the
-    * exact same double the Spark plan uses. */
-  private lazy val HllC8: String = String.format(java.util.Locale.ROOT,
-    "%.17g", Double.box(graft.ops.Sketches.hllAlphaNumerator(8)))
+  /** q100's doubled HLL alpha numerator 2·α·m²·2^(B+1) (p=8) as an exact
+    * HUGEINT-ranged integer literal: the raw estimate publishes as
+    * round-half-up of the exact rational C/s via (2C + s) // (2s), and
+    * the small-range branch test as 2C ≤ 5m·s — no %.17g double since
+    * the r18 conversion (round(<double ratio>) was the q171 r15/r16
+    * divergence class). */
+  private lazy val Hll2C8: String =
+    (graft.ops.Sketches.hllAlphaNumerator(8) * 2).toString
 
-  /** q169's KMV estimator numerator (k=64), %.17g — same contract as
-    * [[HllC8]]. */
-  private lazy val KmvC64: String = String.format(java.util.Locale.ROOT,
-    "%.17g", Double.box(graft.ops.Sketches.kmvNumerator(64)))
+  /** q169's doubled KMV estimator numerator 2·(k−1)·2⁶⁰ (k=64) as an
+    * exact HUGEINT-ranged integer literal — the round-half-up integral
+    * division (2C + hk) // (2·hk) replays the Spark plan's exact
+    * arithmetic (no %.17g double needed since the r18 conversion). */
+  private lazy val Kmv2C64: String =
+    (graft.ops.Sketches.kmvNumerator(64) * 2).toString
 }

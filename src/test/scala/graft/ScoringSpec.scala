@@ -730,8 +730,12 @@ class ScoringSpec extends SparkSpec {
       qrels.where(col("q") === "q1"), "rel", k = 4).head()
     val dcgH = decSum(Seq(gain(2L, 1), gain(3L, 2), gain(1L, 3), gain(0L, 4)))
     val idcgH = decSum(Seq(gain(3L, 1), gain(2L, 2), gain(1L, 3), gain(0L, 4)))
-    assert(h.getDecimal(1).doubleValue() == dcgH &&
-      h.getDecimal(2).doubleValue() == idcgH, h.toString)
+    // published as lossless micro-unit BIGINTs (moneyStr contract: no
+    // DECIMAL leaves the op — the actual q171 driver-red root cause)
+    def micro(x: Double): Long = BigDecimal(x).setScale(6).bigDecimal
+      .movePointRight(6).longValueExact()
+    assert(h.getLong(1) == micro(dcgH) &&
+      h.getLong(2) == micro(idcgH), h.toString)
     assert(h.getLong(3) == ppm(dcgH, idcgH), h.toString)
     // rel beyond the literal table raises instead of silently scoring 0
     val over = Seq(("q1", "d1", 4L)).toDF("q", "doc", "rel")

@@ -48,22 +48,30 @@ class SparkEntrySpec extends SparkSpec {
   // The driver's comparator materializes each result in pandas and sorts
   // rows across ALL columns — a raw ARRAY/MAP/STRUCT column is unhashable
   // there and errors the whole row (round 15 lost q141/q179 exactly this
-  // way). Contract: declared queries emit SCALAR columns only; serialize
-  // collections at the query boundary (array_join, the q84 convention).
-  test("no declared query emits ArrayType/MapType/StructType output columns") {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+  // way), and a DECIMAL column hash-differs at the TYPE level even when
+  // every value matches (the driver canonicalizes DuckDB decimals to
+  // floats on its pandas path while Spark parquet decimals stay exact —
+  // the moneyStr contract at RelationalQueries.scala; q171's dcg/idcg
+  // DECIMAL(18,6) outputs kept it red rounds 15–17 through two arithmetic
+  // "fixes"). Contract: declared queries emit SCALAR, NON-DECIMAL columns
+  // only; serialize collections at the query boundary (array_join, the
+  // q84 convention) and decimals as moneyStr strings or micro-unit
+  // BIGINTs (the q171 dcg_u convention).
+  test("no declared query emits Array/Map/Struct/Decimal output columns") {
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[MapType] ||
-            f.dataType.isInstanceOf[StructType] =>
+            f.dataType.isInstanceOf[StructType] ||
+            f.dataType.isInstanceOf[DecimalType] =>
             s"$name.${f.name}: ${f.dataType.simpleString}"
         }
     }
     assert(bad.isEmpty,
-      s"non-scalar output columns (serialize with array_join): " +
-        bad.mkString(", "))
+      s"non-portable output columns (array_join collections; moneyStr or " +
+        s"micro-unit BIGINT for decimals): " + bad.mkString(", "))
   }
 
   test("no oracle publishes round(<rational double ratio>, 6) — the q171 " +
