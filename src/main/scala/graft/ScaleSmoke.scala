@@ -1,19 +1,34 @@
 package graft
 import org.apache.spark.sql.functions._
 object ScaleSmoke {
+  /** Every section name `run` accepts — the spec iterates this so a new
+    * section cannot ship without runtime coverage. */
+  val AllSections: Set[String] =
+    Set("dedup", "scoring", "vectors", "export", "graph", "sketches",
+      "silhouette")
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(32, "scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     // Optional section filter: `runMain graft.ScaleSmoke scoring` runs only
-    // that section (sections: dedup, scoring, vectors, export, graph,
-    // sketches, silhouette). Default: all.
-    val sections = if (args.isEmpty)
-                     Set("dedup", "scoring", "vectors", "export", "graph",
-                       "sketches", "silhouette")
-                   else args.toSet
+    // that section. Default: all, at full size.
+    val sections = if (args.isEmpty) AllSections else args.toSet
+    run(spark, sections)
+    spark.stop()
+  }
+
+  /** The smoke body. `scale` divides every data-scaled row count (model
+    * constants like cell/band counts stay fixed): 1 = the manual full-size
+    * smoke; ScaleSmokeSpec runs every section at scale=200 so that an op
+    * output rename (the round-17 `col("z6")` incident — main-code no test
+    * executed) fails the suite instead of the next manual smoke. Timings
+    * printed at scale>1 are meaningless; only execution is the contract. */
+  def run(spark: org.apache.spark.sql.SparkSession, sections: Set[String],
+          scale: Int = 1, tmpBase: String = "/tmp"): Unit = {
+    import spark.implicits._
+    def sz(base: Long, min: Long = 64L): Long = math.max(base / scale, min)
     // 100k docs: 10k templates x 10 mutated near-dup variants each.
-    val docs = spark.range(100000).select(
+    val docs = spark.range(sz(100000)).select(
       col("id").as("doc_id"),
       concat_ws(" ",
         (0 until 40).map(i =>
@@ -24,8 +39,8 @@ object ScaleSmoke {
         // template cluster has both exact-near dups and spoilers
         when(col("doc_id") % 10 < 5, col("base"))
           .otherwise(concat(col("base"), lit(" uniq"), col("doc_id"))).as("text"))
-    docs.write.mode("overwrite").parquet("/tmp/scale_docs")
-    val d = spark.read.parquet("/tmp/scale_docs")
+    docs.write.mode("overwrite").parquet(s"$tmpBase/scale_docs")
+    val d = spark.read.parquet(s"$tmpBase/scale_docs")
 
     if (sections("scoring")) {
       // Scoring tier at 100k docs (~4M token instances): all three are
@@ -36,10 +51,11 @@ object ScaleSmoke {
       val nl = graft.ops.Scoring.bigramLmScore(d, "doc_id", "text").count()
       println(f"lm_score_100k: rows=$nl time=${(System.nanoTime()-tl)/1e9}%.1f s")
       val tw = System.nanoTime()
-      val weights = spark.range(1 << 20).select(col("id").as("bucket"),
+      val bigBuckets = if (scale > 1) 1 << 14 else 1 << 20
+      val weights = spark.range(bigBuckets).select(col("id").as("bucket"),
         (((col("id") % 2001) - 1000).cast("double") / 1000.0).as("weight"))
       val nw = graft.ops.Scoring.hashedLinearScore(d, "doc_id", "text",
-        weights, buckets = 1 << 20, intercept = 0.1).count()
+        weights, buckets = bigBuckets, intercept = 0.1).count()
       println(f"classifier_100k: rows=$nw time=${(System.nanoTime()-tw)/1e9}%.1f s")
       val td = System.nanoTime()
       val nd = graft.ops.Scoring.dsirWeights(d, "doc_id", "text",
@@ -53,7 +69,8 @@ object ScaleSmoke {
       val tft = System.nanoTime()
       val nft = graft.ops.Scoring.hashedLinearFit(
         d.withColumn("label", (col("doc_id") % 2).cast("int")),
-        "doc_id", "text", "label", buckets = 1 << 18, epochs = 3,
+        "doc_id", "text", "label", buckets = if (scale > 1) 1 << 12 else 1 << 18,
+        epochs = 3,
         lrPpm = 250000L).count()
       println(f"classifier_fit_100k_3ep: weights=$nft " +
         f"time=${(System.nanoTime()-tft)/1e9}%.1f s")
@@ -65,7 +82,8 @@ object ScaleSmoke {
       val tova = System.nanoTime()
       val nova = graft.ops.Scoring.langIdFit(
         d.withColumn("cls", concat(lit("c"), col("doc_id") % 4)),
-        "doc_id", "text", "cls", buckets = 1 << 16, epochs = 2,
+        "doc_id", "text", "cls", buckets = if (scale > 1) 1 << 12 else 1 << 16,
+        epochs = 2,
         lrPpm = 250000L).count()
       println(f"langid_fit_100k_4cls_2ep: weights=$nova " +
         f"time=${(System.nanoTime()-tova)/1e9}%.1f s")
@@ -73,7 +91,7 @@ object ScaleSmoke {
       // key — the shape where a naive per-key cumulative window is one
       // 400k-row task; the two-level cum must stay flat.
       val tq = System.nanoTime()
-      val scores = spark.range(2000000).select(
+      val scores = spark.range(sz(2000000)).select(
         concat(lit("k"), col("id") % 5).as("k"), col("id").as("id"),
         (((col("id") * 7919) % 1000003).cast("double") / 1000.0).as("s"))
       val nq2 = graft.ops.Scoring.quantileBuckets(scores, "k", "s", b = 3,
@@ -109,7 +127,7 @@ object ScaleSmoke {
       // join + a map-side-combined groupBy; the number to watch is that
       // rounds stay flat (lineage truncation keeps analysis time out).
       val tbt = System.nanoTime()
-      val oc = spark.range(1000000).select(
+      val oc = spark.range(sz(1000000)).select(
         concat(lit("p"), col("id") % 10007).as("winner"),
         concat(lit("p"), (col("id") * 7919 + 13) % 10007).as("loser"))
       val nbt = graft.ops.Scoring.bradleyTerry(oc, "winner", "loser",
@@ -120,7 +138,7 @@ object ScaleSmoke {
       // salted windows, so no task sorts a stratum or the global
       // candidate set — cost must track a plain 2M-row shuffle.
       val tdv = System.nanoTime()
-      val rows2 = spark.range(2000000).select(
+      val rows2 = spark.range(sz(2000000)).select(
         concat(lit("s"), col("id") % 10007).as("src"), col("id").as("id"),
         ((col("id") * 2654435761L) % 1000000).as("score"))
       val ndv = graft.ops.Sampling.diverseTopK(rows2, "src", "id",
@@ -131,7 +149,7 @@ object ScaleSmoke {
       // scores per key: two valueThresholds passes — must track ~2×
       // quantile_buckets_2m (same two-level-cum core, run twice).
       val trz = System.nanoTime()
-      val scoresZ = spark.range(2000000).select(
+      val scoresZ = spark.range(sz(2000000)).select(
         concat(lit("k"), col("id") % 5).as("k"), col("id").as("id"),
         (((col("id") * 7919) % 1000003).cast("double") / 1000.0).as("s"))
       val nrz = graft.ops.Scoring.robustZScores(scoresZ, "k", "s")
@@ -151,7 +169,7 @@ object ScaleSmoke {
       // over the 100k-doc token stream.
       val tvg = System.nanoTime()
       val nvg = graft.ops.Profile.vocabularyGrowth(d, "doc_id", "text",
-        bucketSize = 10000L).count()
+        bucketSize = math.max(10000L / scale, 100L)).count()
       println(f"vocab_growth_100k: buckets=$nvg " +
         f"time=${(System.nanoTime()-tvg)/1e9}%.1f s")
     }
@@ -203,7 +221,7 @@ object ScaleSmoke {
         (col("doc_id") % 10).cast("string"),
         lit(" index page\nTail "), col("doc_id").cast("string")).as("text"))
     val npd = graft.ops.Text.dropRepeatedParagraphs(pd, "doc_id", "text",
-        minDf = 1000L)
+        minDf = math.max(1000L / scale, 5L))
       .agg(sum(col("n_dropped"))).head().getLong(0)
     println(f"paragraph_dedup_100k: dropped=$npd " +
       f"time=${(System.nanoTime()-tpd)/1e9}%.1f s")
@@ -211,7 +229,7 @@ object ScaleSmoke {
     // throughput rows (no shuffle to watch; rows/s must hold flat at any
     // corpus size because nothing aggregates until the output-sized tail).
     val tur = System.nanoTime()
-    val urls = spark.range(2000000L).select(
+    val urls = spark.range(sz(2000000)).select(
       concat(lit("HTTPS://WWW.site"), (col("id") % 50000).cast("string"),
         lit(".example"),
         when(col("id") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
@@ -247,7 +265,7 @@ object ScaleSmoke {
     // by construction; the number to watch is guarded vs unguarded.
     val viral = "LICENSEHEADERBLOCK COPYRIGHT TERMS APPLY TO EVERY SHARD " +
       "OF THIS CORPUS WITHOUT EXCEPTION ALL RIGHTS RESERVED FOREVER EVERY TIME "
-    val boiler = spark.range(100000).select(
+    val boiler = spark.range(sz(100000)).select(
         col("id").as("doc_id"),
         concat(
           when(col("id") % 5 === 0, lit(viral)).otherwise(lit("")),
@@ -255,10 +273,10 @@ object ScaleSmoke {
             concat(lit(s"tok$i"), ((col("id") / 10) * 31 + i) % 997)): _*),
           when(col("id") % 10 < 5, lit(""))
             .otherwise(concat(lit(" uniq"), col("id")))).as("text"))
-      .unionByName(spark.range(100000, 100050).select(col("id").as("doc_id"),
+      .unionByName(spark.range(sz(100000), sz(100000) + 50).select(col("id").as("doc_id"),
         concat(lit(viral), lit("u"), col("id")).as("text")))
-    boiler.write.mode("overwrite").parquet("/tmp/scale_boiler")
-    val bo = spark.read.parquet("/tmp/scale_boiler")
+    boiler.write.mode("overwrite").parquet(s"$tmpBase/scale_boiler")
+    val bo = spark.read.parquet(s"$tmpBase/scale_boiler")
     val tj2 = System.nanoTime()
     val njb = graft.ops.Dedup.ngramJaccardPairs(bo, "doc_id", "text",
       shingleN = 8, threshold = 0.8).count()
@@ -286,7 +304,7 @@ object ScaleSmoke {
         graft.ops.Dedup.minHashLshPairs(corpus90, "doc_id", "text",
           shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8))
       .select(col("doc_id"), col("cluster_id"))
-      .write.mode("overwrite").parquet("/tmp/scale_clusters")
+      .write.mode("overwrite").parquet(s"$tmpBase/scale_clusters")
     graft.ops.Dedup.releaseCaches()
     val tca = System.nanoTime()
     val crossP = graft.ops.Dedup.minHashLshPairsAgainst(batch10, corpus90,
@@ -297,7 +315,7 @@ object ScaleSmoke {
         "text", shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
     val nca = graft.ops.Dedup.clusterIndexAppend(
-        spark.read.parquet("/tmp/scale_clusters"),
+        spark.read.parquet(s"$tmpBase/scale_clusters"),
         batch10.select(col("doc_id")), "doc_id",
         crossP.unionAll(internalP))
       .where(col("keep") === 0).count()
@@ -331,13 +349,13 @@ object ScaleSmoke {
     // quadratic blowup (multi-table banding + hot-bucket guard).
     val dim = 32
     // id div 10 (integer division): ids 0-9 share center 0, 10-19 center 1…
-    val vecs = spark.range(200000).select(col("id"),
+    val vecs = spark.range(sz(200000)).select(col("id"),
         transform(sequence(lit(0), lit(dim - 1)), j =>
           sin(expr("id div 10") * 37 + j * 13) +
             sin(col("id") * 7919 + j) * lit(0.01)).as("vec"))
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
-    vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
-    val v = spark.read.parquet("/tmp/scale_vecs")
+    vecs.write.mode("overwrite").parquet(s"$tmpBase/scale_vecs")
+    val v = spark.read.parquet(s"$tmpBase/scale_vecs")
     // planesPerTable must scale with corpus size: 2^planes buckets per
     // table. 8 planes (256 buckets) over 200k rows means ~800-row buckets
     // -> ~330M candidate pairs; 16 planes (65k buckets) keeps buckets at
@@ -379,7 +397,7 @@ object ScaleSmoke {
     // with the corpus to hold |cell| flat, so the per-cell cost is the
     // number to watch. The jitter clusters make the drops real.
     val tsd = System.nanoTime()
-    val vv = v.where(col("id") < 50000)
+    val vv = v.where(col("id") < sz(50000))
     val sdCents = vv.where(col("id") < 64).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
     val nsd = graft.ops.Similarity.semDedup(vv, "id", "vec", sdCents,
@@ -432,10 +450,10 @@ object ScaleSmoke {
     val irCents = v.where(col("id") < 64).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
     graft.ops.Similarity.ivfIndex(v, irCents).write.mode("overwrite")
-      .partitionBy("_cell").parquet("/tmp/scale_ivfref")
+      .partitionBy("_cell").parquet(s"$tmpBase/scale_ivfref")
     val tir2 = System.nanoTime()
     val (irNew, irDrifted) = graft.ops.Similarity.ivfCentroidRefresh(spark,
-      "/tmp/scale_ivfref", irCents, driftPpm = 100000L)
+      s"$tmpBase/scale_ivfref", irCents, driftPpm = 100000L)
     println(f"ivf_refresh_200k_64cells: refit=${irDrifted.size} " +
       f"build=${(tir2 - tir)/1e9}%.1f s " +
       f"refresh=${(System.nanoTime() - tir2)/1e9}%.1f s")
@@ -447,10 +465,10 @@ object ScaleSmoke {
     // nothing and cost only the audit.
     val tic = System.nanoTime()
     val icMoved = graft.ops.Similarity.ivfCompact(spark,
-      "/tmp/scale_ivfref", irNew)
+      s"$tmpBase/scale_ivfref", irNew)
     val tic2 = System.nanoTime()
     val icAgain = graft.ops.Similarity.ivfCompact(spark,
-      "/tmp/scale_ivfref", irNew)
+      s"$tmpBase/scale_ivfref", irNew)
     println(f"ivf_compact_200k_64cells: rewritten=${icMoved.size} " +
       f"noop=${icAgain.size} compact=${(tic2 - tic)/1e9}%.1f s " +
       f"recheck=${(System.nanoTime() - tic2)/1e9}%.1f s")
@@ -480,12 +498,12 @@ object ScaleSmoke {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
     val pqIdx = graft.ops.Similarity.pqIndex(
       graft.ops.Similarity.ivfIndex(v, cents200), dim, 16, books)
-    pqIdx.write.mode("overwrite").parquet("/tmp/scale_pq")
-    println(f"pq_index_200k: rows=${spark.read.parquet("/tmp/scale_pq").count()} " +
+    pqIdx.write.mode("overwrite").parquet(s"$tmpBase/scale_pq")
+    println(f"pq_index_200k: rows=${spark.read.parquet(s"$tmpBase/scale_pq").count()} " +
       f"time=${(System.nanoTime()-tp)/1e9}%.1f s")
     val tq = System.nanoTime()
     val nq = graft.ops.Similarity.pqTopKAgainstIndex(
-      v.where(col("id") % 2000 === 0), spark.read.parquet("/tmp/scale_pq"),
+      v.where(col("id") % 2000 === 0), spark.read.parquet(s"$tmpBase/scale_pq"),
       v, cents200, books, dim, 16, nprobe = 4, rerank = 100, k = 10).count()
     println(f"pq_search_200k: rows=$nq time=${(System.nanoTime()-tq)/1e9}%.1f s")
     // Incremental ANN append (round 13): a 30k-vector "crawl delta"
@@ -493,14 +511,14 @@ object ScaleSmoke {
     // stored cell-partitioned PQ index at delta-encode + one id-column
     // scan cost, never a re-encode of the stored 180k.
     graft.ops.Similarity.pqIndex(
-        graft.ops.Similarity.ivfIndex(v.where(col("id") < 180000), cents200),
+        graft.ops.Similarity.ivfIndex(v.where(col("id") < sz(180000)), cents200),
         dim, 16, books)
-      .write.mode("overwrite").partitionBy("_cell").parquet("/tmp/scale_pq_app")
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$tmpBase/scale_pq_app")
     val tap = System.nanoTime()
-    graft.ops.Similarity.pqIndexAppend(spark, v.where(col("id") >= 170000),
-      dim, 16, books, cents200, "/tmp/scale_pq_app")
+    graft.ops.Similarity.pqIndexAppend(spark, v.where(col("id") >= sz(170000)),
+      dim, 16, books, cents200, s"$tmpBase/scale_pq_app")
     println(f"pq_index_append_30k_delta: " +
-      f"rows=${spark.read.parquet("/tmp/scale_pq_app").count()} " +
+      f"rows=${spark.read.parquet(s"$tmpBase/scale_pq_app").count()} " +
       f"time=${(System.nanoTime()-tap)/1e9}%.1f s")
     // Residual (IVF-PQ) tier: real k-means coarse quantizer + codes over
     // vec − centroid(cell); build adds the fitCentroids rounds, serve
@@ -513,12 +531,12 @@ object ScaleSmoke {
       16, 16, iters = 1, maxSample = 4096)
     graft.ops.Similarity.pqIndexResidual(
         graft.ops.Similarity.ivfIndex(v, kmC), dim, 16, resBooks, kmC)
-      .write.mode("overwrite").parquet("/tmp/scale_pq_res")
-    println(f"ivfpq_index_200k: rows=${spark.read.parquet("/tmp/scale_pq_res").count()} " +
+      .write.mode("overwrite").parquet(s"$tmpBase/scale_pq_res")
+    println(f"ivfpq_index_200k: rows=${spark.read.parquet(s"$tmpBase/scale_pq_res").count()} " +
       f"time=${(System.nanoTime()-trb)/1e9}%.1f s")
     val trq = System.nanoTime()
     val nr = graft.ops.Similarity.pqTopKAgainstIndex(
-      v.where(col("id") % 2000 === 0), spark.read.parquet("/tmp/scale_pq_res"),
+      v.where(col("id") % 2000 === 0), spark.read.parquet(s"$tmpBase/scale_pq_res"),
       v, kmC, resBooks, dim, 16, nprobe = 4, rerank = 100, k = 10,
       residualCents = Some(kmC)).count()
     println(f"ivfpq_search_200k: rows=$nr time=${(System.nanoTime()-trq)/1e9}%.1f s")
@@ -552,18 +570,19 @@ object ScaleSmoke {
         "hep", "sa")
       val pool = {
         val s = scala.collection.mutable.LinkedHashSet.empty[String]
-        while (s.size < 20000)
+        while (s.size < math.max(20000 / scale, 500))
           s += Seq.fill(2 + rnd.nextInt(4))(sylls(rnd.nextInt(sylls.size))).mkString
         s.toIndexedSeq
       }
       import spark.implicits._
-      val bigDocs = (0L until 100000L).map { i =>
+      val bigDocs = (0L until sz(100000)).map { i =>
         (i, Seq.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" "))
       }.toDF("doc_id", "text").repartition(32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bigDocs.count()
       val tbl = System.nanoTime()
-      val bigMerges = graft.ops.Export.bpeLearn(bigDocs, "text", numMerges = 3000)
+      val bigMerges = graft.ops.Export.bpeLearn(bigDocs, "text",
+        numMerges = math.max(3000 / scale, 16))
       println(f"bpe_learn_20kvocab: merges=${bigMerges.size} " +
         f"time=${(System.nanoTime()-tbl)/1e9}%.1f s")
       val bigVocab = graft.ops.Export.bpeVocab(bigDocs, "text", bigMerges)
@@ -582,14 +601,14 @@ object ScaleSmoke {
       // 5 iterations over 2M edges must stay linear, and the integer
       // ranks make the run layout-independent, so this number is
       // directly comparable machine-to-machine.
-      val edges = spark.range(2000000).select(
+      val edges = spark.range(sz(2000000)).select(
           pmod(col("id") * 2654435761L, lit(500000L)).as("src"),
           when(col("id") % 10 === 0, pmod(col("id"), lit(1000L)))
             .otherwise(pmod(col("id") * 40503L + 17L, lit(500000L))).as("dst"),
           (pmod(col("id"), lit(5L)) + 1L).as("w"))
         .where(col("src") =!= col("dst"))
-      edges.write.mode("overwrite").parquet("/tmp/scale_edges")
-      val eg = spark.read.parquet("/tmp/scale_edges")
+      edges.write.mode("overwrite").parquet(s"$tmpBase/scale_edges")
+      val eg = spark.read.parquet(s"$tmpBase/scale_edges")
       val tg5 = System.nanoTime()
       val ng5 = graft.ops.Graph.pageRankFixedPoint(eg, "src", "dst", "w",
         iters = 5).count()
@@ -599,7 +618,7 @@ object ScaleSmoke {
       // on the key, both windows inside the per-key sort; per-event cost
       // must stay flat (the 100 TB layout buckets the log by key and
       // removes even this exchange).
-      val sev = spark.range(5000000).select(
+      val sev = spark.range(sz(5000000)).select(
         (col("id") % 100000L).as("k"),
         (pmod(xxhash64(col("id")), lit(100000000L))).as("ts"))
       val tse = System.nanoTime()
@@ -610,7 +629,7 @@ object ScaleSmoke {
         f"time=${(System.nanoTime()-tse)/1e9}%.1f s")
       // Priority sampling at 5M rows: a map-only priority projection +
       // salted two-phase top-k — the whole corpus is touched once.
-      val wdf = spark.range(5000000).select(col("id"),
+      val wdf = spark.range(sz(5000000)).select(col("id"),
         (pmod(col("id") * 131L, lit(10000L)) + 1L).as("w"))
       val tps = System.nanoTime()
       val nps = graft.ops.Sampling.prioritySample(wdf, "id", "w", k = 10000)
@@ -625,7 +644,7 @@ object ScaleSmoke {
       // centers none. xxhash64 mixing avoids the modular-arithmetic
       // artifacts a linear-congruence generator bakes in (a first draft
       // produced a provably triangle-free "random" graph).
-      val und = spark.range(1000000).select(
+      val und = spark.range(sz(1000000)).select(
           when(col("id") % 20 === 0, lit(0L))
             .otherwise(
               pmod(xxhash64(col("id"), lit(0)), lit(2000L)) * 100L +
@@ -636,8 +655,8 @@ object ScaleSmoke {
               pmod(xxhash64(col("id"), lit(0)), lit(2000L)) * 100L +
                 pmod(xxhash64(col("id"), lit(3)), lit(100L))).as("b"))
         .where(col("a") =!= col("b"))
-      und.write.mode("overwrite").parquet("/tmp/scale_und")
-      val ug = spark.read.parquet("/tmp/scale_und")
+      und.write.mode("overwrite").parquet(s"$tmpBase/scale_und")
+      val ug = spark.read.parquet(s"$tmpBase/scale_und")
       val ttr = System.nanoTime()
       val tri = graft.ops.Graph.triangleCounts(ug, "a", "b")
         .agg(sum(col("triangles")).as("t")).head().getLong(0)
@@ -763,8 +782,9 @@ object ScaleSmoke {
       // the shuffle carries the SKETCH (256 registers / 2k counters /
       // 1k bins per group), not the 50M values — wall time must track the
       // scan, not the aggregation.
-      val big = spark.range(50000000).select(
-        (col("id") % 1000000).cast("string").as("v"),
+      val dDist = sz(1000000)
+      val big = spark.range(sz(50000000)).select(
+        (col("id") % dDist).cast("string").as("v"),
         (col("id") % 8).cast("int").as("g"),
         (col("id") % 97).cast("double").as("x"))
       val th = System.nanoTime()
@@ -772,7 +792,7 @@ object ScaleSmoke {
         .count()
       println(f"hll_50m: groups=$nh time=${(System.nanoTime()-th)/1e9}%.1f s")
       val tc = System.nanoTime()
-      val probes = spark.range(0, 1000000, 9973).select(
+      val probes = spark.range(0, dDist, math.max(dDist / 100L, 1L)).select(
         col("id").cast("string").as("item"))
       val ncm = graft.ops.Sketches.cmsEstimate(
         graft.ops.Sketches.cmsSketch(big, "v", depth = 4, width = 512),
@@ -789,10 +809,10 @@ object ScaleSmoke {
       // 1M distinct hashes, and the whole estimate reads two 1024-row
       // sketches. Accuracy asserted at the sketch's ~2σ (k=1024 → ~6%).
       val tk2 = System.nanoTime()
-      val sideA = spark.range(25000000).select(
-        (col("id") % 1000000).cast("string").as("v"))
-      val sideB = spark.range(25000000).select(
-        ((col("id") % 1000000) + 500000).cast("string").as("v"))
+      val sideA = spark.range(sz(25000000)).select(
+        (col("id") % dDist).cast("string").as("v"))
+      val sideB = spark.range(sz(25000000)).select(
+        ((col("id") % dDist) + dDist / 2).cast("string").as("v"))
       val ka = graft.ops.Sketches.kmvSketch(sideA, Seq.empty, "v", k = 1024)
       val kb = graft.ops.Sketches.kmvSketch(sideB, Seq.empty, "v", k = 1024)
       val kr = graft.ops.Sketches.kmvIntersectEstimate(ka, kb, Seq.empty,
@@ -800,8 +820,8 @@ object ScaleSmoke {
       val kest = kr.getLong(5)
       println(f"kmv_intersect_50m: est_intersect=$kest " +
         f"time=${(System.nanoTime()-tk2)/1e9}%.1f s")
-      assert(math.abs(kest - 500000L) < 70000L,
-        s"kmv intersect estimate off: $kest vs 500000")
+      assert(math.abs(kest - dDist / 2) <= math.max(dDist / 2 * 14 / 100, 64),
+        s"kmv intersect estimate off: $kest vs ${dDist / 2}")
     }
 
     if (sections("silhouette")) {
@@ -810,7 +830,7 @@ object ScaleSmoke {
       // 64 cosines/point whose per-point aggregate combines map-side —
       // wall time must track the scan, never a point×centroid shuffle.
       val dim = 16
-      val vecs = spark.range(2000000).select(col("id"),
+      val vecs = spark.range(sz(2000000, min = 6400)).select(col("id"),
         (col("id") % 64).cast("int").as("cell"),
         transform(sequence(lit(0), lit(dim - 1)),
           j => (pmod(col("id") * 31 + j * 7, lit(97)).cast("double") -
@@ -825,6 +845,5 @@ object ScaleSmoke {
         f"time=${(System.nanoTime()-ts2)/1e9}%.1f s")
       assert(nSil == 64L, s"expected 64 cluster rows, got $nSil")
     }
-    spark.stop()
   }
 }

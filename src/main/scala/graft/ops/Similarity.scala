@@ -73,7 +73,7 @@ object Similarity {
   def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
     val planes = srpPlanes(dim, nPlanes)
     planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      val pl = lit(p.toArray)
       when(dot(vec, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -175,14 +175,26 @@ object Similarity {
     * row once and shuffles nothing; the centroids ride in the plan as
     * literals (they are driver-side state in every real IVF build, k-means
     * or sampled). Implemented as array_max over (sim, -cid) structs so the
-    * lexicographic struct max IS the tie-broken argmax. */
-  private def ivfCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    val n = norm(vec)
-    array_max(array(cents.map { case (cid, cv) =>
-      val cl = array(cv.map(lit): _*)
-      struct(round(dot(vec, cl) / (n * sqrt(dot(cl, cl))), 6).as("s"),
-        lit(-cid).as("c"))
-    }: _*)).getField("c") * lit(-1)
+    * lexicographic struct max IS the tie-broken argmax — semantics now
+    * carried by the [[graft.plans.IvfCellAssign]] native loop kernel
+    * (r18): the composed array_max-over-k-structs form emitted O(k·dim)
+    * generated statements, blew the JVM's 64 KB method limit at 64 cells
+    * × 32 dims, and silently ran interpreted under the production codegen
+    * fallback (the q29 class; caught by the codegen-strict
+    * ScaleSmokeSpec). Kernel parity with the composed form is spec-pinned
+    * (SimilaritySpec "ivfCell kernel matches the composed argmax"). */
+  private def ivfCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    graft.plans.IvfCellAssign.cell(vec, cents)
+
+  /** Driver-side centroid L2 norm — bit-identical to the in-plan
+    * `sqrt(dot(cl, cl))` it replaces in quantizer expressions (the same
+    * in-order multiply-accumulate as [[graft.plans.DoubleArrayDot]], the
+    * same correctly-rounded IEEE sqrt), computed once per plan instead of
+    * once per row per centroid. */
+  private def centNorm(cv: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+    math.sqrt(acc)
   }
 
   /** Deterministic spherical k-means for the IVF coarse quantizer —
@@ -378,9 +390,9 @@ object Similarity {
       val mn = norm(col("_mv"))
       val cos = cents.foldLeft(lit(null).cast("double")) {
         case (acc, (cid, cv)) =>
-          val cl = array(cv.map(lit): _*)
           when(col("_cell") === cid,
-            round(dot(col("_mv"), cl) / (mn * sqrt(dot(cl, cl))), 6))
+            round(dot(col("_mv"), lit(cv.toArray)) / (mn * lit(centNorm(cv))),
+              6))
             .otherwise(acc)
       }
       cellMeans(index, dim)
@@ -784,7 +796,7 @@ object Similarity {
     require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       s"residual PQ requires consecutive centroid ids 0..k-1, got " +
         sorted.map(_._1).mkString(","))
-    array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    array(sorted.map { case (_, cv) => lit(cv.toArray) }: _*)
   }
 
   /** vec − centroid(cellCol): the IVF-PQ residual, computed map-side with
@@ -904,8 +916,8 @@ object Similarity {
     val adcTab = graft.plans.PqQuantize.adcTable(col("vec"),
       books.sortBy(t => (t._1, t._2)), m, ksub, dim / m)
     val probeCells = explode(array(cents.map { case (cid, cv) =>
-      val cl = array(cv.map(lit): _*)
-      struct(round(dot(col("vec"), cl) / (norm(col("vec")) * sqrt(dot(cl, cl))), 6)
+      struct(round(dot(col("vec"), lit(cv.toArray)) /
+          (norm(col("vec")) * lit(centNorm(cv))), 6)
         .as("s"), lit(cid).as("c"))
     }: _*))
     val wProbe = org.apache.spark.sql.expressions.Window
@@ -982,8 +994,8 @@ object Similarity {
     val c = index.select(col("id").as("neighbor_id"), col("vec").as("_cv"),
       col("_n").as("_cn"), col("_cell"))
     val probeCells = explode(array(cents.map { case (cid, cv) =>
-      val cl = array(cv.map(lit): _*)
-      struct(round(dot(col("vec"), cl) / (norm(col("vec")) * sqrt(dot(cl, cl))), 6)
+      struct(round(dot(col("vec"), lit(cv.toArray)) /
+          (norm(col("vec")) * lit(centNorm(cv))), 6)
         .as("s"), lit(cid).as("c"))
     }: _*))
     val wProbe = org.apache.spark.sql.expressions.Window

@@ -922,6 +922,62 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._4 <= r._2 / 254.0 + 1e-6))
   }
 
+  test("ivfCell kernel matches the composed argmax it replaced, " +
+      "tie-break and NaN ordering included") {
+    import spark.implicits._
+    // The r18 IvfCellAssign loop kernel replaced the array_max-over-structs
+    // form (which blew the 64 KB generated-method limit at 64 cells × 32
+    // dims once two assignments shared a stage). This pin rebuilds the
+    // composed expression verbatim and asserts cell-for-cell equality on
+    // an adversarial fixture: random vectors, an exact rounded tie
+    // (smallest cid must win), and a zero vector (the composed form threw
+    // ANSI DIVIDE_BY_ZERO; the kernel must keep failing loudly so the
+    // unguarded callers — ivfIndex/compact/refresh — don't silently admit
+    // zero vectors into a cell).
+    def composed(cents: Seq[(Int, Seq[Double])]) =
+      array_max(array(cents.map { case (cid, cv) =>
+        val cl = array(cv.map(lit): _*)
+        struct(round(Similarity.dot(col("vec"), cl) /
+            (Similarity.norm(col("vec")) * sqrt(Similarity.dot(cl, cl))), 6)
+          .as("s"), lit(-cid).as("c"))
+      }: _*)).getField("c") * lit(-1)
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val cents = (0 until 32).map(c =>
+      (c, Seq.fill(dim)(rnd.nextGaussian())))
+    val rows = (0L until 200L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+    val df = rows.toDF("id", "vec")
+    val diff = df.select(col("id"),
+        graft.plans.IvfCellAssign.cell(col("vec"), cents).as("k"),
+        composed(cents).as("e"))
+      .where(col("k") =!= col("e")).count()
+    assert(diff == 0L, s"$diff kernel/composed cell mismatches")
+    // exact tie: (1,1) is 0.707107 against BOTH axis centroids → cid 0
+    val tieCents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val tied = Seq((1L, Seq(1.0, 1.0)))
+      .toDF("id", "vec")
+      .select(col("id"),
+        graft.plans.IvfCellAssign.cell(col("vec"), tieCents).as("k"),
+        composed(tieCents).as("e")).head()
+    assert(tied.getInt(1) == 0 && tied.getInt(2) == 0, tied.toString)
+    // zero vector: kernel raises (composed threw ANSI DIVIDE_BY_ZERO)
+    val zeroEx = intercept[Exception] {
+      Seq((2L, Seq(0.0, 0.0))).toDF("id", "vec")
+        .select(graft.plans.IvfCellAssign.cell(col("vec"), tieCents))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(zeroEx).exists(_.contains("zero-norm vector")), zeroEx.toString)
+    // zero-norm centroid rejected at plan build, not at run time
+    val badCent = intercept[IllegalArgumentException] {
+      graft.plans.IvfCellAssign.cell(col("vec"),
+        Seq((0, Seq(0.0, 0.0)), (1, Seq(0.0, 1.0))))
+    }
+    assert(badCent.getMessage.contains("zero norm"), badCent.getMessage)
+  }
+
   test("semDedup: lowest-id survivor per within-cell neighborhood, " +
       "cross-cell near-dups missed by contract, audit counts exact") {
     import spark.implicits._
