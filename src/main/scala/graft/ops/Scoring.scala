@@ -698,9 +698,13 @@ object Scoring {
     * (`div` ≡ DuckDB `//`; operands kept non-negative so trunc ≡ floor,
     * sign reapplied after — the cross-engine publication rule; a rounded
     * double ratio is the q171 divergence class). Exact when the score is
-    * integral or a ≤ 6-dp decimal (every declared use); a raw-double
-    * score would push the hazard into the micros cast — route such
-    * scores through [[Round6.guarded]] first. NULL when the score is
+    * integral or a ≤ 6-dp decimal (every declared use); a DOUBLE/FLOAT
+    * score is routed through [[Round6.guarded]] IN-OP (r18 advisory fix —
+    * the doc used to ask callers to pre-round and nothing enforced it, so
+    * a raw double pushed an uncertified HALF_UP into the micros cast):
+    * the guarded 6-dp round happens up front, median/MAD/z all see the
+    * same certified multiset, and the subsequent decimal cast is exact by
+    * construction (hazard-band values raise). NULL when the score is
     * NULL or the MAD is 0 (≥ half the key's scores equal its median — a
     * degenerate population where no robust scale exists; publishing ±∞
     * or 0 would silently pass/kill those rows at any threshold).
@@ -713,23 +717,36 @@ object Scoring {
   def robustZScores(scored: DataFrame, keyCol: String, scoreCol: String,
                     coarseBins: Double = 100.0): DataFrame = {
     require(coarseBins > 0, "robustZScores: coarseBins must be positive")
-    val med = valueThresholds(scored, keyCol, scoreCol, 2, coarseBins)
+    // in-op guard (see Scaladoc): a double/float score gets the certified
+    // 6-dp round BEFORE any statistic, so median/MAD/z share one exact
+    // multiset and the decimal(38,6) cast below cannot round again
+    val isFloating = scored.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val base =
+      if (isFloating)
+        scored.withColumn("_s6",
+          Round6.guarded(col(scoreCol).cast("double"), "robustZScores score"))
+      else scored.withColumn("_s6", col(scoreCol))
+    val med = valueThresholds(base, keyCol, "_s6", 2, coarseBins)
       .select(col(keyCol), col("_t1").as("median"))
-    val dev = scored.where(col(scoreCol).isNotNull)
+    val dev = base.where(col("_s6").isNotNull)
       .join(broadcast(med), Seq(keyCol))
       .select(col(keyCol),
-        abs(col(scoreCol) - col("median")).as("_dev"))
+        abs(col("_s6") - col("median")).as("_dev"))
     val mad = valueThresholds(dev, keyCol, "_dev", 2, coarseBins)
       .select(col(keyCol), col("_t1").as("mad"))
-    scored.join(broadcast(med), Seq(keyCol), "left")
+    base.join(broadcast(med), Seq(keyCol), "left")
       .join(broadcast(mad), Seq(keyCol), "left")
       // operands widen to DECIMAL(38,6) BEFORE the ×10⁶: a long score
       // multiplied in native arithmetic would silently wrap past ~9.2e12
       // (non-ANSI long overflow) — per-source token totals at the 100 TB
       // mandate sit exactly there
       .withColumn("_num_u",
-        when(col(scoreCol).isNotNull && col("mad") =!= 0,
-          expr(s"cast((cast(`$scoreCol` as decimal(38,6)) - median)" +
+        when(col("_s6").isNotNull && col("mad") =!= 0,
+          expr("cast((cast(_s6 as decimal(38,6)) - median)" +
             " * 1000000 as decimal(38,0))")))
       .withColumn("z_ppm",
         when(col("_num_u").isNotNull, expr(
@@ -737,7 +754,7 @@ object Scoring {
             |  ((abs(_num_u) * 1000000)
             |     div cast(cast(mad as decimal(38,6)) * 1000000
             |           as decimal(38,0)))""".stripMargin)))
-      .drop("_num_u")
+      .drop("_num_u", "_s6")
   }
 
   /** Classifier calibration table (reliability diagram + ECE, Guo et al.
@@ -915,9 +932,13 @@ object Scoring {
     * Exactness: ARI reduces to a single integer ratio with NO division
     * until the end — with S_X = Σ x(x−1) over the contingency counts /
     * marginals, ARI = 2·(S_ij·S_n − S_a·S_b) / ((S_a+S_b)·S_n −
-    * 2·S_a·S_b); every product accumulates as DECIMAL(38,0) (exact up
-    * to ~10⁹ rows — beyond that the products exceed 38 digits; shard
-    * first), published as SIGNED integer ppm via ONE integral division
+    * 2·S_a·S_b); every product accumulates as DECIMAL(38,0). Exactness
+    * bound (r18 advisory fix — the old "~10⁹ rows" claim ignored the
+    * ppm scaling): the products are ~n⁴, and the publication multiplies
+    * |num| by 10⁶ before the integral division, so the 38-digit ceiling
+    * is 2·n⁴·10⁶ < 10³⁸ ⇒ n ≲ 5·10⁷ joined rows — shard above that
+    * (under ANSI the overflow raises; with ANSI off it would publish
+    * NULL). Published as SIGNED integer ppm via ONE integral division
     * (sign split so trunc ≡ floor on the non-negative denominator;
     * `div` ≡ DuckDB `//` — a rounded double ratio is the q171
     * divergence class; ARI can be negative). NMI uses integer-WEIGHTED

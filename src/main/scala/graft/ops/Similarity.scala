@@ -620,7 +620,17 @@ object Similarity {
       * must go through THIS op rather than [[ivfCentroidRefresh]] on a
       * compressed directory). Same miss class and crash contract as the
       * full-vector refresh. Returns (updated centroids, refitted cell
-      * ids). */
+      * ids).
+      *
+      * PRECONDITION (asserted, r18 advisory): `corpus` must contain
+      * every stored id of the drifted cells — the refresh re-encodes
+      * from full vectors, so a drifted cell's stored row missing from
+      * `corpus` cannot be rewritten and its partition delete would
+      * silently lose it (a stale residual code against the dead old
+      * centroid is not a valid carry-through, unlike [[pqCompact]]'s
+      * keepers, whose centroids survive). The op counts drifted-cell
+      * stored ids anti-joined against `corpus` and raises before any
+      * delete; undrifted cells never need the corpus row. */
     def pqCentroidRefresh(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String, corpus: DataFrame,
                           dim: Int, m: Int,
@@ -650,6 +660,18 @@ object Similarity {
         val storedIds = spark.read.parquet(indexDir)
           .where(col("_cell").isin(driftedIds.map(Integer.valueOf): _*))
           .select(col("id"))
+        // fail-loudly precondition (see Scaladoc): every drifted-cell
+        // stored row must have its full vector in `corpus`, or the
+        // partition delete below would silently lose it. One partition-
+        // pruned anti-join on ids, before any destructive step.
+        val orphaned = storedIds
+          .join(assigned.select(col("id")), Seq("id"), "left_anti").count()
+        require(orphaned == 0L,
+          s"pqCentroidRefresh: $orphaned stored row(s) in drifted cells " +
+            s"${driftedIds.sorted.mkString("[", ",", "]")} have no vector " +
+            "in `corpus` — pass the corpus the index was built/appended " +
+            "from (corpus must contain every stored id); refusing to " +
+            "delete their partitions")
         val movedFull = assigned
           .join(storedIds, Seq("id"), "left_semi")
           .select(col("id"), col("vec"), col("_n"))

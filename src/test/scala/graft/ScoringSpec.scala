@@ -548,6 +548,31 @@ class ScoringSpec extends SparkSpec {
       (14L, 5L, 0L, None)))
   }
 
+  test("robustZScores: double scores route through the in-op Round6 guard " +
+      "(r18 advisory) — clean 6-dp doubles score exactly, hazard raises") {
+    import spark.implicits._
+    // 6-dp-representable doubles: guard certifies, z replays the integer
+    // fixture above scaled by 0.25 (median 0.75, MAD 0.25)
+    val dd = Seq(("en", 1L, 0.25), ("en", 2L, 0.5), ("en", 3L, 0.75),
+      ("en", 4L, 1.0), ("en", 5L, 25.0)).toDF("lang", "id", "v")
+    val got = Scoring.robustZScores(dd, "lang", "v").orderBy("id").collect()
+      .map(r => Option(r.get(5)).map(_.asInstanceOf[Long]))
+    assert(got.toSeq == Seq(Some(-2000000L), Some(-1000000L), Some(0L),
+      Some(1000000L), Some(97000000L)), got.mkString(","))
+    // a score inside the hazard band (exactly on a 0.5e-6 HALF_UP
+    // boundary) must raise, not silently quantize at the decimal cast —
+    // the pre-r18 behavior the advisory flagged
+    val hz = Seq(("en", 1L, 0.0000005), ("en", 2L, 1.0), ("en", 3L, 2.0))
+      .toDF("lang", "id", "v")
+    val ex = intercept[Exception] {
+      Scoring.robustZScores(hz, "lang", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("robustZScores score")), ex.toString)
+  }
+
   test("clusterAgreement: identical = 1/1, degenerate NULL, driver-replayed " +
       "mixed case") {
     import spark.implicits._

@@ -390,6 +390,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCentroidRefresh: refuses (before any delete) when a drifted " +
+      "cell's stored row has no vector in the supplied corpus") {
+    import spark.implicits._
+    def u(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r), math.cos(r), math.sin(r))
+    }
+    // cell 0 mass at ~40° → drifts; stored cell 0 holds ids {0,1,2}
+    val corpus = Seq(
+      (0L, u(35)), (1L, u(40)), (2L, u(45)), (10L, u(90))).toDF("id", "vec")
+    val cents = Seq(0 -> u(0), 1 -> u(90))
+    val books = Similarity.pqFitCodebooks(corpus, dim = 4, m = 2, ksub = 4,
+      iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqmiss").toString
+    try {
+      Similarity.pqIndexResidual(
+          Similarity.ivfIndex(corpus, cents), 4, 2, books, cents)
+        .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/pq")
+      // corpus missing stored id 1: the refresh cannot re-encode that row,
+      // so it must refuse loudly (r18 advisory — the old semi-join deleted
+      // the partition and silently lost the row)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.pqCentroidRefresh(spark, s"$dir/pq",
+          corpus.where(col("id") =!= 1L), dim = 4, m = 2, books = books,
+          cents = cents, driftPpm = 50000L, residual = true)
+      }
+      assert(ex.getMessage.contains("have no vector"), ex.getMessage)
+      // refusal happened BEFORE the partition delete: store intact
+      assert(spark.read.parquet(s"$dir/pq").count() == 4L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pqCentroidRefresh: drifted cells re-encode against their moved " +
       "centroid (residual layout), result equals a full rebuild, " +
       "undrifted partitions untouched") {
