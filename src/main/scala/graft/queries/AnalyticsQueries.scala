@@ -812,9 +812,9 @@ object AnalyticsQueries {
         |probes AS (SELECT CAST(q AS DOUBLE) AS q FROM
         |  (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q))
         |SELECT q,
-        |  round(0.0 + 500.0 * (bin +
+        |  CAST(floor((0.0 + 500.0 * (bin +
         |    (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
-        |      / CAST(cnt AS DOUBLE)), 6) AS est
+        |      / CAST(cnt AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS est_u
         |FROM probes CROSS JOIN n JOIN cum
         |  ON CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
         | AND q * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
@@ -1056,9 +1056,10 @@ object AnalyticsQueries {
         |probes AS (SELECT CAST(q AS DOUBLE) AS q FROM
         |  (VALUES (0.5), (0.9), (0.99)) t(q))
         |SELECT n.o_orderpriority, q,
-        |  round(0.0 + 500.0 * (bin +
+        |  CAST(floor((0.0 + 500.0 * (bin +
         |    (q * CAST(n.n AS DOUBLE) - CAST(cum.cum - cum.cnt AS DOUBLE))
-        |      / CAST(cum.cnt AS DOUBLE)), 6) AS est
+        |      / CAST(cum.cnt AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+        |    AS est_u
         |FROM probes CROSS JOIN n JOIN cum
         |  ON cum.o_orderpriority = n.o_orderpriority
         | AND CAST(cum.cum - cum.cnt AS DOUBLE) < q * CAST(n.n AS DOUBLE)
@@ -1099,11 +1100,12 @@ object AnalyticsQueries {
         |probes AS (SELECT CAST(q AS DOUBLE) AS q FROM
         |  (VALUES (0.5), (0.9), (0.99)) t(q))
         |SELECT n.k AS l_returnflag, q,
-        |  round(CASE WHEN cum.hi = cum.lo THEN cum.lo
+        |  CAST(floor((CASE WHEN cum.hi = cum.lo THEN cum.lo
         |        ELSE cum.lo + ((cum.hi - cum.lo) / 512) * (cum.bin +
         |          (q * CAST(n.n AS DOUBLE)
         |            - CAST(cum.cum - cum.cnt AS DOUBLE))
-        |            / CAST(cum.cnt AS DOUBLE)) END, 6) AS est
+        |            / CAST(cum.cnt AS DOUBLE)) END) * 1000000 + 0.5)
+        |    AS BIGINT) AS est_u
         |FROM probes CROSS JOIN n JOIN cum
         |  ON cum.k = n.k
         | AND CAST(cum.cum - cum.cnt AS DOUBLE) < q * CAST(n.n AS DOUBLE)

@@ -129,7 +129,7 @@ class SketchSpec extends SparkSpec {
     val hist = Sketches.histogram(df, "x", lo, hi, bins)
     val qs = Seq(0.25, 0.5, 0.9)
     val est = Sketches.histQuantiles(hist, qs, lo, hi, bins)
-      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getDouble(0) -> r.getLong(1) / 1e6).toMap
     val xs = df.select("x").collect().map(_.getDouble(0)).sorted
     qs.foreach { q =>
       val exact = xs((q * xs.length).toInt min (xs.length - 1))
@@ -162,7 +162,8 @@ class SketchSpec extends SparkSpec {
     // per-group quantiles within one bin width of the group's exact value
     val est = Sketches.histQuantiles(hist, Seq(0.5, 0.9), lo, hi, bins,
         keyCols = Seq("g"))
-      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getLong(2) / 1e6)
       .toMap
     for (g <- Seq("0", "1"); q <- Seq(0.5, 0.9)) {
       val xs = df.where(col("g") === g).select("x")
@@ -223,7 +224,7 @@ class SketchSpec extends SparkSpec {
     val hist = Sketches.histogramAuto(df, "x", bins)
     val qs = Seq(0.25, 0.5, 0.9)
     val est = Sketches.histQuantilesAuto(hist, qs)
-      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getDouble(0) -> r.getLong(1) / 1e6).toMap
     val xs = df.select("x").collect().map(_.getDouble(0)).sorted
     val w = (xs.last - xs.head) / bins
     qs.foreach { q =>
@@ -239,7 +240,8 @@ class SketchSpec extends SparkSpec {
       .forall(r => r.getInt(3) == 0 && r.getLong(4) == 3L))
     val cq = Sketches.histQuantilesAuto(ch, Seq(0.5, 0.99),
         keyCols = Seq("g"))
-      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getLong(2) / 1e6)
       .toMap
     assert(cq(("a", 0.5)) == 42.5 && cq(("a", 0.99)) == 42.5)
     assert(cq(("b", 0.99)) > 1.0)

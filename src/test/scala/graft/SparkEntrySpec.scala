@@ -96,7 +96,24 @@ class SparkEntrySpec extends SparkSpec {
         """/\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*,\s*6\s*\)""".r),
       // round of a mean: division by count(*) inside a 6-dp round
       ("round(.. / count(*), 6)",
-        """/\s*count\s*\(\s*\*\s*\)\s*,\s*6\s*\)""".r))
+        """/\s*count\s*\(\s*\*\s*\)\s*,\s*6\s*\)""".r),
+      // r18 widenings — the forms the r17 sweep's regexes missed:
+      // round-to-integer over a CASE whose ELSE is a double ratio (the
+      // KMV/HLL estimator form; convert to (2C+den) // (2·den))
+      ("round(CASE .. / CAST(..AS DOUBLE) END)",
+        """round\s*\(\s*CASE[\s\S]{0,400}?/\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*END\s*\)""".r),
+      // round-to-integer of an integer-product ratio (the q169
+      // est_intersect form; convert to (2·num+den) // (2·den))
+      ("round(CAST(..AS DOUBLE) * .. / CAST(..AS DOUBLE))",
+        """round\s*\(\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*\*[\s\S]{0,200}?/\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*\)""".r),
+      // 6-dp round whose argument ends in a parenthesized double-cast
+      // ratio (the q102/q117/q119 histogram interpolation; publish as
+      // floor(x·1e6 + 0.5) micro-units — floor binds to the binary
+      // double in both engines)
+      ("round((.. / CAST(..AS DOUBLE)) .., 6)",
+        """/\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*\)+(\s*END)?\s*,\s*6\s*\)""".r),
+      ("round(CASE .. / CAST(..AS DOUBLE) END, 6)",
+        """/\s*CAST\s*\([^()]*AS\s+DOUBLE\s*\)\s*\)*\s*END\s*,\s*6\s*\)""".r))
     val hits = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) =>
         banned.collect { case (label, re) if re.findFirstIn(sql).isDefined =>
