@@ -333,14 +333,15 @@ class PropertySpec extends SparkSpec {
       val bins = 64
       val hist = graft.ops.Sketches.histogramAuto(xs0.toDF("x"), "x", bins)
       val est = graft.ops.Sketches.histQuantilesAuto(hist, Seq(0.5, 0.9))
-        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        .collect().map(r => r.getDouble(0) -> r.getLong(1) / 1e6).toMap
       val w = (xs.last - xs.head) / bins
       Seq(0.5, 0.9).foreach { q =>
         // the ceil(q·n)-th smallest is the element the containing-bin
         // interval (cum−cnt, cum] provably holds, so the one-bin-width
         // bound is deterministic even across empty-bin gaps
         val exact = xs((math.ceil(q * xs.length).toInt - 1).max(0))
-        // +1e-6 covers the op's own round(est, 6) on top of the w bound
+        // +1e-6 covers the op's floor-micro-unit publication on top of
+        // the w bound
         assert(math.abs(est(q) - exact) <= w + 1e-6,
           s"q=$q est=${est(q)} exact=$exact w=$w")
       }
