@@ -125,6 +125,53 @@ class SparkEntrySpec extends SparkSpec {
         "integral division — see Round6 Scaladoc): " + hits.mkString("; "))
   }
 
+  // A full Verify run prints ~500 `WindowExec: No Partition Defined`
+  // warnings; every site was audited bounded-by-construction (top-k tails
+  // after salted two-phase ranking, probe/threshold grids, sketch
+  // survivors ≤ k·fanout, output-sized ranks) — but at that volume a NEW
+  // data-scaled unpartitioned window (a real 100 TB single-task
+  // bottleneck) would be invisible in the noise (r17 verdict item 4).
+  // This pin freezes the audited inventory: a new offender (or a count
+  // increase) fails with instructions; a decrease fails too so the pin
+  // stays current. Counts are unpartitioned logical Window nodes in the
+  // OPTIMIZED plan at sf0.001.
+  test("unpartitioned windows appear only in the audited bounded-tail inventory") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val audited = Map(
+      "q05_numeric_sort" -> 1, "q102_hist_quantiles" -> 1,
+      "q109_score_ensemble" -> 2, "q126_web_pipeline_e2e" -> 1,
+      "q146_threshold_sweep" -> 2, "q150_diverse_topk" -> 1,
+      "q159_vocab_growth" -> 1, "q166_key_skew" -> 2,
+      "q169_kmv_intersect" -> 13, "q174_zipf_slope" -> 1,
+      "q197_fit_serve_sweep" -> 2, "q198_index_search_ranked" -> 1,
+      "q200_gini_sources" -> 1, "q201_trending_terms" -> 1,
+      "q34_lot_sort" -> 1, "q75_shuffle_shards" -> 1,
+      "q77_token_budget" -> 1, "q84_vocab_encode" -> 2,
+      "q86_top_fraction" -> 2, "q95_priority_sample" -> 2,
+      "q98_temperature_sample" -> 1)
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.optimizedPlan
+        val n = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(name -> n) else None
+    }.toMap
+    val diff = (audited.keySet ++ found.keySet).toSeq.sorted.flatMap { q =>
+      (audited.getOrElse(q, 0), found.getOrElse(q, 0)) match {
+        case (a, f) if a == f => None
+        case (a, f) => Some(s"$q: audited $a, found $f")
+      }
+    }
+    assert(diff.isEmpty,
+      "unpartitioned-window inventory changed — if the new window is a " +
+        "data-scaled frame, fix the op (salted two-phase ranking); if it " +
+        "is provably bounded (probe grid / sketch survivors / output " +
+        "tail), document it at the site and update this pin: " +
+        diff.mkString("; "))
+  }
+
   // Codegen-strict session: a generated-code compile failure normally falls
   // back to interpreted execution with only a log line — q29 shipped that
   // way (Spark's subexpression elimination under Expand emits an invalid
