@@ -100,4 +100,21 @@ object Round6 {
       .when(dist < marginUnits, onHazard)
       .otherwise(round(y, 6))
   }
+
+  /** 1 exactly where [[lenient]] quarantines (non-NULL value inside the
+    * hazard band), else 0 — the audit half of the quarantine contract:
+    * lenient NULLs the unprovable row so the job survives, and the
+    * pipeline's EXISTING aggregate adds `sum(Round6.quarantineFlag(y))`
+    * to count them in the same pass (no second scan), alerting when the
+    * rate is abnormal instead of discovering silent NULLs downstream.
+    * Shares the exact predicate with [[lenient]]/[[guarded]] by
+    * construction, so flag = 1 ⟺ lenient = NULL ∧ input ≠ NULL
+    * (spec-pinned). */
+  def quarantineFlag(y: Column): Column = {
+    val u = abs(y) * lit(1e6)
+    val dist = abs(u - floor(u) - lit(0.5))
+    val marginUnits = greatest(lit(MarginAbs * 1e6),
+      abs(y) * lit(relSlope * 1e6))
+    when(y.isNotNull && dist < marginUnits, lit(1)).otherwise(lit(0))
+  }
 }

@@ -77,4 +77,29 @@ class Round6Spec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got(2).isNullAt(0))
   }
+
+  test("quarantineFlag: 1 exactly where lenient quarantines — same " +
+      "predicate, countable in the pipeline's existing aggregate") {
+    import spark.implicits._
+    // boundary hazard, clean transcendental, NULL, negative hazard, and
+    // a relative-margin hazard at large |y| (the MarginRelUlps band)
+    val bigHazard = {
+      val b = 12345.0 + math.log(2.0)
+      math.floor(b * 1e6) / 1e6 + 0.5e-6
+    }
+    val df = Seq(Some(0.0000005), Some(math.log(3.0)), None,
+      Some(-0.0000015), Some(bigHazard)).toDF("y")
+    val got = df.select(Round6.lenient(col("y")).as("g"),
+      Round6.quarantineFlag(col("y")).as("f")).collect()
+    // pinned row-by-row: hazards flag 1, clean flags 0, NULL input flags 0
+    // — flag = 1 exactly where lenient NULLed a non-NULL input
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 0, 0, 1, 1),
+      got.mkString(","))
+    assert(got(0).isNullAt(0) && got(3).isNullAt(0) && got(4).isNullAt(0))
+    assert(!got(1).isNullAt(0) && got(2).isNullAt(0))
+    // the documented pattern: count quarantines in the same aggregate
+    val n = df.agg(org.apache.spark.sql.functions
+      .sum(Round6.quarantineFlag(col("y"))).as("nq")).head().getLong(0)
+    assert(n == 3L)
+  }
 }
