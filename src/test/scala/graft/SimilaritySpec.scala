@@ -986,14 +986,19 @@ class SimilaritySpec extends SparkSpec {
         composed(cents).as("e"))
       .where(col("k") =!= col("e")).count()
     assert(diff == 0L, s"$diff kernel/composed cell mismatches")
-    // exact tie: (1,1) is 0.707107 against BOTH axis centroids → cid 0
+    // exact tie: (1,1) is 0.707107 against BOTH axis centroids → cid 0;
+    // a NaN ELEMENT makes every sim NaN — Spark's double ordering puts
+    // NaN above everything, ties resolve to the smallest cid, and the
+    // kernel's ascending strict-compare scan must agree with the
+    // composed struct max
     val tieCents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
-    val tied = Seq((1L, Seq(1.0, 1.0)))
+    val tied = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(Double.NaN, 1.0)))
       .toDF("id", "vec")
       .select(col("id"),
         graft.plans.IvfCellAssign.cell(col("vec"), tieCents).as("k"),
-        composed(tieCents).as("e")).head()
-    assert(tied.getInt(1) == 0 && tied.getInt(2) == 0, tied.toString)
+        composed(tieCents).as("e")).orderBy("id").collect()
+    assert(tied(0).getInt(1) == 0 && tied(0).getInt(2) == 0, tied(0).toString)
+    assert(tied(1).getInt(1) == tied(1).getInt(2), tied(1).toString)
     // zero vector: kernel raises (composed threw ANSI DIVIDE_BY_ZERO)
     val zeroEx = intercept[Exception] {
       Seq((2L, Seq(0.0, 0.0))).toDF("id", "vec")
