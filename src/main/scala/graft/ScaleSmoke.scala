@@ -807,7 +807,10 @@ object ScaleSmoke {
       // KMV intersection at 50M rows / 1M distinct per side, 500k shared:
       // the salted two-phase bottom-k means no task ever sorts a side's
       // 1M distinct hashes, and the whole estimate reads two 1024-row
-      // sketches. Accuracy asserted at the sketch's ~2σ (k=1024 → ~6%).
+      // sketches. Accuracy asserted at 14% of the true intersection —
+      // looser than the sketch's ~2σ (k=1024 → ~6%) because the Jaccard-
+      // derived intersection compounds three estimates; the bound is the
+      // historical full-size one, scale-generalized.
       val tk2 = System.nanoTime()
       val sideA = spark.range(sz(25000000)).select(
         (col("id") % dDist).cast("string").as("v"))

@@ -90,15 +90,23 @@ object Round6 {
     * use in declared queries — the oracle gate needs the raise. */
   def lenient(y: Column): Column = check(y, lit(null).cast("double"))
 
-  private def check(y: Column, onHazard: Column): Column = {
+  private def check(y: Column, onHazard: Column): Column =
+    when(y.isNull, lit(null).cast("double"))
+      .when(hazard(y), onHazard)
+      .otherwise(round(y, 6))
+
+  /** The hazard-band predicate itself — the ONE definition shared by
+    * [[guarded]], [[lenient]] and [[quarantineFlag]], so the quarantine
+    * counter cannot de-synchronize from what lenient actually NULLs when
+    * the margin formula changes. NULL input yields NULL (three-valued
+    * logic) — every caller screens NULL first. */
+  private def hazard(y: Column): Column = {
     val u = abs(y) * lit(1e6)
     val dist = abs(u - floor(u) - lit(0.5))
     // margin in 1e-6 units, scaled with ulp(|y|·1e6) = |y|·1e6·2⁻⁵²-ish
     val marginUnits = greatest(lit(MarginAbs * 1e6),
       abs(y) * lit(relSlope * 1e6))
-    when(y.isNull, lit(null).cast("double"))
-      .when(dist < marginUnits, onHazard)
-      .otherwise(round(y, 6))
+    dist < marginUnits
   }
 
   /** 1 exactly where [[lenient]] quarantines (non-NULL value inside the
@@ -107,14 +115,9 @@ object Round6 {
     * pipeline's EXISTING aggregate adds `sum(Round6.quarantineFlag(y))`
     * to count them in the same pass (no second scan), alerting when the
     * rate is abnormal instead of discovering silent NULLs downstream.
-    * Shares the exact predicate with [[lenient]]/[[guarded]] by
-    * construction, so flag = 1 ⟺ lenient = NULL ∧ input ≠ NULL
-    * (spec-pinned). */
-  def quarantineFlag(y: Column): Column = {
-    val u = abs(y) * lit(1e6)
-    val dist = abs(u - floor(u) - lit(0.5))
-    val marginUnits = greatest(lit(MarginAbs * 1e6),
-      abs(y) * lit(relSlope * 1e6))
-    when(y.isNotNull && dist < marginUnits, lit(1)).otherwise(lit(0))
-  }
+    * Shares [[hazard]] — the one predicate definition — with
+    * [[lenient]]/[[guarded]], so flag = 1 ⟺ lenient = NULL ∧ input ≠
+    * NULL by construction (spec-pinned). */
+  def quarantineFlag(y: Column): Column =
+    when(y.isNotNull && hazard(y), lit(1)).otherwise(lit(0))
 }

@@ -662,10 +662,13 @@ object Similarity {
           .select(col("id"))
         // fail-loudly precondition (see Scaladoc): every drifted-cell
         // stored row must have its full vector in `corpus`, or the
-        // partition delete below would silently lose it. One partition-
-        // pruned anti-join on ids, before any destructive step.
+        // partition delete below would silently lose it. The probe side
+        // is the raw corpus id column — not `assigned` — so the check
+        // costs one id-only anti-join by construction, independent of
+        // whether Catalyst prunes the assignment projection out.
         val orphaned = storedIds
-          .join(assigned.select(col("id")), Seq("id"), "left_anti").count()
+          .join(corpus.where(col("id").isNotNull).select(col("id")),
+            Seq("id"), "left_anti").count()
         require(orphaned == 0L,
           s"pqCentroidRefresh: $orphaned stored row(s) in drifted cells " +
             s"${driftedIds.sorted.mkString("[", ",", "]")} have no vector " +

@@ -413,9 +413,9 @@ object Sketches {
     * group (degenerate hi == lo groups answer `lo` for every probe and
     * never consult it). No caller-repeated constant can silently skew
     * the estimates. `(keyCols*, q DOUBLE, est_u BIGINT)` — the estimate
-    * publishes in floor-rounded micro-units ([[histQuantiles]]'s
-    * microFloor contract; r18 — round(·, 6) of this rational chain was
-    * the q171 divergence class). */
+    * publishes as half-up micro-units via floor on the shared binary
+    * double ([[histQuantiles]]'s microHalfUp contract; r18 — round(·, 6)
+    * of this rational chain was the q171 divergence class). */
   def histQuantilesAuto(hist: DataFrame, qs: Seq[Double],
                         keyCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs $qs")
@@ -444,7 +444,7 @@ object Sketches {
       .withColumn("t", col("q") * col("n").cast("double"))
       .join(broadcast(cum), joinCond)
       .select(keyCols.map(col) ++ Seq(col("q"),
-        microFloor(when(col("hi") === col("lo"), col("lo"))
+        microHalfUp(when(col("hi") === col("lo"), col("lo"))
           .otherwise(col("lo") + w *
             (col("bin") +
               (col("t") - (col("cum") - col("cnt")).cast("double")) /
@@ -452,25 +452,31 @@ object Sketches {
   }
 
   /** The portable micro-unit publication for a SHARED double chain:
-    * `floor(x·10⁶ + 0.5)` as BIGINT — floor operates on the binary double
-    * in every engine, so two engines that computed the identical IEEE
-    * chain publish the identical integer (whereas `round(x, 6)` rounds
-    * Spark's shortest-decimal representation but DuckDB's binary value,
-    * and the two legitimately disagree within a half-ulp of a 0.5e-6
-    * boundary — the q171 r15/r16 divergence class; the quantile
-    * interpolation is a rational of exact counts, which CAN land there).
-    * Callers' values must stay ≲ 9.2e12 so x·10⁶ is integer-exact in a
-    * double; a histogram over larger magnitudes should rescale first. */
-  private def microFloor(x: Column): Column =
+    * HALF-UP rounding of the micro value, implemented as
+    * `floor(x·10⁶ + 0.5)` cast BIGINT (NOT a plain floor of x·10⁶ —
+    * re-implement from the formula, never the name). floor operates on
+    * the binary double in every engine, so two engines that computed the
+    * identical IEEE chain publish the identical integer (whereas
+    * `round(x, 6)` rounds Spark's shortest-decimal representation but
+    * DuckDB's binary value, and the two legitimately disagree within a
+    * half-ulp of a 0.5e-6 boundary — the q171 r15/r16 divergence class;
+    * the quantile interpolation is a rational of exact counts, which CAN
+    * land there). Callers' values must stay ≲ 9.2e12 so x·10⁶ is
+    * integer-exact in a double; a histogram over larger magnitudes
+    * should rescale first. */
+  private def microHalfUp(x: Column): Column =
     floor(x * lit(1e6) + lit(0.5)).cast("long").as("est_u")
 
   /** Quantile estimates from a (merged, possibly per-group) histogram by
     * linear interpolation inside the containing bin:
-    * `(keyCols*, q DOUBLE, est DOUBLE)` rounded to 6 dp, one row per
-    * group × probe. The histogram is sketch-sized, so the cumulative
-    * window runs over ≤ bins rows per group (partitioned on the keys —
-    * groups never serialize onto one task); estimates are within one bin
-    * width of the exact group quantile. */
+    * `(keyCols*, q DOUBLE, est_u BIGINT)` — the estimate publishes as
+    * half-up micro-units via floor on the shared binary double
+    * ([[microHalfUp]]; r18 — round(·, 6) of this rational-of-exact-
+    * counts chain was the q171 divergence class), one row per group ×
+    * probe. The histogram is sketch-sized, so the cumulative window runs
+    * over ≤ bins rows per group (partitioned on the keys — groups never
+    * serialize onto one task); estimates are within one bin width of the
+    * exact group quantile. */
   def histQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double, hi: Double,
                     bins: Int, keyCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad qs $qs")
@@ -500,7 +506,7 @@ object Sketches {
       .withColumn("t", col("q") * col("n").cast("double"))
       .join(broadcast(cum), joinCond)
       .select(keyCols.map(col) ++ Seq(col("q"),
-        microFloor(lit(lo) + lit(w) *
+        microHalfUp(lit(lo) + lit(w) *
             (col("bin") +
               (col("t") - (col("cum") - col("cnt")).cast("double")) /
                 col("cnt").cast("double")))): _*)

@@ -340,7 +340,7 @@ class PropertySpec extends SparkSpec {
         // interval (cum−cnt, cum] provably holds, so the one-bin-width
         // bound is deterministic even across empty-bin gaps
         val exact = xs((math.ceil(q * xs.length).toInt - 1).max(0))
-        // +1e-6 covers the op's floor-micro-unit publication on top of
+        // +1e-6 covers the op's half-up micro-unit publication on top of
         // the w bound
         assert(math.abs(est(q) - exact) <= w + 1e-6,
           s"q=$q est=${est(q)} exact=$exact w=$w")

@@ -11,7 +11,8 @@ package graft
   * codegen-strict session also fails any smoke plan whose generated code
   * regresses. Timings the smoke prints are meaningless at this scale —
   * execution (and the smoke's own internal asserts) is the contract. */
-class ScaleSmokeSpec extends SparkSpec {
+class ScaleSmokeSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val tmpBase: String =
     java.nio.file.Files.createTempDirectory("smoke_spec").toString
 
@@ -19,4 +20,10 @@ class ScaleSmokeSpec extends SparkSpec {
     test(s"ScaleSmoke section '$section' executes at scale=200") {
       ScaleSmoke.run(spark, Set(section), scale = 200, tmpBase = tmpBase)
     }
+
+  override protected def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmpBase))
+    super.afterAll()
+  }
 }
