@@ -202,7 +202,48 @@ object Bench {
         retried, pathological(med, cold))
     }
 
+    // ── Host-speed canary (round 18) ─────────────────────────────────────
+    // The cross-run contention probe (below) compares task-ms against
+    // archived runs at IDENTICAL shuffle bytes and only for queries ≥
+    // 500 task-ms —
+    // both gates can empty its reference set exactly when a round changes
+    // plans, which is when cross-round comparison matters most (the r18
+    // officials read 1.07–1.12 while the frozen-plan q01 had doubled its
+    // per-task ms: a real host slowdown, under-read). This canary is a
+    // fixed CPU-bound kernel — no plan, no shuffle, no history needed —
+    // timed single-threaded and at the session's parallelism, before and
+    // after the query sweep. Cross-round normalization: divide wall
+    // totals by the canary ratio of the two runs.
+    def canary(): (Long, Long) = {
+      def spin(n: Long): Long = {
+        var x = 0x9E3779B97F4A7C15L; var i = 0L
+        while (i < n) {
+          x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+          x ^= x >>> 27; x *= 0x94D049BB133111EBL
+          x ^= x >>> 31; i += 1
+        }
+        x
+      }
+      spin(1000000L) // JIT warm
+      val t1 = System.nanoTime()
+      val s1 = spin(200000000L)
+      val single = (System.nanoTime() - t1) / 1000000L
+      val par = cpus.toInt
+      val t2 = System.nanoTime()
+      val ts = (0 until par).map { i =>
+        val t = new Thread(() => { val r = spin(100000000L + i)
+          if (r == 42L) println(r) })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val parMs = (System.nanoTime() - t2) / 1000000L
+      if (s1 == 42L) println(s1) // keep the single result live too
+      (single, parMs)
+    }
+    val (canarySingle0, canaryPar0) = canary()
+
     val results = SparkEntry.queries.map { case (name, fn) => name -> measure(name, fn) }
+
 
     // ── PQ phase attribution: fit-once, serve-many ─────────────────────
     // q92/q94's headline includes an in-query codebook fit, but a
@@ -451,6 +492,10 @@ object Bench {
     val serveTotal =
       results.collect { case (k, v) if !fitDominated(k) => v.med }.sum +
         phases.collect { case (k, v) if servePhases(k) => v }.sum
+    val (canarySingle1, canaryPar1) = canary()
+    val canaryJson =
+      s""","host_canary":{"single_ms":[$canarySingle0,$canarySingle1],""" +
+        s""""par_ms":[$canaryPar0,$canaryPar1],"par":${cpus.toInt}}"""
     val contentionJson =
       contention.map(c => s""","contention":${c.json}""").getOrElse("")
     val phasesJson =
@@ -462,7 +507,7 @@ object Bench {
         s""""serve_total":$serveTotal,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
         s""""runs":$reps,"queries_runs":$qsRuns,"queries_env":$qsEnv,""" +
-        s""""suspect":$suspectsJson$contentionJson$phasesJson,"sf":"$sfDir"}"""
+        s""""suspect":$suspectsJson$canaryJson$contentionJson$phasesJson,"sf":"$sfDir"}"""
     // Anchor outputs to the repo root (not the process CWD) so the
     // git-tracked history archive can't silently land elsewhere when a
     // caller invokes the bench from another directory.
