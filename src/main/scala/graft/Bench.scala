@@ -84,6 +84,54 @@ object Bench {
   private def dp2(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
 
+  /** Current commit sha, resolved by reading .git directly (no subprocess
+    * — the bench runs inside a forked sbt JVM). Handles both a .git
+    * directory and a worktree's ".git" pointer file; detached HEADs read
+    * the sha straight from HEAD. Best-effort: "unknown" on any surprise. */
+  private def gitHead(root: java.nio.file.Path): String = try {
+    val dotGit = root.resolve(".git")
+    val gitDir =
+      if (Files.isDirectory(dotGit)) dotGit
+      else Paths.get(Files.readString(dotGit).trim.stripPrefix("gitdir:").trim)
+    val head = Files.readString(gitDir.resolve("HEAD")).trim
+    if (!head.startsWith("ref:")) head
+    else {
+      val ref = head.stripPrefix("ref:").trim
+      val refFile = gitDir.resolve(ref)
+      if (Files.exists(refFile)) Files.readString(refFile).trim
+      else {
+        import scala.jdk.CollectionConverters._
+        val packed = gitDir.resolve("packed-refs")
+        if (!Files.exists(packed)) "unknown"
+        else Files.readAllLines(packed).asScala
+          .find(_.endsWith(" " + ref)).map(_.split(" ")(0)).getOrElse("unknown")
+      }
+    }
+  } catch { case _: Throwable => "unknown" }
+
+  /** SHA-256 over every file under src/main/scala, sorted by path — the
+    * identity the flagged-run overwrite guard keys on. NOT the commit sha:
+    * the driver's end-of-round snapshot commit adds artifacts without
+    * touching source, so two runs of IDENTICAL engine code straddle a HEAD
+    * change exactly when the guard matters most (a clean official before
+    * the snapshot, the driver's own possibly-contended run after it —
+    * the r17 AND r18 failure shape). */
+  private def srcFingerprint(root: java.nio.file.Path): String = try {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = root.resolve("src/main/scala")
+    if (!Files.isDirectory(srcRoot)) return "unknown"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val files = Files.walk(srcRoot).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+      .sortBy(_.toString)
+    files.foreach { p =>
+      md.update(srcRoot.relativize(p).toString.getBytes("UTF-8"))
+      md.update(0.toByte)
+      md.update(Files.readAllBytes(p))
+    }
+    files.size.toString + ":" + md.digest().map("%02x".format(_)).mkString
+  } catch { case _: Throwable => "unknown" }
+
   private def driverGcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -403,56 +451,108 @@ object Bench {
     // would emit "median_ratio":1,50 — invalid JSON that breaks history
     // parsing. Everything else in the artifact uses Double.toString,
     // which is locale-free.
-    final case class Contention(nProbes: Int, ratio: Double, flagged: Boolean) {
-      def json: String =
-        s"""{"n_probes":$nProbes,"median_ratio":${Bench.dp2(ratio)},"flagged":$flagged}"""
+    // Second canary BEFORE the guard below: the guard's canary-normalized
+    // ratios need this run's final host-speed reading. Still brackets all
+    // measured work (queries + phases are done by here).
+    val (canarySingle1, canaryPar1) = canary()
+    // This run's host speed = the better (lower-ms) of the two probes —
+    // the least-contended observation of the same fixed kernel.
+    val curCanaryMs = math.min(canarySingle0, canarySingle1)
+
+    // Jackson rides in on the Spark classpath — no new dependency.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+
+    // ratio = raw task-ms multiple vs best archived same-plan run;
+    // ratioNorm = the same multiple after scaling each archived run's
+    // task-ms by (this run's canary / that run's canary) — i.e. "how much
+    // slower than the archive is this run, at equal host speed". Round-19
+    // addition: the r18 officials read 1.07-1.12 raw while the host itself
+    // had genuinely slowed, and a contended run read 1.58 while the canary
+    // was FLAT (thread-pool contention doesn't slow a single spin thread)
+    // — so the normalized ratio separates "slower VM" (canary scales,
+    // normalized ~1) from "contended run" (canary flat, normalized stays
+    // high). The flag uses the normalized median when >= 3 archived rows
+    // carry a canary (rows before r18 don't), raw otherwise.
+    final case class Contention(nProbes: Int, ratio: Double,
+                                nNorm: Int, ratioNorm: Option[Double],
+                                flagged: Boolean) {
+      def json: String = {
+        val norm = ratioNorm.map(r =>
+          s""","median_ratio_norm":${Bench.dp2(r)},"n_norm":$nNorm""").getOrElse("")
+        s"""{"n_probes":$nProbes,"median_ratio":${Bench.dp2(ratio)}$norm,"flagged":$flagged}"""
+      }
     }
     def medianLong(xs: Seq[Long]): Long =
       if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+    def medianD(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val contention: Option[Contention] = {
       val histPath = Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"),
         "bench_history.jsonl")
       if (!Files.exists(histPath)) None
       else {
-        // Jackson rides in on the Spark classpath — no new dependency.
-        val om = new com.fasterxml.jackson.databind.ObjectMapper
         import scala.jdk.CollectionConverters._
         val lines = Files.readAllLines(histPath).asScala.flatMap { line =>
           scala.util.Try(om.readTree(line)).toOption
         }.filter(_.path("sf").asText() == sfDir)
-        val ratios = results.toSeq.flatMap { case (name, r) =>
-          val curMs = medianLong(r.runEnvs.map(_.taskMs))
-          val curShuf = medianLong(r.runEnvs.map(_.shufWrite))
-          if (curMs < 500) None // too small: jitter dominates signal
-          else {
-            val norms = lines.flatMap { root =>
-              val runs = root.path("queries_env").path(name).path("runs")
-              val ms = runs.elements.asScala.map(_.path("task_ms").asLong).toSeq
-              val shuf = runs.elements.asScala.map(_.path("shuf_write_b").asLong).toSeq
-              // Same plan+data iff shuffle writes match within 1% — plan
-              // or fixture changes move shuffle bytes and disqualify.
-              if (shuf.nonEmpty && medianLong(ms) >= 500 &&
-                  math.abs(medianLong(shuf) - curShuf) <= math.max(1L, curShuf / 100))
-                Some(medianLong(ms))
-              else None
+        // (raw ratio, canary-normalized ratio if any archived row for this
+        // query carries a host canary) per comparable query.
+        val ratios: Seq[(Double, Option[Double])] =
+          results.toSeq.flatMap { case (name, r) =>
+            val curMs = medianLong(r.runEnvs.map(_.taskMs))
+            val curShuf = medianLong(r.runEnvs.map(_.shufWrite))
+            if (curMs < 500) None // too small: jitter dominates signal
+            else {
+              val cands = lines.flatMap { root =>
+                val runs = root.path("queries_env").path(name).path("runs")
+                val ms = runs.elements.asScala.map(_.path("task_ms").asLong).toSeq
+                val shuf = runs.elements.asScala.map(_.path("shuf_write_b").asLong).toSeq
+                // Same plan+data iff shuffle writes match within 1% — plan
+                // or fixture changes move shuffle bytes and disqualify.
+                if (shuf.nonEmpty && medianLong(ms) >= 500 &&
+                    math.abs(medianLong(shuf) - curShuf) <= math.max(1L, curShuf / 100)) {
+                  val can = root.path("host_canary").path("single_ms")
+                  val canMs =
+                    if (can.isArray && can.size > 0)
+                      Some(can.elements.asScala.map(_.asLong).min)
+                    else None
+                  Some((medianLong(ms), canMs))
+                } else None
+              }
+              if (cands.isEmpty) None
+              else {
+                val raw = curMs.toDouble / cands.map(_._1).min
+                // Scale each archived run's ms to TODAY's host speed, then
+                // compare against the best of those.
+                val scaled = cands.collect {
+                  case (ms, Some(c)) if c > 0 && curCanaryMs > 0 =>
+                    ms.toDouble * curCanaryMs / c
+                }
+                val norm = if (scaled.isEmpty) None else Some(curMs / scaled.min)
+                Some((raw, norm))
+              }
             }
-            if (norms.isEmpty) None
-            else Some(curMs.toDouble / norms.min)
           }
-        }
         if (ratios.isEmpty) None
         else {
-          val med = ratios.sorted.apply(ratios.size / 2)
-          Some(Contention(ratios.size, med, med > 1.5))
+          val rawMed = medianD(ratios.map(_._1))
+          val norms = ratios.flatMap(_._2)
+          val normMed = if (norms.isEmpty) None else Some(medianD(norms))
+          val flagged =
+            if (norms.size >= 3) normMed.exists(_ > 1.5) else rawMed > 1.5
+          Some(Contention(ratios.size, rawMed, norms.size, normMed, flagged))
         }
       }
     }
     contention.filter(_.flagged).foreach { c =>
+      val normTxt = c.ratioNorm
+        .map(r => f" (canary-normalized: $r%.2fx over ${c.nNorm} probes)")
+        .getOrElse("")
       System.err.println(f"[bench] WARNING: median task-ms across " +
         f"${c.nProbes} comparable queries is ${c.ratio}%.2fx the best " +
-        "archived same-plan runs at identical shuffle bytes — this run's " +
-        "wall times are contention-inflated; prefer the archived numbers.")
+        f"archived same-plan runs at identical shuffle bytes$normTxt — " +
+        "this run's wall times are contention-inflated; prefer the " +
+        "archived numbers.")
     }
 
     def jmap(f: QResult => String) =
@@ -492,7 +592,6 @@ object Bench {
     val serveTotal =
       results.collect { case (k, v) if !fitDominated(k) => v.med }.sum +
         phases.collect { case (k, v) if servePhases(k) => v }.sum
-    val (canarySingle1, canaryPar1) = canary()
     val canaryJson =
       s""","host_canary":{"single_ms":[$canarySingle0,$canarySingle1],""" +
         s""""par_ms":[$canaryPar0,$canaryPar1],"par":${cpus.toInt}}"""
@@ -502,17 +601,45 @@ object Bench {
       if (phases.isEmpty) ""
       else phases.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","phases":{""", ",", "}")
+    // Anchor outputs to the repo root (not the process CWD) so the
+    // git-tracked history archive can't silently land elsewhere when a
+    // caller invokes the bench from another directory.
+    val outRoot = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
+    val head = gitHead(outRoot)
+    val srcFp = srcFingerprint(outRoot)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""serve_total":$serveTotal,""" +
         s""""total_first_run":$totalCold,"queries_first_run":$qsCold,""" +
         s""""runs":$reps,"queries_runs":$qsRuns,"queries_env":$qsEnv,""" +
+        s""""git_head":"$head","src_fingerprint":"$srcFp",""" +
         s""""suspect":$suspectsJson$canaryJson$contentionJson$phasesJson,"sf":"$sfDir"}"""
-    // Anchor outputs to the repo root (not the process CWD) so the
-    // git-tracked history archive can't silently land elsewhere when a
-    // caller invokes the bench from another directory.
-    val outRoot = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
-    Files.writeString(outRoot.resolve("bench.json"), full + "\n")
+    // ── Flagged-run-proof archiving (round-19) ──────────────────────────
+    // bench.json is gitignored and was last-run-wins: in rounds 17 AND 18
+    // a late contention-flagged run overwrote the clean official and
+    // became the driver's BENCH_rN.json snapshot. A flagged run (contention
+    // guard fired, or unexplainable medians) must NOT clobber an existing
+    // UNFLAGGED bench.json for the same source fingerprint + sf — it goes
+    // to bench_flagged.json instead. The history archive below records it
+    // either way. Source fingerprint, not commit sha: the driver's
+    // snapshot commit changes HEAD without changing engine code.
+    val flaggedRun = contention.exists(_.flagged) || suspects.nonEmpty
+    val benchPath = outRoot.resolve("bench.json")
+    val protectExisting = flaggedRun && Files.exists(benchPath) && {
+      try {
+        val old = om.readTree(Files.readString(benchPath))
+        val oldClean = !old.path("contention").path("flagged").asBoolean(false) &&
+          old.path("suspect").size == 0
+        oldClean && old.path("sf").asText == sfDir &&
+          old.path("src_fingerprint").asText == srcFp && srcFp != "unknown"
+      } catch { case _: Throwable => false }
+    }
+    if (protectExisting) {
+      Files.writeString(outRoot.resolve("bench_flagged.json"), full + "\n")
+      System.err.println("[bench] flagged run NOT written to bench.json — " +
+        "an unflagged official exists there for the same source " +
+        "fingerprint and sf; this run went to bench_flagged.json.")
+    } else Files.writeString(benchPath, full + "\n")
     // Append-only archive (git-tracked): every invocation — builder-local
     // and driver-run alike — lands here, so any round's per-query numbers
     // stay diffable against any other round's.

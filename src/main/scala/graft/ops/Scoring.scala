@@ -713,20 +713,38 @@ object Scoring {
     * windows + a key-sized aggregate) + two broadcast joins back onto the
     * corpus — the threshold tables are key-cardinality-sized and must fit
     * a broadcast (the [[quantileBuckets]] contract). Output: input
-    * columns + median, mad, z_ppm. */
+    * columns + median, mad, z_ppm (+ `quarantined` 0/1 when
+    * `lenientGuard` — production callers opt into quarantine-not-abort
+    * for hazard-band doubles; declared queries keep the raising
+    * default). */
   def robustZScores(scored: DataFrame, keyCol: String, scoreCol: String,
-                    coarseBins: Double = 100.0): DataFrame = {
+                    coarseBins: Double = 100.0,
+                    lenientGuard: Boolean = false): DataFrame = {
     require(coarseBins > 0, "robustZScores: coarseBins must be positive")
     // in-op guard (see Scaladoc): a double/float score gets the certified
     // 6-dp round BEFORE any statistic, so median/MAD/z share one exact
-    // multiset and the decimal(38,6) cast below cannot round again
+    // multiset and the decimal(38,6) cast below cannot round again.
+    // lenientGuard = false (declared queries): a hazard-band score RAISES
+    // — the oracle-compared path must never publish an uncertifiable
+    // round. lenientGuard = true (production corpora, r19 advisory fix):
+    // a web-scale corpus of raw doubles is near-certain to hit the
+    // ~2e-6 hazard band somewhere, and aborting the whole job for one
+    // row is wrong there — the hazard row instead quarantines (score
+    // NULLs ⇒ its z_ppm is NULL, it drops out of the median/MAD multiset)
+    // and is counted in the output's `quarantined` column (same
+    // predicate as lenient by construction — Round6.quarantineFlag).
     val isFloating = scored.schema(scoreCol).dataType match {
       case org.apache.spark.sql.types.DoubleType |
            org.apache.spark.sql.types.FloatType => true
       case _ => false
     }
     val base =
-      if (isFloating)
+      if (isFloating && lenientGuard)
+        scored
+          .withColumn("_s6", Round6.lenient(col(scoreCol).cast("double")))
+          .withColumn("quarantined",
+            Round6.quarantineFlag(col(scoreCol).cast("double")))
+      else if (isFloating)
         scored.withColumn("_s6",
           Round6.guarded(col(scoreCol).cast("double"), "robustZScores score"))
       else scored.withColumn("_s6", col(scoreCol))
@@ -933,12 +951,12 @@ object Scoring {
     * until the end — with S_X = Σ x(x−1) over the contingency counts /
     * marginals, ARI = 2·(S_ij·S_n − S_a·S_b) / ((S_a+S_b)·S_n −
     * 2·S_a·S_b); every product accumulates as DECIMAL(38,0). Exactness
-    * bound (r18 advisory fix — the old "~10⁹ rows" claim ignored the
-    * ppm scaling): the products are ~n⁴, and the publication multiplies
-    * |num| by 10⁶ before the integral division, so the 38-digit ceiling
-    * is 2·n⁴·10⁶ < 10³⁸ ⇒ n ≲ 5·10⁷ joined rows — shard above that
-    * (under ANSI the overflow raises; with ANSI off it would publish
-    * NULL). Published as SIGNED integer ppm via ONE integral division
+    * bound (r19 — the ppm scaling no longer eats 6 digits of headroom:
+    * [[stagedMicroDivSql]] long-divides digit by digit, so the largest
+    * intermediate is max(|num|, den)·10 rather than |num|·10⁶): the
+    * products are ~4n⁴, so the 38-digit ceiling is 4·n⁴·10 < 10³⁸ ⇒
+    * n ≲ 1.2·10⁹ joined rows — shard above that (under ANSI the
+    * overflow raises; with ANSI off it would publish NULL). Published as SIGNED integer ppm via ONE integral division
     * (sign split so trunc ≡ floor on the non-negative denominator;
     * `div` ≡ DuckDB `//` — a rounded double ratio is the q171
     * divergence class; ARI can be negative). NMI uses integer-WEIGHTED
@@ -952,6 +970,27 @@ object Scoring {
     * contingency groupBy (sized by distinct co-cluster PAIRS, ≤ the
     * smaller assignment's row count); marginals derive from it; output
     * is ONE row. Output: (n BIGINT, ari_ppm BIGINT, nmi_ppm BIGINT). */
+  /** `(absNum·10⁶) div den` for non-negative DECIMAL(38,0) operands whose
+    * magnitudes leave no headroom for the ×10⁶ — rendered as SQL that
+    * never forms absNum·10⁶: textbook base-10 long division, six staged
+    * digits, each stage `qᵢ = (rᵢ₋₁·10) div den`, `rᵢ = (rᵢ₋₁·10) % den`
+    * with every remainder < den, so the largest intermediate is
+    * max(absNum, den)·10 instead of absNum·10⁶ (r19 — recovers ARI's
+    * decimal headroom: with the products ~4n⁴ the 38-digit ceiling moves
+    * from 4n⁴·10⁶, n ≲ 5·10⁷, to 4n⁴·10, n ≲ 1.2·10⁹). The digit sum
+    * equals the single integral division exactly (same floor of the same
+    * rational); exceeding even the relaxed bound still raises under ANSI
+    * rather than publishing a wrong value. Spark-side only — the oracle
+    * keeps the one-shot `//` form, DuckDB's HUGEINT-backed DECIMAL does
+    * not hit the intermediate ceiling at these magnitudes. */
+  private[graft] def stagedMicroDivSql(absNum: String, den: String): String = {
+    def r(i: Int): String =
+      if (i == 0) absNum else s"((${r(i - 1)} * 10) % $den)"
+    (1 to 6)
+      .map(i => s"((${r(i - 1)} * 10) div $den) * ${math.pow(10, 6 - i).toLong}")
+      .mkString("(", " + ", ")")
+  }
+
   def clusterAgreement(a: DataFrame, b: DataFrame, idCol: String,
                        aCol: String, bCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -999,8 +1038,8 @@ object Scoring {
         col("_min"), col("_h_ai"), col("_h_bj"))
       .select(col("n"),
         when(col("_aden") =!= 0, expr(
-          """(case when _anum < 0 then -1L else 1L end) *
-            |  ((abs(_anum) * 1000000) div _aden)""".stripMargin))
+          s"""(case when _anum < 0 then -1L else 1L end) *
+             |  ${stagedMicroDivSql("abs(_anum)", "_aden")}""".stripMargin))
           .as("ari_ppm"),
         when(col("_h_ai") + col("_h_bj") =!= 0, expr(
           """(case when _min < 0 then -1L else 1L end) *

@@ -461,9 +461,16 @@ object Sketches {
     * DuckDB's binary value, and the two legitimately disagree within a
     * half-ulp of a 0.5e-6 boundary — the q171 r15/r16 divergence class;
     * the quantile interpolation is a rational of exact counts, which CAN
-    * land there). Callers' values must stay ≲ 9.2e12 so x·10⁶ is
-    * integer-exact in a double; a histogram over larger magnitudes
-    * should rescale first. */
+    * land there). Callers' values must stay ≲ 9.2e12 so the published
+    * micro value fits the BIGINT cast — that is the binding bound, NOT
+    * integer-exactness of x·10⁶ in a double (which would cap out near
+    * 9e9 ≈ 2⁵³/10⁶ and is not required: both engines floor the SAME
+    * IEEE double, exact or not). Note the semantics on negatives:
+    * floor(x·10⁶ + 0.5) rounds half toward +∞ (−2.5 µ → −2), which
+    * differs from BigDecimal HALF_UP (away from zero) at exact .5 µ
+    * boundaries — portable regardless, since both engines apply the
+    * identical floor formula. A histogram over larger magnitudes should
+    * rescale first. */
   private def microHalfUp(x: Column): Column =
     floor(x * lit(1e6) + lit(0.5)).cast("long").as("est_u")
 

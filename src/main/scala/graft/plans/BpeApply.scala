@@ -43,6 +43,18 @@ case class BpeApplyExpr(child: Expression, pairs: Array[String])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_apply"
 
+  // Structural equality over the array param (see IvfCellAssign).
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeApplyExpr =>
+      child == o.child &&
+        java.util.Arrays.equals(pairs.asInstanceOf[Array[AnyRef]],
+          o.pairs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Int.box(java.util.Arrays.hashCode(pairs.asInstanceOf[Array[AnyRef]])))
+
   /** Rank map x → (y → rank), built once per (de)serialized instance;
     * nested so the hot loop's lookups allocate nothing. */
   @transient private lazy val ranks = BpeKernel.buildRanks(pairs)

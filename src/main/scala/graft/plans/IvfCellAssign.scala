@@ -47,6 +47,27 @@ case class IvfCellAssign(child: Expression, cents: Array[Double],
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_cell_assign"
 
+  // Structural equality over the array params (r19, advisory fix): the
+  // synthesized case-class equals compares arrays by REFERENCE, so two
+  // independently built but identical assignments never compare equal —
+  // defeating Catalyst canonicalization, common-subexpression
+  // elimination, and exchange reuse (the two-assignments-in-one-stage
+  // shape ScaleSmokeSpec exercises). Same fix in every array-param
+  // kernel under plans/.
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfCellAssign =>
+      child == o.child && dim == o.dim &&
+        java.util.Arrays.equals(cents, o.cents) &&
+        java.util.Arrays.equals(cids, o.cids) &&
+        java.util.Arrays.equals(norms, o.norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(cents)),
+      Int.box(java.util.Arrays.hashCode(cids)),
+      Int.box(java.util.Arrays.hashCode(norms)))
+
   /** The kernel — shared verbatim by interpreted eval and generated code
     * (the generated call site is a one-liner into this JIT-compiled
     * method, so the two paths cannot drift). */

@@ -26,6 +26,19 @@ case class PqEncode(child: Expression, books: Array[Double],
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
+  // Structural equality over the array param — the synthesized equals is
+  // reference-based, which defeats canonicalization/CSE/exchange reuse
+  // across independently built instances (see IvfCellAssign).
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode =>
+      child == o.child && m == o.m && ksub == o.ksub && dsub == o.dsub &&
+        java.util.Arrays.equals(books, o.books)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(m), Int.box(ksub),
+      Int.box(dsub), Int.box(java.util.Arrays.hashCode(books)))
+
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -95,6 +108,17 @@ case class PqAdcTable(child: Expression, books: Array[Double],
                       m: Int, ksub: Int, dsub: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_adc_table"
+
+  // Structural equality over the array param (see IvfCellAssign).
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAdcTable =>
+      child == o.child && m == o.m && ksub == o.ksub && dsub == o.dsub &&
+        java.util.Arrays.equals(books, o.books)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(m), Int.box(ksub),
+      Int.box(dsub), Int.box(java.util.Arrays.hashCode(books)))
 
   override def nullable: Boolean = true
 

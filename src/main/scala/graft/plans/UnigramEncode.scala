@@ -40,6 +40,18 @@ case class UnigramEncodeExpr(child: Expression, piecesFlat: Array[String],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "unigram_encode"
 
+  // Structural equality over the array param (see IvfCellAssign).
+  override def equals(other: Any): Boolean = other match {
+    case o: UnigramEncodeExpr =>
+      child == o.child && oovBuckets == o.oovBuckets &&
+        java.util.Arrays.equals(piecesFlat.asInstanceOf[Array[AnyRef]],
+          o.piecesFlat.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(oovBuckets),
+      Int.box(java.util.Arrays.hashCode(piecesFlat.asInstanceOf[Array[AnyRef]])))
+
   @transient private lazy val table = UnigramKernel.buildTable(piecesFlat, oovBuckets)
 
   override protected def nullSafeEval(input: Any): Any =

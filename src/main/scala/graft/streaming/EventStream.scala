@@ -17,16 +17,46 @@ object EventStream {
 
   /** Event-time tumbling-window aggregation: count + sum(value) per
     * (window, event_type), late data bounded by `watermark`.
-    * Input needs (ts_ns long, event_type string, value double). */
+    * Input needs (ts_ns long, event_type string, value double).
+    *
+    * LATE-DATA POLICY (the explicit contract, pinned by the adversarial-
+    * reorder spec in EventStreamSpec): the watermark after each
+    * micro-batch is max(event_time seen) − `watermark`; an out-of-order
+    * row is ACCEPTED as long as its window's end is still above the
+    * watermark when its batch is filtered (its window state is alive, the
+    * aggregate updates as if it had arrived in order), and DROPPED —
+    * silently, by design — once the watermark has passed the window end
+    * and the state is evicted. In append output mode a window emits
+    * exactly once, when the watermark passes its end, so emitted rows are
+    * FINAL; update mode re-emits on accepted late rows. Complete mode
+    * disables eviction (all windows stay live, nothing is ever late) —
+    * use it only for bounded backfills. On in-order input the result
+    * equals the batch groupBy over the same rows (also spec-pinned). */
   def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
                   watermark: String = "30 minutes"): DataFrame =
+    slidingAgg(events, windowDur, windowDur, watermark)
+
+  /** Sliding event-time windows — [[windowedAgg]] generalized to
+    * `slide` < `windowDur` (tumbling IS slide == window): each event
+    * contributes to ⌈window/slide⌉ overlapping windows, so row volume
+    * multiplies by that factor BEFORE the shuffle — keep the ratio small
+    * at scale, or pre-aggregate to tumbling `slide`-sized panes and roll
+    * up when the aggregate is reassociable (count/sum are; this op keeps
+    * the direct form for exactness of the generic shape). Same late-data
+    * contract as [[windowedAgg]]: acceptance is per WINDOW, so a late row
+    * can update its younger containing windows while its oldest window is
+    * already evicted — each window's emitted row is still final in append
+    * mode. */
+  def slidingAgg(events: DataFrame, windowDur: String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
     events
       // Integer `div`, never `/`: nanosecond epochs (~1.7e18) exceed a
       // double's 2^53 mantissa, so float division can shift the derived
       // microsecond by ±1 and move an event across a window boundary.
       .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .groupBy(window(col("event_time"), windowDur, slide), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
       .select(

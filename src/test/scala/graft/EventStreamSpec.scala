@@ -29,6 +29,102 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Seq(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 7.0)))
   }
 
+  test("windowedAgg: batch-equivalence on in-order input (the same op body " +
+      "over the same rows, stream vs batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (0L, "click", 1.0), (10L * 60 * 1000000000L, "view", 2.5),
+      (H / 2, "click", 3.0), (H + 1, "click", 7.0), (2 * H + 5, "view", 0.5))
+    // batch: withWatermark is eliminated for non-streaming plans, so the
+    // IDENTICAL op runs as a plain groupBy
+    val batch = EventStream.windowedAgg(
+        rows.toDF("ts_ns", "event_type", "value"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream.windowedAgg(
+        mem.toDF().toDF("ts_ns", "event_type", "value"))
+      .writeStream.format("memory").queryName("wineq")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("wineq").orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    assert(stream == batch && batch.size == 4)
+  }
+
+  test("windowedAgg late-data policy under adversarial reorder: a late row " +
+      "whose window is still above the watermark updates it; one whose " +
+      "window the watermark passed is dropped; append emits final rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 100 * H // clear of the initial watermark (== epoch 0)
+    def m(min: Long) = base + min * 60 * 1000000000L
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = EventStream.windowedAgg(
+        mem.toDF().toDF("ts_ns", "event_type", "value"))
+      .writeStream.format("memory").queryName("winlate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // B1 in-order: two rows in window [0h,1h), one in [1h,2h).
+    // Watermark after B1 = 65min − 30min = 35min.
+    mem.addData((m(10), "click", 1.0), (m(20), "click", 2.0),
+      (m(65), "click", 4.0))
+    q.processAllAvailable()
+    // B2 reordered: 50min arrives AFTER the 65min row — late, but its
+    // window's end (60min) is still above the 35min watermark → ACCEPTED.
+    // The 100min row pushes the watermark to 70min, past [0h,1h)'s end.
+    mem.addData((m(50), "click", 8.0), (m(100), "click", 16.0))
+    q.processAllAvailable()
+    // B3: 15min's window end (60min) is now BELOW the 70min watermark —
+    // state evicted, row DROPPED (the pinned policy). The far-future
+    // flush row drives the watermark past every real window so append
+    // emits them all as FINAL.
+    mem.addData((m(15), "click", 32.0), (m(600), "flush", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("winlate").orderBy("window_start")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    // [0h,1h): 1+2+8 — the accepted late row counted, the dropped one not
+    // (11.0 ≠ 43.0 is the whole spec); [1h,2h): 4+16. The flush window is
+    // still open — append has not emitted it.
+    assert(out == Seq(("click", 3L, 11.0), ("click", 2L, 20.0)), out.toString)
+  }
+
+  test("slidingAgg: overlapping windows multiply membership; stream equals " +
+      "batch on in-order input") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 45min event: lands in windows starting 0min and 30min (1h/30m) —
+    // 75min event: windows starting 30min and 60min. The 30min window
+    // holds both (the overlap the tumbling form can't express).
+    val rows = Seq((45L * 60 * 1000000000L, "click", 1.0),
+      (75L * 60 * 1000000000L, "click", 2.0))
+    def runBatch() = EventStream.slidingAgg(
+        rows.toDF("ts_ns", "event_type", "value"),
+        windowDur = "1 hour", slide = "30 minutes")
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    val batch = runBatch()
+    assert(batch == Seq((0L, 1L, 1.0), (30L, 2L, 3.0), (60L, 1L, 2.0)),
+      batch.toString)
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream.slidingAgg(
+        mem.toDF().toDF("ts_ns", "event_type", "value"),
+        windowDur = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("slideagg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("slideagg").orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    assert(stream == batch)
+  }
+
   test("sessionAgg: gap-based sessions per user in streaming mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -598,6 +598,60 @@ class ScoringSpec extends SparkSpec {
     assert(got.getLong(2) == 0L)
   }
 
+  test("stagedMicroDivSql: equals the one-shot (n·10⁶) div d at magnitudes " +
+      "where the one-shot form overflows DECIMAL(38) (r19 headroom fix)") {
+    def run(num: BigInt, den: BigInt): Long = {
+      val sql = Scoring.stagedMicroDivSql(
+        s"cast('$num' as decimal(38,0))", s"cast('$den' as decimal(38,0))")
+      spark.sql(s"SELECT $sql AS v").head().getLong(0)
+    }
+    // The old failure magnitude: products ~4n⁴ at n = 10⁹ are ~4·10³⁶ —
+    // the pre-r19 |num|·10⁶ needed 43 digits and raised under ANSI. The
+    // staged division's largest intermediate is max(num, den)·10.
+    val n = BigInt(10).pow(9)
+    val num36 = 4 * n.pow(4) - 12345
+    val den36 = 4 * n.pow(4) + 6789
+    assert(run(num36, den36) == (num36 * 1000000 / den36).toLong)
+    // ... and the one-shot form really does overflow there (the spec
+    // would silently stop proving anything if DECIMAL(38) grew).
+    intercept[Exception] {
+      spark.sql(s"SELECT (cast('$num36' as decimal(38,0)) * 1000000)" +
+        s" div cast('$den36' as decimal(38,0)) AS v").head()
+    }
+    // Fixed-seed sweep across magnitudes and num/den ratios (ARI's |num|
+    // can exceed den — the published multiple just exceeds 10⁶).
+    val rnd = new scala.util.Random(19)
+    (1 to 200).foreach { _ =>
+      val digits = 1 + rnd.nextInt(36)
+      val den = BigInt(digits, rnd) + 1
+      val num = BigInt(rnd.nextInt(digits + 1), rnd).min(den * 3)
+      assert(run(num, den) == (num * 1000000 / den).toLong,
+        s"num=$num den=$den")
+    }
+  }
+
+  test("robustZScores lenientGuard (r19 advisory): hazard-band double " +
+      "quarantines instead of aborting, clean rows score identically") {
+    import spark.implicits._
+    // same fixture as the guarded test, plus one hazard row (exactly on
+    // a 0.5e-6 HALF_UP boundary) that the default mode raises on
+    val hz = Seq(("en", 1L, 0.25), ("en", 2L, 0.5), ("en", 3L, 0.75),
+      ("en", 4L, 1.0), ("en", 5L, 25.0), ("en", 6L, 0.0000005))
+      .toDF("lang", "id", "v")
+    intercept[Exception] { Scoring.robustZScores(hz, "lang", "v").collect() }
+    val got = Scoring.robustZScores(hz, "lang", "v", lenientGuard = true)
+      .orderBy("id").collect()
+    val zIdx = got.head.fieldIndex("z_ppm")
+    val qIdx = got.head.fieldIndex("quarantined")
+    // hazard row: quarantined = 1, z NULL; its score left the multiset,
+    // so the five survivors replay the guarded test's exact z values
+    assert(got(5).getInt(qIdx) == 1 && got(5).isNullAt(zIdx))
+    assert(got.take(5).forall(_.getInt(qIdx) == 0))
+    assert(got.take(5).map(r => Option(r.get(zIdx)).map(_.asInstanceOf[Long]))
+      .toSeq == Seq(Some(-2000000L), Some(-1000000L), Some(0L),
+        Some(1000000L), Some(97000000L)))
+  }
+
   test("bradleyTerry: driver-replayed MM rounds, more wins ranks higher, " +
       "self-play and null-keyed rows dropped") {
     import spark.implicits._
