@@ -1664,6 +1664,40 @@ object AnalyticsQueries {
             graft.queries.RelationalQueries.moneyStr(
               sum(col("value").cast(D)).cast(D)).as("sum_value"))
           .orderBy("win_start", "event_type")
+    },
+
+    // ── event-time sliding windows through the STREAMING op itself
+    //    (r19): q114 replays a sliding window with a hand explode, but
+    //    the streaming tier's EventStream.slidingAgg — Spark's native
+    //    window(col, dur, slide), the exact code a readStream pipeline
+    //    runs — had spec coverage only. Batch mode eliminates the
+    //    watermark, so the same op body is oracle-checkable here: 1 h
+    //    windows sliding by 30 min put every event in exactly two
+    //    windows, starts 30m·⌊t/30m⌋ and 30m·(⌊t/30m⌋−1) — the oracle
+    //    unrolls that membership. window_start leaves as epoch micros
+    //    (timestamps never cross engines raw), the sum as the moneyStr
+    //    contract. ──
+    QueryDef("q206_sliding_window_agg",
+      """WITH e AS (SELECT epoch_us(ts) AS t_us, event_type, value
+        |           FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT ((t_us // 1800000000) - k) * 1800000000
+        |        AS window_start_us, event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT window_start_us, event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS VARCHAR) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .where(col("ts").isNotNull)
+        .select(col("ts").as("ts_ns"), col("event_type"), col("value"))
+      graft.streaming.EventStream
+        .slidingAgg(ev, windowDur = "1 hour", slide = "30 minutes")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"),
+          graft.queries.RelationalQueries.moneyStr(col("sum_value"))
+            .as("sum_value"))
+        .orderBy("window_start_us", "event_type")
     }
   )
 
