@@ -53,34 +53,12 @@ object AbBench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-    // The identical xorshift-mix kernel Bench.scala's host canary uses:
-    // a fixed CPU-bound spin, no plan, no IO — its wall time is a pure
-    // host-speed probe comparable across processes and checkouts.
-    def spin(n: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0L
-      while (i < n) {
-        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-        x ^= x >>> 27; x *= 0x94D049BB133111EBL
-        x ^= x >>> 31; i += 1
-      }
-      x
-    }
-    def canary(): (Long, Long) = {
-      spin(1000000L)
-      val t1 = System.nanoTime()
-      val s1 = spin(200000000L)
-      val single = (System.nanoTime() - t1) / 1000000L
-      val t2 = System.nanoTime()
-      val ts = (0 until 32).map { i =>
-        val t = new Thread(() => { val r = spin(100000000L + i)
-          if (r == 42L) println(r) })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      val parMs = (System.nanoTime() - t2) / 1000000L
-      if (s1 == 42L) println(s1)
-      (single, parMs)
-    }
+    // The SAME kernel Bench's host canary uses — shared via [[HostCanary]]
+    // so the two can never drift (canary comparability across processes
+    // and checkouts is the experiment's foundation). NOTE: an A/B against
+    // a pre-r19 checkout runs that tree's inlined copy of the identical
+    // kernel; the shared object exists so future tunings stay in lockstep.
+    def canary(): (Long, Long) = HostCanary.measure(32)
 
     val (c0s, c0p) = canary()
     val results = names.map { name =>
@@ -99,13 +77,22 @@ object AbBench {
     }
     val (c1s, c1p) = canary()
 
+    // Caller-supplied strings must not corrupt the jsonl archive — a
+    // quote/backslash in a label would invalidate the evidence line.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val qr = results.map { case (k, (_, rs)) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val line =
-      s"""{"label":"$label","total":$total,"queries":$qs,"runs":$qr,""" +
-        s""""canary_single_ms":[$c0s,$c1s],"canary_par_ms":[$c0p,$c1p],"sf":"$sfDir"}"""
+      s"""{"label":${jstr(label)},"total":$total,"queries":$qs,"runs":$qr,""" +
+        s""""canary_single_ms":[$c0s,$c1s],"canary_par_ms":[$c0p,$c1p],"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     spark.sparkContext.setLogLevel("OFF")

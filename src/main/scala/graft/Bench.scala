@@ -92,16 +92,28 @@ object Bench {
     val dotGit = root.resolve(".git")
     val gitDir =
       if (Files.isDirectory(dotGit)) dotGit
-      else Paths.get(Files.readString(dotGit).trim.stripPrefix("gitdir:").trim)
+      else {
+        // worktree pointer file; a relative gitdir resolves against the
+        // checkout root, never the process CWD
+        val p = Files.readString(dotGit).trim.stripPrefix("gitdir:").trim
+        root.resolve(p).normalize()
+      }
+    // Worktree gitdirs keep only HEAD locally; refs/ and packed-refs live
+    // in the COMMON dir named by the `commondir` file.
+    val commonFile = gitDir.resolve("commondir")
+    val commonDir =
+      if (Files.exists(commonFile))
+        gitDir.resolve(Files.readString(commonFile).trim).normalize()
+      else gitDir
     val head = Files.readString(gitDir.resolve("HEAD")).trim
     if (!head.startsWith("ref:")) head
     else {
       val ref = head.stripPrefix("ref:").trim
-      val refFile = gitDir.resolve(ref)
+      val refFile = commonDir.resolve(ref)
       if (Files.exists(refFile)) Files.readString(refFile).trim
       else {
         import scala.jdk.CollectionConverters._
-        val packed = gitDir.resolve("packed-refs")
+        val packed = commonDir.resolve("packed-refs")
         if (!Files.exists(packed)) "unknown"
         else Files.readAllLines(packed).asScala
           .find(_.endsWith(" " + ref)).map(_.split(" ")(0)).getOrElse("unknown")
@@ -121,9 +133,16 @@ object Bench {
     val srcRoot = root.resolve("src/main/scala")
     if (!Files.isDirectory(srcRoot)) return "unknown"
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val files = Files.walk(srcRoot).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq
-      .sortBy(_.toString)
+    val walk = Files.walk(srcRoot)
+    // .scala only: an editor backup / swap file under src must not change
+    // the identity of code that didn't change (it would silently disarm
+    // the flagged-run overwrite guard). try/finally: Files.walk holds a
+    // directory stream until closed.
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".scala"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
     files.foreach { p =>
       md.update(srcRoot.relativize(p).toString.getBytes("UTF-8"))
       md.update(0.toByte)
@@ -261,33 +280,9 @@ object Bench {
     // fixed CPU-bound kernel — no plan, no shuffle, no history needed —
     // timed single-threaded and at the session's parallelism, before and
     // after the query sweep. Cross-round normalization: divide wall
-    // totals by the canary ratio of the two runs.
-    def canary(): (Long, Long) = {
-      def spin(n: Long): Long = {
-        var x = 0x9E3779B97F4A7C15L; var i = 0L
-        while (i < n) {
-          x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-          x ^= x >>> 27; x *= 0x94D049BB133111EBL
-          x ^= x >>> 31; i += 1
-        }
-        x
-      }
-      spin(1000000L) // JIT warm
-      val t1 = System.nanoTime()
-      val s1 = spin(200000000L)
-      val single = (System.nanoTime() - t1) / 1000000L
-      val par = cpus.toInt
-      val t2 = System.nanoTime()
-      val ts = (0 until par).map { i =>
-        val t = new Thread(() => { val r = spin(100000000L + i)
-          if (r == 42L) println(r) })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      val parMs = (System.nanoTime() - t2) / 1000000L
-      if (s1 == 42L) println(s1) // keep the single result live too
-      (single, parMs)
-    }
+    // totals by the canary ratio of the two runs. The kernel lives in
+    // [[HostCanary]] — shared with AbBench, one definition (r19 review).
+    def canary(): (Long, Long) = HostCanary.measure(cpus.toInt)
     val (canarySingle0, canaryPar0) = canary()
 
     val results = SparkEntry.queries.map { case (name, fn) => name -> measure(name, fn) }
@@ -605,8 +600,15 @@ object Bench {
     // git-tracked history archive can't silently land elsewhere when a
     // caller invokes the bench from another directory.
     val outRoot = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"))
-    val head = gitHead(outRoot)
-    val srcFp = srcFingerprint(outRoot)
+    // Identity comes from the CHECKOUT THAT RAN (the forked JVM's working
+    // dir is the sbt project base), NOT from outRoot: a bench launched
+    // from a worktree writes its artifact to the main repo, and stamping
+    // the artifact with the main repo's fingerprint would label worktree
+    // timings as main-repo code — the exact misattribution the guard
+    // exists to prevent.
+    val selfRoot = Paths.get(sys.props.getOrElse("user.dir", "."))
+    val head = gitHead(selfRoot)
+    val srcFp = srcFingerprint(selfRoot)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""serve_total":$serveTotal,""" +

@@ -747,6 +747,12 @@ object Scoring {
       else if (isFloating)
         scored.withColumn("_s6",
           Round6.guarded(col(scoreCol).cast("double"), "robustZScores score"))
+      else if (lenientGuard)
+        // Exact (non-floating) scores have no hazard band, but the output
+        // schema must not depend on the score's data type — a lenient
+        // caller always gets the `quarantined` column (all zeros here).
+        scored.withColumn("_s6", col(scoreCol))
+          .withColumn("quarantined", lit(0))
       else scored.withColumn("_s6", col(scoreCol))
     val med = valueThresholds(base, keyCol, "_s6", 2, coarseBins)
       .select(col(keyCol), col("_t1").as("median"))

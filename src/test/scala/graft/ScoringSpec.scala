@@ -619,12 +619,17 @@ class ScoringSpec extends SparkSpec {
         s" div cast('$den36' as decimal(38,0)) AS v").head()
     }
     // Fixed-seed sweep across magnitudes and num/den ratios (ARI's |num|
-    // can exceed den — the published multiple just exceeds 10⁶).
+    // can exceed den — the published multiple just exceeds 10⁶). BITS,
+    // up to 123 (~10³⁷), so the sweep actually reaches the DECIMAL(38)-
+    // scale operands the staged division exists for; num capped at
+    // 10³⁷ − 1 so num·10 (the largest staged intermediate) stays inside
+    // DECIMAL(38) — the documented contract bound.
+    val cap = BigInt(10).pow(37) - 1
     val rnd = new scala.util.Random(19)
     (1 to 200).foreach { _ =>
-      val digits = 1 + rnd.nextInt(36)
-      val den = BigInt(digits, rnd) + 1
-      val num = BigInt(rnd.nextInt(digits + 1), rnd).min(den * 3)
+      val bits = 1 + rnd.nextInt(123)
+      val den = (BigInt(bits, rnd) + 1).min(cap)
+      val num = BigInt(rnd.nextInt(bits + 1), rnd).min(den * 3).min(cap)
       assert(run(num, den) == (num * 1000000 / den).toLong,
         s"num=$num den=$den")
     }
@@ -650,6 +655,13 @@ class ScoringSpec extends SparkSpec {
     assert(got.take(5).map(r => Option(r.get(zIdx)).map(_.asInstanceOf[Long]))
       .toSeq == Seq(Some(-2000000L), Some(-1000000L), Some(0L),
         Some(1000000L), Some(97000000L)))
+    // schema stability: a lenient caller gets `quarantined` regardless of
+    // the score's data type — exact scores just report all-zero
+    val li = Seq(("en", 1L, 1L), ("en", 2L, 2L), ("en", 3L, 3L))
+      .toDF("lang", "id", "v")
+    val gotL = Scoring.robustZScores(li, "lang", "v", lenientGuard = true)
+      .collect()
+    assert(gotL.forall(r => r.getInt(r.fieldIndex("quarantined")) == 0))
   }
 
   test("bradleyTerry: driver-replayed MM rounds, more wins ranks higher, " +
