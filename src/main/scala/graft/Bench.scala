@@ -157,6 +157,27 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** The flagged-run divert decision (r19), extracted pure so
+    * BenchGuardSpec can pin it: a flagged run is diverted to
+    * bench_flagged.json iff an existing bench.json parses, is itself
+    * UNFLAGGED (no contention flag, no pathology suspects), and matches
+    * this run's sf and source fingerprint — with an unknown fingerprint
+    * never protecting (it cannot certify "same code"). Anything
+    * unparseable falls through to overwrite: a corrupt artifact must not
+    * pin a stale official forever. */
+  private[graft] def shouldDivert(flaggedRun: Boolean,
+                                  existingJson: Option[String],
+                                  sfDir: String, srcFp: String): Boolean =
+    flaggedRun && srcFp != "unknown" && existingJson.exists { js =>
+      try {
+        val old = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        !old.path("contention").path("flagged").asBoolean(false) &&
+          old.path("suspect").size == 0 &&
+          old.path("sf").asText == sfDir &&
+          old.path("src_fingerprint").asText == srcFp
+      } catch { case _: Throwable => false }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -627,15 +648,11 @@ object Bench {
     // snapshot commit changes HEAD without changing engine code.
     val flaggedRun = contention.exists(_.flagged) || suspects.nonEmpty
     val benchPath = outRoot.resolve("bench.json")
-    val protectExisting = flaggedRun && Files.exists(benchPath) && {
-      try {
-        val old = om.readTree(Files.readString(benchPath))
-        val oldClean = !old.path("contention").path("flagged").asBoolean(false) &&
-          old.path("suspect").size == 0
-        oldClean && old.path("sf").asText == sfDir &&
-          old.path("src_fingerprint").asText == srcFp && srcFp != "unknown"
-      } catch { case _: Throwable => false }
-    }
+    val protectExisting = shouldDivert(flaggedRun,
+      if (Files.exists(benchPath))
+        scala.util.Try(Files.readString(benchPath)).toOption
+      else None,
+      sfDir, srcFp)
     if (protectExisting) {
       Files.writeString(outRoot.resolve("bench_flagged.json"), full + "\n")
       System.err.println("[bench] flagged run NOT written to bench.json — " +
