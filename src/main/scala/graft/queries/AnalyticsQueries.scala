@@ -1698,8 +1698,45 @@ object AnalyticsQueries {
           graft.queries.RelationalQueries.moneyStr(col("sum_value"))
             .as("sum_value"))
         .orderBy("window_start_us", "event_type")
+    },
+
+    // ── z-order clustering key (r19): the layout half of 100 TB scan
+    //    pruning — Layout.zorderRepartition range-partitions on this
+    //    Morton key so per-file min/max stats stay tight on BOTH
+    //    interleaved dimensions. The KEY is exact integer arithmetic
+    //    after a floor-on-shared-double bin (power-of-two bounds make
+    //    the bin multiplier exact), so the oracle replays bin +
+    //    16-term bit interleave verbatim. LayoutSpec asserts the
+    //    locality win the key exists for; this query pins the
+    //    arithmetic cross-engine. ──
+    QueryDef("q207_zorder_key",
+      s"""WITH z AS (
+         |  SELECT event_id,
+         |    GREATEST(0, LEAST(255, CAST(floor(
+         |      (COALESCE(value, 0.0) - 0.0) * 0.5) AS BIGINT))) AS ba,
+         |    GREATEST(0, LEAST(255, CAST(floor(
+         |      (COALESCE(CAST(user_id AS DOUBLE), 0.0) - 0.0) * 0.0625)
+         |      AS BIGINT))) AS bb
+         |  FROM events)
+         |SELECT event_id, ${MortonSql("ba", "bb", 8)} AS zvalue
+         |FROM z ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.queries.RelationalQueries.eventsNs(s, d)
+        .select(col("event_id"),
+          graft.ops.Layout.zValue(
+            col("value"), 0.0, 512.0,
+            col("user_id").cast("double"), 0.0, 4096.0, bits = 8)
+            .as("zvalue"))
+        .orderBy("event_id")
     }
   )
+
+  /** The Morton bit-interleave of two binned values as SQL — bit i of `a`
+    * at output bit 2i, of `b` at 2i+1 (the exact arithmetic
+    * `Layout.interleave` runs; q207's oracle replays it term by term). */
+  private def MortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString("(", " | ", ")")
 
   /** q106's oracle: the co-purchase adjacency list plus one unrolled CTE
     * per hop, each replaying the identical md5-60 index expression the
