@@ -1700,14 +1700,15 @@ object AnalyticsQueries {
         .orderBy("window_start_us", "event_type")
     },
 
-    // ── z-order clustering key (r19): the layout half of 100 TB scan
-    //    pruning — Layout.zorderRepartition range-partitions on this
-    //    Morton key so per-file min/max stats stay tight on BOTH
-    //    interleaved dimensions. The KEY is exact integer arithmetic
-    //    after a floor-on-shared-double bin (power-of-two bounds make
-    //    the bin multiplier exact), so the oracle replays bin +
-    //    16-term bit interleave verbatim. LayoutSpec asserts the
-    //    locality win the key exists for; this query pins the
+    // ── z-order clustering key (r19): the round-8 ZOrder sink quantizes
+    //    by data-derived min/max (one stats row — right for one-shot
+    //    compaction, but the key depends on the dataset and cannot be
+    //    replayed by a foreign engine). zValueFixed is its deterministic
+    //    twin: caller-supplied literal bounds, floor-on-shared-double
+    //    bin (power-of-two bounds make the multiplier exact), Morton
+    //    interleave — so the oracle replays bin + 16-term interleave
+    //    verbatim, and appends never re-bin old rows. ZOrderSpec asserts
+    //    the locality win the key exists for; this query pins the
     //    arithmetic cross-engine. ──
     QueryDef("q207_zorder_key",
       s"""WITH z AS (
@@ -1722,9 +1723,9 @@ object AnalyticsQueries {
          |FROM z ORDER BY event_id""".stripMargin) { (s, d) =>
       graft.queries.RelationalQueries.eventsNs(s, d)
         .select(col("event_id"),
-          graft.ops.Layout.zValue(
-            col("value"), 0.0, 512.0,
-            col("user_id").cast("double"), 0.0, 4096.0, bits = 8)
+          graft.sinks.ZOrder.zValueFixed(Seq(
+            (col("value"), 0.0, 512.0),
+            (col("user_id").cast("double"), 0.0, 4096.0)), bits = 8)
             .as("zvalue"))
         .orderBy("event_id")
     }

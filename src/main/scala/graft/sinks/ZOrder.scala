@@ -125,6 +125,86 @@ object ZOrder {
       .drop("_zval" +: cols.map(c => s"_zb_$c"): _*)
   }
 
+  /** Fixed-width binning onto [0, 2^bits) under CALLER-SUPPLIED bounds
+    * (r19) — the deterministic twin of [[zCluster]]'s data-derived
+    * min/max quantization: values at or below `lo` bin to 0, at or above
+    * `hi` to the top bin, interior `floor((v − lo) · (2^bits/(hi − lo)))`
+    * — a pure IEEE `− · floor` chain over the value and two literals, so
+    * two engines computing it agree bit-for-bit (floor on a shared
+    * binary double is the portable class; round is not). Literal bounds
+    * make the bin a pure function of the VALUE: re-clustering grown data
+    * never re-bins old rows (append-only incremental layout), and the
+    * resulting z-key is oracle-checkable (q207). NULL bins to 0 — a
+    * layout must put NULL somewhere deterministic, and the bottom bin
+    * keeps NULLs co-located. Numeric input (cast dates/timestamps to
+    * their epoch number first — [[zCluster]]'s asDouble shows the map). */
+  def binFixed(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 21, s"binFixed: bits in [1,21], got $bits")
+    require(lo < hi, s"binFixed: need lo < hi, got [$lo, $hi)")
+    val n = 1L << bits
+    val scaled = floor((coalesce(v.cast("double"), lit(lo)) - lit(lo)) *
+      lit(n.toDouble / (hi - lo))).cast("long")
+    greatest(lit(0L), least(lit(n - 1), scaled))
+  }
+
+  /** The z-value over fixed-bounds bins, as ONE publishable Column (r19):
+    * `specs` = (column, lo, hi) per dimension, bit i of dimension j at
+    * output position i·k + j — the same layout [[zCluster]] writes, but
+    * exact/deterministic end to end so a query can PUBLISH the key and a
+    * foreign engine can replay it term by term (q207's oracle does).
+    * Each dimension's bin chain is inlined per interleaved bit — fine
+    * for a published key at modest k·bits; the CLUSTERING path
+    * ([[zClusterFixed]]) stages bins in their own projection instead,
+    * the codegen-size discipline the staged `_zq_*` comment below
+    * documents. */
+  def zValueFixed(specs: Seq[(Column, Double, Double)], bits: Int): Column = {
+    require(specs.nonEmpty, "zValueFixed: need at least one dimension")
+    require(specs.size * bits <= 63,
+      s"${specs.size} cols x $bits bits exceeds a long (63 usable bits)")
+    val k = specs.size
+    (0 until bits).flatMap { i =>
+      specs.zipWithIndex.map { case ((v, lo, hi), j) =>
+        shiftleft(shiftrightunsigned(binFixed(v, lo, hi, bits), i)
+          .bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[zCluster]] with fixed caller-supplied bounds (r19): stage each
+    * dimension's [[binFixed]] ONCE in its own projection (the same
+    * codegen-size discipline as zCluster's `_zq_*`), interleave the
+    * staged bins, range-partition + z-sort, drop the helpers. Because
+    * the bins are pure functions of the values, re-running over grown
+    * data leaves old rows' keys unchanged — incremental re-clustering
+    * stays append-only, which data-derived min/max cannot promise. */
+  def zClusterFixed(df: DataFrame, specs: Seq[(String, Double, Double)],
+                    nPartitions: Int, bits: Int = 16): DataFrame = {
+    require(specs.nonEmpty, "need at least one z-order column")
+    require(specs.size * bits <= 63,
+      s"${specs.size} cols x $bits bits exceeds a long (63 usable bits)")
+    require(nPartitions > 0, "nPartitions must be positive")
+    val helpers = "_zval" +: specs.map { case (c, _, _) => s"_zq_$c" }
+    require(!helpers.exists(df.columns.contains),
+      s"zClusterFixed: input already has a ${helpers.mkString("/")} column" +
+        " — rename it first (the helper columns are dropped on the way out)")
+    val k = specs.size
+    val staged = df.select(df.columns.map(col).toIndexedSeq ++
+      specs.map { case (c, lo, hi) =>
+        binFixed(col(c), lo, hi, bits).as(s"_zq_$c")
+      }: _*)
+    val z = (0 until bits).flatMap { i =>
+      specs.zipWithIndex.map { case ((c, _, _), j) =>
+        shiftleft(shiftrightunsigned(col(s"_zq_$c"), i).bitwiseAND(lit(1L)),
+          i * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    staged
+      .withColumn("_zval", z)
+      .repartitionByRange(nPartitions, col("_zval"))
+      .sortWithinPartitions(col("_zval"))
+      .drop(helpers: _*)
+  }
+
   /** The column on a linear double scale, honoring the type: DATE and
     * TIMESTAMP don't cast to double under ANSI, so they go through their
     * epoch representation (days / microseconds) first — ordering is

@@ -125,4 +125,84 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.zCluster(df, Seq("a", "a", "a", "a"), 2, bits = 16)
     }
   }
+
+  // ── fixed-bounds variant (r19): deterministic bins, publishable key ──
+
+  /** Reference Morton interleave on the driver (k=2). */
+  private def morton2(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("zValueFixed: exhaustive parity with the driver replica at bits=4, " +
+      "spot magnitudes at bits=21") {
+    import spark.implicits._
+    // bounds [0, 2^bits) with integer values make the bin the identity,
+    // so this isolates the interleave
+    val pairs = for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValueFixed(
+        Seq((col("a"), 0.0, 16.0), (col("b"), 0.0, 16.0)), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == morton2(a, b, 4), s"($a,$b)")
+    }
+    val top = (1L << 21) - 1
+    val hi = (1L << 21).toDouble
+    val g21 = Seq((top, 0L), (0L, top), (top, top)).toDF("a", "b")
+      .select(ZOrder.zValueFixed(
+        Seq((col("a"), 0.0, hi), (col("b"), 0.0, hi)), 21).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(g21 == Seq(morton2(top, 0L, 21), morton2(0L, top, 21),
+      morton2(top, top, 21)))
+  }
+
+  test("binFixed: lo->0, hi and above -> top bin, below-lo clamps to 0, " +
+      "NULL lands in bin 0, interior exact at power-of-two widths") {
+    import spark.implicits._
+    val vals = Seq[(Long, Option[Double])](
+      (1L, Some(0.0)), (2L, Some(-5.0)), (3L, Some(512.0)), (4L, Some(600.0)),
+      (5L, None), (6L, Some(2.0)), (7L, Some(255.9)), (8L, Some(510.0)))
+      .toDF("id", "v")
+    val got = vals
+      .select(col("id"), ZOrder.binFixed(col("v"), 0.0, 512.0, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // width = 2.0 per bin (512 / 256)
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 255L, 4L -> 255L,
+      5L -> 0L, 6L -> 1L, 7L -> 127L, 8L -> 255L))
+  }
+
+  test("zClusterFixed locality: per-partition extents of BOTH dimensions " +
+      "shrink vs a one-dimensional layout; helper-name collision rejected") {
+    import spark.implicits._
+    // 64×64 uniform grid arriving x-major — the worst case for y-pruning
+    // under a sort-by-x layout.
+    val grid = spark.range(4096).select(
+      (col("id") / 64).cast("long").cast("double").as("x"),
+      (col("id") % 64).cast("double").as("y"))
+    val parts = 16
+    def extents(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df.withColumn("_p", spark_partition_id())
+        .groupBy("_p")
+        .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"))
+        .collect()
+      (rows.map(_.getAs[Double]("ex")).sum / rows.length,
+        rows.map(_.getAs[Double]("ey")).sum / rows.length)
+    }
+    val z = ZOrder.zClusterFixed(grid,
+      Seq(("x", 0.0, 64.0), ("y", 0.0, 64.0)), parts, bits = 6)
+    val (zx, zy) = extents(z)
+    // 16 partitions over a 64×64 curve ≈ a 4×4 macro-grid: each partition
+    // spans ~16 of 63 per dimension — assert the halving, impossible for
+    // a 1-D layout (which leaves the OTHER dimension at the full 63).
+    assert(zx < 63.0 / 2 && zy < 63.0 / 2, s"z extents: $zx, $zy")
+    val (_, ry) = extents(grid.repartitionByRange(parts, col("x"), col("y")))
+    assert(ry > 63.0 / 2, s"sorted-by-x baseline should not cluster y: $ry")
+    // a pre-existing helper-named column must be rejected, not silently
+    // overwritten and dropped
+    intercept[IllegalArgumentException] {
+      ZOrder.zClusterFixed(grid.withColumn("_zval", lit(1)),
+        Seq(("x", 0.0, 64.0), ("y", 0.0, 64.0)), parts, bits = 6)
+    }
+  }
 }
