@@ -25,7 +25,11 @@ object AbBench {
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 2) args(2)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outFile = if (args.length > 3) args(3) else "/root/repo/ab_bench.jsonl"
+    // Anchored like Bench's outputs: SPARK_GRAFT_REPO_DIR, not a hardcoded
+    // path — an A/B run under a relocated repo must append its evidence
+    // line to the SAME archive the bench writes (r19 advisory).
+    val outFile = if (args.length > 3) args(3)
+      else sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") + "/ab_bench.jsonl"
     val reps = 3
 
     val spark = GraftSession.build(32, "graft-ab-bench", Map(

@@ -121,30 +121,40 @@ object Bench {
     }
   } catch { case _: Throwable => "unknown" }
 
-  /** SHA-256 over every file under src/main/scala, sorted by path — the
-    * identity the flagged-run overwrite guard keys on. NOT the commit sha:
-    * the driver's end-of-round snapshot commit adds artifacts without
+  /** SHA-256 over every file under src/main/scala PLUS the build config
+    * (build.sbt and the sbt/scala/properties files under project/),
+    * sorted by path —
+    * the identity the flagged-run overwrite guard keys on. NOT the commit
+    * sha: the driver's end-of-round snapshot commit adds artifacts without
     * touching source, so two runs of IDENTICAL engine code straddle a HEAD
     * change exactly when the guard matters most (a clean official before
     * the snapshot, the driver's own possibly-contended run after it —
-    * the r17 AND r18 failure shape). */
+    * the r17 AND r18 failure shape). Build config is part of the identity
+    * (r19 advisory): a scalac-option or dependency change recompiles the
+    * engine and moves its timings without touching a .scala file. */
   private def srcFingerprint(root: java.nio.file.Path): String = try {
     import scala.jdk.CollectionConverters._
     val srcRoot = root.resolve("src/main/scala")
     if (!Files.isDirectory(srcRoot)) return "unknown"
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val walk = Files.walk(srcRoot)
-    // .scala only: an editor backup / swap file under src must not change
-    // the identity of code that didn't change (it would silently disarm
-    // the flagged-run overwrite guard). try/finally: Files.walk holds a
-    // directory stream until closed.
-    val files =
+    def collect(dir: java.nio.file.Path, exts: Seq[String]): Seq[java.nio.file.Path] = {
+      if (!Files.isDirectory(dir)) return Seq.empty
+      // ext-filtered: an editor backup / swap file must not change the
+      // identity of code that didn't change (it would silently disarm the
+      // flagged-run overwrite guard). try/finally: Files.walk holds a
+      // directory stream until closed.
+      val walk = Files.walk(dir)
       try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".scala"))
+        .filter(p => Files.isRegularFile(p) &&
+          exts.exists(p.toString.endsWith))
         .toSeq.sortBy(_.toString)
       finally walk.close()
+    }
+    val files = collect(srcRoot, Seq(".scala")) ++
+      Seq(root.resolve("build.sbt")).filter(Files.isRegularFile(_)) ++
+      collect(root.resolve("project"), Seq(".sbt", ".scala", ".properties"))
     files.foreach { p =>
-      md.update(srcRoot.relativize(p).toString.getBytes("UTF-8"))
+      md.update(root.relativize(p).toString.getBytes("UTF-8"))
       md.update(0.toByte)
       md.update(Files.readAllBytes(p))
     }
@@ -157,26 +167,69 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
-  /** The flagged-run divert decision (r19), extracted pure so
-    * BenchGuardSpec can pin it: a flagged run is diverted to
-    * bench_flagged.json iff an existing bench.json parses, is itself
-    * UNFLAGGED (no contention flag, no pathology suspects), and matches
-    * this run's sf and source fingerprint — with an unknown fingerprint
-    * never protecting (it cannot certify "same code"). Anything
-    * unparseable falls through to overwrite: a corrupt artifact must not
-    * pin a stale official forever. */
-  private[graft] def shouldDivert(flaggedRun: Boolean,
-                                  existingJson: Option[String],
-                                  sfDir: String, srcFp: String): Boolean =
-    flaggedRun && srcFp != "unknown" && existingJson.exists { js =>
-      try {
-        val old = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
-        !old.path("contention").path("flagged").asBoolean(false) &&
-          old.path("suspect").size == 0 &&
-          old.path("sf").asText == sfDir &&
-          old.path("src_fingerprint").asText == srcFp
-      } catch { case _: Throwable => false }
+  /** What to do with a FLAGGED run's artifact (r19, reworked r20 per the
+    * verdict): [[Overwrite]] writes bench.json normally; [[Divert]] sends
+    * the run to bench_flagged.json, optionally RESTORING an archived clean
+    * official into bench.json first. */
+  private[graft] sealed trait FlaggedOutcome
+  private[graft] case object Overwrite extends FlaggedOutcome
+  private[graft] final case class Divert(restore: Option[String])
+    extends FlaggedOutcome
+
+  /** The flagged-run divert decision, extracted pure so BenchGuardSpec can
+    * pin it. A clean official = an artifact line that parses, is UNFLAGGED
+    * (no contention flag, no pathology suspects) and carries a real source
+    * fingerprint.
+    *
+    *  - Unflagged run → [[Overwrite]] always (a clean run is the official).
+    *  - Flagged run, bench.json holds a clean official at THIS sf:
+    *    divert when the fingerprints match, and ALSO when this run's own
+    *    fingerprint is "unknown" — an uncertifiable identity fails SAFE
+    *    for the protected artifact (r19 advisory: the old guard silently
+    *    disarmed on fingerprint IO errors, exactly the r17/r18 failure
+    *    shape it was built to stop). Only a POSITIVE mismatch (both known,
+    *    different) certifies "different code" and overwrites.
+    *  - Flagged run, bench.json does NOT protect (absent, corrupt, itself
+    *    flagged, or a DIFFERENT sf — e.g. an sf0.001 contract interlude
+    *    legitimately overwrote the sf0.1 official): consult the history
+    *    archive for the newest clean official at (this sf, this
+    *    fingerprint) and, if found, divert AND restore it — the manual
+    *    "restore the sf0.1 line from bench_history.jsonl" discipline,
+    *    automated (r19 verdict item 4). No archived match → overwrite:
+    *    a flagged first measurement beats no measurement, and the
+    *    artifact records its own flag. */
+  private[graft] def flaggedOutcome(flaggedRun: Boolean,
+                                    existingJson: Option[String],
+                                    historyLines: Seq[String],
+                                    sfDir: String, srcFp: String): FlaggedOutcome = {
+    if (!flaggedRun) return Overwrite
+    // (sf, fingerprint) of a clean official; None when the line is corrupt,
+    // flagged, suspect-carrying, or fingerprint-less (a legacy artifact
+    // cannot certify "same code" and must not pin a stale official).
+    def cleanOfficial(js: String): Option[(String, String)] = try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      val fp = n.path("src_fingerprint").asText
+      if (!n.path("contention").path("flagged").asBoolean(false) &&
+          n.path("suspect").size == 0 && fp.nonEmpty && fp != "unknown")
+        Some((n.path("sf").asText, fp))
+      else None
+    } catch { case _: Throwable => None }
+    existingJson.flatMap(cleanOfficial) match {
+      case Some((sf, fp)) if sf == sfDir &&
+          (srcFp == "unknown" || fp == srcFp) => Divert(None)
+      case _ if srcFp == "unknown" =>
+        // Nothing certifiable protects bench.json and this run cannot
+        // certify its own identity either — restore is impossible (no
+        // fingerprint to match archived lines on), overwrite is the
+        // only honest outcome.
+        Overwrite
+      case _ =>
+        historyLines.reverseIterator
+          .find(l => cleanOfficial(l).contains((sfDir, srcFp)))
+          .map(l => Divert(Some(l)))
+          .getOrElse(Overwrite)
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -648,17 +701,37 @@ object Bench {
     // snapshot commit changes HEAD without changing engine code.
     val flaggedRun = contention.exists(_.flagged) || suspects.nonEmpty
     val benchPath = outRoot.resolve("bench.json")
-    val protectExisting = shouldDivert(flaggedRun,
+    val histLines: Seq[String] = {
+      val hp = outRoot.resolve("bench_history.jsonl")
+      if (!Files.exists(hp)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(Files.readAllLines(hp).asScala.toSeq)
+          .getOrElse(Seq.empty)
+      }
+    }
+    flaggedOutcome(flaggedRun,
       if (Files.exists(benchPath))
         scala.util.Try(Files.readString(benchPath)).toOption
       else None,
-      sfDir, srcFp)
-    if (protectExisting) {
-      Files.writeString(outRoot.resolve("bench_flagged.json"), full + "\n")
-      System.err.println("[bench] flagged run NOT written to bench.json — " +
-        "an unflagged official exists there for the same source " +
-        "fingerprint and sf; this run went to bench_flagged.json.")
-    } else Files.writeString(benchPath, full + "\n")
+      histLines, sfDir, srcFp) match {
+      case Divert(restore) =>
+        Files.writeString(outRoot.resolve("bench_flagged.json"), full + "\n")
+        restore match {
+          case Some(line) =>
+            Files.writeString(benchPath, line + "\n")
+            System.err.println("[bench] flagged run NOT written to " +
+              "bench.json — restored the newest archived clean official " +
+              "for this sf + source fingerprint instead; this run went " +
+              "to bench_flagged.json.")
+          case None =>
+            System.err.println("[bench] flagged run NOT written to " +
+              "bench.json — an unflagged official exists there for the " +
+              "same source fingerprint and sf; this run went to " +
+              "bench_flagged.json.")
+        }
+      case Overwrite => Files.writeString(benchPath, full + "\n")
+    }
     // Append-only archive (git-tracked): every invocation — builder-local
     // and driver-run alike — lands here, so any round's per-query numbers
     // stay diffable against any other round's.

@@ -988,7 +988,17 @@ object Scoring {
     * rational); exceeding even the relaxed bound still raises under ANSI
     * rather than publishing a wrong value. Spark-side only — the oracle
     * keeps the one-shot `//` form, DuckDB's HUGEINT-backed DECIMAL does
-    * not hit the intermediate ceiling at these magnitudes. */
+    * not hit the intermediate ceiling at these magnitudes.
+    *
+    * RATIO BOUND (part of the contract, not just the test sweep): the
+    * staged digits are summed as `qᵢ · 10^(6-i)`, and Spark's `div`
+    * yields BIGINT, so the sum — the full micro-quotient
+    * `(absNum div den) · 10⁶ + …` — must itself fit a signed long:
+    * callers need `absNum/den ≲ 9.2·10¹²` (quotient × 10⁶ < 2⁶³; under
+    * ANSI a larger ratio raises on the `q₁ · 10⁵` term rather than
+    * wrapping). Fine for every ratio-of-comparable-magnitudes metric
+    * (ARI has |num| ≤ den); NOT a general big-ratio division — for
+    * absNum ≫ den·10¹² keep the operands DECIMAL end to end. */
   private[graft] def stagedMicroDivSql(absNum: String, den: String): String = {
     def r(i: Int): String =
       if (i == 0) absNum else s"((${r(i - 1)} * 10) % $den)"

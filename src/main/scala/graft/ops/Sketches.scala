@@ -280,6 +280,60 @@ object Sketches {
       .drop("_nu")
   }
 
+  /** Set-DIFFERENCE estimates from two KMV sketches — |A\B| and |B\A| at
+    * sketch cost (r20; crawl-vs-crawl novelty triage: "how much of crawl
+    * A is NOT already in crawl B" without touching either corpus). Same
+    * Beyer et al. multiset scheme as [[kmvIntersectEstimate]], with the
+    * membership split inverted: L = the merged (union) sketch, K_{A\B} =
+    * |{h ∈ L : h ∈ A ∧ h ∉ B}|, and |A\B| ≈ K_{A\B}/|L| · est(∪) — the
+    * difference fraction measured directly on the union sketch's uniform
+    * sample, NOT est(A) − est(∩) (whose two independent errors amplify
+    * exactly when the difference is small, the same failure mode
+    * [[hllIntersectEstimate]]'s inclusion–exclusion caveat documents for
+    * intersections). Everything up to the published counts is exact
+    * integers (a left-semi + left-anti join against L per direction);
+    * `est_diff_*` publishes round-half-up of the exact rational
+    * K·est(∪)/|L| via one integral division ((2·num + den) div (2·den);
+    * trunc ≡ floor on non-negative operands, div ≡ DuckDB `//`) — never
+    * `round(<double ratio>)`, the q171 divergence class. Below sketch
+    * size every estimate is EXACT (the sketches hold the full sets —
+    * spec-pinned degradation law, including merge-then-diff ≡
+    * build-on-union). Output: key cols + (est_a, est_b, est_union,
+    * k_diff_ab, k_diff_ba, est_diff_ab, est_diff_ba), all BIGINT. */
+  def kmvDifferenceEstimate(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                            k: Int = 256, fanout: Int = 64): DataFrame = {
+    val ea = kmvEstimate(a, keyCols, k).withColumnRenamed("est", "est_a")
+    val eb = kmvEstimate(b, keyCols, k).withColumnRenamed("est", "est_b")
+    val lu = kmvMergeSketches(a, b, keyCols, k, fanout)
+    val eu = kmvEstimate(lu, keyCols, k).withColumnRenamed("est", "est_union")
+    val joinCols = keyCols :+ "h"
+    val abOnly = lu.join(a, joinCols, "left_semi").join(b, joinCols, "left_anti")
+    val baOnly = lu.join(b, joinCols, "left_semi").join(a, joinCols, "left_anti")
+    val stats = lu.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_nu"))
+      .join(abOnly.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("k_diff_ab")),
+        keyCols, "left")
+      .join(baOnly.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("k_diff_ba")),
+        keyCols, "left")
+      .na.fill(0L, Seq("k_diff_ab", "k_diff_ba"))
+    val joined =
+      if (keyCols.isEmpty)
+        ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+          .crossJoin(broadcast(stats))
+      else ea.join(eb, keyCols).join(eu, keyCols).join(stats, keyCols)
+    def estDiff(kc: String) =
+      when(col("_nu") > 0,
+        expr(s"""cast((2 * cast($kc as decimal(38,0)) * est_union + _nu)
+                |  div (2 * cast(_nu as decimal(38,0))) as bigint)"""
+          .stripMargin))
+        .otherwise(lit(0L))
+    joined
+      .withColumn("est_diff_ab", estDiff("k_diff_ab"))
+      .withColumn("est_diff_ba", estDiff("k_diff_ba"))
+      .drop("_nu")
+  }
+
   /** (k−1)·2⁶⁰ — the KMV estimator numerator, an exact integer. Public
     * so oracle SQL embeds the identical constant as an integer literal
     * (HUGEINT-ranged for k > 8). */

@@ -1728,6 +1728,101 @@ object AnalyticsQueries {
             (col("user_id").cast("double"), 0.0, 4096.0)), bits = 8)
             .as("zvalue"))
         .orderBy("event_id")
+    },
+
+    // ── q208: pane-pre-aggregated sliding windows (r20) — the scale form
+    //    q206's op names: a fine slide multiplies the DIRECT formulation's
+    //    shuffle rows by window/slide, while count/sum are reassociable,
+    //    so slidingAggPanes aggregates into tumbling slide-sized panes
+    //    first (shuffle carries panes, not events) and rolls each pane
+    //    into its ⌈window/slide⌉ windows after. 2 h windows / 30 min
+    //    slide here (ratio 4 — a different shape than q206's 2): every
+    //    event belongs to the four windows starting 30m·(⌊t/30m⌋−k),
+    //    k ∈ 0..3 — the oracle unrolls that membership directly, so a
+    //    wrong pane→window assignment or a lost partial hash-mismatches.
+    //    Same publication contract as q206: window starts as epoch
+    //    micros, decimal sums via moneyStr. ──
+    QueryDef("q208_sliding_panes_agg",
+      """WITH e AS (SELECT epoch_us(ts) AS t_us, event_type, value
+        |           FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT ((t_us // 1800000000) - k) * 1800000000
+        |        AS window_start_us, event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT window_start_us, event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS VARCHAR) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+        .where(col("ts").isNotNull)
+        .select(col("ts").as("ts_ns"), col("event_type"), col("value"))
+      graft.streaming.EventStream
+        .slidingAggPanes(ev, windowDur = "2 hours", slide = "30 minutes")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"),
+          graft.queries.RelationalQueries.moneyStr(col("sum_value"))
+            .as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+
+    // ── q209: KMV set-DIFFERENCE estimate (r20) — the remaining sketched
+    //    set operation (crawl-vs-crawl novelty, |A\B|, at sketch cost):
+    //    clicking-users \ purchasing-users and the reverse, over the same
+    //    k=64 bottom-hash sketches as q169, estimated through the merged
+    //    sketch's membership split K_{A\B}/|L| · est(∪) instead of the
+    //    error-amplifying est(A) − est(∩) subtraction. Everything below
+    //    sketch size is EXACT (the sketches hold the full sets); the
+    //    count publishes as round-half-up of the exact rational via one
+    //    integral division, the ratio as floored ppm — the engine-exact
+    //    classes, never round(<double ratio>). ──
+    QueryDef("q209_kmv_difference",
+      s"""WITH ha AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |la AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         |hb AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |lb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         |lu AS (SELECT DISTINCT h FROM (
+         |         SELECT h FROM la UNION ALL SELECT h FROM lb)
+         |       ORDER BY h LIMIT 64),
+         |ea AS (SELECT count(*) AS n, max(h) AS hk FROM la),
+         |eb AS (SELECT count(*) AS n, max(h) AS hk FROM lb),
+         |eu AS (SELECT count(*) AS n, max(h) AS hk FROM lu),
+         |kab AS (SELECT count(*) AS c FROM lu
+         |        WHERE h IN (SELECT h FROM la)
+         |          AND h NOT IN (SELECT h FROM lb)),
+         |kba AS (SELECT count(*) AS c FROM lu
+         |        WHERE h IN (SELECT h FROM lb)
+         |          AND h NOT IN (SELECT h FROM la)),
+         |ests AS (SELECT
+         |  (SELECT CAST(CASE WHEN n < 64 OR hk = 0 THEN n
+         |     ELSE ($Kmv2C64 + hk) // (2 * CAST(hk AS HUGEINT))
+         |     END AS BIGINT) FROM ea) AS est_a,
+         |  (SELECT CAST(CASE WHEN n < 64 OR hk = 0 THEN n
+         |     ELSE ($Kmv2C64 + hk) // (2 * CAST(hk AS HUGEINT))
+         |     END AS BIGINT) FROM eb) AS est_b,
+         |  (SELECT CAST(CASE WHEN n < 64 OR hk = 0 THEN n
+         |     ELSE ($Kmv2C64 + hk) // (2 * CAST(hk AS HUGEINT))
+         |     END AS BIGINT) FROM eu) AS est_union,
+         |  (SELECT c FROM kab) AS k_diff_ab,
+         |  (SELECT c FROM kba) AS k_diff_ba,
+         |  (SELECT n FROM eu) AS nu)
+         |SELECT est_a, est_b, est_union, k_diff_ab, k_diff_ba,
+         |  CAST((2 * CAST(k_diff_ab AS HUGEINT) * est_union + nu)
+         |    // (2 * CAST(nu AS HUGEINT)) AS BIGINT) AS est_diff_ab,
+         |  CAST((2 * CAST(k_diff_ba AS HUGEINT) * est_union + nu)
+         |    // (2 * CAST(nu AS HUGEINT)) AS BIGINT) AS est_diff_ba
+         |FROM ests""".stripMargin) { (s, d) =>
+      val ev = graft.queries.RelationalQueries.eventsNs(s, d)
+      val sa = graft.ops.Sketches.kmvSketch(
+        ev.where(col("event_type") === "click"), Seq.empty, "user_id", k = 64)
+      val sb = graft.ops.Sketches.kmvSketch(
+        ev.where(col("event_type") === "purchase"), Seq.empty, "user_id", k = 64)
+      graft.ops.Sketches.kmvDifferenceEstimate(sa, sb, Seq.empty, k = 64)
     }
   )
 

@@ -137,7 +137,18 @@ object ZOrder {
     * resulting z-key is oracle-checkable (q207). NULL bins to 0 — a
     * layout must put NULL somewhere deterministic, and the bottom bin
     * keeps NULLs co-located. Numeric input (cast dates/timestamps to
-    * their epoch number first — [[zCluster]]'s asDouble shows the map). */
+    * their epoch number first — [[zCluster]]'s asDouble shows the map).
+    *
+    * PORTABILITY FINE PRINT (r19 advisory): the replayed expression is
+    * `floor((v − lo) · M)` with M the SINGLE precomputed double
+    * `2^bits / (hi − lo)` — that constant, not the textbook
+    * `(v − lo) / (hi − lo) · 2^bits`, is the contract. When `hi − lo`
+    * is binary-exact (a power of two, or any p·2^k with small odd p)
+    * the two forms coincide and a foreign engine may compute the ratio
+    * itself; for arbitrary bounds `1/(hi−lo)` rounds, so an oracle must
+    * multiply by the same precomputed M (one double literal) or risk a
+    * ±1-bin disagreement exactly at bin edges. q207 uses power-of-two
+    * widths; its oracle embeds M as a literal either way. */
   def binFixed(v: Column, lo: Double, hi: Double, bits: Int): Column = {
     require(bits >= 1 && bits <= 21, s"binFixed: bits in [1,21], got $bits")
     require(lo < hi, s"binFixed: need lo < hi, got [$lo, $hi)")

@@ -63,6 +63,73 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** [[slidingAgg]] with PANE PRE-AGGREGATION — the scale form its
+    * docstring names: a 1 h window sliding by 1 min makes the direct
+    * formulation carry every event 60× into the shuffle, while count/sum
+    * are reassociable, so the right plan aggregates ONCE into tumbling
+    * `slide`-sized panes (shuffle carries pane rows — bounded by
+    * slide-granularity × type cardinality, not event volume) and then
+    * rolls each pane up into the ⌈window/slide⌉ windows containing it:
+    * the ×ratio expansion happens on PANE rows, post-aggregation, where
+    * it is cardinality-bounded. Result-identical to [[slidingAgg]]
+    * (spec-pinned at several window/slide ratios, oracle-checked as
+    * q208): pane p = slide·⌊t/slide⌋ sits in exactly the windows
+    * starting p − i·slide, i ∈ [0, ratio) — the same slide-aligned set
+    * (t − window, t] the direct form assigns the event, and decimal
+    * partial sums re-sum exactly (order-free). Window start arithmetic
+    * is integer micros end to end (the 2^53 discipline of the direct
+    * form).
+    *
+    * Requires window = ratio · slide exactly. NON-reassociable aggregates
+    * (distinct counts, percentiles) cannot take this path — use
+    * [[slidingAgg]] or a sketch ([[streamingHllRegisters]]) instead.
+    * STREAMING NOTE: this is two chained aggregations; run it as-is for
+    * batch/backfill (q208's mode), and in a live stream keep the PANE
+    * aggregation as the stateful stage (its state is ratio× smaller than
+    * the direct form's) and fold panes → windows in foreachBatch or a
+    * downstream batch over the pane sink — the fold is the cheap half. */
+  def slidingAggPanes(events: DataFrame, windowDur: String = "1 hour",
+                      slide: String = "30 minutes",
+                      watermark: String = "30 minutes"): DataFrame = {
+    val wUs = intervalMicros(windowDur)
+    val sUs = intervalMicros(slide)
+    require(wUs > 0 && sUs > 0,
+      s"positive window/slide required, got $windowDur / $slide")
+    require(wUs % sUs == 0,
+      s"pane rollup needs window a whole multiple of slide, " +
+        s"got $windowDur / $slide")
+    val ratio = wUs / sUs
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), slide), col("event_type"))
+      .agg(count(lit(1)).as("_pn"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("_psum"))
+      .select(unix_micros(col("window.start")).as("_pane_us"),
+        col("event_type"), col("_pn"), col("_psum"))
+      .select(col("_pane_us"), col("event_type"), col("_pn"), col("_psum"),
+        explode(sequence(lit(0L), lit(ratio - 1))).as("_i"))
+      .groupBy(timestamp_micros(col("_pane_us") - col("_i") * sUs)
+          .as("window_start"), col("event_type"))
+      .agg(sum(col("_pn")).as("n"),
+        sum(col("_psum")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Fixed-width duration string → microseconds, by Spark's own interval
+    * grammar ("1 hour", "90 seconds"). Calendar months are rejected —
+    * they are not fixed-width, so a pane count per window would not be
+    * constant. */
+  private def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0,
+      s"calendar-month intervals are not fixed-width: '$s'")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
   /** Sessionization with session_window: gap-based session per user —
     * the streaming twin of q36's batch cumsum formulation. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",

@@ -125,6 +125,82 @@ class EventStreamSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("slidingAgg slide<window late-row asymmetry: a late row whose OLDEST " +
+      "containing window is evicted but whose younger window is alive " +
+      "counts in the young window's final emission and not the old one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 100 * H // clear of the initial watermark (== epoch 0)
+    def m(min: Long) = base + min * 60 * 1000000000L
+    val mem = MemoryStream[(Long, String, Double)]
+    // 1 h windows sliding by 30 min, 30 min watermark: every event lives in
+    // TWO windows, so "late" is per window, not per event.
+    val q = EventStream.slidingAgg(
+        mem.toDF().toDF("ts_ns", "event_type", "value"),
+        windowDur = "1 hour", slide = "30 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("slidelate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // B1 in-order: 40min (windows [0,60) and [30,90)), 95min (windows
+    // [60,120) and [90,150)). Watermark after B1 = 95 − 30 = 65min, which
+    // passes [0,60)'s end — that window finalizes and its state evicts.
+    mem.addData((m(40), "click", 1.0), (m(95), "click", 2.0))
+    q.processAllAvailable()
+    // B2: the 50min row is LATE and asymmetric — its oldest containing
+    // window [0,60) is already evicted (end 60 < wm 65) but its younger
+    // window [30,90) is alive (end 90 > 65). The pinned contract: it
+    // updates [30,90) and does NOT resurrect or alter [0,60). The flush
+    // row drives the watermark past every real window so append emits
+    // them all as final.
+    mem.addData((m(50), "click", 4.0), (m(600), "flush", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("slidelate")
+      .where(col("event_type") === "click")
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000 - 100 * 60,
+        r.getLong(2), r.getDecimal(3).doubleValue())).toSeq
+    // [0,60): the 40min row ONLY — sum 1.0, not 5.0 (the late row did not
+    // reach the evicted window). [30,90): 40min AND the accepted late
+    // 50min row — sum 5.0 is the asymmetry proof. [60,120)/[90,150): the
+    // 95min row. The flush windows are still open — absent from append.
+    assert(out == Seq((0L, 1L, 1.0), (30L, 2L, 5.0),
+      (60L, 1L, 2.0), (90L, 1L, 2.0)), out.toString)
+  }
+
+  test("slidingAggPanes == slidingAgg at several window/slide ratios " +
+      "(1x tumbling, 2x, 4x, 60x fine-slide), including null values; " +
+      "non-divisible slide rejected") {
+    import spark.implicits._
+    // Events straddling pane boundaries, a null value (sum skips it,
+    // count does not), and a duplicate timestamp — enough structure that
+    // a wrong pane→window assignment or a lost partial shows up.
+    val rows = Seq[(Long, String, Option[Double])](
+      (45L * 60 * 1000000000L, "click", Some(1.0)),
+      (45L * 60 * 1000000000L, "click", Some(2.0)),
+      (75L * 60 * 1000000000L, "click", Some(4.0)),
+      (75L * 60 * 1000000000L, "view", None),
+      (119L * 60 * 1000000000L, "view", Some(8.0)),
+      (181L * 60 * 1000000000L, "click", Some(16.0)))
+    val df = rows.toDF("ts_ns", "event_type", "value")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), Option(r.getDecimal(3)).map(_.toString))).toSeq
+    for ((w, s) <- Seq(("1 hour", "1 hour"), ("1 hour", "30 minutes"),
+        ("2 hours", "30 minutes"), ("1 hour", "1 minute"))) {
+      val direct = canon(EventStream.slidingAgg(df, w, s))
+      val panes = canon(EventStream.slidingAggPanes(df, w, s))
+      assert(panes == direct, s"window=$w slide=$s:\n$panes\nvs\n$direct")
+      assert(direct.nonEmpty)
+    }
+    intercept[IllegalArgumentException] {
+      EventStream.slidingAggPanes(df, "1 hour", "7 minutes")
+    }
+    intercept[IllegalArgumentException] {
+      EventStream.slidingAggPanes(df, "1 month", "1 day")
+    }
+  }
+
   test("sessionAgg: gap-based sessions per user in streaming mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -332,4 +332,63 @@ class SketchSpec extends SparkSpec {
       .orderBy("g").collect().map(r => (r.getString(0), r.getLong(6)))
     assert(keyed.toSeq == Seq(("x", 50L), ("y", 0L)), keyed.mkString(","))
   }
+
+  test("kmvDifferenceEstimate: below-k exactness both directions, " +
+      "merge-then-diff == build-on-union law, estimation accuracy, " +
+      "identity and disjoint edges, keyed variant") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    def data(lo: Int, hi: Int) = (lo until hi).map(i => s"v$i").toDF("v")
+    // below sketch size: sketches hold the full sets, so |A\B| and |B\A|
+    // are exact in BOTH the membership counts and the published estimates
+    val ea = Sketches.kmvSketch(data(0, 100), Seq.empty, "v", k = 256)
+    val eb = Sketches.kmvSketch(data(60, 160), Seq.empty, "v", k = 256)
+    val ex = Sketches.kmvDifferenceEstimate(ea, eb, Seq.empty, k = 256).head()
+    // (est_a, est_b, est_union, k_diff_ab, k_diff_ba, est_diff_ab, est_diff_ba)
+    assert(ex.getLong(0) == 100L && ex.getLong(1) == 100L &&
+      ex.getLong(2) == 160L, ex.toString)
+    assert(ex.getLong(3) == 60L && ex.getLong(4) == 60L, ex.toString)
+    assert(ex.getLong(5) == 60L && ex.getLong(6) == 60L, ex.toString)
+    // merge law carries through the difference: the op over merged
+    // sketches equals the op over sketches built from the union directly
+    // (kmvMergeSketches IS the union sketch — exact set equality above) —
+    // so diff estimates computed after a shard merge are the same numbers
+    // a monolithic build would publish.
+    val sa = Sketches.kmvSketch(data(0, 3000), Seq.empty, "v", k = 128)
+    val s1 = Sketches.kmvSketch(data(0, 1500), Seq.empty, "v", k = 128)
+    val s2 = Sketches.kmvSketch(data(1500, 3000), Seq.empty, "v", k = 128)
+    val sb = Sketches.kmvSketch(data(2000, 5000), Seq.empty, "v", k = 128)
+    val viaMerge = Sketches.kmvDifferenceEstimate(
+      Sketches.kmvMergeSketches(s1, s2, Seq.empty, k = 128), sb,
+      Seq.empty, k = 128).head()
+    val direct = Sketches.kmvDifferenceEstimate(sa, sb, Seq.empty, k = 128)
+      .head()
+    assert(viaMerge.toSeq == direct.toSeq,
+      s"merge-then-diff $viaMerge != direct $direct")
+    // estimation regime: |A\B|=2000, |B\A|=2000 of a 5000 union at k=128
+    // (~9% relative error per estimate) — generous 40% bands
+    assert(math.abs(direct.getLong(5) - 2000L) < 800L, direct.toString)
+    assert(math.abs(direct.getLong(6) - 2000L) < 800L, direct.toString)
+    // identity: A\A is empty (count AND estimate); disjoint: A\B == A
+    val self = Sketches.kmvDifferenceEstimate(sa, sa, Seq.empty, k = 128)
+      .head()
+    assert(self.getLong(3) == 0L && self.getLong(5) == 0L, self.toString)
+    val dj = Sketches.kmvDifferenceEstimate(
+      Sketches.kmvSketch(data(0, 80), Seq.empty, "v", k = 256),
+      Sketches.kmvSketch(data(5000, 5040), Seq.empty, "v", k = 256),
+      Seq.empty, k = 256).head()
+    assert(dj.getLong(5) == 80L && dj.getLong(6) == 40L, dj.toString)
+    // keyed variant: per-key membership split, never cross-key
+    def kdata(k: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (k, s"v$i")).toDF("g", "v")
+    val ka = Sketches.kmvSketch(
+      kdata("x", 0, 100).unionByName(kdata("y", 0, 50)), Seq("g"), "v", k = 256)
+    val kb = Sketches.kmvSketch(
+      kdata("x", 50, 150).unionByName(kdata("y", 100, 150)), Seq("g"), "v", k = 256)
+    val keyed = Sketches.kmvDifferenceEstimate(ka, kb, Seq("g"), k = 256)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(6), r.getLong(7)))
+    assert(keyed.toSeq == Seq(("x", 50L, 50L), ("y", 50L, 50L)),
+      keyed.mkString(","))
+  }
 }

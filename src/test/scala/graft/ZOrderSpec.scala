@@ -172,6 +172,91 @@ class ZOrderSpec extends SparkSpec {
       5L -> 0L, 6L -> 1L, 7L -> 127L, 8L -> 255L))
   }
 
+  /** Input metrics (recordsRead, bytesRead) actually consumed by `f` —
+    * the ground truth for pruning assertions: parquet row groups skipped
+    * by footer min/max stats never reach these counters. Task-end events
+    * post async, so poll until the counters stabilize. */
+  private def scanMetrics(f: => Unit): (Long, Long) = {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val records = new AtomicLong; val bytes = new AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          records.addAndGet(m.inputMetrics.recordsRead)
+          bytes.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = records.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    (records.get, bytes.get)
+  }
+
+  test("END-TO-END file pruning (r19 verdict item 1): a 2-D range predicate " +
+      "over the z-clustered layout READS a small fraction of what the " +
+      "1-D-sorted layout reads — asserted on Spark input metrics, so this " +
+      "fails if parquet footer-stat pruning stops happening") {
+    // 256x256 uniform grid. Z-layout: zClusterFixed at bits=8 over exact
+    // integer bounds (bin == value, so per-file bounding boxes are tight
+    // Morton cells). 1-D baseline: the same data range-sorted by x — the
+    // best a single-column layout can do, and y stats are useless there
+    // by construction (every file spans all of y).
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("x"), expr("id div 256").as("y"))
+    val zdir = Files.createTempDirectory("zprune").resolve("z").toString
+    val sdir = Files.createTempDirectory("zprune").resolve("s").toString
+    ZOrder.zClusterFixed(df, Seq(("x", 0.0, 256.0), ("y", 0.0, 256.0)),
+      nPartitions = 64, bits = 8).write.parquet(zdir)
+    df.repartitionByRange(64, col("x"))
+      .sortWithinPartitions(col("x"), col("y")).write.parquet(sdir)
+
+    // The probe: x in [0,64) AND y in [0,64) — 4096 of 65536 rows (1/16).
+    // Quadrant-aligned, so the z-curve holds it in ONE contiguous z-range
+    // (a handful of files); the x-sorted layout must read EVERY file
+    // overlapping x<64 (16 of 64), each spanning all of y.
+    def probe(dir: String): Long = {
+      val out = spark.read.parquet(dir)
+        .where(col("x") >= 0L && col("x") < 64L &&
+          col("y") >= 0L && col("y") < 64L)
+      val n = out.count()
+      assert(n == 4096L, s"wrong probe result over $dir: $n")
+      n
+    }
+    val (zRec, zBytes) = scanMetrics(probe(zdir))
+    val (sRec, sBytes) = scanMetrics(probe(sdir))
+    // Pruning must be ACTIVE at all in both layouts (else both read 65536)…
+    assert(sRec < 65536L, s"1-D layout read everything: $sRec records")
+    assert(zRec < 16384L, s"z layout barely pruned: $zRec records")
+    // …and the z-layout must beat the 1-D layout by at least 2x on rows
+    // actually decoded (expected ~4-6k vs ~16384: Morton straddler files
+    // can pad the z side, but never to half the 1-D cost). THIS is the
+    // assertion that fails if footer-stat row-group pruning regresses.
+    assert(zRec * 2 <= sRec,
+      s"z-order pruning lost its edge: z=$zRec ($zBytes B) vs " +
+        s"1-D-sorted=$sRec ($sBytes B)")
+    // Files TOUCHED by the probe (data pages contributing rows): the
+    // z-layout concentrates the quadrant in a few files; the 1-D layout
+    // necessarily spreads it over every x-overlapping file.
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .where(col("x") >= 0L && col("x") < 64L &&
+          col("y") >= 0L && col("y") < 64L)
+        .select(input_file_name()).distinct().count()
+    val zFiles = filesTouched(zdir); val sFiles = filesTouched(sdir)
+    assert(zFiles <= 8L, s"z quadrant spread over $zFiles files")
+    assert(sFiles >= 12L, s"1-D baseline unexpectedly clustered: $sFiles")
+  }
+
   test("zClusterFixed locality: per-partition extents of BOTH dimensions " +
       "shrink vs a one-dimensional layout; helper-name collision rejected") {
     import spark.implicits._
