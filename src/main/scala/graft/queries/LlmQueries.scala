@@ -1125,12 +1125,9 @@ object LlmQueries {
          |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
          |FROM asg a JOIN sz USING (cluster_id)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      val assign = Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id",
-        pairs)
-      Dedup.softDedupWeights(assign, "doc_id", "cluster_id")
+      // cluster table served from the shared closure frame (r20)
+      Dedup.softDedupWeights(SharedFrames.lexClusters(s, d),
+          "doc_id", "cluster_id")
         .orderBy("doc_id")
     },
 
@@ -1246,12 +1243,9 @@ object LlmQueries {
          |FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id
          |  AND b.rn > a.rn AND b.rn <= a.rn + 2
          |ORDER BY a.cluster_id, id_a, id_b""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      val assign = Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id",
-        pairs)
-      Dedup.positivePairs(assign, "doc_id", "cluster_id", m = 2)
+      // cluster table served from the shared closure frame (r20)
+      Dedup.positivePairs(SharedFrames.lexClusters(s, d),
+          "doc_id", "cluster_id", m = 2)
         .orderBy("cluster_id", "id_a", "id_b")
     },
 
@@ -1753,18 +1747,13 @@ object LlmQueries {
          |    CAST((CASE WHEN miu < 0 THEN -1 ELSE 1 END)
          |      * ((abs(miu) * 2000000) // hu) AS BIGINT) END AS nmi_ppm
          |FROM fin""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      val lex = Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id",
-        pairs).select(col("doc_id").as("id"), col("cluster_id"))
-      val emb = Tables.embeddings(s, d).select(
-        col("vec_id").as("id"),
-        transform(col("embedding"), _.cast("double")).as("vec"))
-      val cents = emb.where(col("id") < 16).orderBy(col("id")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
-      val sem = Similarity.ivfIndex(emb, cents)
-        .select(col("id"), col("_cell"))
+      // Served from the SHARED closure frames (r20): both inputs are the
+      // audit tier's fit-once artifacts ([[SharedFrames]]) — only the
+      // agreement math itself runs live here. Result-identical to the
+      // inline build (the oracle still replays everything from raw text).
+      val lex = SharedFrames.lexClusters(s, d)
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      val sem = SharedFrames.semCells(s, d)
       Scoring.clusterAgreement(lex, sem, "id", "cluster_id", "_cell")
     },
 
@@ -2463,10 +2452,8 @@ object LlmQueries {
          |  CAST(sz * count(*) AS BIGINT) AS n_docs
          |FROM cs GROUP BY sz
          |ORDER BY cluster_size""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id", pairs)
+      // cluster table served from the shared closure frame (r20)
+      SharedFrames.lexClusters(s, d)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz"))
         .groupBy(col("_sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
@@ -2491,12 +2478,11 @@ object LlmQueries {
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
+      // pair set served from the shared closure frame (r20)
       Dedup.dedupFilter(
-          docs.select(col("doc_id"), col("lang"), col("n_chars")),
-          "doc_id", pairs)
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", SharedFrames.lexPairs(s, d))
         .orderBy("doc_id")
     },
 
@@ -2526,11 +2512,10 @@ object LlmQueries {
          |  FROM asg)
          |SELECT doc_id, n_chars, cluster_id, CAST(r = 1 AS INT) AS keep
          |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      Dedup.dedupKeepBest(docs.select(col("doc_id"), col("n_chars")),
-          "doc_id", pairs, priority = col("n_chars"))
+      // pair set served from the shared closure frame (r20)
+      Dedup.dedupKeepBest(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", SharedFrames.lexPairs(s, d), priority = col("n_chars"))
         .orderBy("doc_id")
     },
 
@@ -2821,10 +2806,10 @@ object LlmQueries {
          |  CASE WHEN ppm < 800000 THEN 'train'
          |       WHEN ppm < 900000 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
+      // pair set served from the shared closure frame (r20)
+      Sampling.leakageSafeSplit(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          SharedFrames.lexPairs(s, d),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")
     },
@@ -3698,10 +3683,8 @@ object LlmQueries {
          |SELECT cluster_size, COUNT(*) AS n_clusters,
          |  cluster_size * COUNT(*) AS n_docs
          |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 8, threshold = 0.8)
-      Dedup.dedupAssign(docs.select(col("doc_id")), "doc_id", pairs)
+      // cluster table served from the shared closure frame (r20)
+      SharedFrames.lexClusters(s, d)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),

@@ -84,13 +84,42 @@ object EventStream {
     * (distinct counts, percentiles) cannot take this path — use
     * [[slidingAgg]] or a sketch ([[streamingHllRegisters]]) instead.
     * STREAMING NOTE: this is two chained aggregations; run it as-is for
-    * batch/backfill (q208's mode), and in a live stream keep the PANE
-    * aggregation as the stateful stage (its state is ratio× smaller than
-    * the direct form's) and fold panes → windows in foreachBatch or a
-    * downstream batch over the pane sink — the fold is the cheap half. */
+    * batch/backfill (q208's mode), and in a live stream split it at its
+    * published seam — [[slidingPanes]] is the stateful stage (state
+    * ratio× smaller than the direct form's), [[panesRollup]] the cheap
+    * fold in foreachBatch or a downstream batch over the pane sink
+    * (recipe spec-pinned). */
   def slidingAggPanes(events: DataFrame, windowDur: String = "1 hour",
                       slide: String = "30 minutes",
-                      watermark: String = "30 minutes"): DataFrame = {
+                      watermark: String = "30 minutes"): DataFrame =
+    panesRollup(slidingPanes(events, slide, watermark), windowDur, slide)
+
+  /** The STATEFUL half of [[slidingAggPanes]]: tumbling `slide`-sized
+    * pane aggregates `(pane_start, event_type, n, sum_value)`. In a live
+    * stream run THIS as the windowed stateful stage — its state is
+    * window/slide× smaller than the direct sliding form's — and fold
+    * panes → windows with [[panesRollup]] in foreachBatch / a downstream
+    * batch over the pane sink (spec-pinned recipe in EventStreamSpec). */
+  def slidingPanes(events: DataFrame, slide: String = "30 minutes",
+                   watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+      .select(col("window.start").as("pane_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** The FOLD half of [[slidingAggPanes]]: each pane contributes its
+    * partials to the ⌈window/slide⌉ windows containing it (starts
+    * pane_start − i·slide, i ∈ [0, ratio)), re-summed per window. Pure
+    * reassociable arithmetic over pane rows — integer micros for the
+    * window starts (the 2^53 discipline), decimal partial sums re-sum
+    * exactly in any order. */
+  def panesRollup(panes: DataFrame, windowDur: String = "1 hour",
+                  slide: String = "30 minutes"): DataFrame = {
     val wUs = intervalMicros(windowDur)
     val sUs = intervalMicros(slide)
     require(wUs > 0 && sUs > 0,
@@ -99,15 +128,9 @@ object EventStream {
       s"pane rollup needs window a whole multiple of slide, " +
         s"got $windowDur / $slide")
     val ratio = wUs / sUs
-    events
-      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
-      .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), slide), col("event_type"))
-      .agg(count(lit(1)).as("_pn"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
-          .as("_psum"))
-      .select(unix_micros(col("window.start")).as("_pane_us"),
-        col("event_type"), col("_pn"), col("_psum"))
+    panes
+      .select(unix_micros(col("pane_start")).as("_pane_us"),
+        col("event_type"), col("n").as("_pn"), col("sum_value").as("_psum"))
       .select(col("_pane_us"), col("event_type"), col("_pn"), col("_psum"),
         explode(sequence(lit(0L), lit(ratio - 1))).as("_i"))
       .groupBy(timestamp_micros(col("_pane_us") - col("_i") * sUs)

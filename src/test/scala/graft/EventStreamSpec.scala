@@ -201,6 +201,40 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("slidingAggPanes streaming recipe: slidingPanes as the stateful " +
+      "stage (MemoryStream micro-batches), panesRollup in the sink — " +
+      "equals batch slidingAgg over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (45L * 60 * 1000000000L, "click", 1.0),
+      (75L * 60 * 1000000000L, "click", 2.0),
+      (75L * 60 * 1000000000L, "view", 4.0),
+      (119L * 60 * 1000000000L, "click", 8.0))
+    val mem = MemoryStream[(Long, String, Double)]
+    // the stateful half runs as a live streaming aggregation…
+    val q = EventStream.slidingPanes(
+        mem.toDF().toDF("ts_ns", "event_type", "value"),
+        slide = "30 minutes")
+      .writeStream.format("memory").queryName("panestage")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*) // second micro-batch updates pane state
+    q.processAllAvailable(); q.stop()
+    // …and the fold half runs downstream over the pane sink.
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getDecimal(3).toString)).toSeq
+    val streamed = canon(EventStream.panesRollup(
+      spark.table("panestage"), "1 hour", "30 minutes"))
+    val batch = canon(EventStream.slidingAgg(
+      rows.toDF("ts_ns", "event_type", "value"), "1 hour", "30 minutes"))
+    // 4 events × 2 windows each → 6 distinct (window, type) rows
+    assert(streamed == batch && batch.size == 6, s"$streamed vs $batch")
+  }
+
   test("sessionAgg: gap-based sessions per user in streaming mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

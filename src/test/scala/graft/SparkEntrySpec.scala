@@ -143,6 +143,10 @@ class SparkEntrySpec extends SparkSpec {
       "q146_threshold_sweep" -> 2, "q150_diverse_topk" -> 1,
       "q159_vocab_growth" -> 1, "q166_key_skew" -> 2,
       "q169_kmv_intersect" -> 13, "q174_zipf_slope" -> 1,
+      // q209: the same kmvBottomK bounded class as q169 — every
+      // unpartitioned node is the global rank over <= k·fanout salted
+      // survivors, replicated across the a/b/union/diff-split subtrees
+      "q209_kmv_difference" -> 18,
       "q197_fit_serve_sweep" -> 2, "q198_index_search_ranked" -> 1,
       "q200_gini_sources" -> 1, "q201_trending_terms" -> 1,
       "q34_lot_sort" -> 1, "q75_shuffle_shards" -> 1,
