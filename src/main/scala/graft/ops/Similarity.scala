@@ -209,6 +209,8 @@ object Similarity {
     * keep their previous centroid. */
   def fitCentroids(corpus: DataFrame, k: Int, iters: Int,
                    maxSample: Int = 0): Seq[(Int, Seq[Double])] = {
+    if (maxSample > 0 && numericId(corpus))
+      return fitCentroidsLocal(corpus, k, iters, maxSample)
     val (fit, cached) = fitSample(corpus, maxSample)
     try {
         var cents = fit.select(col("id"), col("vec")).orderBy(col("id")).limit(k)
@@ -228,6 +230,95 @@ object Similarity {
         cents
       } finally cached.foreach(_.unpersist())
     }
+
+    /** The BOUNDED fit, run driver-local (r20 optimization round — guide
+      * §1.2 "fix the distributed algorithm first": a k-means over a
+      * ≤ maxSample-row sample is driver-sized BY THE SAMPLING CONTRACT,
+      * yet the distributed form paid `iters` plan+schedule round trips —
+      * 2-3 jobs of pure latency per fit, the dominant cost of every
+      * ANN-lifecycle query at any scale factor, while the cluster sat
+      * idle. One TakeOrdered collect ships the sample (≤ 4096×64 doubles
+      * = 2 MB — guide §5's driver budget is fine with it), the rounds run
+      * as in-order Scala loops). BIT-IDENTICAL to the distributed bounded
+      * fit it replaces, by construction, not by luck:
+      *  - the sample is collected from the same (md5-60(id), id)
+      *    TakeOrdered, whose single sorted partition fixed the
+      *    distributed aggregation's accumulation order — the local loop
+      *    walks the identical row order;
+      *  - assignment calls the SAME [[graft.plans.IvfCellAssign]] kernel
+      *    instance a plan would carry (one `assign` body, zero drift);
+      *  - the per-(cell,dim) mean replays Spark's Average over doubles:
+      *    0.0-seeded in-order additions, one final sum/count division
+      *    (the single-partition partial merges into a zero buffer —
+      *    exact).
+      * SimilaritySpec's pre-existing equalities (bounded == unbounded at
+      * maxSample ≥ |corpus|; partitioning invariance) pin the equivalence
+      * against the distributed path, which remains in use for
+      * maxSample <= 0 (the full-corpus fit must stay distributed) and for
+      * non-numeric id columns (the local init sort assumes numeric ids —
+      * every ANN caller's contract, but fail safe to the old path rather
+      * than guess an ordering). */
+    private def fitCentroidsLocal(corpus: DataFrame, k: Int, iters: Int,
+                                  maxSample: Int): Seq[(Int, Seq[Double])] = {
+      val rows = collectFitSample(corpus, maxSample)
+      var cents: Seq[(Int, Seq[Double])] =
+        rows.sortBy(_._1).take(k).zipWithIndex
+          .map { case ((_, v), i) => (i, v.toSeq) }.toSeq
+      for (_ <- 0 until iters) {
+        val assign = graft.plans.IvfCellAssign.localAssigner(cents)
+        val sum = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+        val cnt = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+        rows.foreach { case (_, v) =>
+          val cell = assign(v)
+          var d = 0
+          while (d < v.length) {
+            val key = (cell, d)
+            sum.update(key, sum.getOrElse(key, 0.0) + v(d))
+            cnt.update(key, cnt.getOrElse(key, 0L) + 1L)
+            d += 1
+          }
+        }
+        val means = sum.keys.toSeq.groupBy(_._1).map { case (cell, keys) =>
+          cell -> keys.map(_._2).sorted
+            .map(d => sum((cell, d)) / cnt((cell, d)).toDouble)
+        }
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+      cents
+    }
+
+    /** True when `id` is an integral column — the local bounded fit's
+      * init sort (lowest-id seeding) then matches the distributed
+      * `orderBy(id)` exactly. */
+    private def numericId(corpus: DataFrame): Boolean =
+      corpus.schema.find(_.name == "id").map(_.dataType).exists {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+
+    /** The bounded fit sample, collected: (id, vec) rows in the exact
+      * (md5-60(id), id) TakeOrdered order the distributed [[fitSample]]
+      * partition had — the accumulation order every local mean must
+      * replay. */
+    private def collectFitSample(corpus: DataFrame,
+                                 maxSample: Int): Array[(Long, Array[Double])] =
+      corpus
+        .orderBy(Dedup.md5Hash60(col("id").cast("string")), col("id"))
+        .limit(maxSample)
+        .select(col("id"), col("vec"))
+        .collect()
+        .map { r =>
+          val id = r.get(0) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case s: Short => s.toLong
+            case other => throw new IllegalArgumentException(
+              s"bounded fit: non-integral id $other") // numericId guards
+          }
+          (id, r.getSeq[Double](1).toArray)
+        }
 
     /** Deterministic bounded fit sample for the iterative quantizer fits
       * (the [[graft.ops.Export.bpeLearn]] sampleFraction contract applied
@@ -717,6 +808,8 @@ object Similarity {
                        iters: Int,
                        maxSample: Int = 0): Seq[(Int, Int, Seq[Double])] = {
       require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+      if (maxSample > 0 && numericId(corpus))
+        return pqFitCodebooksLocal(corpus, dim, m, ksub, iters, maxSample)
       val dsub = dim / m
       val (fit, cached) = fitSample(corpus, maxSample)
       // Fail loudly on malformed input: a vec shorter than dim makes
@@ -770,6 +863,69 @@ object Similarity {
       }
       books
     } finally cached.foreach(_.unpersist())
+  }
+
+  /** The BOUNDED codebook fit, driver-local — [[fitCentroidsLocal]]'s
+    * rationale and bit-equality construction applied to the per-subspace
+    * k-means: same collected (md5-60(id), id)-ordered sample, encode via
+    * the SAME [[graft.plans.PqEncode]] kernel body a plan would carry
+    * ([[graft.plans.PqQuantize.localEncoder]]), per-(sub, code, dim)
+    * means replaying Spark's Average accumulation order (row-major over
+    * the sorted sample: row, then subspace, then dim — exactly the
+    * posexplode expansion order). The pre-existing SimilaritySpec
+    * equalities (bounded == unbounded at maxSample ≥ |corpus|;
+    * partitioning invariance) pin the equivalence. */
+  private def pqFitCodebooksLocal(corpus: DataFrame, dim: Int, m: Int,
+                                  ksub: Int, iters: Int,
+                                  maxSample: Int): Seq[(Int, Int, Seq[Double])] = {
+    val dsub = dim / m
+    val rows = collectFitSample(corpus, maxSample)
+    rows.foreach { case (_, v) =>
+      require(v.length >= dim,
+        s"pqFitCodebooks: embedding shorter than dim=$dim (got " +
+          s"${v.length} elements)")
+    }
+    val init = rows.sortBy(_._1).take(math.max(ksub * 4, 64))
+    require(init.length >= ksub,
+      s"pqFitCodebooks: corpus has only ${init.length} rows; " +
+        s"need at least ksub=$ksub to seed the codebooks")
+    var books: Seq[(Int, Int, Seq[Double])] = (0 until m).flatMap { s =>
+      val distinct = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      init.iterator.takeWhile(_ => distinct.size < ksub).foreach {
+        case (_, v) => distinct += v.slice(s * dsub, (s + 1) * dsub).toSeq
+      }
+      val base = distinct.toIndexedSeq
+      (0 until ksub).map(c => (s, c, base(c % base.size)))
+    }
+    for (_ <- 0 until iters) {
+      val encode = graft.plans.PqQuantize.localEncoder(books, m, ksub, dsub)
+      val sum = scala.collection.mutable.HashMap.empty[(Int, Int, Int), Double]
+      val cnt = scala.collection.mutable.HashMap.empty[(Int, Int, Int), Long]
+      rows.foreach { case (_, v) =>
+        val codes = encode(v)
+        var s = 0
+        while (s < m) {
+          val c = codes(s)
+          var d = 0
+          while (d < dsub) {
+            val key = (s, c, d)
+            sum.update(key, sum.getOrElse(key, 0.0) + v(s * dsub + d))
+            cnt.update(key, cnt.getOrElse(key, 0L) + 1L)
+            d += 1
+          }
+          s += 1
+        }
+      }
+      val means = sum.keys.toSeq.groupBy(k => (k._1, k._2)).map {
+        case ((s, c), keys) =>
+          (s, c) -> keys.map(_._3).sorted
+            .map(d => sum((s, c, d)) / cnt((s, c, d)).toDouble)
+      }
+      books = books.map { case (s, c, old) =>
+        (s, c, means.getOrElse((s, c), old))
+      }
+    }
+    books
   }
 
   /** PQ codes for a full vector: array<int> of length m (nearest codeword
@@ -983,12 +1139,16 @@ object Similarity {
           concat(lit("i:"), col("id").cast("string"))))
       case None => pqIdx
     }
-    // ADC scan: m table lookups + adds per candidate code row. Exclusion
-    // (self + cluster-mates) applies HERE — before the shortlist cut, so
-    // excluded ids never consume rerank budget.
-    val approxIp = (0 until m).map(s =>
-      element_at(col("_tab"),
-        lit(s * ksub + 1) + element_at(col("_codes"), s + 1))).reduce(_ + _)
+    // ADC scan: m table lookups + adds per candidate code row — ONE loop
+    // kernel ([[graft.plans.PqAdcSum]]; r20). The m-term element_at chain
+    // it replaces made every use of `_codes` re-emit the full pq_encode
+    // evaluation inside the codegen'd join-match loop (~m × matches
+    // kernel evals per stream row — measured 13× slower than interpreted
+    // on the same data); same arithmetic, same summation order, one use
+    // site. Exclusion (self + cluster-mates) applies HERE — before the
+    // shortlist cut, so excluded ids never consume rerank budget.
+    val approxIp = graft.plans.PqQuantize.adcSum(col("_tab"), col("_codes"),
+      m, ksub)
     val keep = excludeClusters match {
       case Some(_) => col("query_id") =!= col("id") && col("_qc") =!= col("_nc")
       case None => col("query_id") =!= col("id")

@@ -118,12 +118,14 @@ object IvfCellAssign {
     else new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Column wrapper: sorts centroids by id (the ascending tie-break scan
-    * relies on it), flattens to the `[c][d] → c·dim+d` layout, and
-    * precomputes per-centroid norms driver-side (in-order accumulation +
-    * IEEE sqrt — bit-identical to the in-plan `sqrt(dot(cl, cl))` it
-    * replaces). */
-  def cell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  /** The kernel instance for a centroid set — sorts centroids by id (the
+    * ascending tie-break scan relies on it), flattens to the `[c][d] →
+    * c·dim+d` layout, and precomputes per-centroid norms driver-side
+    * (in-order accumulation + IEEE sqrt — bit-identical to the in-plan
+    * `sqrt(dot(cl, cl))` it replaces). Shared by the Column wrapper and
+    * the driver-local bounded fit, so the two assignment paths are ONE
+    * piece of arithmetic. */
+  private def kernel(cents: Seq[(Int, Seq[Double])]): IvfCellAssign = {
     require(cents.nonEmpty, "ivf cell assignment: need at least one centroid")
     val sorted = cents.sortBy(_._1)
     val dim = sorted.head._2.size
@@ -140,7 +142,22 @@ object IvfCellAssign {
       require(norms(c) > 0.0,
         s"ivf cell assignment: centroid ${sorted(c)._1} has zero norm")
     }
-    GraftSqlBridge.column(IvfCellAssign(GraftSqlBridge.expression(vec),
-      flat, sorted.map(_._1).toArray, norms, dim))
+    IvfCellAssign(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), flat,
+      sorted.map(_._1).toArray, norms, dim)
+  }
+
+  /** Column wrapper over [[kernel]]. */
+  def cell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    GraftSqlBridge.column(
+      kernel(cents).copy(child = GraftSqlBridge.expression(vec)))
+
+  /** Driver-local assignment closure over the SAME kernel instance the
+    * plan would carry — the bounded quantizer fit (r20) assigns its
+    * driver-held sample through this, so local and in-plan assignment
+    * cannot drift (one `assign` body). */
+  def localAssigner(cents: Seq[(Int, Seq[Double])]): Array[Double] => Int = {
+    val k = kernel(cents)
+    v => k.assign(new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
   }
 }

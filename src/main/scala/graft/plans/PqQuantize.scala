@@ -41,8 +41,11 @@ case class PqEncode(child: Expression, books: Array[Double],
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** The argmin loop — shared verbatim by interpreted eval and the
+    * driver-local bounded fit ([[PqQuantize.localEncoder]]), so the two
+    * encode paths cannot drift. Returns null for vectors shorter than
+    * m·dsub (the refuse-to-guess contract). */
+  def codes(v: ArrayData): Array[Int] = {
     if (v.numElements() < m * dsub) return null
     val codes = new Array[Int](m)
     var s = 0
@@ -60,7 +63,12 @@ case class PqEncode(child: Expression, books: Array[Double],
       }
       codes(s) = best; s += 1
     }
-    new GenericArrayData(codes)
+    codes
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val out = codes(input.asInstanceOf[ArrayData])
+    if (out == null) null else new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -173,6 +181,63 @@ case class PqAdcTable(child: Expression, books: Array[Double],
     copy(child = newChild)
 }
 
+/** The ADC candidate score: Σ_s tab[s·ksub + codes[s]] — one loop kernel
+  * replacing the m-term `element_at(tab, s·ksub+1 + element_at(codes,
+  * s+1))` chain pqServe composed before r20. Same arithmetic, same
+  * left-to-right summation order (0.0-seeded fold ≡ the chain's left
+  * reduce), same 0-based indexing the 1-based chain resolved to — and
+  * the same out-of-bounds behavior (raise, as ANSI element_at did).
+  *
+  * Why it exists (r20 measurement): under whole-stage codegen the chain's
+  * 32 uses of `_codes` each re-emitted the full pq_encode evaluation
+  * inside the broadcast-join match loop — ~1280 kernel evaluations per
+  * stream row, 13× slower than interpreted mode on the same data (probe:
+  * cand stage 6–8 s codegen'd vs 0.5 s interpreted at sf0.1). With the
+  * score as ONE expression, `_codes` has ONE use site; the ADC scan is
+  * back to m array lookups per candidate — the cost the Scaladoc always
+  * claimed. This is also the 100 TB-relevant form: the ADC loop is THE
+  * hot path of PQ serving, and a fused bounds-checked lookup chain was
+  * never going to vectorize. */
+case class PqAdcSum(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_sum"
+
+  /** The sum loop — shared by interpreted eval and generated code. */
+  def score(tab: ArrayData, codes: ArrayData): Double = {
+    if (codes.numElements() < m)
+      throw new IllegalArgumentException(
+        s"pq_adc_sum: codes has ${codes.numElements()} elements; need m=$m")
+    val n = tab.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val i = s * ksub + codes.getInt(s)
+      if (i < 0 || i >= n)
+        throw new IllegalArgumentException(
+          s"pq_adc_sum: ADC table index $i out of bounds (table has $n " +
+            "entries) — codes and table disagree on m/ksub")
+      acc += tab.getDouble(i)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(tab: Any, codes: Any): Any =
+    score(tab.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcSumKernel", this,
+      "graft.plans.PqAdcSum")
+    nullSafeCodeGen(ctx, ev,
+      (tab, codes) => s"${ev.value} = $self.score($tab, $codes);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqQuantize {
   /** Flatten (sub, code, codeword) triples to the kernels' layout; also
     * validates the codebook is dense and rectangular. */
@@ -199,4 +264,28 @@ object PqQuantize {
                m: Int, ksub: Int, dsub: Int): Column =
     GraftSqlBridge.column(PqAdcTable(GraftSqlBridge.expression(vec),
       flatten(books, m, ksub, dsub), m, ksub, dsub))
+
+  /** The ADC candidate score Σ_s tab[s·ksub + codes[s]] as one kernel —
+    * see [[PqAdcSum]]. */
+  def adcSum(tab: Column, codes: Column, m: Int, ksub: Int): Column =
+    GraftSqlBridge.column(PqAdcSum(GraftSqlBridge.expression(tab),
+      GraftSqlBridge.expression(codes), m, ksub))
+
+  /** Driver-local encode closure over the SAME kernel instance the plan
+    * would carry — the bounded codebook fit (r20) encodes its driver-held
+    * sample through this, so local and in-plan assignment cannot drift
+    * (one `codes` body). Callers pre-check vector length; a short vector
+    * raises here rather than returning the expression path's null. */
+  def localEncoder(books: Seq[(Int, Int, Seq[Double])],
+                   m: Int, ksub: Int, dsub: Int): Array[Double] => Array[Int] = {
+    val kernel = PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      flatten(books, m, ksub, dsub), m, ksub, dsub)
+    v => {
+      val out = kernel.codes(new GenericArrayData(v))
+      require(out != null,
+        s"pq encode: vector shorter than m*dsub=${m * dsub}")
+      out
+    }
+  }
 }

@@ -55,4 +55,93 @@ class SharedFramesSpec extends SparkSpec {
     assert(shared.columns.toSeq == inline.columns.toSeq)
     assert(shared.exceptAll(inline).isEmpty && inline.exceptAll(shared).isEmpty)
   }
+
+  // ── round-20 frames: each must equal the inline build it replaced ──────
+
+  private def assertSame(shared: org.apache.spark.sql.DataFrame,
+                         inline: org.apache.spark.sql.DataFrame): Unit = {
+    assert(shared.columns.toSeq == inline.columns.toSeq)
+    assert(shared.exceptAll(inline).isEmpty && inline.exceptAll(shared).isEmpty)
+  }
+
+  test("custSuppEdges == the inline lineitem⋈orders weighted edge build") {
+    val inline = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    assertSame(SharedFrames.custSuppEdges(spark, sf), inline)
+  }
+
+  test("coPurchase == the canonical undirected co-purchase edge set, and " +
+      "coPurchaseW2 == the live repeat-co-purchase definition") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("string").as("pk"))
+      .distinct()
+    val inlineUnd = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    assertSame(SharedFrames.coPurchase(spark, sf), inlineUnd)
+    assertSame(SharedFrames.coPurchaseW2(spark, sf),
+      graft.queries.AnalyticsQueries.coPurchaseW2(spark, sf))
+  }
+
+  test("containPairs == the inline containment pair build") {
+    val inline = Dedup.containmentPairs(Tables.documents(spark, sf),
+      "doc_id", "text", shingleN = 8, threshold = 0.9)
+    assertSame(SharedFrames.containPairs(spark, sf), inline)
+    Dedup.releaseCaches()
+  }
+
+  test("srpClusters == the inline SRP pair closure (q58's assignment)") {
+    val emb = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+    val pairs = graft.ops.Similarity.srpNearDupPairs(emb, dim = 64,
+      planesPerTable = 4, tables = 8, threshold = 0.35)
+    val inline = Dedup.dedupAssign(
+        emb.select(col("id").as("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id"))
+    assertSame(SharedFrames.srpClusters(spark, sf), inline)
+    Dedup.releaseCaches()
+  }
+
+  test("hardNegBooks / hardNegPqIndex == the inline fit + index build " +
+      "(frozen quantizer, stored layout)") {
+    val emb = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+    val cents = emb.where(col("id") < 32).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt / 2, r.getSeq[Double](1))).toSeq
+    assert(SharedFrames.hardNegCents(spark, sf) == cents)
+    val books = graft.ops.Similarity.pqFitCodebooks(emb, dim = 64, m = 32,
+      ksub = 16, iters = 2, maxSample = 4096)
+    assert(graft.ops.Similarity.pqCodebooksFrom(
+      SharedFrames.hardNegBooks(spark, sf)) == books)
+    val inlineIdx = graft.ops.Similarity.pqIndex(
+      graft.ops.Similarity.ivfIndex(emb, cents), dim = 64, m = 32, books)
+    val shared = SharedFrames.hardNegPqIndex(spark, sf)
+      .select("id", "_cell", "_n", "_codes") // partition col reads back last
+    assert(shared.exceptAll(inlineIdx.select("id", "_cell", "_n", "_codes"))
+      .isEmpty &&
+      inlineIdx.select("id", "_cell", "_n", "_codes").exceptAll(shared)
+        .isEmpty)
+  }
+
+  test("corpusClusters == the inline %10≠0 corpus pair build + closure") {
+    val corpus = Tables.documents(spark, sf).where(col("doc_id") % 10 =!= 0)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 8, threshold = 0.8)
+    val inline = Dedup.dedupAssign(corpus.select(col("doc_id")), "doc_id",
+        pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    assertSame(SharedFrames.corpusClusters(spark, sf), inline)
+    Dedup.releaseCaches()
+  }
 }
