@@ -86,7 +86,8 @@ import graft.ops.{Dedup, Similarity}
   * prunes whole inverted lists at the file level, q73's layout). */
 object SharedFrames {
 
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]
 
   /** Root for this process's materialized frames (lazily created). */
   private lazy val root: java.nio.file.Path =
@@ -100,7 +101,7 @@ object SharedFrames {
   private def served(s: SparkSession, dir: String, name: String,
                      partitionCols: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
-    val path = memo.computeIfAbsent(s"$name:$dir", { _ =>
+    val (path, schema) = memo.computeIfAbsent(s"$name:$dir", { _ =>
       val p = root.resolve(
         name + "-" + Integer.toHexString(dir.hashCode)).toString
       val w = build.write.mode("overwrite")
@@ -113,9 +114,13 @@ object SharedFrames {
       // SharedFrames sits at the TOP of query bodies (nothing upstream
       // has live registered caches when a frame first materializes).
       graft.ops.Dedup.releaseCaches()
-      p
+      // Memoize the frame's inferred schema with its path: consumers read
+      // the frame on every invocation, and schema re-inference is ~100 ms
+      // of driver latency per read (the Tables.load memo rationale). The
+      // frame directory is process-owned and immutable once written.
+      (p, s.read.parquet(p).schema)
     })
-    s.read.parquet(path)
+    s.read.schema(schema).parquet(path)
   }
 
   /** Exact 8-gram Jaccard near-dup pairs at threshold 0.8 over the

@@ -7,8 +7,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning from Catalyst — at 100 TB the same call fans out over the
   * cluster; nothing here is local-mode-specific. */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Process-level memo of inferred parquet SCHEMAS (never data): a bare
+    * `spark.read.parquet` re-lists and re-reads footers per call — ~100 ms
+    * of driver-side latency that every declared query paid on every
+    * invocation, multiplied across the ~200-query tail (r21 guide §1
+    * measurement). Supplying the once-inferred schema skips inference while
+    * the scan itself still reads the files each execution, so no result or
+    * data is ever cached. Keyed by (path, mtime, size, nanosAsLong) — the
+    * mtime/size guard drops the memo if a fixture file is rewritten, and
+    * `nanosAsLong` is the one session conf that changes parquet type
+    * mapping here (events.ts INT64(NANOS) → LongType). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val p = java.nio.file.Paths.get(path)
+    val stamp = try {
+      val a = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.lastModifiedTime.toMillis}:${a.size}"
+    } catch { case _: Exception => "nostat" }
+    val nanos = spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = s"$path#$stamp#$nanos"
+    val st = schemaMemo.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(st).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
