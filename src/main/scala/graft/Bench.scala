@@ -421,7 +421,53 @@ object Bench {
           graft.ops.Graph.kCoreAgainstIndex(spark, gPrefix, k = 3).count()
           ()
         }
-        Seq(fit, build, serve, gBuild, gServe)
+        // ── Shared-frame build attribution (round-21, VERDICT item 5):
+        // the custSuppEdges and coPurchase frames build in their first
+        // consumer's UNTIMED cold run, so without these rows their one-time
+        // cost appeared in no reported number. Attribution-only: each row
+        // times the same build the frame pays (canonicalize + parquet
+        // write to a discarded temp dir); the frames themselves are
+        // untouched.
+        val csDir = Files.createTempDirectory("graft-bench-csbuild").toString
+        val cpDir = Files.createTempDirectory("graft-bench-cpbuild").toString
+        val csBuild = try {
+          val cs = timed("custsupp_build") {
+            graft.queries.Tables.lineitem(spark, sfDir)
+              .join(graft.queries.Tables.orders(spark, sfDir),
+                col("l_orderkey") === col("o_orderkey"))
+              .groupBy(
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit("c"),
+                  col("o_custkey").cast("string")).as("src"),
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit("s"),
+                  col("l_suppkey").cast("string")).as("dst"))
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("w"))
+              .write.mode("overwrite").parquet(csDir)
+          }
+          val li = graft.queries.Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("ok"),
+              col("l_partkey").cast("string").as("pk"))
+            .distinct()
+          val cp = timed("copurchase_build") {
+            li.as("a")
+              .join(li.as("b"),
+                col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+              .select(col("a.pk").as("u"), col("b.pk").as("v"))
+              .distinct()
+              .write.mode("overwrite").parquet(cpDir)
+          }
+          Seq(cs, cp)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] shared-frame build attribution failed: $e")
+            Seq.empty
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(csDir))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cpDir))
+        }
+        Seq(fit, build, serve, gBuild, gServe) ++ csBuild
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] graph-spine phase attribution failed: $e")
@@ -456,8 +502,19 @@ object Bench {
             .select(col("doc_id"), col("cluster_id"))
             .write.mode("overwrite").parquet(cdir)
         }
+        // The corpus signature table is the second fixed asset of the
+        // append contract (round-21): built once per corpus, so the
+        // recurring delta-pair phase joins the batch against STORED
+        // signatures instead of re-shingling the corpus text per batch —
+        // mirroring the q143 body. The build cost stays visible here.
+        val cSigs = timed("cluster_sig_build") {
+          graft.ops.Dedup.minHashSignatures(corpus, "doc_id", "text",
+              shingleN = 8, k = 64)
+            .write.mode("overwrite").parquet(s"$cdir.sigs")
+        }
         val cPairs = timed("cluster_delta_pairs") {
-          val cross = graft.ops.Dedup.minHashLshPairsAgainst(batch, corpus,
+          val cross = graft.ops.Dedup.minHashLshPairsAgainstSignatures(
+              batch, spark.read.parquet(s"$cdir.sigs"),
               "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
               threshold = 0.8)
             .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"))
@@ -477,7 +534,7 @@ object Bench {
             batch.select(col("doc_id")), "doc_id",
             spark.read.parquet(s"$cdir.delta")).count()
         }
-        Seq(cBuild, cPairs, cFold)
+        Seq(cBuild, cSigs, cPairs, cFold)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cluster-append phase attribution failed: $e")
@@ -490,6 +547,8 @@ object Bench {
             .deleteQuietly(new java.io.File(cdir))
           org.apache.commons.io.FileUtils
             .deleteQuietly(new java.io.File(s"$cdir.delta"))
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(s"$cdir.sigs"))
         }
       }
       pqGraph ++ clusterPhases

@@ -1015,8 +1015,13 @@ object Dedup {
                          aCol: String = "doc_a", bCol: String = "doc_b",
                          checkpointDir: Option[String] = None,
                          ccLocalThreshold: Long = 1L << 20): DataFrame = {
-    val ends = pairs.select(col(aCol).as("_e"))
-      .unionAll(pairs.select(col(bCol).as("_e"))).distinct()
+    // The delta pair frame is batch-scaled by contract but EXPENSIVE to
+    // produce (LSH band join + exact verify): it feeds both the endpoint
+    // set and the contracted edges below, so pin it once (r21) — without
+    // this the whole pair generation ran twice per append.
+    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
+    val ends = p.select(col(aCol).as("_e"))
+      .unionAll(p.select(col(bCol).as("_e"))).distinct()
     // stored rows touched by the delta (batch-sized; ONE streamed pass
     // over the store), materialized so the two contraction joins below
     // don't each rescan the store
@@ -1031,8 +1036,7 @@ object Dedup {
         .withColumn(out, coalesce(col(s"_tcl$out"), col(side)))
         .drop(side, s"_tid$out", s"_tcl$out")
     }
-    val ce = contractSide(contractSide(pairs.select(col(aCol), col(bCol)),
-      aCol, "_ca"), bCol, "_cb")
+    val ce = contractSide(contractSide(p, aCol, "_ca"), bCol, "_cb")
     val comp = connectedComponents(ce, "_ca", "_cb",
       localThreshold = ccLocalThreshold, checkpointDir = checkpointDir)
     val remap = comp.select(col("id").as("_old"), col("component").as("_new"))

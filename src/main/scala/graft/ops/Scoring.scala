@@ -286,7 +286,17 @@ object Scoring {
   def hashedLinearFit(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, buckets: Int, epochs: Int,
                       lrPpm: Long = 250000L,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None): DataFrame =
+    hashedLinearFitImpl(docs, idCol, textCol, labelCol, buckets, epochs,
+      lrPpm, checkpointDir, allowLocal = true)
+
+  /** [[hashedLinearFit]] with the driver-local fast path switchable —
+    * package-private so the spec can pin local == distributed equality. */
+  private[graft] def hashedLinearFitImpl(
+      docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int, epochs: Int,
+      lrPpm: Long, checkpointDir: Option[String],
+      allowLocal: Boolean): DataFrame = {
     require(buckets > 0, "hashedLinearFit: buckets must be positive")
     require(epochs > 0, "hashedLinearFit: epochs must be positive")
     require(lrPpm > 0 && lrPpm <= 1000000L,
@@ -311,11 +321,135 @@ object Scoring {
         col("_d").as("_cnt"), col("_d"), col("_yu")))
       .persist()
     try {
-      val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
-      val store = new Graph.RoundStore(checkpointDir, "linfit")
-      linFitLoop(feats, nd, epochs, lrPpm, store)
-        .select(col("_bkt").as("bucket"), col("_wu").as("weight_u"))
+      val localRows =
+        if (allowLocal) boundedCollect(feats) else None
+      localRows match {
+        case Some(rows) =>
+          val lf = parseLocalFeats(rows)
+          val yuDoc = lf.payloadDoc.map(_.asInstanceOf[Long])
+          val w = linFitEpochsLocal(lf, yuDoc, epochs, lrPpm)
+          val out = lf.bktOfSlot.indices.map(i => (lf.bktOfSlot(i), w(i)))
+          val sp = docs.sparkSession
+          import sp.implicits._
+          out.toDF("bucket", "weight_u")
+        case None =>
+          val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
+          val store = new Graph.RoundStore(checkpointDir, "linfit")
+          linFitLoop(feats, nd, epochs, lrPpm, store)
+            .select(col("_bkt").as("bucket"), col("_wu").as("weight_u"))
+      }
     } finally feats.unpersist()
+  }
+
+  /** Driver budget for the local integer-GD path: feature frames at or
+    * under this many (doc, bucket) rows — ≈ 5 longs each, low tens of MB
+    * plus Row overhead — are collected and iterated on the driver; larger
+    * fits keep the distributed epoch loop (the collectFitSample-ceiling
+    * discipline the r20 advisory asked for). */
+  private[ops] val LocalFitMaxRows = 524288
+
+  /** Collect `feats` iff it fits [[LocalFitMaxRows]]: one job either way
+    * (the distributed path pays a materializing count/collect anyway);
+    * returns None past the ceiling without shipping the overflow. */
+  private def boundedCollect(feats: DataFrame)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = feats.limit(LocalFitMaxRows + 1).collect()
+    if (rows.length <= LocalFitMaxRows) Some(rows) else None
+  }
+
+  /** The collected feature frame in columnar driver form: per ROW the doc
+    * slot, bucket slot and count; per DOC its token total `d` and the
+    * payload column (yu for the binary fit, the class label for the
+    * multiclass fit); per bucket SLOT the original bucket id. Slot order is
+    * first-appearance — irrelevant to results (every aggregate downstream
+    * is an order-free exact integer sum). */
+  private final case class LocalFeats(
+      doc: Array[Int], slot: Array[Int], cnt: Array[Long],
+      dDoc: Array[Long], payloadDoc: Array[Any], bktOfSlot: Array[Long])
+
+  private def parseLocalFeats(
+      rows: Array[org.apache.spark.sql.Row]): LocalFeats = {
+    val docIdx = new java.util.HashMap[Any, Integer]
+    val slotIdx = new java.util.HashMap[Long, Integer]
+    val n = rows.length
+    val doc = new Array[Int](n)
+    val slot = new Array[Int](n)
+    val cnt = new Array[Long](n)
+    val dBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pBuf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val bBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      var di = docIdx.get(r.get(0))
+      if (di == null) {
+        di = docIdx.size
+        docIdx.put(r.get(0), di)
+        dBuf += r.getLong(3)
+        pBuf += r.get(4)
+      }
+      val b = r.getLong(1)
+      var si = slotIdx.get(b)
+      if (si == null) {
+        si = slotIdx.size
+        slotIdx.put(b, si)
+        bBuf += b
+      }
+      doc(i) = di; slot(i) = si; cnt(i) = r.getLong(2)
+      i += 1
+    }
+    LocalFeats(doc, slot, cnt, dBuf.toArray, pBuf.toArray, bBuf.toArray)
+  }
+
+  /** Driver-local replay of [[linFitLoop]] — the r20 fitCentroidsLocal
+    * treatment applied to the integer-GD family: the distributed loop's
+    * per-epoch cost at bench scale was two joins + two aggregates of pure
+    * plan/schedule latency while the cluster sat idle. BIT-IDENTICAL by
+    * construction, with less to argue than the float quantizer fits:
+    * every distributed aggregate here is an exact integer SUM (order-free,
+    * so accumulation order cannot matter), every division is Spark `div`
+    * (truncate toward zero ≡ Java long division), and overflow raises just
+    * as ANSI sum/multiply would (Math.*Exact). The spec pins local ==
+    * distributed equality on a fixture with negative residuals. */
+  private def linFitEpochsLocal(lf: LocalFeats, yuDoc: Array[Long],
+                                epochs: Int, lrPpm: Long): Array[Long] = {
+    val n = lf.doc.length
+    val nDocs = lf.dDoc.length
+    val nSlots = lf.bktOfSlot.length
+    val nd = nDocs.toLong
+    val w = new Array[Long](nSlots)
+    var e = 0
+    while (e < epochs) {
+      val z = new Array[Long](nDocs)
+      var i = 0
+      while (i < n) {
+        z(lf.doc(i)) = Math.addExact(z(lf.doc(i)),
+          Math.multiplyExact(w(lf.slot(i)), lf.cnt(i)))
+        i += 1
+      }
+      val ru = new Array[Long](nDocs)
+      i = 0
+      while (i < nDocs) {
+        ru(i) = Math.subtractExact(z(i) / lf.dDoc(i), yuDoc(i))
+        i += 1
+      }
+      val g = new Array[Long](nSlots)
+      i = 0
+      while (i < n) {
+        val d = lf.dDoc(lf.doc(i))
+        g(lf.slot(i)) = Math.addExact(g(lf.slot(i)),
+          Math.multiplyExact(ru(lf.doc(i)), lf.cnt(i)) / d)
+        i += 1
+      }
+      i = 0
+      while (i < nSlots) {
+        w(i) = Math.subtractExact(w(i),
+          Math.multiplyExact(lrPpm, g(i) / nd) / 1000000L)
+        i += 1
+      }
+      e += 1
+    }
+    w
   }
 
   /** The epoch loop shared by [[hashedLinearFit]] and [[langIdFit]]:
@@ -373,7 +507,17 @@ object Scoring {
   def langIdFit(docs: DataFrame, idCol: String, textCol: String,
                 classCol: String, buckets: Int, epochs: Int,
                 lrPpm: Long = 250000L,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None): DataFrame =
+    langIdFitImpl(docs, idCol, textCol, classCol, buckets, epochs, lrPpm,
+      checkpointDir, allowLocal = true)
+
+  /** [[langIdFit]] with the driver-local fast path switchable —
+    * package-private so the spec can pin local == distributed equality. */
+  private[graft] def langIdFitImpl(
+      docs: DataFrame, idCol: String, textCol: String,
+      classCol: String, buckets: Int, epochs: Int,
+      lrPpm: Long, checkpointDir: Option[String],
+      allowLocal: Boolean): DataFrame = {
     require(buckets > 0, "langIdFit: buckets must be positive")
     require(epochs > 0, "langIdFit: epochs must be positive")
     require(lrPpm > 0 && lrPpm <= 1000000L,
@@ -395,25 +539,47 @@ object Scoring {
         col("_d").as("_cnt"), col("_d"), col("_lab")))
       .persist()
     try {
-      shared.count() // materialize before the per-class loops fan out
-      val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
-      val classes = dframe.select(col("_lab")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      require(classes.nonEmpty,
-        "langIdFit: no non-NULL class values to fit (empty.reduce would " +
-          "otherwise throw far from the cause)")
-      classes.map { c =>
-        val feats = shared.withColumn("_yu",
-          (when(col("_lab") === c, 1L).otherwise(-1L) * 1000000L))
-        val store = new Graph.RoundStore(checkpointDir, s"linfit_$c")
-        linFitLoop(feats, nd, epochs, lrPpm, store)
-          .select(lit(c).as("lang"), col("_bkt").as("bucket"),
-            col("_wu").as("weight_u"))
-          // per-class weights are buckets-bounded: pin them NOW so the
-          // stacked union does not re-run K epoch chains lazily against
-          // an unpersisted cache after the finally
-          .localCheckpoint()
-      }.reduce(_ unionByName _)
+      val localRows =
+        if (allowLocal) boundedCollect(shared) else None
+      localRows match {
+        case Some(rows) =>
+          // One parse serves every class: only yu (a function of _lab vs
+          // the class) changes between the K driver-local replays.
+          val lf = parseLocalFeats(rows)
+          val labDoc = lf.payloadDoc.map(_.asInstanceOf[String])
+          val classes = labDoc.distinct.sorted.toSeq
+          require(classes.nonEmpty,
+            "langIdFit: no non-NULL class values to fit (empty.reduce " +
+              "would otherwise throw far from the cause)")
+          val out = classes.flatMap { c =>
+            val yuDoc = labDoc.map(l => if (l == c) 1000000L else -1000000L)
+            val w = linFitEpochsLocal(lf, yuDoc, epochs, lrPpm)
+            lf.bktOfSlot.indices.map(i => (c, lf.bktOfSlot(i), w(i)))
+          }
+          val sp = docs.sparkSession
+          import sp.implicits._
+          out.toDF("lang", "bucket", "weight_u")
+        case None =>
+          shared.count() // materialize before the per-class loops fan out
+          val nd = broadcast(dframe.agg(count(lit(1)).as("_nd")))
+          val classes = dframe.select(col("_lab")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
+          require(classes.nonEmpty,
+            "langIdFit: no non-NULL class values to fit (empty.reduce " +
+              "would otherwise throw far from the cause)")
+          classes.map { c =>
+            val feats = shared.withColumn("_yu",
+              (when(col("_lab") === c, 1L).otherwise(-1L) * 1000000L))
+            val store = new Graph.RoundStore(checkpointDir, s"linfit_$c")
+            linFitLoop(feats, nd, epochs, lrPpm, store)
+              .select(lit(c).as("lang"), col("_bkt").as("bucket"),
+                col("_wu").as("weight_u"))
+              // per-class weights are buckets-bounded: pin them NOW so the
+              // stacked union does not re-run K epoch chains lazily against
+              // an unpersisted cache after the finally
+              .localCheckpoint()
+          }.reduce(_ unionByName _)
+      }
     } finally shared.unpersist()
   }
 

@@ -261,6 +261,21 @@ object SharedFrames {
         .select(col("doc_id"), col("cluster_id"))
     }
 
+  /** q143's corpus MinHash SIGNATURE table ([[Dedup.minHashSignatures]]
+    * over the %10≠0 split) — the other half of the same fixed asset as
+    * [[corpusClusters]]: the signature table a 100 TB crawl computes once
+    * per corpus and writes, so each batch's delta-pair generation joins
+    * the batch against STORED signatures instead of re-shingling the full
+    * corpus text per run ([[Dedup.minHashLshPairsAgainstSignatures]]'s
+    * documented contract: per-batch IO is O(batch + signatures)). The
+    * bench's cluster_sig_build phase times this exact build. */
+  def corpusSignatures(s: SparkSession, d: String): DataFrame =
+    served(s, d, "corpussigs") {
+      Dedup.minHashSignatures(
+        Tables.documents(s, d).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", shingleN = 8, k = 64)
+    }
+
   // ── shared builders ─────────────────────────────────────────────────────
 
   /** The (id, vec double[]) embedding projection, optionally restricted to

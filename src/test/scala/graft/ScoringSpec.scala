@@ -194,6 +194,42 @@ class ScoringSpec extends SparkSpec {
       (4L, "en"), (5L, "fr"), (6L, "fr")), served.mkString(","))
   }
 
+  test("hashedLinearFit/langIdFit: the driver-local epoch replay equals " +
+      "the distributed loop bit-for-bit (negative residuals included)") {
+    import spark.implicits._
+    // yu = ±1e6 with zero-initialized weights makes every positive doc's
+    // first-epoch residual negative, so the truncate-toward-zero division
+    // is exercised on negatives in BOTH paths.
+    val docs = Seq(
+      (1L, "good good fine", 1),
+      (2L, "good fine fine good", 1),
+      (3L, "bad poor bad", 0),
+      (4L, "poor poor bad poor", 0),
+      (5L, "", 1)).toDF("doc_id", "text", "label")
+    val loc = Scoring.hashedLinearFitImpl(docs, "doc_id", "text", "label",
+        buckets = 64, epochs = 3, lrPpm = 250000L, checkpointDir = None,
+        allowLocal = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Scoring.hashedLinearFitImpl(docs, "doc_id", "text", "label",
+        buckets = 64, epochs = 3, lrPpm = 250000L, checkpointDir = None,
+        allowLocal = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(loc == dist, s"local=$loc\ndistributed=$dist")
+
+    val ldocs = Seq(
+      (1L, "der hund läuft schnell", "de"),
+      (2L, "the dog runs fast", "en"),
+      (3L, "le chien court vite", "fr"),
+      (4L, "the old dog sleeps", "en")).toDF("doc_id", "text", "lang")
+    def modelOf(local: Boolean) =
+      Scoring.langIdFitImpl(ldocs, "doc_id", "text", "lang", buckets = 64,
+          epochs = 2, lrPpm = 250000L, checkpointDir = None,
+          allowLocal = local)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(modelOf(true) == modelOf(false))
+  }
+
   test("dsirWeights: target-vs-raw log ratio, driver-checked") {
     import spark.implicits._
     val docs = Seq(

@@ -144,4 +144,24 @@ class SharedFramesSpec extends SparkSpec {
     assertSame(SharedFrames.corpusClusters(spark, sf), inline)
     Dedup.releaseCaches()
   }
+
+  test("corpusSignatures == the inline corpus MinHash signature build, " +
+      "and delta pairs against the stored table == the re-shingling path") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val inline = Dedup.minHashSignatures(corpus, "doc_id", "text",
+      shingleN = 8, k = 64)
+    assertSame(SharedFrames.corpusSignatures(spark, sf), inline)
+    // the q143 recurring path: batch vs STORED signatures must produce the
+    // exact pair set the corpus re-shingling path produced
+    val viaStored = Dedup.minHashLshPairsAgainstSignatures(batch,
+      SharedFrames.corpusSignatures(spark, sf), "doc_id", "text",
+      shingleN = 8, k = 64, bands = 16, rows = 4, threshold = 0.8)
+    val viaText = Dedup.minHashLshPairsAgainst(batch, corpus,
+      "doc_id", "text", shingleN = 8, k = 64, bands = 16, rows = 4,
+      threshold = 0.8)
+    assertSame(viaStored, viaText)
+    Dedup.releaseCaches()
+  }
 }
