@@ -90,6 +90,9 @@ object Export {
     val sums = ranked
       .groupBy(shiftrightunsigned(col("_mid"), 33).as("_pid"))
       .agg(sum(col(tokensCol)).as("_ptok"))
+    // Unpartitioned but PARTITION-COUNT-BOUNDED: `sums` has one row per
+    // range partition (32 locally, a few thousand on a real cluster) —
+    // the globalRowNumber offsets contract.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = sums.select(col("_pid"),

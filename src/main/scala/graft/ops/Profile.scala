@@ -57,6 +57,8 @@ object Profile {
       .withColumn("share_ppm",
         floor(col("cnt").cast("decimal(38,0)") * lit(1000000L) / col("_tot"))
           .cast("long"))
+      // unpartitioned but topK-BOUNDED: `top` has ≤ topK rows by
+      // construction (the salted topKPerStratum already cut the tail)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("key").asc)).cast("int"))
       .select(col("key"), col("cnt"), col("share_ppm"), col("rank"))
@@ -74,10 +76,18 @@ object Profile {
     * A term's bucket is its FIRST occurrence (min doc id — a pure
     * function of the corpus, retry/layout/engine-stable). Scale shape:
     * one token-keyed min aggregate (vocabulary-shaped, map-side
-    * combined) + one map-side-combined per-bucket token count; the final
-    * join + running-total window touch only bucket-count rows (the
-    * bounded-unpartitioned-window contract). Output: (bucket, n_tokens,
-    * new_terms, cum_terms), one row per non-empty bucket. */
+    * combined) + one map-side-combined per-bucket token count. The
+    * running total is TWO-LEVEL (the [[Scoring.valueThresholds]]
+    * pattern, r21): bucket count is id-range/bucketSize — data-scaled,
+    * so a single unpartitioned window over it would funnel every bucket
+    * row through ONE task at corpus scale. Coarse groups of 2¹⁶ buckets
+    * carry the running total BETWEEN groups (the one unpartitioned
+    * window touches ≤ #buckets/2¹⁶ rows — task-sized up to ~10¹⁴ doc
+    * ids; nest another level before that ever binds) and the within-
+    * group window partitions by the coarse id. Result-invisible: both
+    * levels are exact integer sums over the same total order. Output:
+    * (bucket, n_tokens, new_terms, cum_terms), one row per non-empty
+    * bucket. */
   def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
                        bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "vocabularyGrowth: bucketSize must be positive")
@@ -91,11 +101,22 @@ object Profile {
     val newTerms = toks.groupBy(col("_tok")).agg(min(col("_id")).as("_first"))
       .groupBy(expr(s"_first div ${bucketSize}L").as("bucket"))
       .agg(count(lit(1)).as("new_terms"))
-    perBucket.join(newTerms, Seq("bucket"), "left")
+    val joined = perBucket.join(newTerms, Seq("bucket"), "left")
       .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
-      .withColumn("cum_terms", sum(col("new_terms")).over(
-        Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_g", expr("bucket div 65536L"))
+    val wBefore = Window.orderBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coarseCum = joined.groupBy(col("_g"))
+      .agg(sum(col("new_terms")).as("_cg"))
+      .select(col("_g"),
+        coalesce(sum(col("_cg")).over(wBefore), lit(0L)).as("_before"))
+    val wIn = Window.partitionBy(col("_g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("_in", sum(col("new_terms")).over(wIn))
+      .join(broadcast(coarseCum), Seq("_g"))
+      .withColumn("cum_terms", col("_in") + col("_before"))
+      .drop("_g", "_in", "_before")
   }
 
   /** One-row corpus report card — the first page of a dataset card and
@@ -268,6 +289,8 @@ object Profile {
     val local = Window
       .partitionBy(pmod(xxhash64(col("_tok")), lit(fanout)))
       .orderBy(col("_f").desc, col("_tok").asc)
+    // unpartitioned but topV-BOUNDED: the salted local filter admits
+    // ≤ topV·fanout rows to the single global ranking task
     val global = Window.orderBy(col("_f").desc, col("_tok").asc)
     val top = freq.withColumn("_lrk", row_number().over(local))
       .where(col("_lrk") <= topV)

@@ -149,6 +149,9 @@ object Sampling {
       .withColumn("_srk", row_number().over(globalS))
       .where(col("_srk") <= perStratum)
     val localG = Window.partitionBy(salt).orderBy(fullOrd: _*)
+    // Unpartitioned but k-BOUNDED: the salted localG filter admits ≤
+    // k·fanout rows, so the single global task ranks a constant-size set
+    // regardless of corpus size (the boundedTopK contract).
     val globalG = Window.orderBy(fullOrd: _*)
     capped
       .withColumn("_grk", row_number().over(localG))

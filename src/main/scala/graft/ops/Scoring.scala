@@ -1042,6 +1042,9 @@ object Scoring {
     val dense = allBins.join(agg, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("_n"), lit(0L)).as("_n"),
         coalesce(col("_npos"), lit(0L)).as("_npos"))
+    // Unpartitioned but BINS-BOUNDED: dense has exactly `bins` rows (a
+    // query constant), so the single-task windows below are constant-size
+    // at any corpus scale.
     val wSuf = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,

@@ -1765,9 +1765,18 @@ object Similarity {
     val s = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"),
         norm(col(vecCol)).as("_sn"))
       .where(col("_sn") =!= 0.0)
-    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"),
+    val t0 = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"),
         norm(col(vecCol)).as("_tn"))
       .where(col("_tn") =!= 0.0)
+    // The tgt side is the map-only stream of every pass below; a corpus
+    // that arrives in fewer splits than the cluster has slots (one small
+    // parquet file → ONE task doing |src|×|tgt| dot products serially)
+    // would leave everything else idle. Spread it once — hash on the id,
+    // deterministic — and only ever UP: at scale the scan already has
+    // more partitions than this and the repartition is a no-op branch.
+    val slots = tgt.sparkSession.sparkContext.defaultParallelism
+    val t = if (t0.rdd.getNumPartitions < slots)
+      t0.repartition(slots, col("tgt_id")) else t0
     def scored = t.crossJoin(broadcast(s))
       .select(col("src_id"), col("tgt_id"),
         round(dot(col("_sv"), col("_tv")) / (col("_sn") * col("_tn")), 6)

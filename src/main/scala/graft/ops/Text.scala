@@ -862,8 +862,20 @@ object Text {
       .agg(F.sum(Round6.guarded(idf * norm, "searchBm25 term")
           .cast("decimal(18,6)"))
         .cast("decimal(18,6)").as("_score"))
+    // Salted two-phase top-k (the boundedTopK/zipfSlope pattern): the
+    // candidate set is every doc containing a query term — corpus-sized
+    // for a common term, so a single unpartitioned ranking window would
+    // funnel it through ONE task. Phase 1 keeps k per salt bucket; the
+    // global window then ranks ≤ 64·k survivors (k-bounded — one small
+    // task by construction). Exact: (score desc, doc asc) is a total
+    // order, and a global top-k row is a top-k row of its salt bucket.
+    val salt = pmod(xxhash64(col("doc")), lit(64L))
+    val local = Window.partitionBy(salt)
+      .orderBy(col("_score").desc, col("doc").asc)
     val w = Window.orderBy(col("_score").desc, col("doc").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
+    scored.withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("doc").as("doc_id"),
         col("_score").cast("string").as("score"), col("rank"))

@@ -36,6 +36,27 @@ class ProfileSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 3L, 3L), (1L, 3L, 2L, 5L)))
   }
 
+  test("vocabularyGrowth: two-level running total carries across the " +
+      "coarse 2^16-bucket group boundary (r21 bounded-window rework)") {
+    import spark.implicits._
+    // bucketSize 1 → bucket == doc_id; buckets 65535 and 65536 land in
+    // coarse groups 0 and 1, so cum_terms at 65536 must include the
+    // _before offset from group 0.
+    val docs = Seq(
+      (10L, "a b"),        // bucket 10, group 0: new {a,b}
+      (65535L, "b c"),     // bucket 65535, group 0: new {c}
+      (65536L, "c d"),     // bucket 65536, group 1: new {d}
+      (131072L, "e"))      // bucket 131072, group 2: new {e}
+      .toDF("doc_id", "text")
+    val got = Profile.vocabularyGrowth(docs, "doc_id", "text",
+        bucketSize = 1L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 2L, 2L), (65535L, 2L, 1L, 3L),
+      (65536L, 2L, 1L, 4L), (131072L, 1L, 1L, 5L)))
+  }
+
   test("zipfSlope: exact power law fits slope -1, head cut, tie order, " +
       "layout-invariant") {
     import spark.implicits._
