@@ -1282,24 +1282,91 @@ object Scoring {
     * BIGINT — normalized to sum ≈ 10⁶). */
   def bradleyTerry(outcomes: DataFrame, winnerCol: String, loserCol: String,
                    iters: Int = 3,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: Option[String] = None): DataFrame =
+    bradleyTerryImpl(outcomes, winnerCol, loserCol, iters, checkpointDir,
+      allowLocal = true)
+
+  /** Driver budget for the local MM path: directed-pair histograms at or
+    * under this many rows (item²-bounded by the op's scale contract)
+    * iterate on the driver; larger item sets keep the distributed loop. */
+  private[ops] val LocalBtMaxPairs = 65536
+
+  /** [[bradleyTerry]] with the driver-local fast path switchable —
+    * package-private so the spec can pin local == distributed equality. */
+  private[graft] def bradleyTerryImpl(
+      outcomes: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int, checkpointDir: Option[String],
+      allowLocal: Boolean): DataFrame = {
     require(iters > 0, "bradleyTerry: iters must be positive")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val po = outcomes.select(col(winnerCol).cast("string").as("_w"),
         col(loserCol).cast("string").as("_l"))
       .where(col("_w").isNotNull && col("_l").isNotNull &&
         col("_w") =!= col("_l"))
-    val e = po.select(col("_w").as("_i"), col("_l").as("_j"))
-      .unionAll(po.select(col("_l").as("_i"), col("_w").as("_j")))
-    val store = new Graph.RoundStore(checkpointDir, "bt")
-    val games = e.groupBy(col("_i"), col("_j")).agg(count(lit(1)).as("_n"))
+    // ONE pass over the (possibly expensive — q152 derives it from a
+    // per-user window) outcome stream: the directed-pair histogram is
+    // item²-bounded, and games/wins both derive from it exactly —
+    // games(i,j) = dg(i,j)+dg(j,i), wins(i) = Σ_l dg(i,l). The previous
+    // shape scanned `po` three times (two union arms + the win count).
+    val dg = po.groupBy(col("_w"), col("_l")).agg(count(lit(1)).as("_n"))
       .persist(MEMORY_AND_DISK)
-    val wins = po.groupBy(col("_w").as("_i")).agg(count(lit(1)).as("_wins"))
+    val games = dg.select(col("_w").as("_i"), col("_l").as("_j"), col("_n"))
+      .unionAll(dg.select(col("_l").as("_i"), col("_w").as("_j"), col("_n")))
+      .groupBy(col("_i"), col("_j")).agg(sum(col("_n")).as("_n"))
+      .persist(MEMORY_AND_DISK)
+    val wins = dg.groupBy(col("_w").as("_i")).agg(sum(col("_n")).as("_wins"))
     val base = games.groupBy(col("_i")).agg(sum(col("_n")).as("_games"))
       .join(wins, Seq("_i"), "left")
       .select(col("_i"), col("_games"),
         coalesce(col("_wins"), lit(0L)).as("_wins"))
       .persist(MEMORY_AND_DISK)
+    // Driver-local MM replay (the linFit treatment): the iterate loop's
+    // per-round cost at bench scale was three joins + two aggregates +
+    // a lineage truncation of pure schedule latency over an item²-bounded
+    // table. BIT-IDENTICAL: every distributed aggregate is an order-free
+    // exact sum (BigInt here, DECIMAL(38,0) there — both exact), every
+    // `div` truncates toward zero on non-negative operands ≡ BigInt `/`,
+    // and a zero total raises in both paths. Spec-pinned local ==
+    // distributed.
+    val localPairs =
+      if (allowLocal) {
+        val rows = games.limit(LocalBtMaxPairs + 1).collect()
+        if (rows.length <= LocalBtMaxPairs) Some(rows) else None
+      } else None
+    localPairs match {
+      case Some(gRows) =>
+        val bRows = base.collect()
+        val n = bRows.length
+        val idx = bRows.iterator.map(_.getString(0)).zipWithIndex.toMap
+        val gArr = gRows.map(r =>
+          (idx(r.getString(0)), idx(r.getString(1)), r.getLong(2)))
+        val T12 = BigInt("1000000000000")
+        var su = Array.fill(n)(BigInt(1000000))
+        for (_ <- 1 to iters) {
+          val den = Array.fill(n)(BigInt(0))
+          gArr.foreach { case (i, j, nij) =>
+            den(i) += (BigInt(nij) * T12) / (su(i) + su(j)).max(BigInt(1))
+          }
+          val upd = Array.tabulate(n)(i =>
+            (BigInt(bRows(i).getLong(2) + 1L) * T12) /
+              (den(i) + (BigInt(2) * T12) / (su(i) + BigInt(1000000))))
+          val tot = upd.sum
+          su = upd.map(s => (s * BigInt(1000000)) / tot)
+        }
+        val sp = outcomes.sparkSession
+        import sp.implicits._
+        bRows.indices.map(i => (bRows(i).getString(0), bRows(i).getLong(1),
+            bRows(i).getLong(2), su(i).longValue))
+          .toDF("item", "games", "wins", "strength_ppm")
+      case None =>
+        bradleyTerryDistributed(games, base, iters, checkpointDir)
+    }
+  }
+
+  private def bradleyTerryDistributed(
+      games: DataFrame, base: DataFrame, iters: Int,
+      checkpointDir: Option[String]): DataFrame = {
+    val store = new Graph.RoundStore(checkpointDir, "bt")
     var cur = base.withColumn("_su", lit(1000000L))
     for (_ <- 1 to iters) {
       val sj = cur.select(col("_i").as("_j"), col("_su").as("_sju"))

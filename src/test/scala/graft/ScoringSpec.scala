@@ -230,6 +230,22 @@ class ScoringSpec extends SparkSpec {
     assert(modelOf(true) == modelOf(false))
   }
 
+  test("bradleyTerry: the driver-local MM replay equals the distributed " +
+      "loop bit-for-bit") {
+    import spark.implicits._
+    val outcomes = Seq(
+      ("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("c", "b"),
+      ("b", "c"), ("a", "c"), ("c", "a"), ("b", "c"), ("a", "b"))
+      .toDF("winner", "loser")
+    def run(local: Boolean) =
+      Scoring.bradleyTerryImpl(outcomes, "winner", "loser", iters = 3,
+          checkpointDir = None, allowLocal = local)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    assert(run(true) == run(false))
+  }
+
   test("dsirWeights: target-vs-raw log ratio, driver-checked") {
     import spark.implicits._
     val docs = Seq(
