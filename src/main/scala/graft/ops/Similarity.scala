@@ -476,8 +476,19 @@ object Similarity {
     def ivfCellDrift(index: DataFrame, cents: Seq[(Int, Seq[Double])],
                      driftPpm: Long): DataFrame = {
       require(cents.nonEmpty, "ivfCellDrift: need at least one centroid")
-      require(driftPpm > 0, "ivfCellDrift: driftPpm must be positive")
       val dim = cents.head._2.size
+      ivfCellDriftFromMeans(cellMeans(index, dim), cents, driftPpm)
+    }
+
+    /** [[ivfCellDrift]] over an ALREADY-AGGREGATED per-cell mean table —
+      * shared with [[refreshPlan]], which needs both the drift verdicts
+      * and the means themselves and used to pay the corpus aggregate
+      * twice (once inside the drift audit, once for the mean collect). */
+    private def ivfCellDriftFromMeans(means: DataFrame,
+                                      cents: Seq[(Int, Seq[Double])],
+                                      driftPpm: Long): DataFrame = {
+      require(cents.nonEmpty, "ivfCellDrift: need at least one centroid")
+      require(driftPpm > 0, "ivfCellDrift: driftPpm must be positive")
       val mn = norm(col("_mv"))
       val cos = cents.foldLeft(lit(null).cast("double")) {
         case (acc, (cid, cv)) =>
@@ -486,7 +497,7 @@ object Similarity {
               6))
             .otherwise(acc)
       }
-      cellMeans(index, dim)
+      means
         .select(col("_cell").cast("int").as("cell"), col("n"),
           when(mn =!= 0.0,
             lit(1000000L) - floor(cos * lit(1e6) + lit(0.5)).cast("long"))
@@ -664,9 +675,14 @@ object Similarity {
                             driftPpm: Long)
         : (Seq[(Int, Seq[Double])], Seq[Int]) = {
       val dim = cents.head._2.size
-      val flagged = ivfCellDrift(idx, cents, driftPpm)
+      // ONE corpus aggregate: the per-cell mean table is quantizer-bounded
+      // (≤ k rows), so pin it eagerly and feed BOTH the drift audit and
+      // the mean collect from it — the previous shape ran the full
+      // explode+decimal-sum aggregate twice (r21, guide §1.2).
+      val cellMv = cellMeans(idx, dim).localCheckpoint()
+      val flagged = ivfCellDriftFromMeans(cellMv, cents, driftPpm)
         .where(col("refit") === 1).select(col("cell"))
-      val means = cellMeans(idx, dim)
+      val means = cellMv
         .join(flagged, col("_cell") === col("cell"))
         .select(col("cell"), col("_mv"))
         .collect()
